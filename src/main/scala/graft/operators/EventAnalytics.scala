@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.Det._
+
+/** Event/time-oriented analytics over the `events` table: JSON property
+  * extraction, time bucketing, tumbling + sliding windows, and batch
+  * sessionization. The same transforms run unchanged under Structured
+  * Streaming (graft.streaming) — these batch variants are the
+  * oracle-checkable face of C7.
+  *
+  * Scale notes: all window/bucket aggs group on (bucket, dimension) —
+  * one shuffle, partial aggregation map-side. Sessionization shuffles
+  * once on user_id; at 100 TB the skew concern is power-law users, which
+  * AQE skew-join handles for joins, and for aggregation stays bounded
+  * because per-user state is a running session, not a buffered list.
+  */
+object EventAnalytics {
+
+  /** JSON property extraction (schemaless :source lane, SURVEY §1.2):
+    * get_json_object over the props JSON string, typed cast, aggregate. */
+  def q27JsonExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .select($"event_type", get_json_object($"props", "$.k").cast("int").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+           min($"k").as("min_k"), max($"k").as("max_k"))
+  }
+
+  val q27Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Calendar bucketing: events per (day, type) via date_trunc. */
+  def q28TimeBuckets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+  }
+
+  val q28Sql: String =
+    s"""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+       |  ${sqlSum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Tumbling 5-minute windows (Spark `window`), keyed by event_type.
+    * Streaming form is identical modulo readStream + watermark. */
+  def q29Tumbling(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("window_start"), $"event_type", $"n")
+  }
+
+  val q29Sql: String =
+    """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+      |  event_type, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sliding windows: 10-minute width, 5-minute slide — every event
+    * lands in exactly two windows. Oracle replicates by unnesting the
+    * two window starts per event. */
+  def q30Sliding(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy(window($"ts", "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select($"window.start".as("window_start"), $"n", $"sum_value")
+  }
+
+  val q30Sql: String =
+    s"""SELECT window_start, COUNT(*) AS n, ${sqlSum("value")} AS sum_value
+       |FROM (
+       |  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+       |                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS window_start,
+       |         value
+       |  FROM events
+       |) GROUP BY 1""".stripMargin
+
+  /** Batch sessionization: session_window with a 4-hour inactivity gap
+    * per user. Oracle = classic gaps-and-islands (lag + running flag
+    * sum). Session identity: (user_id, first event ts). */
+  def q31Sessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy(session_window($"ts", "4 hours"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), max($"ts").as("last_ts"))
+      .select($"session_window.start".as("session_start"),
+              $"user_id", $"n_events", $"last_ts")
+  }
+
+  val q31Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              >= INTERVAL '4 hours'
+      |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |), numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT MIN(ts) AS session_start, user_id,
+      |  COUNT(*) AS n_events, MAX(ts) AS last_ts
+      |FROM numbered GROUP BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_json_extract" -> (q27JsonExtract _),
+    "q28_time_buckets" -> (q28TimeBuckets _),
+    "q29_tumbling"     -> (q29Tumbling _),
+    "q30_sliding"      -> (q30Sliding _),
+    "q31_sessions"     -> (q31Sessions _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q27_json_extract" -> q27Sql,
+    "q28_time_buckets" -> q28Sql,
+    "q29_tumbling"     -> q29Sql,
+    "q30_sliding"      -> q30Sql,
+    "q31_sessions"     -> q31Sql,
+  )
+}
