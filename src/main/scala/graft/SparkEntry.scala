@@ -20,7 +20,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.Relational2.queries ++
-      operators.EventAnalytics.queries
+      operators.EventAnalytics.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -28,5 +32,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
       operators.Relational2.oracles ++
-      operators.EventAnalytics.oracles
+      operators.EventAnalytics.oracles ++
+      operators.Dedup.oracles ++
+      operators.Similarity.oracles ++
+      operators.TextAnalysis.oracles ++
+      operators.Multimodal.oracles
 }

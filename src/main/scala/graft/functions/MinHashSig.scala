@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** MinHash signature as a native Catalyst expression.
+  *
+  * Input: array<long> of (already hashed) shingle values in [0, p).
+  * Output: array<long> of `a.length` minhash slots, slot i =
+  * min over shingles h of (a(i)*h + b(i)) mod p.
+  *
+  * Why an Expression and not `transform`/`aggregate`: Spark's
+  * higher-order functions are CodegenFallback and evaluate one lambda
+  * call per element — for 128 permutations × ~100 shingles per row that
+  * interpretive overhead dominates (measured 26 s for 500 docs). This
+  * expression runs the whole signature as one tight JVM loop per row
+  * (~ms for the same data). Constraint a(i) < 2^31 and h < 2^32 keeps
+  * a*h below 2^63 (no overflow).
+  */
+case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], p: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  require(a.length == b.length)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = a.length
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      var m = Long.MaxValue
+      val ai = a(i); val bi = b(i)
+      var j = 0
+      while (j < n) {
+        val v = (ai * arr.getLong(j) + bi) % p
+        if (v < m) m = v
+        j += 1
+      }
+      sig(i) = if (n == 0) 0L else m
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  import org.apache.spark.sql.GraftGlue
+  def apply(c: Column, a: Array[Long], b: Array[Long], p: Long): Column =
+    GraftGlue.toCol(MinHashSig(GraftGlue.toExpr(c), a, b, p))
+}

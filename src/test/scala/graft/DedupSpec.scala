@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Non-oracled dedup semantics: MinHash-vs-exact-Jaccard agreement and
+  * SimHash recall against the exact ground truth. */
+class DedupSpec extends SparkSpec {
+
+  private def exactPairs(sf: String): Set[(Long, Long)] =
+    Dedup.d03NgramJaccard(spark, sf)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash-LSH finds exactly the exact-Jaccard >= 0.8 pairs") {
+    val exact = exactPairs(sf001)
+    val lsh = Dedup.d04MinhashLsh(spark, sf001)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh === exact)
+  }
+
+  test("minhash signature estimates Jaccard within tolerance on near-dup pairs") {
+    import spark.implicits._
+    val sh = Tables.documents(spark, sf001)
+      .select($"doc_id", Dedup.shingleHashes($"text").as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"doc_id", $"sh", Dedup.minhashSignature($"sh").as("sig"))
+    val exact = Dedup.d03NgramJaccard(spark, sf001)
+      .select("d1", "d2", "jaccard").collect()
+    assert(exact.nonEmpty)
+    val byId = sh.select($"doc_id", $"sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    exact.foreach { r =>
+      val (d1, d2, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (s1, s2) = (byId(d1), byId(d2))
+      val est = s1.zip(s2).count { case (a, b) => a == b }.toDouble / s1.size
+      assert(math.abs(est - j) < 0.15, s"pair ($d1,$d2): est=$est exact=$j")
+    }
+  }
+
+  test("simhash hamming <= 5 pairs cover the exact near-dup pairs, few extras") {
+    val exact = exactPairs(sf001)
+    val sim = Dedup.d05Simhash(spark, sf001)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & sim).size.toDouble / exact.size
+    assert(recall >= 0.95, s"simhash recall $recall over ${exact.size} true pairs")
+    assert(sim.size <= exact.size * 3 + 10, s"simhash precision blowup: ${sim.size} pairs")
+  }
+
+  test("dedup is idempotent: d01 over its own survivors is identity") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf001)
+    val kept = Dedup.d01ExactDedup(spark, sf001).select($"keep_id")
+    val deduped = docs.join(kept, docs("doc_id") === kept("keep_id"))
+    // re-dedup the survivors: every group must have exactly one member
+    val again = deduped.groupBy(sha2($"text", 256)).count().filter($"count" > 1)
+    assert(again.count() === 0)
+  }
+}

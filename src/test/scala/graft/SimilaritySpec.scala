@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Similarity
+
+/** Approximate-ANN guarantees that the SQL oracle can't check. */
+class SimilaritySpec extends SparkSpec {
+
+  private def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.select("q_id", "n_id", "rank").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+
+  test("IVF top-k: 3 exact-ranked rows per query, deterministic, recall above floor") {
+    val exact = topk(Similarity.s01CosineTopK(spark, sf001))
+    val ivf = topk(Similarity.s03IvfTopK(spark, sf001))
+    assert(exact.size === 20)
+    assert(ivf.size === 20)
+    ivf.values.foreach(ns => assert(ns.size === 3))
+    // determinism
+    val again = topk(Similarity.s03IvfTopK(spark, sf001))
+    assert(ivf === again)
+    // fixture embeddings are unclustered (see s03 scaladoc): recall ≈
+    // probed corpus fraction (2 of 5 equal buckets → ~0.4); assert a
+    // floor that catches mechanism regressions, not a clustered-data SLA
+    val recalls = exact.map { case (q, en) =>
+      val found = ivf.getOrElse(q, Nil).toSet
+      en.count(found.contains).toDouble / en.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.15, s"mean recall@3 = $mean")
+  }
+
+  test("cosine is symmetric and self-similarity is 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf0001).limit(10)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val pairs = e.as("a").crossJoin(e.as("b"))
+      .select(
+        Similarity.cosine($"a.v", $"b.v").as("ab"),
+        Similarity.cosine($"b.v", $"a.v").as("ba"),
+        ($"a.vec_id" === $"b.vec_id").as("same"))
+      .collect()
+    pairs.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      if (r.getBoolean(2)) assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    }
+  }
+}
