@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ingest._
+
+/** Engine entry point — the reference's `-main` (core.clj:102-112)
+  * re-expressed as the five explicit Spark lifecycle stages of SURVEY
+  * §3.1, with the arg-merge bug fixed (args actually override
+  * defaults, unlike core.clj:105-106).
+  *
+  * Runs the continuous incremental copy pipeline: ES-sim source
+  * (timestamp cursor) → identity/emit transform → ES-sim bulk sink
+  * (upsert by doc id).
+  *
+  * Usage: graft.Main <sourceDir> <sinkDir> <checkpointDir> [k=v ...]
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: graft.Main <sourceDir> <sinkDir> <checkpointDir> [k=v ...]")
+    val Array(sourceDir, sinkDir, checkpointDir) = args.take(3)
+
+    // stage 1: config — CLI args merged over defaults (A9 fixed, A10)
+    val config = IngestionConfig.fromArgs(args.drop(3).toSeq)
+
+    // stage 2: session
+    val spark = SparkSession.builder()
+      .appName("graft-ingest")
+      // spark-submit injects the real cluster master; default to local
+      // for direct JVM launches (tests, sbt runMain)
+      .master(sys.props.getOrElse("spark.master",
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // stage 3: logical plan — B1/B2/B3 source, A2 identity projection
+    import spark.implicits._
+    val records = spark.readStream
+      .format("graft.sources.EsSimSourceProvider")
+      .option("path", sourceDir)
+      .option("tsField", config.sourceTimestampField)
+      .option("batchSize", config.sourceBatchSize.toString)
+      .load()
+      .select($"indexId", $"docId", $"source") // B4: 1-for-1 copy lane
+      .as[IngestRecord]
+
+    // stage 4: start — foreachBatch bulk sink (A1 policy), poll cadence
+    // = B3 source.poll-interval
+    val query = records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(config.sourcePollIntervalMs))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[IngestRecord], _: Long) =>
+        EsBulkSink.write(batch, sinkDir,
+          config.bulkMaxActions, config.bulkFlushIntervalMs,
+          config.bulkMaxRetries, config.bulkBackoffInitialMs)
+      }
+      .start()
+
+    // stage 5: await
+    query.awaitTermination()
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.util.concurrent.atomic.AtomicLong
+
+/** One document-index action of a bulk request (reference: IndexRequest
+  * built at core.clj:62-65 — id, index, JSON source). */
+final case class BulkAction(indexId: String, docId: String, source: String)
+
+/** Minimal ES bulk transport abstraction. A production deployment backs
+  * this with the REST `_bulk` endpoint (plus a Basic-auth header —
+  * reference core.clj:19-26); the offline test environment backs it
+  * with [[FileEsBulkClient]]. Throwing signals a retryable failure to
+  * the buffering layer. */
+trait EsBulkClient extends Serializable {
+  def bulk(actions: Seq[BulkAction]): Unit
+}
+
+/** Filesystem-simulated Elasticsearch bulk endpoint, wire-faithful to
+  * the `_bulk` ndjson format: each action is an `{"index":{...}}`
+  * metadata line followed by the source line. Files are named with a
+  * (epochMicro, per-client counter) pair so [[EsSimStore]] can replay
+  * them in arrival order and apply upsert-by-id semantics — the same
+  * idempotent re-run behavior the reference gets from ES document ids
+  * (core.clj:63). */
+final class FileEsBulkClient(dir: String) extends EsBulkClient {
+  private val counter = new AtomicLong()
+  private val clientId = java.util.UUID.randomUUID().toString.take(8)
+
+  override def bulk(actions: Seq[BulkAction]): Unit = {
+    if (actions.isEmpty) return
+    val sb = new java.lang.StringBuilder(actions.size * 128)
+    actions.foreach { a =>
+      sb.append("""{"index":{"_index":""").append(JsonStr.quote(a.indexId))
+        .append(""","_id":""").append(JsonStr.quote(a.docId)).append("}}\n")
+      sb.append(a.source).append('\n')
+    }
+    val p = Paths.get(dir)
+    Files.createDirectories(p)
+    val name = f"bulk-${System.nanoTime()}%020d-$clientId-${counter.getAndIncrement()}%06d.ndjson"
+    Files.write(p.resolve(name), sb.toString.getBytes(UTF_8),
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+  }
+}
+
+/** A client wrapper that fails the first `failures` bulk calls — drives
+  * the backoff/retry tests. */
+final class FlakyEsBulkClient(inner: EsBulkClient, failures: Int) extends EsBulkClient {
+  private val remaining = new AtomicLong(failures)
+  val attempts = new AtomicLong()
+  override def bulk(actions: Seq[BulkAction]): Unit = {
+    attempts.incrementAndGet()
+    if (remaining.getAndDecrement() > 0)
+      throw new java.io.IOException("simulated bulk failure")
+    inner.bulk(actions)
+  }
+}
+
+/** Public alias for cross-package use (sources.TsOffset json). */
+object JsonStrPublic {
+  def quote(s: String): String = JsonStr.quote(s)
+}
+
+private[ingest] object JsonStr {
+  def quote(s: String): String = {
+    val sb = new java.lang.StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+}

@@ -1,0 +1,119 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Buffering bulk writer with the reference sink's exact physical
+  * policy (core.clj:68-79): flush at `maxActions` buffered actions (64,
+  * core.clj:72) or `flushIntervalMs` elapsed (5000 ms, core.clj:73);
+  * on failure retry up to `maxRetries` times (10, core.clj:75) with
+  * exponential backoff from `backoffInitialMs` (2000 ms, core.clj:76-78).
+  *
+  * One buffer lives per executor task (the per-partition analogue of
+  * the reference's per-subtask ElasticsearchSinkFunction). `sleeper` is
+  * injectable so tests assert the backoff schedule without waiting ~34
+  * minutes of wall clock.
+  */
+final class BulkBuffer(
+    client: EsBulkClient,
+    maxActions: Int = 64,
+    flushIntervalMs: Long = 5000,
+    maxRetries: Int = 10,
+    backoffInitialMs: Long = 2000,
+    sleeper: Long => Unit = Thread.sleep,
+    clock: () => Long = System.currentTimeMillis) extends Serializable {
+
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[BulkAction]
+  private var lastFlush = clock()
+  /** Backoff delays actually slept — exposed for tests. */
+  val backoffsSeen = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+  /** Null-safe add (reference core.clj:59-60: `some->` skips records
+    * with a nil body — we skip null/absent sources the same way). */
+  def add(a: BulkAction): Unit = {
+    if (a.source != null && a.docId != null) {
+      buf += a
+      if (buf.size >= maxActions || clock() - lastFlush >= flushIntervalMs) flush()
+    }
+  }
+
+  def flush(): Unit = {
+    if (buf.nonEmpty) {
+      var attempt = 0
+      var done = false
+      while (!done) {
+        try { client.bulk(buf.toSeq); done = true }
+        catch {
+          case e: Exception =>
+            if (attempt >= maxRetries) throw e
+            val delay = backoffInitialMs << attempt // exponential: 2s, 4s, 8s…
+            backoffsSeen += delay
+            sleeper(delay)
+            attempt += 1
+        }
+      }
+      buf.clear()
+    }
+    lastFlush = clock()
+  }
+}
+
+/** The ES-sim sink: dataset of [[IngestRecord]] → bulk files, batch or
+  * streaming (foreachBatch), with the BulkBuffer policy per partition. */
+object EsBulkSink {
+
+  /** Write a batch of records through per-partition bulk buffers. */
+  def write(records: Dataset[IngestRecord], dir: String,
+            maxActions: Int = 64, flushIntervalMs: Long = 5000,
+            maxRetries: Int = 10, backoffInitialMs: Long = 2000): Unit = {
+    records.foreachPartition { (it: Iterator[IngestRecord]) =>
+      val buffer = new BulkBuffer(new FileEsBulkClient(dir), maxActions,
+        flushIntervalMs, maxRetries, backoffInitialMs)
+      it.foreach(r => buffer.add(BulkAction(r.indexId, r.docId, r.source)))
+      buffer.flush()
+    }
+  }
+
+  /** Streaming writer: attach to `ds.writeStream.foreachBatch(streamBatch(dir))`. */
+  def streamBatch(dir: String)(batch: Dataset[IngestRecord], batchId: Long): Unit =
+    write(batch, dir)
+}
+
+/** Read-back of the simulated ES index: replay bulk files in arrival
+  * order, apply upsert-by-id (last write per (index, docId) wins — ES
+  * document semantics, which is what makes re-running a copy idempotent
+  * rather than duplicating, SURVEY B4). */
+object EsSimStore {
+
+  /** All actions, with their arrival sequence. */
+  def actions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.textFile(s"$dir/bulk-*.ndjson")
+      .withColumn("file", input_file_name())
+    // pair meta/source lines: meta lines carry _index/_id; a source line
+    // belongs to the nearest preceding meta line in the same file.
+    val withIdx = lines.select($"file", $"value",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"file").orderBy(monotonically_increasing_id())).as("ln"))
+    val metas = withIdx.filter($"ln" % 2 === 1)
+      .select($"file", (($"ln" + 1) / 2).as("slot"),
+        get_json_object($"value", "$.index._index").as("indexId"),
+        get_json_object($"value", "$.index._id").as("docId"))
+    val sources = withIdx.filter($"ln" % 2 === 0)
+      .select($"file", ($"ln" / 2).as("slot"), $"value".as("source"))
+    metas.join(sources, Seq("file", "slot"))
+      .select($"file", $"slot", $"indexId", $"docId", $"source")
+  }
+
+  /** Current index contents after upsert-by-id replay. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"indexId", $"docId")
+      .orderBy($"file".desc, $"slot".desc)
+    actions(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"indexId", $"docId", $"source")
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+import graft.ingest.{BulkAction, FileEsBulkClient}
+
+/** B1/B2/B3 contract of the DataSource V2 ES-sim source: full batch
+  * scan, timestamp-cursor incremental stream, batch-size admission,
+  * and exactly-once-per-doc recovery across a checkpoint restart. */
+class EsSimSourceSpec extends SparkSpec {
+
+  private def writeDocs(dir: String, ids: Range, tsBase: String = "2024-01-01 00:0"): Unit = {
+    val client = new FileEsBulkClient(dir)
+    ids.grouped(10).foreach { g =>
+      client.bulk(g.map { i =>
+        val ts = f"2024-01-01 ${i / 3600}%02d:${(i / 60) % 60}%02d:${i % 60}%02d.000000"
+        BulkAction("idx", i.toString, s"""{"id":$i,"ts":"$ts","v":${i * 2}}""")
+      }.toSeq)
+    }
+  }
+
+  test("batch read: full scan returns every action") {
+    val dir = Files.createTempDirectory("essrc").toString
+    writeDocs(dir, 0 until 57)
+    val df = spark.read.format("graft.sources.EsSimSourceProvider")
+      .option("path", dir).load()
+    assert(df.count() === 57)
+    assert(df.columns.toSeq === Seq("indexId", "docId", "source", "ts"))
+    assert(df.where("ts IS NULL").count() === 0)
+  }
+
+  test("streaming: incremental cursor, batchSize admission, no dups no loss") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("essrc").toString
+    val out = Files.createTempDirectory("esout").toString
+    val ckpt = Files.createTempDirectory("esckpt").toString
+    writeDocs(dir, 0 until 25)
+    def startQuery() = spark.readStream
+      .format("graft.sources.EsSimSourceProvider")
+      .option("path", dir).option("batchSize", "7")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("append").parquet(out)
+      }
+      .start()
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    val phase1 = spark.read.parquet(out)
+    assert(phase1.count() === 25)
+    // restart with more files: only the new docs flow
+    writeDocs(dir, 25 until 40)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val all = spark.read.parquet(out)
+    assert(all.count() === 40, "restart must deliver each doc exactly once")
+    assert(all.select($"docId").distinct().count() === 40)
+  }
+
+  test("Trigger.AvailableNow drains the start snapshot and stops") {
+    val dir = Files.createTempDirectory("essrc").toString
+    val out = Files.createTempDirectory("esout").toString
+    writeDocs(dir, 0 until 30)
+    val q = spark.readStream
+      .format("graft.sources.EsSimSourceProvider")
+      .option("path", dir).option("batchSize", "9")
+      .load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("append").parquet(out)
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query should self-terminate")
+    assert(spark.read.parquet(out).count() === 30)
+  }
+}

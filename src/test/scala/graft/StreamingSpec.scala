@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling windows finalize on watermark; late data dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStreams.tumblingCounts(df, "10 minutes")
+      .writeStream.format("memory").queryName("tumb").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), 1L, "click", 1.0),
+        (ts("2024-01-01 00:02:00"), 2L, "click", 2.0),
+        (ts("2024-01-01 00:06:00"), 1L, "view", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the first windows
+      input.addData((ts("2024-01-01 01:00:00"), 3L, "click", 1.0))
+      q.processAllAvailable()
+      // this event is 1h late, behind the watermark → dropped
+      input.addData((ts("2024-01-01 00:03:00"), 9L, "click", 99.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 02:00:00"), 3L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumb")
+        .select($"window_start".cast("string"), $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(rows.contains(("2024-01-01 00:00:00", "click", 2L)))
+      assert(rows.contains(("2024-01-01 00:05:00", "view", 1L)))
+      // the late event did NOT bump the 00:00 click window to 3
+      assert(!rows.exists(r => r._1 == "2024-01-01 00:00:00" && r._2 == "click" && r._3 == 3L))
+    } finally q.stop()
+  }
+
+  test("session windows merge within gap, split across it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStreams.sessionCounts(df, "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L, "a", 0.0),
+        (ts("2024-01-01 00:10:00"), 1L, "a", 0.0), // same session (gap < 30m)
+        (ts("2024-01-01 01:30:00"), 1L, "a", 0.0)) // new session
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 05:00:00"), 2L, "a", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .select($"session_start".cast("string"), $"user_id", $"n_events")
+        .as[(String, Long, Long)].collect().toSet
+      assert(rows.contains(("2024-01-01 00:00:00", 1L, 2L)))
+      assert(rows.contains(("2024-01-01 01:30:00", 1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses redelivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    val q = EventStreams.dedupWithinWatermark(df, "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:00"), 1.0))
+      input.addData((1L, ts("2024-01-01 00:00:01"), 1.0)) // redelivery, same id
+      input.addData((2L, ts("2024-01-01 00:00:02"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup").select($"event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("runtot").outputMode("update").start()
+    try {
+      input.addData(EventStreams.UserEvent(1L, ts("2024-01-01 00:00:00"), 5.0))
+      q.processAllAvailable()
+      input.addData(
+        EventStreams.UserEvent(1L, ts("2024-01-01 00:01:00"), 7.0),
+        EventStreams.UserEvent(2L, ts("2024-01-01 00:01:00"), 1.0))
+      q.processAllAvailable()
+      val byUser = spark.table("runtot").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(byUser.contains((1L, 2L, 12.0)), s"got ${byUser.toSeq}")
+      assert(byUser.contains((2L, 1L, 1.0)))
+    } finally q.stop()
+  }
+}
