@@ -25,11 +25,13 @@ import graft.Tables._
 object Similarity {
 
   /** Sequential-order dot product of two double arrays (matches the
-    * evaluation order of DuckDB's list aggregates). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    * evaluation order of DuckDB's list aggregates). Native expression —
+    * the zip_with/aggregate formulation is CodegenFallback and paid one
+    * interpreted lambda call per element (34 s → ~1 s for the sf0.1
+    * near-dup join). Same summation order, so results are bit-identical. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dotProduct(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = graft.functions.VectorOps.l2Norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

@@ -245,9 +245,16 @@ class EsSimMicroBatchStream(path: String, tsField: String, batchSize: Int)
     val s = start.asInstanceOf[TsOffset]
     val e = end.asInstanceOf[TsOffset]
     val selected = docs.filter(d => s.lessThan(d._1, d._2) && !e.lessThan(d._1, d._2))
-    selected.groupBy(_._3).map { case (file, _) =>
-      EsSimPartition(file, tsField, s.tsMicros, s.docId, e.tsMicros, e.docId,
-        unbounded = false): InputPartition
+    // bin-pack small bulk files into at most maxPartitions splits — one
+    // 64-doc file per task made a 10k-doc micro-batch 160 tiny tasks,
+    // and per-task scheduling overhead dominated the trigger budget
+    val files = selected.map(_._3).distinct
+    val maxPartitions = math.max(1,
+      org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism)
+    val groups = files.zipWithIndex.groupBy(_._2 % maxPartitions)
+    groups.values.map { g =>
+      EsSimMultiFilePartition(g.map(_._1), tsField,
+        s.tsMicros, s.docId, e.tsMicros, e.docId): InputPartition
     }.toArray
   }
 
@@ -257,26 +264,40 @@ class EsSimMicroBatchStream(path: String, tsField: String, batchSize: Int)
   override def stop(): Unit = ()
 }
 
-/** Serializable partition: one bulk file + the (ts,id] cursor range. */
+/** Serializable partition: one bulk file + the (ts,id] cursor range
+  * (unbounded = batch full scan). */
 final case class EsSimPartition(file: String, tsField: String,
     startTs: Long, startId: String, endTs: Long, endId: String,
     unbounded: Boolean) extends InputPartition
 
+/** Bin-packed micro-batch partition: several bulk files sharing one
+  * cursor range. */
+final case class EsSimMultiFilePartition(files: Seq[String], tsField: String,
+    startTs: Long, startId: String, endTs: Long, endId: String) extends InputPartition
+
 object EsSimReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[EsSimPartition]
+    val (files, tsField, bounds) = partition match {
+      case p: EsSimPartition =>
+        (Seq(p.file), p.tsField,
+          if (p.unbounded) None else Some((p.startTs, p.startId, p.endTs, p.endId)))
+      case p: EsSimMultiFilePartition =>
+        (p.files, p.tsField, Some((p.startTs, p.startId, p.endTs, p.endId)))
+    }
     new PartitionReader[InternalRow] {
       private val it = {
-        val all = EsSimSource.parseBulkFile(Paths.get(p.file), p.tsField)
-        val filtered =
-          if (p.unbounded) all
-          else all.filter { d =>
-            val ts = if (d.tsMicros == null) Long.MinValue + 1 else d.tsMicros.longValue()
-            val afterStart = p.startTs < ts || (p.startTs == ts && p.startId < d.docId)
-            val atOrBeforeEnd = ts < p.endTs || (ts == p.endTs && d.docId <= p.endId)
-            afterStart && atOrBeforeEnd
-          }
-        filtered.iterator
+        val all = files.iterator.flatMap(f =>
+          EsSimSource.parseBulkFile(Paths.get(f), tsField))
+        bounds match {
+          case None => all
+          case Some((startTs, startId, endTs, endId)) =>
+            all.filter { d =>
+              val ts = if (d.tsMicros == null) Long.MinValue + 1 else d.tsMicros.longValue()
+              val afterStart = startTs < ts || (startTs == ts && startId < d.docId)
+              val atOrBeforeEnd = ts < endTs || (ts == endTs && d.docId <= endId)
+              afterStart && atOrBeforeEnd
+            }
+        }
       }
       private var cur: EsSimSource.Doc = _
       override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
