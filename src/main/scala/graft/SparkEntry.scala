@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.Relational2.queries ++
+      operators.Relational3.queries ++
       operators.EventAnalytics.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
@@ -33,6 +34,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
       operators.Relational2.oracles ++
+      operators.Relational3.oracles ++
       operators.EventAnalytics.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++

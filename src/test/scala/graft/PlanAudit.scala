@@ -1,0 +1,23 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Prints formatted physical plans for scale-critical queries. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    val targets = args.headOption.map(_.split(",").toSet)
+    def show(name: String): Unit = if (targets.forall(_.contains(name))) {
+      println(s"\n=============== $name ===============")
+      println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    Seq("q01_pricing_summary","q03_top_revenue","q05_region_revenue",
+        "q06_revenue_filter","d01_exact_dedup","d04_minhash_lsh",
+        "s01_cosine_topk","q17_range_join").foreach(show)
+    spark.stop()
+  }
+}
