@@ -131,19 +131,21 @@ class EsSimTable(props: Map[String, String]) extends Table with SupportsRead {
     new EsSimScanBuilder(
       options.getOrDefault("path", props.getOrElse("path", "")),
       options.getOrDefault("tsField", "ts"),
-      options.getOrDefault("batchSize", "10000").toInt)
+      options.getOrDefault("batchSize", "10000").toInt,
+      options.getOrDefault("overlapMs", "0").toLong)
 }
 
-class EsSimScanBuilder(path: String, tsField: String, batchSize: Int) extends ScanBuilder {
-  override def build(): Scan = new EsSimScan(path, tsField, batchSize)
+class EsSimScanBuilder(path: String, tsField: String, batchSize: Int,
+    overlapMs: Long) extends ScanBuilder {
+  override def build(): Scan = new EsSimScan(path, tsField, batchSize, overlapMs)
 }
 
-class EsSimScan(path: String, tsField: String, batchSize: Int) extends Scan {
+class EsSimScan(path: String, tsField: String, batchSize: Int, overlapMs: Long) extends Scan {
   override def readSchema(): StructType = EsSimSource.Schema
   override def description(): String = s"EsSimScan(path=$path, tsField=$tsField)"
   override def toBatch: Batch = new EsSimBatch(path, tsField)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new EsSimMicroBatchStream(path, tsField, batchSize)
+    new EsSimMicroBatchStream(path, tsField, batchSize, overlapMs)
 }
 
 /** B1 full scan: one partition per bulk file (the scroll-slice analogue). */
@@ -175,7 +177,8 @@ object EsSimFiles {
   * checkpoint restarts with no driver-side mutable offset state — and
   * SupportsTriggerAvailableNow, so Trigger.AvailableNow drains exactly
   * to the snapshot taken at query start (in batchSize steps) and stops. */
-class EsSimMicroBatchStream(path: String, tsField: String, batchSize: Int)
+class EsSimMicroBatchStream(path: String, tsField: String, batchSize: Int,
+    overlapMs: Long = 0L)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -242,7 +245,18 @@ class EsSimMicroBatchStream(path: String, tsField: String, batchSize: Int)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     refresh()
-    val s = start.asInstanceOf[TsOffset]
+    val s0 = start.asInstanceOf[TsOffset]
+    // late-data overlap (SURVEY §7.3 risk 1): widen the read window by
+    // overlapMs behind the cursor, so docs that arrived late with
+    // timestamps inside the window ride along with the next batch.
+    // Re-delivered docs are absorbed by the upsert-by-id sink
+    // (at-least-once → effectively-once).
+    val s = if (overlapMs > 0 && s0.tsMicros != Long.MinValue) {
+      val widened = s0.tsMicros - overlapMs * 1000
+      // saturate on underflow (cursor can sit near Long.MinValue when
+      // docs lack a parsable ts)
+      TsOffset(if (widened > s0.tsMicros) Long.MinValue else widened, "")
+    } else s0
     val e = end.asInstanceOf[TsOffset]
     val selected = docs.filter(d => s.lessThan(d._1, d._2) && !e.lessThan(d._1, d._2))
     // bin-pack small bulk files into at most maxPartitions splits — one

@@ -61,6 +61,42 @@ class EsSimSourceSpec extends SparkSpec {
     assert(all.select($"docId").distinct().count() === 40)
   }
 
+  test("overlapMs re-reads the window: late doc behind the cursor is delivered") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("essrc").toString
+    val out = Files.createTempDirectory("esout").toString
+    val ckpt = Files.createTempDirectory("esckpt").toString
+    val client = new FileEsBulkClient(dir)
+    client.bulk((0 until 10).map(i =>
+      BulkAction("idx", i.toString,
+        f"""{"id":$i,"ts":"2024-01-01 10:$i%02d:00.000000","v":$i}""")))
+    def startQuery() = spark.readStream
+      .format("graft.sources.EsSimSourceProvider")
+      .option("path", dir).option("batchSize", "100")
+      .option("overlapMs", (3600L * 1000).toString) // 1h overlap
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out)
+      }
+      .start()
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    // cursor now at 10:09. A LATE doc (10:05, within the 1h overlap)
+    // arrives together with a new doc beyond the cursor.
+    client.bulk(Seq(
+      BulkAction("idx", "late", """{"id":99,"ts":"2024-01-01 10:05:30.000000","v":99}"""),
+      BulkAction("idx", "new", """{"id":100,"ts":"2024-01-01 11:00:00.000000","v":100}""")))
+    q1.processAllAvailable()
+    q1.stop()
+    val ids = spark.read.parquet(out).select($"docId").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(ids.contains("late"), "late doc within overlap must be delivered")
+    assert(ids.contains("new"))
+    assert(ids.size === 12)
+  }
+
   test("Trigger.AvailableNow drains the start snapshot and stops") {
     val dir = Files.createTempDirectory("essrc").toString
     val out = Files.createTempDirectory("esout").toString

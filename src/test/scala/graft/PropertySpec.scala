@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.Dedup
+
+/** Property-based invariants (SURVEY §5.2 item 3): JSON round-trip,
+  * dedup idempotence, minhash-vs-exact-Jaccard bounds — over generated
+  * data, not just the fixtures. (ScalaCheck generators driven with
+  * fixed seeds — the scalatest/scalacheck bridge artifact is not in
+  * the offline cache.) */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic samples from a generator. */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def forAllSamples[T](g: Gen[T], n: Int)(body: T => Unit): Unit =
+    samples(g, n).foreach(body)
+
+  private val word = Gen.oneOf("spark", "data", "query", "join", "agg", "row",
+    "scan", "fast", "slow", "table", "value", "key", "hash", "batch", "window")
+  private val text: Gen[String] = Gen.chooseNum(3, 60)
+    .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  test("from_json ∘ to_json = identity on generated nested records") {
+    import spark.implicits._
+    val gen = for {
+      a <- Gen.chooseNum(Long.MinValue + 1, Long.MaxValue)
+      b <- Gen.alphaNumStr.map(_.take(20))
+      c <- Gen.chooseNum(-1e6, 1e6).map(v => math.round(v * 100) / 100.0)
+      d <- Gen.listOf(Gen.chooseNum(0, 100)).map(_.take(5))
+    } yield (a, b, c, d)
+    forAllSamples(Gen.listOfN(30, gen), 5) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("a", "b", "c", "d")
+        val schema = df.schema
+        val roundTripped = df
+          .select(from_json(to_json(struct($"a", $"b", $"c", $"d")), schema).as("s"))
+          .select($"s.a", $"s.b", $"s.c", $"s.d")
+        assert(roundTripped.collect().toSeq === df.collect().toSeq)
+      }
+    }
+  }
+
+  test("exact dedup is idempotent on generated corpora: dedup ∘ dedup = dedup") {
+    import spark.implicits._
+    forAllSamples(Gen.listOfN(40, text), 5) { texts =>
+      if (texts.nonEmpty) {
+        // duplicate some rows deliberately
+        val corpus = (texts ++ texts.take(10)).zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val once = corpus.groupBy(sha2($"text", 256).as("h"))
+          .agg(min($"doc_id").as("keep_id"))
+        val twice = once.join(corpus, once("keep_id") === corpus("doc_id"))
+          .groupBy(sha2($"text", 256).as("h2")).agg(min($"doc_id").as("keep_id"))
+        assert(once.count() === twice.count())
+        assert(once.select("keep_id").collect().map(_.getLong(0)).sorted.toSeq ===
+               twice.select("keep_id").collect().map(_.getLong(0)).sorted.toSeq)
+      }
+    }
+  }
+
+  test("minhash signature agreement estimates exact Jaccard within 0.2 on generated pairs") {
+    import spark.implicits._
+    val pairGen = for {
+      base <- Gen.chooseNum(20, 60).flatMap(n => Gen.listOfN(n, word))
+      nMut <- Gen.chooseNum(0, 8)
+      muts <- Gen.listOfN(nMut, word)
+    } yield (base.mkString(" "), (base.drop(nMut) ++ muts).mkString(" "))
+    forAllSamples(Gen.listOfN(10, pairGen), 3) { pairs =>
+      if (pairs.nonEmpty) {
+        val df = pairs.zipWithIndex
+          .flatMap { case ((t1, t2), i) => Seq((i.toLong * 2, t1), (i.toLong * 2 + 1, t2)) }
+          .toDF("doc_id", "text")
+          .select($"doc_id", Dedup.shingleHashes($"text").as("sh"))
+          .filter(size($"sh") > 0)
+          .select($"doc_id", $"sh", Dedup.minhashSignature($"sh").as("sig"))
+        val rows = df.collect().map(r =>
+          r.getLong(0) -> (r.getSeq[Long](1).toSet, r.getSeq[Long](2))).toMap
+        pairs.indices.foreach { i =>
+          for {
+            (s1, g1) <- rows.get(i.toLong * 2)
+            (s2, g2) <- rows.get(i.toLong * 2 + 1)
+          } {
+            val exact = (s1 & s2).size.toDouble / (s1 | s2).size
+            val est = g1.zip(g2).count { case (a, b) => a == b }.toDouble / g1.size
+            assert(math.abs(est - exact) <= 0.2,
+              s"pair $i: minhash est $est vs exact $exact")
+          }
+        }
+      }
+    }
+  }
+}
