@@ -72,4 +72,62 @@ object EventStreams {
           next
       }
   }
+
+  /** Completed-session assembly via flatMapGroupsWithState: events
+    * accumulate per user; when the event-time watermark passes the
+    * session's inactivity gap (EventTimeTimeout), the closed session is
+    * emitted — zero or one output per invocation, the flatMap shape. */
+  final case class OpenSession(user_id: Long, startMs: Long, lastMs: Long, n: Long)
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  def assembleSessions(events: Dataset[UserEvent],
+                       gapMs: Long = 30 * 60 * 1000L): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId,
+              new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs), s.n))
+          } else {
+            val batch = rows.toSeq.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            batch.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs < gapMs =>
+                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(userId,
+                    new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs), s.n)
+                  cur = Some(OpenSession(userId, t, t, 1))
+                case None =>
+                  cur = Some(OpenSession(userId, t, t, 1))
+              }
+            }
+            val wm = state.getCurrentWatermarkMs()
+            cur.foreach { s =>
+              if (s.lastMs + gapMs <= wm) {
+                // the batch itself spanned past the gap: the session is
+                // already expired by event time — emit it now (a timeout
+                // below the current watermark is rejected by Spark)
+                closed += ClosedSession(userId,
+                  new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs), s.n)
+                state.remove()
+              } else {
+                state.update(s)
+                state.setTimeoutTimestamp(math.max(s.lastMs + gapMs, wm + 1))
+              }
+            }
+            closed.iterator
+          }
+      }
+  }
 }

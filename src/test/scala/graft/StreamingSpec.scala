@@ -79,6 +79,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits sessions closed by event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.assembleSessions(input.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("fsess").outputMode("append").start()
+    try {
+      input.addData(
+        EventStreams.UserEvent(1L, ts("2024-01-01 00:00:00"), 1.0),
+        EventStreams.UserEvent(1L, ts("2024-01-01 00:10:00"), 1.0))
+      q.processAllAvailable()
+      // a much later event: (a) splits into a new session inline,
+      // (b) advances the watermark so the first session times out
+      input.addData(EventStreams.UserEvent(1L, ts("2024-01-01 03:00:00"), 1.0))
+      q.processAllAvailable()
+      input.addData(EventStreams.UserEvent(2L, ts("2024-01-01 09:00:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("fsess")
+        .select($"session_start".cast("string"), $"user_id", $"n_events")
+        .as[(String, Long, Long)].collect().toSet
+      assert(rows.contains(("2024-01-01 00:00:00", 1L, 2L)),
+        s"first session must close; got $rows")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
