@@ -69,13 +69,37 @@ object Skew {
        |  ON l_returnflag = flag
        |GROUP BY l_returnflag""".stripMargin
 
+  /** Per-group top-k via the bounded [[graft.functions.TopKAggregator]]
+    * (C8 UDAF surface): only |groups|·k pairs cross the shuffle — the
+    * scale-path alternative to the window row_number of q07. Output
+    * matches the window formulation, which is the oracle. */
+  def q43TopKAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(topk($"o_totalprice", $"o_orderkey").as("ids"))
+      .select($"o_custkey", concat_ws(",", $"ids").as("top_orders"))
+  }
+
+  val q43Sql: String =
+    """SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn) AS top_orders
+      |FROM (SELECT o_custkey, o_orderkey,
+      |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |      FROM orders)
+      |WHERE rn <= 3
+      |GROUP BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_skew_distinct" -> (q41SkewDistinct _),
     "q42_salted_join"   -> (q42SaltedJoin _),
+    "q43_topk_agg"      -> (q43TopKAgg _),
   )
 
   val oracles: Map[String, String] = Map(
     "q41_skew_distinct" -> q41Sql,
     "q42_salted_join"   -> q42Sql,
+    "q43_topk_agg"      -> q43Sql,
   )
 }

@@ -53,6 +53,22 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases within 10 minutes after a
+    * click by the same user (the streaming form of the q17 range join).
+    * Watermarks on both sides bound the buffered state to the join
+    * window. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    c.join(p, expr(
+      """c_user = p_user AND
+        |p_ts >= c_ts AND p_ts < c_ts + INTERVAL 10 MINUTES""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("c_ts"), col("p_ts"))
+  }
+
   /** Per-user running aggregate via arbitrary stateful processing. */
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)

@@ -79,6 +79,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with preceding clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val cdf = clicks.toDF().toDF("event_id", "user_id", "ts")
+    val pdf = purchases.toDF().toDF("event_id", "user_id", "ts")
+    val q = EventStreams.clickToPurchase(cdf, pdf)
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      clicks.addData((1L, 7L, ts("2024-01-01 00:00:00")))
+      purchases.addData(
+        (100L, 7L, ts("2024-01-01 00:05:00")), // within window → joins
+        (101L, 7L, ts("2024-01-01 00:30:00")), // outside window
+        (102L, 8L, ts("2024-01-01 00:05:00"))) // other user
+      q.processAllAvailable()
+      val rows = spark.table("ssj")
+        .select($"click_id", $"purchase_id").as[(Long, Long)].collect().toSet
+      assert(rows === Set((1L, 100L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits sessions closed by event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
