@@ -47,6 +47,9 @@ object Bench {
     }
 
     val results = queries.map { case (name, fn) =>
+      // settle GC debt from the previous query so its collection pause
+      // is not billed to this one (the LSH joins allocate heavily)
+      System.gc()
       val sec = try timeSec(materialize(fn(spark, sfDir)))
                 catch { case _: Throwable => -1.0 }
       name -> sec

@@ -116,7 +116,29 @@ object EventAnalytics {
       |  COUNT(*) AS n_events, MAX(ts) AS last_ts
       |FROM numbered GROUP BY user_id, session_id""".stripMargin
 
+  /** Spark 4 VariantType lane: parse the schemaless props JSON into a
+    * variant column once, extract typed fields with variant_get — the
+    * engine-native representation for the reference's schemaless
+    * :source maps (binary-encoded, no per-access re-parse). Output is
+    * projected to standard types so the result stays engine-neutral. */
+  def q44Variant(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .select($"event_type", parse_json($"props").as("v"))
+      .select($"event_type",
+        expr("variant_get(v, '$.k', 'int')").as("k"))
+      .groupBy($"event_type")
+      .agg(sum($"k").as("sum_k"), count($"k").as("n"))
+  }
+
+  val q44Sql: String =
+    """SELECT event_type,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+      |  COUNT(json_extract_string(props, '$.k')) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_variant"      -> (q44Variant _),
     "q27_json_extract" -> (q27JsonExtract _),
     "q28_time_buckets" -> (q28TimeBuckets _),
     "q29_tumbling"     -> (q29Tumbling _),
@@ -125,6 +147,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q44_variant"      -> q44Sql,
     "q27_json_extract" -> q27Sql,
     "q28_time_buckets" -> q28Sql,
     "q29_tumbling"     -> q29Sql,
