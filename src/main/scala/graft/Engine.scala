@@ -48,6 +48,8 @@ object Engine {
       es => functions.MinHashSig(es.head,
         operators.Dedup.permAB.map(_._1).toArray,
         operators.Dedup.permAB.map(_._2).toArray, 4294967291L), "scala_udf")
+    registry.createOrReplaceTempFunction("minhash_band_keys",
+      es => functions.BandKeys(es.head, 16), "scala_udf")
     registry.createOrReplaceTempFunction("simhash64",
       es => functions.SimHash64(es.head), "scala_udf")
     registry.createOrReplaceTempFunction("dot_product",

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -56,4 +56,43 @@ object MinHashSig {
   import org.apache.spark.sql.GraftGlue
   def apply(c: Column, a: Array[Long], b: Array[Long], p: Long): Column =
     GraftGlue.toCol(MinHashSig(GraftGlue.toExpr(c), a, b, p))
+}
+
+/** LSH band keys over a minhash signature: the signature is cut into
+  * `numBands` equal slices and each slice is fold-hashed (chained
+  * XXH64 over its longs) into one 64-bit bucket key. Native expression
+  * for the same reason as [[MinHashSig]] — the aggregate(slice(...))
+  * formulation paid ~0.6 ms/row in interpreted per-element evals. */
+case class BandKeys(child: Expression, numBands: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    val n = sig.numElements()
+    val rows = n / numBands
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var acc = 42L
+      var j = 0
+      while (j < rows) {
+        acc = XXH64.hashLong(sig.getLong(b * rows + j), acc)
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): BandKeys = copy(child = c)
+  override def prettyName: String = "minhash_band_keys"
+}
+
+object BandKeys {
+  import org.apache.spark.sql.GraftGlue
+  def apply(c: Column, numBands: Int): Column =
+    GraftGlue.toCol(BandKeys(GraftGlue.toExpr(c), numBands))
 }

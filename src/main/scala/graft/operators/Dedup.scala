@@ -169,12 +169,9 @@ object Dedup {
 
   /** LSH band keys: NumBands hashes, each a fold-hash over 8 consecutive
     * signature slots. Two docs become a candidate pair iff some band
-    * matches exactly. */
+    * matches exactly. Native expression ([[graft.functions.BandKeys]]). */
   def bandKeys(sig: Column): Column =
-    transform(sequence(lit(0), lit(NumBands - 1)),
-      b => aggregate(
-        slice(sig, b * (NumPerms / NumBands) + 1, lit(NumPerms / NumBands)),
-        lit(0L), (acc, x) => xxhash64(acc, x)))
+    graft.functions.BandKeys(sig, NumBands)
 
   /** MinHash+LSH near-dup detection, exact-verified: signature →
     * band buckets → bucket self-join (candidates) → exact Jaccard
