@@ -21,6 +21,7 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.Relational2.queries ++
       operators.Relational3.queries ++
+      operators.Relational4.queries ++
       operators.Skew.queries ++
       operators.EventAnalytics.queries ++
       operators.Dedup.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
     operators.Relational.oracles ++
       operators.Relational2.oracles ++
       operators.Relational3.oracles ++
+      operators.Relational4.oracles ++
       operators.Skew.oracles ++
       operators.EventAnalytics.oracles ++
       operators.Dedup.oracles ++
