@@ -80,6 +80,30 @@ object Multimodal {
       .select($"doc_id", $"n_bytes", $"chunk_id", length($"chunk").as("chunk_len"))
   }
 
+  /** Typed batched-decode pipeline — the Scala analogue of a
+    * `mapInPandas` decode stage: one expensive "codec" is initialized
+    * per partition (not per row), rows stream through it in batches,
+    * and the output schema is a typed case class. The codec here is the
+    * deterministic stub; a real implementation would wrap an image/
+    * audio library handle. */
+  final case class DecodedDoc(doc_id: Long, n_bytes: Int, checksum: Long)
+
+  def decodeBatched(s: SparkSession, d: String): org.apache.spark.sql.Dataset[DecodedDoc] = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec init (the expensive part a real decoder has)
+        val codec = new java.util.zip.CRC32()
+        it.map { case (id, payload) =>
+          codec.reset()
+          codec.update(payload)
+          DecodedDoc(id, payload.length, codec.getValue)
+        }
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_meta" -> (m01MultimodalMeta _),
     "m02_payload_bytes"   -> (m02PayloadBytes _),

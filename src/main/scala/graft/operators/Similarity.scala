@@ -101,10 +101,48 @@ object Similarity {
       |WHERE list_dot_product(a.v, b.v) /
       |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""".stripMargin
 
-  /** IVF top-k (approximate, the 100 TB path): per-label centroids act
-    * as the coarse quantizer; each query probes the nprobe=2 nearest
-    * centroid buckets and ranks exactly within them. Approximate →
-    * rows-only driver check; mechanism + recall asserted in ScalaTest.
+  /** Element-wise mean of vectors per group key: explode to (key, pos,
+    * x), average per slot, reassemble ordered by slot. */
+  private def meanVectors(df: DataFrame, key: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(key), posexplode($"v"))
+      .toDF(key, "pos", "x")
+      .groupBy(col(key), $"pos").agg(avg($"x").as("m"))
+      .groupBy(col(key))
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select(col(key), transform($"pm", p => p.getField("m")).as("cv"))
+  }
+
+  /** Learned coarse quantizer: Lloyd's k-means on DataFrames —
+    * deterministic hash-seeded init, `iters` assign/update rounds, all
+    * shuffle-side (no driver collect). Returns (cluster_id, cv, cn). */
+  def kmeansCentroids(c: DataFrame, k: Int, iters: Int): DataFrame = {
+    import c.sparkSession.implicits._
+    val wq = Window.partitionBy($"vec_id").orderBy($"dist".asc, $"cluster_id".asc)
+    // init: k deterministic seeds spread by vec_id hash
+    var centroids = c
+      .withColumn("r", pmod(xxhash64($"vec_id"), lit(997)))
+      .withColumn("rk", row_number().over(Window.orderBy($"r".asc, $"vec_id".asc)))
+      .filter($"rk" <= k)
+      .select(($"rk" - 1).as("cluster_id"), $"v".as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = c.crossJoin(broadcast(centroids))
+        .select($"vec_id", $"v", $"cluster_id",
+          (-dot($"v", $"cv") / (norm($"v") * norm($"cv"))).as("dist"))
+        .withColumn("rn", row_number().over(wq))
+        .filter($"rn" === 1)
+        .select($"cluster_id".as("assigned"), $"vec_id", $"v")
+      centroids = meanVectors(assigned.withColumnRenamed("assigned", "cluster_id"), "cluster_id")
+        .withColumnRenamed("cv", "cv")
+    }
+    centroids.withColumn("cn", norm($"cv"))
+  }
+
+  /** IVF top-k (approximate, the 100 TB path): a k-means-learned coarse
+    * quantizer buckets the corpus; each query probes the nprobe=2
+    * nearest centroid buckets and ranks exactly within them.
+    * Approximate → rows-only driver check; mechanism + recall asserted
+    * in ScalaTest.
     *
     * Recall is data-dependent: on clustered production embeddings IVF
     * recall is high; the synthetic fixture is unclustered gaussian
@@ -114,31 +152,30 @@ object Similarity {
     * floor consistent with that bound. */
   def s03IvfTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dim = 64
     val c = corpus(s, d).withColumn("nrm", norm($"v"))
-    // centroid per label: element-wise mean — aggregate over an exploded
-    // (label, pos, value) table, reassembled with array_agg sorted by pos.
-    val centroids = c
-      .select($"label", posexplode($"v"))
-      .toDF("label", "pos", "x")
-      .groupBy($"label", $"pos").agg(avg($"x").as("m"))
-      .groupBy($"label")
-      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
-      .select($"label".as("c_label"), transform($"pm", p => p.getField("m")).as("cv"))
-      .withColumn("cn", norm($"cv"))
+    val centroids = kmeansCentroids(c.select($"vec_id", $"v"), k = 5, iters = 2)
+    // bucket the corpus by nearest centroid
+    val wc = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"cluster_id".asc)
+    val bucketed = c.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"v", $"nrm", $"cluster_id",
+        (dot($"v", $"cv") / ($"nrm" * $"cn")).as("c_cos"))
+      .withColumn("rn", row_number().over(wc))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cluster_id")
     // assign each query to its nprobe=2 best centroids
     val q = c.filter($"vec_id" < 20)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
-    val wq = Window.partitionBy($"q_id").orderBy($"c_cos".desc, $"c_label".asc)
+    val wq = Window.partitionBy($"q_id").orderBy($"c_cos".desc, $"cluster_id".asc)
     val probes = q.crossJoin(broadcast(centroids))
-      .select($"q_id", $"qv", $"qn", $"c_label",
+      .select($"q_id", $"qv", $"qn", $"cluster_id",
         (dot($"qv", $"cv") / ($"qn" * $"cn")).as("c_cos"))
       .withColumn("c_rank", row_number().over(wq))
       .filter($"c_rank" <= 2)
-      .select($"q_id", $"qv", $"qn", $"c_label")
+      .select($"q_id", $"qv", $"qn", $"cluster_id".as("probe_cluster"))
     // search only the probed buckets
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
-    c.join(broadcast(probes), $"label" === $"c_label" && $"vec_id" =!= $"q_id")
+    bucketed.join(broadcast(probes),
+        $"cluster_id" === $"probe_cluster" && $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("n_id"),
         (dot($"v", $"qv") / ($"nrm" * $"qn")).as("cosine"))
       .withColumn("rank", row_number().over(w))

@@ -22,6 +22,23 @@ class MultimodalSpec extends SparkSpec {
     assert(h1 === h2)
   }
 
+  test("batched decode: per-partition codec, row-complete, deterministic checksums") {
+    import spark.implicits._
+    val out = Multimodal.decodeBatched(spark, sf0001)
+    val n = Tables.documents(spark, sf0001).count()
+    assert(out.count() === n)
+    // checksum must match a per-row recomputation (codec reuse across
+    // the partition must not leak state between rows)
+    val direct = Tables.documents(spark, sf0001)
+      .select($"doc_id", encode($"text", "utf-8").as("p"))
+      .as[(Long, Array[Byte])].collect()
+      .map { case (id, p) =>
+        val c = new java.util.zip.CRC32(); c.update(p); id -> c.getValue
+      }.toMap
+    val batched = out.collect().map(r => r.doc_id -> r.checksum).toMap
+    assert(batched === direct)
+  }
+
   test("m03 chunking reassembles to original length") {
     import spark.implicits._
     val chunks = Multimodal.m03ChunkSample(spark, sf0001)

@@ -1,0 +1,49 @@
+package graft
+
+/** Plan-shape regression net: the physical-plan properties the 100 TB
+  * design depends on, asserted so a refactor can't silently lose them
+  * (SURVEY §3.1: explain output as a testable artifact). */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("q06: all three predicates reach the parquet scan") {
+    val p = plan("q06_revenue_filter")
+    assert(p.contains("PushedFilters"), p.take(400))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+           pushed.contains("l_quantity"), pushed)
+  }
+
+  test("q06: scan reads only the referenced columns") {
+    val p = plan("q06_revenue_filter")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      readSchema)
+  }
+
+  test("q03: top-k compiles to TakeOrderedAndProject, dims broadcast") {
+    val p = plan("q03_top_revenue")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(400))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected two-phase agg")
+  }
+
+  test("d04: no cartesian product anywhere in the LSH pipeline") {
+    val p = plan("d04_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("s01: brute-force query side is broadcast, corpus streams") {
+    val p = plan("s01_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(600))
+  }
+}
