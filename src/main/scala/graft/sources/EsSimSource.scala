@@ -90,9 +90,13 @@ object EsSimSource {
   /** One indexed document action parsed from a bulk file. */
   final case class Doc(indexId: String, docId: String, source: String, tsMicros: java.lang.Long)
 
+  /** Shared parser — ObjectMapper is thread-safe for reads; one
+    * instance per JVM instead of one per file keeps the per-trigger
+    * parse cost flat as file counts grow. */
+  private val mapper = new ObjectMapper()
+
   /** Parse a bulk ndjson file (meta line + source line pairs). */
   def parseBulkFile(p: Path, tsField: String): Seq[Doc] = {
-    val mapper = new ObjectMapper()
     val lines = Files.readAllLines(p, UTF_8).asScala
     lines.grouped(2).flatMap {
       case scala.collection.mutable.Buffer(meta, src) =>
