@@ -60,3 +60,39 @@ object ShingleHashes {
   def apply(c: Column, n: Int, p: Long): Column =
     GraftGlue.toCol(ShingleHashes(GraftGlue.toExpr(c), n, p))
 }
+
+/** Character-level n-gram variant of [[ShingleHashes]]: slides an
+  * n-character window over the raw string (no tokenization), hashing
+  * each gram — the standard modality for languages without whitespace
+  * segmentation and for OCR/boilerplate near-dup detection. */
+case class CharShingleHashes(child: Expression, n: Int, p: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    if (text.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[java.lang.Long](text.length * 2)
+    val out = new Array[Long](text.length - n + 1)
+    var m = 0
+    var i = 0
+    while (i <= text.length - n) {
+      val u = UTF8String.fromString(text.substring(i, i + n))
+      val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      val v = ((h % p) + p) % p
+      if (seen.add(v)) { out(m) = v; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharShingleHashes = copy(child = c)
+  override def prettyName: String = "char_shingle_hashes"
+}
+
+object CharShingleHashes {
+  import org.apache.spark.sql.GraftGlue
+  def apply(c: Column, n: Int, p: Long): Column =
+    GraftGlue.toCol(CharShingleHashes(GraftGlue.toExpr(c), n, p))
+}

@@ -235,12 +235,52 @@ object Dedup {
       .filter($"hamming" <= 5)
   }
 
+  // ---- d06: character n-gram Jaccard near-dup ----
+
+  /** Character 5-gram Jaccard near-dup pairs (tokenization-free — the
+    * modality for unsegmented languages and OCR noise). Same inverted-
+    * index shape as d03, over [[graft.functions.CharShingleHashes]]. */
+  def d06CharNgram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = documents(s, d)
+      .select($"doc_id",
+        graft.functions.CharShingleHashes($"text", 5, MinhashP).as("sh"))
+      .filter(size($"sh") > 0)
+    val ex = sh.select($"doc_id", size($"sh").as("n"), explode($"sh").as("s"))
+    ex.as("a").join(ex.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("inter"),
+           first($"a.n").as("n1"), first($"b.n").as("n2"))
+      .select($"d1", $"d2",
+        ($"inter".cast("double") / ($"n1" + $"n2" - $"inter")).as("jaccard"))
+      .filter($"jaccard" >= 0.8)
+  }
+
+  val d06Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([substr(text, i, 5)
+      |           for i in range(1, len(text) - 3)]) AS grams
+      |  FROM documents WHERE len(text) >= 5
+      |), ex AS (
+      |  SELECT doc_id, unnest(grams) AS s, len(grams) AS n FROM sh
+      |), inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter,
+      |         any_value(a.n) AS n1, any_value(b.n) AS n2
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d1, d2, CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
+      |FROM inter
+      |WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.8""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> (d01ExactDedup _),
     "d02_keep_latest"   -> (d02KeepLatest _),
     "d03_ngram_jaccard" -> (d03NgramJaccard _),
     "d04_minhash_lsh"   -> (d04MinhashLsh _),
     "d05_simhash"       -> (d05Simhash _),
+    "d06_char_ngram"    -> (d06CharNgram _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -249,5 +289,6 @@ object Dedup {
     "d03_ngram_jaccard" -> d03Sql,
     "d04_minhash_lsh"   -> d04Sql,
     // d05: engine-specific hashing → rows-only + ScalaTest.
+    "d06_char_ngram"    -> d06Sql,
   )
 }

@@ -12,6 +12,23 @@ class EngineSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("spark.sql parity: SQL-dialect versions of engine queries match the DataFrame API") {
+    import org.apache.spark.sql.functions._
+    Engine.attach(spark, sf001)
+    val sql = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val df = operators.Relational.q01PricingSummary(spark, sf001)
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"), col("count_order"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(sql === df)
+  }
+
   test("custom native functions usable from SQL") {
     Engine.registerFunctions(spark)
     Engine.attach(spark, sf0001)
