@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions at session build time, so a cluster deployment enables
+  * the whole SQL surface with configuration only —
+  *
+  * {{{ spark.sql.extensions=graft.GraftExtensions }}}
+  *
+  * — no code changes (the per-session alternative is
+  * [[Engine.registerFunctions]]). This is the (c)-tier integration
+  * mechanism of the build brief; no custom Rule/SparkStrategy is
+  * registered because Catalyst's built-ins cover every operator here
+  * (SURVEY §4.2's conclusion).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private val P = 4294967291L
+
+  private def fn(name: String, usage: String, builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name, usage),
+      new FunctionBuilder { def apply(es: Seq[Expression]): Expression = builder(es) })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    val a = operators.Dedup.permAB.map(_._1).toArray
+    val b = operators.Dedup.permAB.map(_._2).toArray
+    Seq(
+      fn("shingle_hashes", "distinct hashed word 3-gram shingles",
+        es => functions.ShingleHashes(es.head, 3, P)),
+      fn("char_shingle_hashes", "distinct hashed char 5-gram shingles",
+        es => functions.CharShingleHashes(es.head, 5, P)),
+      fn("minhash_sig", "128-permutation MinHash signature",
+        es => functions.MinHashSig(es.head, a, b, P)),
+      fn("minhash_band_keys", "16 LSH band bucket keys of a signature",
+        es => functions.BandKeys(es.head, 16)),
+      fn("simhash64", "64-bit SimHash fingerprint of tokenized text",
+        es => functions.SimHash64(es.head)),
+      fn("dot_product", "dot product of two double arrays",
+        es => functions.DotProduct(es(0), es(1))),
+      fn("l2_norm", "L2 norm of a double array",
+        es => functions.L2Norm(es.head)),
+    ).foreach(ext.injectFunction)
+  }
+}
