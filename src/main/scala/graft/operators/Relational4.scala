@@ -145,7 +145,64 @@ object Relational4 {
       |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |WHERE doc_id < 100""".stripMargin
 
+  /** Statistical aggregates from exact decimal moment sums: Spark's
+    * stddev/corr use single-pass moment updates whose merge order
+    * varies with partitioning (results differ in low bits across
+    * engines and runs); computing from exact Σx, Σx², Σxy instead is
+    * bit-deterministic on both sides — the same property graft.Det
+    * gives plain sums. */
+  def q51Stats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.Det._
+    val agg = lineitem(s, d).groupBy($"l_returnflag").agg(
+      count(lit(1)).cast("double").as("n"),
+      dsum($"l_quantity").as("sx"),
+      dsum($"l_quantity" * $"l_quantity").as("sxx"),
+      dsum($"l_extendedprice").as("sy"),
+      dsum($"l_extendedprice" * $"l_extendedprice").as("syy"),
+      dsum($"l_quantity" * $"l_extendedprice").as("sxy"))
+    agg.select($"l_returnflag",
+      round(sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 6).as("stddev_qty"),
+      round(($"n" * $"sxy" - $"sx" * $"sy") /
+        sqrt(($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")), 8)
+        .as("corr_qty_price"))
+  }
+
+  val q51Sql: String = {
+    import graft.Det._
+    s"""SELECT l_returnflag,
+       |  ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+       |  ROUND((n * sxy - sx * sy) /
+       |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) AS corr_qty_price
+       |FROM (
+       |  SELECT l_returnflag,
+       |    CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${sqlSum("l_quantity")} AS sx,
+       |    ${sqlSum("l_quantity * l_quantity")} AS sxx,
+       |    ${sqlSum("l_extendedprice")} AS sy,
+       |    ${sqlSum("l_extendedprice * l_extendedprice")} AS syy,
+       |    ${sqlSum("l_quantity * l_extendedprice")} AS sxy
+       |  FROM lineitem GROUP BY l_returnflag
+       |)""".stripMargin
+  }
+
+  /** Histogram binning: fixed-width buckets via floor arithmetic
+    * (engine-neutral, unlike width_bucket availability). */
+  def q52Histogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .select(floor($"o_totalprice" / 50000).cast("int").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val q52Sql: String =
+    """SELECT CAST(FLOOR(o_totalprice / 50000) AS INTEGER) AS bucket, COUNT(*) AS n
+      |FROM orders GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_stats"          -> (q51Stats _),
+    "q52_histogram"      -> (q52Histogram _),
     "q45_bag_set_ops"    -> (q45BagSetOps _),
     "q46_map_funcs"      -> (q46MapFuncs _),
     "q47_generators"     -> (q47Generators _),
@@ -155,6 +212,8 @@ object Relational4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q51_stats"          -> q51Sql,
+    "q52_histogram"      -> q52Sql,
     "q45_bag_set_ops"    -> q45Sql,
     "q46_map_funcs"      -> q46Sql,
     "q47_generators"     -> q47Sql,
