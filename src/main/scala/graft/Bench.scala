@@ -75,7 +75,11 @@ object Bench {
     val copyDocsPerS = nDocs / copySec
 
     // streaming micro-batch latency: drain the docs just written through
-    // the DSv2 source at 10k docs/batch and take the median batch time
+    // the DSv2 source at 10k docs/batch and take the median batch time.
+    // Settle GC/compilation debt from the sections above first, and
+    // exclude the first two (warmup) batches from the median.
+    System.gc()
+    Thread.sleep(2000)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
     val q = spark.readStream
       .format("graft.sources.EsSimSourceProvider")
@@ -88,11 +92,12 @@ object Bench {
       .start()
     val deadline = System.currentTimeMillis() + 60000
     while (System.currentTimeMillis() < deadline &&
-           q.recentProgress.count(_.numInputRows > 0) < 8)
+           q.recentProgress.count(_.numInputRows > 0) < 10)
       Thread.sleep(500)
     q.stop()
     val trigMs = q.recentProgress.filter(_.numInputRows > 0)
       .map(_.durationMs.getOrDefault("triggerExecution", 0L).toDouble)
+      .drop(2) // warmup batches carry codegen/classload cost
     val streamingBatchMs =
       if (trigMs.nonEmpty) trigMs.sorted.apply(trigMs.length / 2) else -1.0
 

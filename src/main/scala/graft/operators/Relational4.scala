@@ -200,7 +200,32 @@ object Relational4 {
     """SELECT CAST(FLOOR(o_totalprice / 50000) AS INTEGER) AS bucket, COUNT(*) AS n
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** The TypedImperativeAggregate exact sum (graft.functions
+    * .ExactQuantizedSum): long-accumulator quantized summation with the
+    * identical result contract as the DECIMAL(18,6) path — the oracle
+    * IS the decimal formulation, so the gate proves the equivalence. */
+  def q53FastMoneySum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        graft.functions.ExactQuantizedSum($"l_quantity").as("sum_qty"),
+        graft.functions.ExactQuantizedSum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("sum_disc_price"),
+        count(lit(1)).as("n"))
+  }
+
+  val q53Sql: String = {
+    import graft.Det._
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlSum("l_quantity")} AS sum_qty,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  COUNT(*) AS n
+       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_fast_money_sum" -> (q53FastMoneySum _),
     "q51_stats"          -> (q51Stats _),
     "q52_histogram"      -> (q52Histogram _),
     "q45_bag_set_ops"    -> (q45BagSetOps _),
@@ -212,6 +237,7 @@ object Relational4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q53_fast_money_sum" -> q53Sql,
     "q51_stats"          -> q51Sql,
     "q52_histogram"      -> q52Sql,
     "q45_bag_set_ops"    -> q45Sql,
