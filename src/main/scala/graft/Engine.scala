@@ -56,6 +56,8 @@ object Engine {
       es => functions.DotProduct(es(0), es(1)), "scala_udf")
     registry.createOrReplaceTempFunction("l2_norm",
       es => functions.L2Norm(es.head), "scala_udf")
+    registry.createOrReplaceTempFunction("exact_qsum",
+      es => functions.ExactQuantizedSum(es.head).toAggregateExpression(), "scala_udf")
   }
 
   /** Run SQL against an attached session. */

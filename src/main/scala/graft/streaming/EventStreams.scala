@@ -53,6 +53,43 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Per-user running totals on Spark 4's transformWithState — the
+    * successor API to mapGroupsWithState: typed state variables from a
+    * StatefulProcessorHandle, explicit TimeMode, RocksDB-backed state
+    * store. Functionally equivalent to [[runningUserTotals]]; both are
+    * kept because production code migrates from the former to this. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserRunning] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserRunning] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      state = getHandle.getValueState[UserRunning]("running",
+        org.apache.spark.sql.Encoders.product[UserRunning],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserRunning] = {
+      val prev = Option(state.get()).getOrElse(UserRunning(key, 0L, 0.0))
+      val batch = rows.toSeq
+      val next = UserRunning(key,
+        prev.n_events + batch.size,
+        prev.sum_value + batch.map(_.value).sum)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserTotalsTws(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Stream-stream interval join: purchases within 10 minutes after a
     * click by the same user (the streaming form of the q17 range join).
     * Watermarks on both sides bound the buffered state to the join

@@ -40,6 +40,12 @@ class EngineSpec extends SparkSpec {
         |FROM documents LIMIT 1""".stripMargin).collect().head
     assert(row.getInt(1) > 0)
     assert(row.getInt(2) === 128)
+    val qsum = spark.sql(
+      "SELECT exact_qsum(l_quantity) AS s FROM lineitem").collect().head.getDouble(0)
+    val ref = spark.sql(
+      "SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) FROM lineitem")
+      .collect().head.getDouble(0)
+    assert(qsum === ref)
     val sim = spark.sql(
       """SELECT dot_product(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) /
         |       (l2_norm(CAST(embedding AS ARRAY<DOUBLE>)) * l2_norm(CAST(embedding AS ARRAY<DOUBLE>))) AS c

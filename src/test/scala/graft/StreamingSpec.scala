@@ -79,6 +79,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running totals (RocksDB state store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.runningUserTotalsTws(input.toDS())
+      .writeStream.format("memory").queryName("tws").outputMode("update").start()
+    try {
+      input.addData(EventStreams.UserEvent(1L, ts("2024-01-01 00:00:00"), 5.0))
+      q.processAllAvailable()
+      input.addData(EventStreams.UserEvent(1L, ts("2024-01-01 00:01:00"), 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("tws").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((1L, 2L, 12.0)), s"got $rows")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join pairs purchases with preceding clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
