@@ -15,16 +15,20 @@ import graft.ingest._
   * (timestamp cursor) → identity/emit transform → ES-sim bulk sink
   * (upsert by doc id).
   *
-  * Usage: graft.Main <sourceDir> <sinkDir> <checkpointDir> [k=v ...]
+  * Usage: graft.Main <sourceDir> <sinkDir> <checkpointDir> [--once] [k=v ...]
+  * `--once` drains everything available and exits (Trigger.AvailableNow —
+  * the batch-copy mode); otherwise polls continuously at
+  * source.poll-interval.
   */
 object Main {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: graft.Main <sourceDir> <sinkDir> <checkpointDir> [k=v ...]")
+      "usage: graft.Main <sourceDir> <sinkDir> <checkpointDir> [--once] [k=v ...]")
     val Array(sourceDir, sinkDir, checkpointDir) = args.take(3)
+    val once = args.drop(3).contains("--once")
 
     // stage 1: config — CLI args merged over defaults (A9 fixed, A10)
-    val config = IngestionConfig.fromArgs(args.drop(3).toSeq)
+    val config = IngestionConfig.fromArgs(args.drop(3).filterNot(_ == "--once").toSeq)
 
     // stage 2: session
     val spark = SparkSession.builder()
@@ -55,7 +59,8 @@ object Main {
     // = B3 source.poll-interval
     val query = records.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime(config.sourcePollIntervalMs))
+      .trigger(if (once) Trigger.AvailableNow()
+               else Trigger.ProcessingTime(config.sourcePollIntervalMs))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[IngestRecord], _: Long) =>
         EsBulkSink.write(batch, sinkDir,
           config.bulkMaxActions, config.bulkFlushIntervalMs,

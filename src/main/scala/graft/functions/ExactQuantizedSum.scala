@@ -28,10 +28,10 @@ final class QuantSumBuf(var acc: Long, var big: BigInteger, var nonEmpty: Boolea
   }
 
   def mergeWith(o: QuantSumBuf): Unit = {
+    val wasEmpty = !nonEmpty && !o.nonEmpty
     if (o.big != null) { if (big == null) { big = BigInteger.valueOf(acc); acc = 0L }; big = big.add(o.big) }
-    add(o.acc)
-    nonEmpty = nonEmpty || o.nonEmpty
-    if (!o.nonEmpty && o.acc == 0L && o.big == null) nonEmpty = nonEmpty // no-op clarity
+    add(o.acc) // sets nonEmpty; undo below if both sides were empty
+    if (wasEmpty) nonEmpty = false
   }
 
   def total: BigInteger =

@@ -224,7 +224,30 @@ object Relational4 {
        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
   }
 
+  /** LATERAL correlated subquery (authored in SQL — the same engine
+    * surface a spark.sql user writes): top-2 orders per customer via a
+    * per-row dependent subquery. */
+  def q54Lateral(s: SparkSession, d: String): DataFrame = {
+    graft.Engine.attach(s, d)
+    s.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2)
+        |WHERE c_custkey <= 300""".stripMargin)
+  }
+
+  val q54Sql: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) AS t
+      |WHERE c_custkey <= 300""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_lateral"        -> (q54Lateral _),
     "q53_fast_money_sum" -> (q53FastMoneySum _),
     "q51_stats"          -> (q51Stats _),
     "q52_histogram"      -> (q52Histogram _),
@@ -237,6 +260,7 @@ object Relational4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q54_lateral"        -> q54Sql,
     "q53_fast_money_sum" -> q53Sql,
     "q51_stats"          -> q51Sql,
     "q52_histogram"      -> q52Sql,
