@@ -161,7 +161,45 @@ object TextAnalysis {
       percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_median_price"))
   }
 
+  /** BPE-style subword-ish token counting: the GPT-2 pre-tokenizer
+    * shape (letter runs, digit runs, punctuation runs, each with an
+    * optional leading space) via regexp — the token-budget estimator a
+    * training pipeline runs before the real tokenizer. */
+  def t07BpeTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pat = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+    documents(s, d).select(
+      $"doc_id",
+      size(split($"text", " ")).as("ws_tokens"),
+      regexp_count($"text", lit(pat)).as("bpe_tokens"))
+  }
+
+  val t07Sql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS bpe_tokens
+      |FROM documents""".stripMargin
+
+  /** Mod-p sampled document fingerprint (the 0-mod-p scheme of
+    * Manber-style fingerprinting / a deterministic stand-in for
+    * winnowing): keep the shingle hashes ≡ 0 (mod 8) — near-identical
+    * documents share near-identical fingerprints, and the fingerprint
+    * size is ~1/8 of the shingle count regardless of document length.
+    * Engine-specific hashing → rows-only + ScalaTest vs known
+    * near-dup pairs. */
+  def t08ModpFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(
+      $"doc_id",
+      array_sort(filter(Dedup.shingleHashes($"text"), h => h % 8 === 0))
+        .as("fingerprint"))
+      .select($"doc_id", size($"fingerprint").as("fp_size"),
+        array_join($"fingerprint", ",").as("fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t07_bpe_tokens"   -> (t07BpeTokens _),
+    "t08_modp_fingerprint" -> (t08ModpFingerprint _),
     "t01_token_stats"  -> (t01TokenStats _),
     "t02_quality"      -> (t02QualityScore _),
     "t03_lang_id"      -> (t03LangId _),
@@ -171,6 +209,8 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t07_bpe_tokens"   -> t07Sql,
+    // t08: engine-specific hashing → rows-only + ScalaTest.
     "t01_token_stats"  -> t01Sql,
     "t02_quality"      -> t02Sql,
     "t03_lang_id"      -> t03Sql,
