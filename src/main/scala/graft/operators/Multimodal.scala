@@ -104,14 +104,43 @@ object Multimodal {
       }
   }
 
+  /** Resize stage (stub): cap each payload at a byte budget — the
+    * plumbing shape of an image-resize/audio-downsample pass (payload
+    * in, smaller payload + updated metadata out). Truncation stands in
+    * for the codec transform; the byte-level semantics are engine-
+    * neutral and oracle-checked. */
+  def m04ResizeStub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = 200
+    documents(s, d)
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+      .select($"doc_id",
+        length($"payload").as("orig_bytes"),
+        substring($"payload", 1, budget).as("resized"))
+      .select($"doc_id", $"orig_bytes",
+        length($"resized").as("resized_bytes"),
+        ($"orig_bytes" > budget).as("was_truncated"),
+        substring(hex($"resized"), 1, 16).as("resized_prefix_hex"))
+  }
+
+  val m04Sql: String =
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS orig_bytes,
+      |  LEAST(octet_length(encode(text)), 200) AS resized_bytes,
+      |  octet_length(encode(text)) > 200 AS was_truncated,
+      |  substr(upper(hex(encode(text))), 1, 16) AS resized_prefix_hex
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_meta" -> (m01MultimodalMeta _),
     "m02_payload_bytes"   -> (m02PayloadBytes _),
     "m03_chunk_sample"    -> (m03ChunkSample _),
+    "m04_resize_stub"     -> (m04ResizeStub _),
   )
 
   val oracles: Map[String, String] = Map(
     "m02_payload_bytes" -> m02Sql,
+    "m04_resize_stub"   -> m04Sql,
     // m01/m03: stubbed decode + regex chunking are Spark-side; ScalaTest'd.
   )
 }

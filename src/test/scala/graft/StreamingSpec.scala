@@ -79,6 +79,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed aggregation state survives a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("aggck").toString
+    val out = java.nio.file.Files.createTempDirectory("aggout").toString
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    def start() = EventStreams.tumblingCounts(
+        input.toDF().toDF("ts", "user_id", "event_type", "value"), "10 minutes")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out)
+      }.start()
+    val q1 = start()
+    try {
+      // open a window with 2 events, stop BEFORE it finalizes
+      input.addData(
+        (ts("2024-01-01 00:01:00"), 1L, "click", 1.0),
+        (ts("2024-01-01 00:02:00"), 2L, "click", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the checkpoint; watermark-advancing event finalizes
+    // the pre-restart window WITH its restored partial state
+    val q2 = start()
+    try {
+      input.addData((ts("2024-01-01 01:00:00"), 3L, "click", 1.0))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .select($"window_start".cast("string"), $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(rows.contains(("2024-01-01 00:00:00", "click", 2L)),
+        s"restored window state must count both pre-restart events; got $rows")
+    } finally q2.stop()
+  }
+
   test("transformWithState running totals (RocksDB state store)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
