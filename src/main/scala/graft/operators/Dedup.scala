@@ -173,11 +173,32 @@ object Dedup {
   def bandKeys(sig: Column): Column =
     graft.functions.BandKeys(sig, NumBands)
 
+  /** Candidate pairs from a banded (doc_id, band_id, band_hash) table,
+    * with the production bucket-size guard: buckets larger than
+    * `maxBucket` (mass-duplicated boilerplate) would make the self-join
+    * quadratic in one key — they are dropped from candidate generation
+    * (at 16 bands a doc colliding in a dropped bucket almost surely
+    * also collides in a small one; boilerplate that floods ALL its
+    * buckets should be handled by an exact-dedup pre-pass instead). */
+  private[graft] def lshCandidates(banded: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    import banded.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"band_id", $"band_hash")
+    val bounded = banded
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter($"bucket_n" <= maxBucket)
+      .drop("bucket_n")
+    bounded.as("x").join(bounded.as("y"),
+        $"x.band_id" === $"y.band_id" && $"x.band_hash" === $"y.band_hash" &&
+        $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
+      .distinct()
+  }
+
   /** MinHash+LSH near-dup detection, exact-verified: signature →
-    * band buckets → bucket self-join (candidates) → exact Jaccard
-    * filter ≥ 0.8. Output is identical to d03 whenever LSH recall
-    * holds (P[miss a 0.8+ pair] < 1e-12 with these parameters) —
-    * which the driver's oracle compare asserts. */
+    * band buckets → bucket self-join (candidates, bucket-capped) →
+    * exact Jaccard filter ≥ 0.8. Output is identical to d03 whenever
+    * LSH recall holds (P[miss a 0.8+ pair] < 1e-12 with these
+    * parameters) — which the driver's oracle compare asserts. */
   def d04MinhashLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = documents(s, d)
@@ -186,12 +207,7 @@ object Dedup {
     val banded = sh
       .select($"doc_id", posexplode(bandKeys(minhashSignature($"sh"))))
       .toDF("doc_id", "band_id", "band_hash")
-    val candidates = banded.as("x").join(banded.as("y"),
-        $"x.band_id" === $"y.band_id" && $"x.band_hash" === $"y.band_hash" &&
-        $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
-      .distinct()
-    candidates
+    lshCandidates(banded)
       .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), "d1")
       .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), "d2")
       .select($"d1", $"d2", jaccard($"sh1", $"sh2").as("jaccard"))
@@ -257,12 +273,7 @@ object Dedup {
     val banded = sh
       .select($"doc_id", posexplode(bandKeys(minhashSignature($"sh"))))
       .toDF("doc_id", "band_id", "band_hash")
-    val candidates = banded.as("x").join(banded.as("y"),
-        $"x.band_id" === $"y.band_id" && $"x.band_hash" === $"y.band_hash" &&
-        $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
-      .distinct()
-    candidates
+    lshCandidates(banded)
       .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), "d1")
       .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), "d2")
       .select($"d1", $"d2", jaccard($"sh1", $"sh2").as("jaccard"))

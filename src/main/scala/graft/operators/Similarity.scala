@@ -152,7 +152,10 @@ object Similarity {
     * floor consistent with that bound. */
   def s03IvfTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val c = corpus(s, d).withColumn("nrm", norm($"v"))
+    // cache: the corpus feeds centroid learning (iterative), bucketing,
+    // and the probe search — standard Lloyd's practice, and the table
+    // is the embedding corpus, small relative to cluster memory
+    val c = corpus(s, d).withColumn("nrm", norm($"v")).cache()
     val centroids = kmeansCentroids(c.select($"vec_id", $"v"), k = 5, iters = 2)
     // bucket the corpus by nearest centroid
     val wc = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"cluster_id".asc)
