@@ -197,9 +197,35 @@ object TextAnalysis {
         array_join($"fingerprint", ",").as("fp"))
   }
 
+  /** Deterministic sampling / split assignment for training pipelines:
+    * a multiplicative-hash bucket of the stable key gives
+    * partition-independent, engine-independent, reproducible samples —
+    * Spark's sample() depends on partitioning and is neither. 90/5/5
+    * train/val/test split plus a 5% sample flag, validated per split. */
+  def t09DeterministicSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket = pmod($"doc_id" * 2654435761L, lit(100L)) // Knuth multiplicative hash
+    documents(s, d)
+      .select($"doc_id", $"n_chars",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), dsum($"n_chars".cast("double")).as("sum_chars"))
+  }
+
+  val t09Sql: String =
+    s"""SELECT split, COUNT(*) AS n_docs, ${sqlSum("CAST(n_chars AS DOUBLE)")} AS sum_chars
+       |FROM (
+       |  SELECT doc_id, n_chars,
+       |    CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+       |         WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |) GROUP BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t07_bpe_tokens"   -> (t07BpeTokens _),
     "t08_modp_fingerprint" -> (t08ModpFingerprint _),
+    "t09_deterministic_split" -> (t09DeterministicSplit _),
     "t01_token_stats"  -> (t01TokenStats _),
     "t02_quality"      -> (t02QualityScore _),
     "t03_lang_id"      -> (t03LangId _),
@@ -210,6 +236,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t07_bpe_tokens"   -> t07Sql,
+    "t09_deterministic_split" -> t09Sql,
     // t08: engine-specific hashing → rows-only + ScalaTest.
     "t01_token_stats"  -> t01Sql,
     "t02_quality"      -> t02Sql,
