@@ -51,6 +51,9 @@ object Main {
       .option("path", sourceDir)
       .option("tsField", config.sourceTimestampField)
       .option("batchSize", config.sourceBatchSize.toString)
+      // the reference's source.checkpoint-offset (core.clj:96): an
+      // explicit first-run cursor; an existing checkpoint always wins
+      .option("startOffset", config.sourceCheckpointOffset)
       .load()
       .select($"indexId", $"docId", $"source") // B4: 1-for-1 copy lane
       .as[IngestRecord]

@@ -136,20 +136,23 @@ class EsSimTable(props: Map[String, String]) extends Table with SupportsRead {
       options.getOrDefault("path", props.getOrElse("path", "")),
       options.getOrDefault("tsField", "ts"),
       options.getOrDefault("batchSize", "10000").toInt,
-      options.getOrDefault("overlapMs", "0").toLong)
+      options.getOrDefault("overlapMs", "0").toLong,
+      Option(options.get("startOffset")).filter(_.nonEmpty))
 }
 
 class EsSimScanBuilder(path: String, tsField: String, batchSize: Int,
-    overlapMs: Long) extends ScanBuilder {
-  override def build(): Scan = new EsSimScan(path, tsField, batchSize, overlapMs)
+    overlapMs: Long, startOffset: Option[String]) extends ScanBuilder {
+  override def build(): Scan =
+    new EsSimScan(path, tsField, batchSize, overlapMs, startOffset)
 }
 
-class EsSimScan(path: String, tsField: String, batchSize: Int, overlapMs: Long) extends Scan {
+class EsSimScan(path: String, tsField: String, batchSize: Int, overlapMs: Long,
+    startOffset: Option[String] = None) extends Scan {
   override def readSchema(): StructType = EsSimSource.Schema
   override def description(): String = s"EsSimScan(path=$path, tsField=$tsField)"
   override def toBatch: Batch = new EsSimBatch(path, tsField)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new EsSimMicroBatchStream(path, tsField, batchSize, overlapMs)
+    new EsSimMicroBatchStream(path, tsField, batchSize, overlapMs, startOffset)
 }
 
 /** B1 full scan: one partition per bulk file (the scroll-slice analogue). */
@@ -182,7 +185,7 @@ object EsSimFiles {
   * SupportsTriggerAvailableNow, so Trigger.AvailableNow drains exactly
   * to the snapshot taken at query start (in batchSize steps) and stops. */
 class EsSimMicroBatchStream(path: String, tsField: String, batchSize: Int,
-    overlapMs: Long = 0L)
+    overlapMs: Long = 0L, startOffset: Option[String] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -210,7 +213,12 @@ class EsSimMicroBatchStream(path: String, tsField: String, batchSize: Int,
     }
   }
 
-  override def initialOffset(): Offset = TsOffset.Start
+  /** First-run cursor: TsOffset JSON from the startOffset option
+    * (the reference's source.checkpoint-offset parameter, core.clj:96)
+    * or the epoch start. A checkpointed query ignores this — the
+    * checkpoint's offset log wins, as it should. */
+  override def initialOffset(): Offset =
+    startOffset.map(TsOffset.fromJson).getOrElse(TsOffset.Start)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
 

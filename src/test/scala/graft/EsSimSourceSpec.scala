@@ -97,6 +97,30 @@ class EsSimSourceSpec extends SparkSpec {
     assert(ids.size === 12)
   }
 
+  test("startOffset option: first run begins at the configured cursor") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("essrc").toString
+    val out = Files.createTempDirectory("esout").toString
+    writeDocs(dir, 0 until 20)
+    // cursor at doc 9's (ts, id): only docs strictly beyond flow
+    val ts9micros = java.time.LocalDateTime.parse("2024-01-01T00:00:09")
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val q = spark.readStream
+      .format("graft.sources.EsSimSourceProvider")
+      .option("path", dir)
+      .option("startOffset", s"""{"tsMicros":$ts9micros,"docId":"9"}""")
+      .load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out)
+      }.start()
+    assert(q.awaitTermination(120000))
+    val ids = spark.read.parquet(out).select($"docId").as[String].collect().map(_.toInt).sorted
+    assert(ids.toSeq === (10 until 20).toSeq, s"got ${ids.toSeq}")
+  }
+
   test("Trigger.AvailableNow drains the start snapshot and stops") {
     val dir = Files.createTempDirectory("essrc").toString
     val out = Files.createTempDirectory("esout").toString
