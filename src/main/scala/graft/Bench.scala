@@ -103,6 +103,18 @@ object Bench {
     val streamingBatchMs =
       if (trigMs.nonEmpty) trigMs.sorted.apply(trigMs.length / 2) else -1.0
 
+    // clean up the ~11k bulk files + checkpoint this run created —
+    // the driver benches every round and /tmp accumulates otherwise
+    def rmTree(dir: String): Unit = {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(dir)
+      if (Files.exists(root))
+        Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    rmTree(copyDir)
+    rmTree(ckpt)
+
     val total = ok.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val byName = results.toMap
