@@ -138,9 +138,23 @@ object Multimodal {
     "m04_resize_stub"     -> (m04ResizeStub _),
   )
 
+  /** Spark's split keeps a trailing empty chunk when the text length is
+    * an exact multiple of the chunk size (split limit -1) — the oracle
+    * mirrors that with an extra zero-length chunk. */
+  val m03Sql: String =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |  i AS chunk_id,
+      |  len(substr(text, i * 100 + 1, 100)) AS chunk_len
+      |FROM (SELECT doc_id, text,
+      |        CASE WHEN len(text) % 100 = 0 THEN len(text) // 100 + 1
+      |             ELSE CAST(ceil(len(text) / 100.0) AS INTEGER) END AS nc
+      |      FROM documents),
+      |  unnest(range(0, nc)) AS t(i)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "m02_payload_bytes" -> m02Sql,
+    "m03_chunk_sample"  -> m03Sql,
     "m04_resize_stub"   -> m04Sql,
-    // m01/m03: stubbed decode + regex chunking are Spark-side; ScalaTest'd.
+    // m01: xxhash64-derived stub fields are Spark-side; ScalaTest'd.
   )
 }
