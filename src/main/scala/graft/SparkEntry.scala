@@ -22,6 +22,7 @@ object SparkEntry {
       operators.Relational2.queries ++
       operators.Relational3.queries ++
       operators.Relational4.queries ++
+      operators.Relational5.queries ++
       operators.Skew.queries ++
       operators.EventAnalytics.queries ++
       operators.Dedup.queries ++
@@ -38,6 +39,7 @@ object SparkEntry {
       operators.Relational2.oracles ++
       operators.Relational3.oracles ++
       operators.Relational4.oracles ++
+      operators.Relational5.oracles ++
       operators.Skew.oracles ++
       operators.EventAnalytics.oracles ++
       operators.Dedup.oracles ++

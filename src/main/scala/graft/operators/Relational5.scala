@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.Det._
+
+/** Tier C1 relational surface, part 5: the hardest TPC-H subquery
+  * shapes — correlated aggregate equality (Q2/Q17 family), chained
+  * EXISTS / NOT EXISTS against the same fact (Q21 family), and CTE +
+  * aggregate-equality selection (Q15 family) — exercising Catalyst's
+  * subquery decorrelation end-to-end. Authored in SQL via the Engine
+  * view surface where the SQL shape *is* the point.
+  */
+object Relational5 {
+
+  /** Correlated MAX equality (TPC-H Q2's shape on this schema): each
+    * customer's single most expensive order. Decorrelates to a
+    * max-per-key join; equality on 2-decimal doubles is exact. */
+  def q55CorrelatedMax(s: SparkSession, d: String): DataFrame = {
+    graft.Engine.attach(s, d)
+    s.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
+  val q55Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+      |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+
+  /** TPC-H Q21 shape: suppliers with a late line on a multi-supplier
+    * order where no OTHER supplier was late — EXISTS + NOT EXISTS, both
+    * correlated against the same fact table. */
+  def q56MultiExists(s: SparkSession, d: String): DataFrame = {
+    graft.Engine.attach(s, d)
+    s.sql(
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate)
+        |GROUP BY s_name""".stripMargin)
+  }
+
+  val q56Sql: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate)
+      |GROUP BY s_name""".stripMargin
+
+  /** TPC-H Q15 shape: CTE of per-supplier revenue, select the
+    * supplier(s) achieving the global maximum (aggregate equality over
+    * a CTE — exact through the deterministic decimal revenue). */
+  def q57CteMax(s: SparkSession, d: String): DataFrame = {
+    graft.Engine.attach(s, d)
+    s.sql(
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         |      AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+         |  GROUP BY l_suppkey
+         |)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin)
+  }
+
+  val q57Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_correlated_max" -> (q55CorrelatedMax _),
+    "q56_multi_exists"   -> (q56MultiExists _),
+    "q57_cte_max"        -> (q57CteMax _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q55_correlated_max" -> q55Sql,
+    "q56_multi_exists"   -> q56Sql,
+    "q57_cte_max"        -> q57Sql,
+  )
+}
