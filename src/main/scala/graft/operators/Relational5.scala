@@ -105,13 +105,37 @@ object Relational5 {
       |FROM supplier JOIN revenue ON s_suppkey = supplier_no
       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin
 
+  /** rank vs dense_rank over real ties (integer-valued quantities):
+    * tied rows share a rank; rank skips, dense_rank doesn't — both
+    * deterministic under ties by definition. */
+  def q58RankDense(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag").orderBy($"l_quantity".asc)
+    lineitem(s, d)
+      .filter($"l_orderkey" <= 1000)
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_quantity",
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"))
+  }
+
+  val q58Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+      |  RANK() OVER w AS rk,
+      |  DENSE_RANK() OVER w AS drk
+      |FROM lineitem
+      |WHERE l_orderkey <= 1000
+      |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity ASC)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_rank_dense"     -> (q58RankDense _),
     "q55_correlated_max" -> (q55CorrelatedMax _),
     "q56_multi_exists"   -> (q56MultiExists _),
     "q57_cte_max"        -> (q57CteMax _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q58_rank_dense"     -> q58Sql,
     "q55_correlated_max" -> q55Sql,
     "q56_multi_exists"   -> q56Sql,
     "q57_cte_max"        -> q57Sql,
