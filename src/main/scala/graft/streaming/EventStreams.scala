@@ -106,6 +106,20 @@ object EventStreams {
         col("c_ts"), col("p_ts"))
   }
 
+  /** Left-outer stream-stream interval join: every click emits — joined
+    * rows as matches arrive, unmatched clicks with null purchase once
+    * the watermark proves no purchase can still arrive for them. */
+  def clickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    c.join(p, expr(
+      """c_user = p_user AND
+        |p_ts >= c_ts AND p_ts < c_ts + INTERVAL 10 MINUTES""".stripMargin), "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Per-user running aggregate via arbitrary stateful processing. */
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)

@@ -163,6 +163,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched clicks after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStreams.clickToPurchaseOuter(
+        clicks.toDF().toDF("event_id", "user_id", "ts"),
+        purchases.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("ssjo").outputMode("append").start()
+    try {
+      clicks.addData((1L, 7L, ts("2024-01-01 00:00:00"))) // will match
+      clicks.addData((2L, 8L, ts("2024-01-01 00:00:00"))) // never matches
+      purchases.addData((100L, 7L, ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past the join window
+      clicks.addData((3L, 9L, ts("2024-01-01 02:00:00")))
+      purchases.addData((101L, 9L, ts("2024-01-01 02:30:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ssjo")
+        .select($"click_id", $"purchase_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((1L, 100L)), s"matched pair missing: $rows")
+      assert(rows.contains((2L, -1L)), s"unmatched click must emit with null: $rows")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits sessions closed by event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
