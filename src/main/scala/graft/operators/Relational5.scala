@@ -127,7 +127,41 @@ object Relational5 {
       |WHERE l_orderkey <= 1000
       |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity ASC)""".stripMargin
 
+  /** Keyset-free pagination: total-ordered LIMIT+OFFSET (page 3 of the
+    * balance ranking). Deterministic via the unique tie-break. */
+  def q59LimitOffset(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    customer(s, d)
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      .offset(20)
+      .limit(10)
+      .select($"c_custkey", $"c_acctbal")
+  }
+
+  val q59Sql: String =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |ORDER BY c_acctbal DESC, c_custkey ASC
+      |LIMIT 10 OFFSET 20""".stripMargin
+
+  /** split_part + string decomposition of structured identifiers. */
+  def q60SplitPart(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    nation(s, d).select($"n_nationkey",
+      split_part($"n_name", lit("_"), lit(1)).as("prefix"),
+      split_part($"n_name", lit("_"), lit(2)).cast("int").as("num"),
+      split_part($"n_name", lit("_"), lit(-1)).as("last_part"))
+  }
+
+  val q60Sql: String =
+    """SELECT n_nationkey,
+      |  split_part(n_name, '_', 1) AS prefix,
+      |  CAST(split_part(n_name, '_', 2) AS INTEGER) AS num,
+      |  split_part(n_name, '_', -1) AS last_part
+      |FROM nation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_limit_offset"   -> (q59LimitOffset _),
+    "q60_split_part"     -> (q60SplitPart _),
     "q58_rank_dense"     -> (q58RankDense _),
     "q55_correlated_max" -> (q55CorrelatedMax _),
     "q56_multi_exists"   -> (q56MultiExists _),
@@ -135,6 +169,8 @@ object Relational5 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q59_limit_offset"   -> q59Sql,
+    "q60_split_part"     -> q60Sql,
     "q58_rank_dense"     -> q58Sql,
     "q55_correlated_max" -> q55Sql,
     "q56_multi_exists"   -> q56Sql,
