@@ -159,7 +159,80 @@ object Relational5 {
       |  split_part(n_name, '_', -1) AS last_part
       |FROM nation""".stripMargin
 
+  /** Null-safe / failure-safe scalar semantics: try_cast (malformed →
+    * NULL, not error), try_divide-by-zero, and the null-safe equality
+    * operator <=> vs plain = on NULLs. */
+  def q61TrySemantics(s: SparkSession, d: String): DataFrame = {
+    graft.Engine.attach(s, d)
+    s.sql(
+      """SELECT p_partkey,
+        |  TRY_CAST(p_brand AS INTEGER) AS brand_as_int,
+        |  TRY_CAST(SUBSTR(p_brand, 7) AS INTEGER) AS brand_num,
+        |  TRY_DIVIDE(p_retailprice, p_size - p_size) AS div_zero,
+        |  (NULLIF(p_size, p_size) <=> NULL) AS nullsafe_eq,
+        |  (NULLIF(p_size, p_size) = NULL) AS plain_eq
+        |FROM part WHERE p_partkey <= 100""".stripMargin)
+  }
+
+  val q61Sql: String =
+    """SELECT p_partkey,
+      |  TRY_CAST(p_brand AS INTEGER) AS brand_as_int,
+      |  TRY_CAST(SUBSTR(p_brand, 7) AS INTEGER) AS brand_num,
+      |  p_retailprice / NULLIF(p_size - p_size, 0) AS div_zero,
+      |  (NULLIF(p_size, p_size) IS NOT DISTINCT FROM NULL) AS nullsafe_eq,
+      |  (NULLIF(p_size, p_size) = NULL) AS plain_eq
+      |FROM part WHERE p_partkey <= 100""".stripMargin
+
+  /** Inline VALUES relation joined against a table (the constant-dim
+    * pattern without a file). */
+  def q62InlineValues(s: SparkSession, d: String): DataFrame = {
+    graft.Engine.attach(s, d)
+    s.sql(
+      """SELECT r.r_name, t.hemisphere, COUNT(*) AS n_nations
+        |FROM nation n
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |JOIN (VALUES ('AFRICA', 'south'), ('AMERICA', 'west'),
+        |             ('ASIA', 'east'), ('EUROPE', 'north'),
+        |             ('MIDDLE EAST', 'center')) AS t(rname, hemisphere)
+        |  ON r.r_name = t.rname
+        |GROUP BY r.r_name, t.hemisphere""".stripMargin)
+  }
+
+  val q62Sql: String =
+    """SELECT r.r_name, t.hemisphere, COUNT(*) AS n_nations
+      |FROM nation n
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |JOIN (VALUES ('AFRICA', 'south'), ('AMERICA', 'west'),
+      |             ('ASIA', 'east'), ('EUROPE', 'north'),
+      |             ('MIDDLE EAST', 'center')) AS t(rname, hemisphere)
+      |  ON r.r_name = t.rname
+      |GROUP BY r.r_name, t.hemisphere""".stripMargin
+
+  /** GROUPING() indicators distinguish "NULL because subtotal row" from
+    * "NULL data" in rollup output. */
+  def q63GroupingId(s: SparkSession, d: String): DataFrame = {
+    graft.Engine.attach(s, d)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag) AS g_flag,
+        |  GROUPING(l_linestatus) AS g_status,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+  }
+
+  val q63Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag) AS g_flag,
+      |  GROUPING(l_linestatus) AS g_status,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_try_semantics"  -> (q61TrySemantics _),
+    "q62_inline_values"  -> (q62InlineValues _),
+    "q63_grouping_id"    -> (q63GroupingId _),
     "q59_limit_offset"   -> (q59LimitOffset _),
     "q60_split_part"     -> (q60SplitPart _),
     "q58_rank_dense"     -> (q58RankDense _),
@@ -169,6 +242,9 @@ object Relational5 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q61_try_semantics"  -> q61Sql,
+    "q62_inline_values"  -> q62Sql,
+    "q63_grouping_id"    -> q63Sql,
     "q59_limit_offset"   -> q59Sql,
     "q60_split_part"     -> q60Sql,
     "q58_rank_dense"     -> q58Sql,
