@@ -2,30 +2,65 @@
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
 Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
+       python3 scripts/check.py --selftest
 
 Reads each <out>/<name> parquet result written by graft.Verify, runs the
 matching oracle SQL from <out>/oracle_sql.json in DuckDB over the sf
-tables, and compares: column names (sorted), row count, and a hash over
-rows sorted with columns in name order — mirroring the driver's compare
-as documented (sorts columns by name before hashing values).
+tables, and compares: column names (sorted), column type classes, row
+count, and a hash over rows sorted with columns in name order —
+mirroring the driver's compare as documented (sorts columns by name
+before hashing values).
+
+Both sides are fetched via DuckDB -> pandas (fetchdf), matching the
+driver's canonicalization path: DuckDB HUGEINT (integer SUM) surfaces as
+float64 there while Spark's BIGINT stays int64, so an uncast integer-SUM
+oracle fails HERE exactly as it does at the driver gate. fetchall()
+would hide that (HUGEINT -> Python int -> str matches int64) — round 1
+passed 82/82 locally while the driver failed 3 for exactly this reason.
 """
 import sys, os, json, glob, hashlib
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+def type_class(dtype):
+    """Coarse class of a pandas/numpy dtype for compatibility compare.
+
+    int64-vs-float64 (the HUGEINT trap) must differ; int32-vs-int64 or
+    float32-vs-float64 are the same logical type at different widths.
+    """
+    k = getattr(dtype, "kind", None)
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "timestamp"
+    return "object"  # strings, lists, decimals-as-object, bytes, dates
+
+def fetch(rel):
+    """Fetch a DuckDB relation the way the driver does (pandas)."""
+    df = rel.fetchdf()
+    cols = list(df.columns)
+    classes = [type_class(df[c].dtype) for c in cols]
+    rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
+    return cols, classes, rows
 
 def canon(val):
     if val is None:
         return "NULL"
     if isinstance(val, float):
         if val != val:
-            return "nan"
+            return "NULL"  # pandas NaN stands in for NULL in float cols
         # normalized float formatting: 12 significant digits
         return f"{val:.12g}"
     if isinstance(val, bytes):
         return val.hex()
-    if isinstance(val, list):
+    if isinstance(val, (list, np.ndarray)):
         return "[" + ",".join(canon(v) for v in val) + "]"
     return str(val)
 
@@ -38,7 +73,53 @@ def table_hash(cols, rows):
         h.update(b"\n")
     return h.hexdigest()
 
+def compare(sp_cols, sp_classes, sp_rows, du_cols, du_classes, du_rows):
+    """Return a list of problem strings (empty = match)."""
+    problems = []
+    if sorted(sp_cols) != sorted(du_cols):
+        problems.append(f"cols spark={sorted(sp_cols)} duck={sorted(du_cols)}")
+        return problems
+    # name-aligned type-class compare: catches HUGEINT-vs-BIGINT and
+    # float-vs-int divergences even when the rendered values collide
+    sp_by = dict(zip(sp_cols, sp_classes))
+    du_by = dict(zip(du_cols, du_classes))
+    for c in sorted(sp_by):
+        if sp_by[c] != du_by[c]:
+            problems.append(f"type class mismatch on '{c}': spark={sp_by[c]} duck={du_by[c]}")
+    if len(sp_rows) != len(du_rows):
+        problems.append(f"rows spark={len(sp_rows)} duck={len(du_rows)}")
+    if not problems and table_hash(sp_cols, sp_rows) != table_hash(du_cols, du_rows):
+        order = sorted(range(len(sp_cols)), key=lambda i: sp_cols[i])
+        a = sorted("|".join(canon(r[i]) for i in order) for r in sp_rows)
+        dorder = sorted(range(len(du_cols)), key=lambda i: du_cols[i])
+        b = sorted("|".join(canon(r[i]) for i in dorder) for r in du_rows)
+        diff = next((i for i, (x, y) in enumerate(zip(a, b)) if x != y), None)
+        problems.append(
+            f"hash mismatch; first diff row {diff}:\n"
+            f"  spark={a[diff][:300] if diff is not None else '?'}\n"
+            f"  duck ={b[diff][:300] if diff is not None else '?'}")
+    return problems
+
+def selftest():
+    """Regression: an uncast integer SUM must FAIL the gate (HUGEINT ->
+    float64 vs Spark int64), and the CAST(... AS BIGINT) form must PASS."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT CAST(x AS INTEGER) AS x FROM range(5) r(x)")
+    # "spark side": what Spark would emit for sum(int) — an int64 column
+    sp = fetch(con.execute("SELECT CAST(SUM(x) AS BIGINT) AS s FROM t"))
+    bad = fetch(con.execute("SELECT SUM(x) AS s FROM t"))          # HUGEINT
+    good = fetch(con.execute("SELECT CAST(SUM(x) AS BIGINT) AS s FROM t"))
+    p_bad = compare(*sp, *bad)
+    p_good = compare(*sp, *good)
+    assert p_bad, "uncast integer SUM should fail the gate but passed"
+    assert any("type class" in p for p in p_bad), f"expected type-class problem, got {p_bad}"
+    assert not p_good, f"cast integer SUM should pass, got {p_good}"
+    print("selftest OK: uncast integer SUM fails, CAST AS BIGINT passes")
+
 def main():
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        selftest()
+        return
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
@@ -55,33 +136,18 @@ def main():
             n_fail += 1
             continue
         try:
-            sp = con.execute(f"SELECT * FROM read_parquet({files!r})")
-            sp_cols = [c[0] for c in sp.description]
-            sp_rows = sp.fetchall()
-            du = con.execute(oracle[name])
-            du_cols = [c[0] for c in du.description]
-            du_rows = du.fetchall()
+            sp = fetch(con.execute(f"SELECT * FROM read_parquet({files!r})"))
+            du = fetch(con.execute(oracle[name]))
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
-        problems = []
-        if sorted(sp_cols) != sorted(du_cols):
-            problems.append(f"cols spark={sorted(sp_cols)} duck={sorted(du_cols)}")
-        if len(sp_rows) != len(du_rows):
-            problems.append(f"rows spark={len(sp_rows)} duck={len(du_rows)}")
-        if not problems and table_hash(sp_cols, sp_rows) != table_hash(du_cols, du_rows):
-            order = sorted(range(len(sp_cols)), key=lambda i: sp_cols[i])
-            a = sorted("|".join(canon(r[i]) for i in order) for r in sp_rows)
-            dorder = sorted(range(len(du_cols)), key=lambda i: du_cols[i])
-            b = sorted("|".join(canon(r[i]) for i in dorder) for r in du_rows)
-            diff = next((i for i, (x, y) in enumerate(zip(a, b)) if x != y), None)
-            problems.append(f"hash mismatch; first diff row {diff}:\n  spark={a[diff][:300] if diff is not None else '?'}\n  duck ={b[diff][:300] if diff is not None else '?'}")
+        problems = compare(*sp, *du)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(sp_rows)} rows)")
+            print(f"PASS {name} ({len(sp[2])} rows)")
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
     sys.exit(1 if n_fail else 0)

@@ -33,7 +33,7 @@ object EventAnalytics {
 
   val q27Sql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
       |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
       |FROM events GROUP BY event_type""".stripMargin
@@ -133,7 +133,7 @@ object EventAnalytics {
 
   val q44Sql: String =
     """SELECT event_type,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
       |  COUNT(json_extract_string(props, '$.k')) AS n
       |FROM events GROUP BY event_type""".stripMargin
 

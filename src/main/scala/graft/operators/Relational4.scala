@@ -68,7 +68,7 @@ object Relational4 {
   }
 
   val q47Sql: String =
-    """SELECT p_partkey, COUNT(*) AS n, SUM(i) AS tri
+    """SELECT p_partkey, COUNT(*) AS n, CAST(SUM(i) AS BIGINT) AS tri
       |FROM (SELECT p_partkey, unnest(generate_series(1, p_size)) AS i
       |      FROM part WHERE p_partkey <= 100)
       |GROUP BY p_partkey""".stripMargin
