@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path, Paths}
 import java.time.LocalDateTime
 import java.time.format.DateTimeFormatter
+import java.util.concurrent.atomic.AtomicLong
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
@@ -14,6 +15,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,17 +26,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference's declared-but-unbuilt source side (SURVEY Tier B):
   *
   *  - B1 "query source ES via scrolling api" (core.clj:131-132, unused
-  *    client at core.clj:48-53) → full scan, partitioned per bulk file
-  *    (the analogue of ES scroll slices);
+  *    client at core.clj:48-53) → full scan, bulk files bin-packed into
+  *    core-count splits (the analogue of ES scroll slices);
   *  - B2 "check for timestamp field / provide range in query / store
   *    timestamp of last doc" (core.clj:133-137, core.clj:96,126) →
   *    a composite (timestamp, docId) streaming Offset, checkpointed by
   *    Structured Streaming via checkpointLocation. The composite cursor
   *    fixes the reference design's tie wedge (SURVEY §7.3: >batch-size
   *    docs sharing one ts would stall a pure ts cursor);
-  *  - B3 "batch size / poll interval" (core.clj:94-97) → at most
-  *    `batchSize` docs admitted per trigger; poll cadence is the
-  *    stream's Trigger.ProcessingTime.
+  *  - B3 "batch size / poll interval" (core.clj:94-97) → admission is
+  *    file-granular: whole pending bulk files are admitted until the
+  *    next file would exceed `batchSize` docs (a soft ReadLimit, like
+  *    Spark's own file source); poll cadence is Trigger.ProcessingTime.
+  *
+  * Pushdown (the offline analogue of the ES connector's query-DSL
+  * pushdown, core.clj:131-132): the batch ScanBuilder accepts ts-range
+  * and indexId filters and prunes whole bulk files against a per-file
+  * (minTs, maxTs, indexIds) stats index; column pruning skips the JSON
+  * body parse entirely when neither `ts` nor a ts predicate is needed.
+  * All accepted filters are also left in the residual, so correctness
+  * never depends on the prune.
   *
   * Semantics: the stream replays index *actions* in (ts, docId) order —
   * like an ES scroll sorted on the cursor — and the downstream
@@ -44,11 +55,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * the reference's documented incremental-copy contract; mitigate by
   * running a periodic full copy, or an overlap window at the query.
   *
-  * Scale notes: in production this source is backed by ES search_after
-  * range queries — the driver holds only the cursor, and each partition
-  * pulls one slice. The sim's driver-side file index stands in for the
-  * ES coordinator; data never flows through the driver (readers parse
-  * their own file slice on executors).
+  * Scale notes: driver state is O(bulk files) — one
+  * (minTs, minId, maxTs, maxId, count) record per file, computed once
+  * per file and cached JVM-wide ([[EsSimStats]], the stand-in for the
+  * ES coordinator's index metadata). Data never flows through the
+  * driver: readers parse their own file slice on executors and filter
+  * rows to the cursor range. A file whose range straddles a batch
+  * boundary is re-opened by the next batch's readers — the deliberate
+  * trade for O(files) driver memory; in production the range query runs
+  * inside ES and this cost disappears.
   *
   * Usage:
   * {{{
@@ -71,6 +86,14 @@ object EsSimSource {
     StructField("docId", StringType, nullable = false),
     StructField("source", StringType, nullable = false),
     StructField("ts", TimestampType, nullable = true)))
+
+  /** Cursor position used for docs with no parsable ts: they sort first. */
+  val NullTs: Long = Long.MinValue + 1
+
+  /** Test-visible count of bulk files actually opened by partition
+    * readers (local mode shares the JVM) — lets specs assert that
+    * file pruning really skipped non-matching files. */
+  val filesOpened = new AtomicLong(0)
 
   private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss[.SSSSSS][.SSS]")
 
@@ -95,22 +118,79 @@ object EsSimSource {
     * parse cost flat as file counts grow. */
   private val mapper = new ObjectMapper()
 
-  /** Parse a bulk ndjson file (meta line + source line pairs). */
-  def parseBulkFile(p: Path, tsField: String): Seq[Doc] = {
+  /** Parse a bulk ndjson file (meta line + source line pairs).
+    * `parseBody=false` skips the JSON body parse (ts comes back null) —
+    * the column-pruned fast path when neither `ts` nor a ts predicate
+    * is in play. */
+  def parseBulkFile(p: Path, tsField: String, parseBody: Boolean = true): Seq[Doc] = {
     val lines = Files.readAllLines(p, UTF_8).asScala
     lines.grouped(2).flatMap {
       case scala.collection.mutable.Buffer(meta, src) =>
         val m = mapper.readTree(meta).path("index")
-        val body = mapper.readTree(src)
-        Some(Doc(m.path("_index").asText(), m.path("_id").asText(), src,
-          parseTsMicros(body.get(tsField))))
+        val ts = if (parseBody) parseTsMicros(mapper.readTree(src).get(tsField)) else null
+        Some(Doc(m.path("_index").asText(), m.path("_id").asText(), src, ts))
       case _ => None
     }.toSeq
   }
 }
 
+/** Per-file index statistics — the driver-side stand-in for the ES
+  * coordinator's shard metadata. One record per immutable bulk file,
+  * computed by parsing the file once and cached JVM-wide, so repeated
+  * scans/triggers over the same directory pay O(new files), and driver
+  * memory is O(files) regardless of corpus row count. */
+object EsSimStats {
+  /** min/max are over the composite (tsMicros, docId) cursor ordering,
+    * with null ts mapped to [[EsSimSource.NullTs]]. */
+  final case class FileStat(file: String, minTs: Long, minId: String,
+      maxTs: Long, maxId: String, count: Long, indexIds: Option[Set[String]])
+
+  private val cache = scala.collection.mutable.Map.empty[(String, String), Map[String, FileStat]]
+
+  def list(path: String): Seq[Path] = {
+    val dir = Paths.get(path)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("bulk-") &&
+                   p.getFileName.toString.endsWith(".ndjson"))
+      .toSeq.sortBy(_.getFileName.toString)
+  }
+
+  /** Stats for every bulk file currently in `path`; parses only files
+    * not seen before (bulk files are write-once). */
+  def forPath(path: String, tsField: String): Seq[FileStat] = synchronized {
+    val key = (path, tsField)
+    val known = cache.getOrElse(key, Map.empty)
+    val files = list(path)
+    val fresh = files.filterNot(f => known.contains(f.toString)).map { f =>
+      f.toString -> statFile(f, tsField)
+    }
+    val all = known ++ fresh
+    if (fresh.nonEmpty) cache(key) = all
+    files.flatMap(f => all.get(f.toString))
+  }
+
+  private def statFile(p: Path, tsField: String): FileStat = {
+    val docs = EsSimSource.parseBulkFile(p, tsField)
+    var minTs = Long.MaxValue; var minId = ""
+    var maxTs = Long.MinValue; var maxId = ""
+    val indices = scala.collection.mutable.Set.empty[String]
+    docs.foreach { d =>
+      val ts = if (d.tsMicros == null) EsSimSource.NullTs else d.tsMicros.longValue()
+      if (ts < minTs || (ts == minTs && d.docId < minId)) { minTs = ts; minId = d.docId }
+      if (ts > maxTs || (ts == maxTs && d.docId > maxId)) { maxTs = ts; maxId = d.docId }
+      if (indices.size <= 32) indices += d.indexId
+    }
+    if (docs.isEmpty) FileStat(p.toString, EsSimSource.NullTs, "", EsSimSource.NullTs, "", 0, Some(Set.empty))
+    else FileStat(p.toString, minTs, minId, maxTs, maxId, docs.size,
+      // cap the per-file index set: past 32 distinct indices the prune
+      // is unlikely to help and the stat should stay O(1)
+      if (indices.size > 32) None else Some(indices.toSet))
+  }
+}
+
 /** Streaming offset: the composite (tsMicros, docId) cursor. Ordering is
-  * (ts, id) lexicographic; docs with null ts sort first (ts = Long.Min). */
+  * (ts, id) lexicographic; docs with null ts sort first (ts = NullTs). */
 final case class TsOffset(tsMicros: Long, docId: String) extends Offset {
   override def json(): String =
     s"""{"tsMicros":$tsMicros,"docId":${graft.ingest.JsonStrPublic.quote(docId)}}"""
@@ -140,76 +220,143 @@ class EsSimTable(props: Map[String, String]) extends Table with SupportsRead {
       Option(options.get("startOffset")).filter(_.nonEmpty))
 }
 
+/** Inclusive micro-second ts bounds + optional indexId set derived from
+  * pushed filters; `Unbounded` means no pushed predicate. */
+final case class EsSimPredicates(tsLo: Long, tsHi: Long, indexIds: Option[Set[String]]) {
+  def hasTs: Boolean = tsLo != Long.MinValue || tsHi != Long.MaxValue
+  def isEmpty: Boolean = !hasTs && indexIds.isEmpty
+}
+object EsSimPredicates { val Unbounded: EsSimPredicates = EsSimPredicates(Long.MinValue, Long.MaxValue, None) }
+
+/** ScanBuilder with filter + column pushdown (SURVEY §4.2): ts-range
+  * and indexId predicates prune whole bulk files via [[EsSimStats]];
+  * column pruning drops the JSON body parse when `ts` is unused. All
+  * accepted filters remain residual — Spark re-evaluates them — so the
+  * prune is purely an optimization. */
 class EsSimScanBuilder(path: String, tsField: String, batchSize: Int,
-    overlapMs: Long, startOffset: Option[String]) extends ScanBuilder {
+    overlapMs: Long, startOffset: Option[String]) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var requiredSchema: StructType = EsSimSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+  private var preds: EsSimPredicates = EsSimPredicates.Unbounded
+
+  private def toMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+    case i: java.time.Instant => Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case l: java.time.LocalDateTime =>
+      Some(l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000L)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    var lo = Long.MinValue; var hi = Long.MaxValue
+    var idx: Option[Set[String]] = None
+    val accepted = filters.filter {
+      case GreaterThan("ts", v) => toMicros(v).exists { m => lo = math.max(lo, math.min(m + 1, Long.MaxValue)); true }
+      case GreaterThanOrEqual("ts", v) => toMicros(v).exists { m => lo = math.max(lo, m); true }
+      case LessThan("ts", v) => toMicros(v).exists { m => hi = math.min(hi, m - 1); true }
+      case LessThanOrEqual("ts", v) => toMicros(v).exists { m => hi = math.min(hi, m); true }
+      case EqualTo("ts", v) => toMicros(v).exists { m => lo = math.max(lo, m); hi = math.min(hi, m); true }
+      case EqualTo("indexId", v: String) =>
+        idx = Some(idx.fold(Set(v))(_ intersect Set(v))); true
+      case In("indexId", vs) if vs.forall(_.isInstanceOf[String]) =>
+        val s = vs.map(_.asInstanceOf[String]).toSet
+        idx = Some(idx.fold(s)(_ intersect s)); true
+      case _ => false
+    }
+    pushed = accepted
+    preds = EsSimPredicates(lo, hi, idx)
+    filters // everything stays residual: Spark re-checks, prune is advisory
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(schema: StructType): Unit = { requiredSchema = schema }
+
   override def build(): Scan =
-    new EsSimScan(path, tsField, batchSize, overlapMs, startOffset)
+    new EsSimScan(path, tsField, batchSize, overlapMs, startOffset, requiredSchema, preds, pushed)
 }
 
 class EsSimScan(path: String, tsField: String, batchSize: Int, overlapMs: Long,
-    startOffset: Option[String] = None) extends Scan {
-  override def readSchema(): StructType = EsSimSource.Schema
-  override def description(): String = s"EsSimScan(path=$path, tsField=$tsField)"
-  override def toBatch: Batch = new EsSimBatch(path, tsField)
+    startOffset: Option[String], requiredSchema: StructType,
+    preds: EsSimPredicates, pushed: Array[Filter]) extends Scan {
+  override def readSchema(): StructType = requiredSchema
+  override def description(): String =
+    s"EsSimScan(path=$path, tsField=$tsField, " +
+      s"PushedFilters: [${pushed.mkString(", ")}], ReadColumns: [${requiredSchema.fieldNames.mkString(", ")}])"
+  override def toBatch: Batch =
+    new EsSimBatch(path, tsField, requiredSchema.fieldNames.toSeq, preds)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new EsSimMicroBatchStream(path, tsField, batchSize, overlapMs, startOffset)
+    new EsSimMicroBatchStream(path, tsField, batchSize, overlapMs, startOffset,
+      requiredSchema.fieldNames.toSeq, preds)
 }
 
-/** B1 full scan: one partition per bulk file (the scroll-slice analogue). */
-class EsSimBatch(path: String, tsField: String) extends Batch {
-  override def planInputPartitions(): Array[InputPartition] =
-    EsSimFiles.list(path).map(f =>
-      EsSimPartition(f.toString, tsField, Long.MinValue, "", Long.MaxValue,
-        "￿", unbounded = true): InputPartition).toArray
+/** B1 full scan. Bulk files are pruned against the per-file stats index
+  * when ts/indexId predicates were pushed (no stats are computed — and
+  * no driver-side parse happens — for an unfiltered scan), then
+  * bin-packed into ~2× core-count splits so thousands of 64-doc bulk
+  * files don't become thousands of tiny tasks. */
+class EsSimBatch(path: String, tsField: String, columns: Seq[String],
+    preds: EsSimPredicates) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files: Seq[String] =
+      if (preds.isEmpty) EsSimStats.list(path).map(_.toString)
+      else EsSimStats.forPath(path, tsField).iterator.filter { st =>
+        val tsOk = !preds.hasTs || (st.count > 0 && st.minTs <= preds.tsHi && st.maxTs >= preds.tsLo)
+        val idxOk = (preds.indexIds, st.indexIds) match {
+          case (Some(want), Some(have)) => want.exists(have.contains)
+          case _ => true
+        }
+        tsOk && idxOk
+      }.map(_.file).toSeq
+    val slots = math.max(1, math.min(files.size,
+      org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism * 2))
+    files.zipWithIndex.groupBy(_._2 % slots).values.map { g =>
+      EsSimPartition(g.map(_._1), tsField, columns, None, preds): InputPartition
+    }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory = EsSimReaderFactory
 }
 
 object EsSimFiles {
-  def list(path: String): Seq[Path] = {
-    val dir = Paths.get(path)
-    if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("bulk-") &&
-                   p.getFileName.toString.endsWith(".ndjson"))
-      .toSeq.sortBy(_.getFileName.toString)
-  }
+  def list(path: String): Seq[Path] = EsSimStats.list(path)
 }
 
-/** B2/B3 micro-batch stream. The driver maintains a file→(ts,id) index
-  * (the stand-in for the ES coordinator); each trigger admits at most
-  * `batchSize` docs past the committed cursor.
+/** B2/B3 micro-batch stream over the per-file stats index.
+  *
+  * Admission is file-granular: pending files (max cursor key beyond the
+  * committed offset) are admitted in (maxTs, maxId) order until the
+  * next whole file would exceed the row cap — a soft ReadLimit, the
+  * same contract as Spark's FileStreamSource maxFilesPerTrigger. The
+  * end offset is always some file's (maxTs, maxId), readers re-filter
+  * rows to the (start, end] range, and a file straddling the boundary
+  * is simply re-opened by the next batch.
   *
   * Implements SupportsAdmissionControl — Spark hands us the current
   * start offset on every latestOffset call, so the cursor survives
   * checkpoint restarts with no driver-side mutable offset state — and
   * SupportsTriggerAvailableNow, so Trigger.AvailableNow drains exactly
-  * to the snapshot taken at query start (in batchSize steps) and stops. */
+  * to the file snapshot taken at query start (in batchSize steps) and stops. */
 class EsSimMicroBatchStream(path: String, tsField: String, batchSize: Int,
-    overlapMs: Long = 0L, startOffset: Option[String] = None)
+    overlapMs: Long = 0L, startOffset: Option[String] = None,
+    columns: Seq[String] = EsSimSource.Schema.fieldNames.toSeq,
+    preds: EsSimPredicates = EsSimPredicates.Unbounded)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
+  import EsSimStats.FileStat
 
-  // driver-side doc index: (tsMicros, docId, file); extended
-  // incrementally as new files appear
-  private var indexedFiles = Set.empty[String]
-  private var docs = Vector.empty[(Long, String, String)]
-  private var availableNowEnd: Option[TsOffset] = None
+  // Trigger.AvailableNow snapshot: only files present at query start
+  // participate, so the query drains and stops even if new files land.
+  private var availableNowFiles: Option[Set[String]] = None
 
-  private def refresh(): Unit = synchronized {
-    val files = EsSimFiles.list(path)
-    val newFiles = files.filterNot(f => indexedFiles.contains(f.toString))
-    if (newFiles.nonEmpty) {
-      val parsed = newFiles.flatMap { f =>
-        EsSimSource.parseBulkFile(f, tsField).map { d =>
-          val ts = if (d.tsMicros == null) Long.MinValue + 1 else d.tsMicros.longValue()
-          (ts, d.docId, f.toString)
-        }
-      }
-      docs = (docs ++ parsed).sortBy(t => (t._1, t._2))
-      indexedFiles ++= newFiles.map(_.toString)
+  private def stats(): Seq[FileStat] = {
+    val all = EsSimStats.forPath(path, tsField)
+    availableNowFiles match {
+      case Some(snap) => all.filter(f => snap.contains(f.file))
+      case None => all
     }
   }
 
@@ -223,21 +370,23 @@ class EsSimMicroBatchStream(path: String, tsField: String, batchSize: Int,
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    refresh()
     val cur = start.asInstanceOf[TsOffset]
     val cap = limit match {
-      case r: ReadMaxRows => r.maxRows().toInt
-      case _ => batchSize
+      case r: ReadMaxRows => r.maxRows()
+      case _ => batchSize.toLong
     }
-    val inSnapshot: ((Long, String, String)) => Boolean = availableNowEnd match {
-      case Some(end) => d => !end.lessThan(d._1, d._2)
-      case None => _ => true
+    val pending = stats().filter(f => f.count > 0 && cur.lessThan(f.maxTs, f.maxId))
+      .sortBy(f => (f.maxTs, f.maxId))
+    var admitted = 0L
+    var end = cur
+    var full = false
+    pending.foreach { f =>
+      if (!full && (admitted == 0 || admitted + f.count <= cap)) {
+        admitted += f.count
+        end = TsOffset(f.maxTs, f.maxId)
+      } else full = true
     }
-    val pending = docs.iterator
-      .filter(d => cur.lessThan(d._1, d._2) && inSnapshot(d))
-      .take(cap).toSeq
-    if (pending.isEmpty) cur
-    else TsOffset(pending.last._1, pending.last._2)
+    end
   }
 
   override def latestOffset(): Offset =
@@ -245,18 +394,16 @@ class EsSimMicroBatchStream(path: String, tsField: String, batchSize: Int,
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
   override def reportLatestOffset(): Offset = {
-    refresh()
-    docs.lastOption.map(d => TsOffset(d._1, d._2)).getOrElse(TsOffset.Start)
+    val s = stats().filter(_.count > 0)
+    if (s.isEmpty) TsOffset.Start
+    else { val m = s.maxBy(f => (f.maxTs, f.maxId)); TsOffset(m.maxTs, m.maxId) }
   }
 
   override def prepareForTriggerAvailableNow(): Unit = {
-    refresh()
-    availableNowEnd = Some(
-      docs.lastOption.map(d => TsOffset(d._1, d._2)).getOrElse(TsOffset.Start))
+    availableNowFiles = Some(EsSimStats.forPath(path, tsField).map(_.file).toSet)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    refresh()
     val s0 = start.asInstanceOf[TsOffset]
     // late-data overlap (SURVEY §7.3 risk 1): widen the read window by
     // overlapMs behind the cursor, so docs that arrived late with
@@ -270,17 +417,18 @@ class EsSimMicroBatchStream(path: String, tsField: String, batchSize: Int,
       TsOffset(if (widened > s0.tsMicros) Long.MinValue else widened, "")
     } else s0
     val e = end.asInstanceOf[TsOffset]
-    val selected = docs.filter(d => s.lessThan(d._1, d._2) && !e.lessThan(d._1, d._2))
+    // files whose (min,max) cursor range intersects (s, e]
+    val files = stats().filter { f =>
+      f.count > 0 && s.lessThan(f.maxTs, f.maxId) && !e.lessThan(f.minTs, f.minId)
+    }.map(_.file)
     // bin-pack small bulk files into at most maxPartitions splits — one
     // 64-doc file per task made a 10k-doc micro-batch 160 tiny tasks,
     // and per-task scheduling overhead dominated the trigger budget
-    val files = selected.map(_._3).distinct
     val maxPartitions = math.max(1,
       org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism)
-    val groups = files.zipWithIndex.groupBy(_._2 % maxPartitions)
-    groups.values.map { g =>
-      EsSimMultiFilePartition(g.map(_._1), tsField,
-        s.tsMicros, s.docId, e.tsMicros, e.docId): InputPartition
+    files.zipWithIndex.groupBy(_._2 % maxPartitions).values.map { g =>
+      EsSimPartition(g.map(_._1), tsField, columns,
+        Some((s.tsMicros, s.docId, e.tsMicros, e.docId)), preds): InputPartition
     }.toArray
   }
 
@@ -290,48 +438,63 @@ class EsSimMicroBatchStream(path: String, tsField: String, batchSize: Int,
   override def stop(): Unit = ()
 }
 
-/** Serializable partition: one bulk file + the (ts,id] cursor range
-  * (unbounded = batch full scan). */
-final case class EsSimPartition(file: String, tsField: String,
-    startTs: Long, startId: String, endTs: Long, endId: String,
-    unbounded: Boolean) extends InputPartition
-
-/** Bin-packed micro-batch partition: several bulk files sharing one
-  * cursor range. */
-final case class EsSimMultiFilePartition(files: Seq[String], tsField: String,
-    startTs: Long, startId: String, endTs: Long, endId: String) extends InputPartition
+/** Serializable partition: bulk files + projected columns + the (ts,id]
+  * cursor range (None = batch full scan) + pushed row predicates. */
+final case class EsSimPartition(files: Seq[String], tsField: String,
+    columns: Seq[String], bounds: Option[(Long, String, Long, String)],
+    preds: EsSimPredicates) extends InputPartition
 
 object EsSimReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val (files, tsField, bounds) = partition match {
-      case p: EsSimPartition =>
-        (Seq(p.file), p.tsField,
-          if (p.unbounded) None else Some((p.startTs, p.startId, p.endTs, p.endId)))
-      case p: EsSimMultiFilePartition =>
-        (p.files, p.tsField, Some((p.startTs, p.startId, p.endTs, p.endId)))
-    }
+    val p = partition.asInstanceOf[EsSimPartition]
+    // the JSON body parse is only needed when something consumes ts:
+    // projection, cursor-range filtering, or a pushed ts predicate
+    val needTs = p.columns.contains("ts") || p.bounds.isDefined || p.preds.hasTs
     new PartitionReader[InternalRow] {
       private val it = {
-        val all = files.iterator.flatMap(f =>
-          EsSimSource.parseBulkFile(Paths.get(f), tsField))
-        bounds match {
+        val all = p.files.iterator.flatMap { f =>
+          EsSimSource.filesOpened.incrementAndGet()
+          EsSimSource.parseBulkFile(Paths.get(f), p.tsField, parseBody = needTs)
+        }
+        val idxFiltered = p.preds.indexIds match {
+          case Some(want) => all.filter(d => want.contains(d.indexId))
           case None => all
+        }
+        val tsFiltered =
+          if (!p.preds.hasTs) idxFiltered
+          else idxFiltered.filter { d =>
+            // SQL comparison semantics: a null ts fails any ts predicate
+            d.tsMicros != null &&
+              d.tsMicros.longValue() >= p.preds.tsLo && d.tsMicros.longValue() <= p.preds.tsHi
+          }
+        p.bounds match {
+          case None => tsFiltered
           case Some((startTs, startId, endTs, endId)) =>
-            all.filter { d =>
-              val ts = if (d.tsMicros == null) Long.MinValue + 1 else d.tsMicros.longValue()
+            tsFiltered.filter { d =>
+              val ts = if (d.tsMicros == null) EsSimSource.NullTs else d.tsMicros.longValue()
               val afterStart = startTs < ts || (startTs == ts && startId < d.docId)
               val atOrBeforeEnd = ts < endTs || (ts == endTs && d.docId <= endId)
               afterStart && atOrBeforeEnd
             }
         }
       }
+      private val colIdx = p.columns.toArray
       private var cur: EsSimSource.Doc = _
       override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
-      override def get(): InternalRow = new GenericInternalRow(Array[Any](
-        UTF8String.fromString(cur.indexId),
-        UTF8String.fromString(cur.docId),
-        UTF8String.fromString(cur.source),
-        if (cur.tsMicros == null) null else cur.tsMicros.longValue()))
+      override def get(): InternalRow = {
+        val vals = new Array[Any](colIdx.length)
+        var i = 0
+        while (i < colIdx.length) {
+          vals(i) = colIdx(i) match {
+            case "indexId" => UTF8String.fromString(cur.indexId)
+            case "docId" => UTF8String.fromString(cur.docId)
+            case "source" => UTF8String.fromString(cur.source)
+            case "ts" => if (cur.tsMicros == null) null else cur.tsMicros.longValue()
+          }
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
       override def close(): Unit = ()
     }
   }

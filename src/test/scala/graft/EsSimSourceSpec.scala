@@ -29,6 +29,46 @@ class EsSimSourceSpec extends SparkSpec {
     assert(df.where("ts IS NULL").count() === 0)
   }
 
+  test("batch read: ts filter prunes non-matching bulk files (opens fewer files)") {
+    import graft.sources.EsSimSource
+    val dir = Files.createTempDirectory("essrc").toString
+    writeDocs(dir, 0 until 60) // 6 files of 10 docs, ts = second 0..59
+    val df = spark.read.format("graft.sources.EsSimSourceProvider")
+      .option("path", dir).load()
+    // ts >= 00:00:40 lives in the last 2 of 6 files
+    val filtered = df.where("ts >= timestamp'2024-01-01 00:00:40'")
+    EsSimSource.filesOpened.set(0)
+    assert(filtered.count() === 20)
+    val opened = EsSimSource.filesOpened.get()
+    assert(opened === 2, s"expected 2 of 6 files opened, got $opened")
+    // correctness unaffected: residual filter re-checked by Spark
+    assert(filtered.where("ts < timestamp'2024-01-01 00:00:40'").count() === 0)
+  }
+
+  test("batch read: pushed filters and pruned columns appear in the scan") {
+    val dir = Files.createTempDirectory("essrc").toString
+    writeDocs(dir, 0 until 20)
+    val df = spark.read.format("graft.sources.EsSimSourceProvider")
+      .option("path", dir).load()
+      .where("ts >= timestamp'2024-01-01 00:00:10' AND indexId = 'idx'")
+      .select("docId")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(600))
+    assert(plan.contains("GreaterThanOrEqual(ts"), plan.take(600))
+    assert(plan.contains("EqualTo(indexId"), plan.take(600))
+    assert(df.count() === 10)
+  }
+
+  test("batch read: projection without ts skips the body parse, rows still correct") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("essrc").toString
+    writeDocs(dir, 0 until 15)
+    val ids = spark.read.format("graft.sources.EsSimSourceProvider")
+      .option("path", dir).load()
+      .select($"docId").as[String].collect().map(_.toInt).sorted
+    assert(ids.toSeq === (0 until 15).toSeq)
+  }
+
   test("streaming: incremental cursor, batchSize admission, no dups no loss") {
     import spark.implicits._
     val dir = Files.createTempDirectory("essrc").toString
