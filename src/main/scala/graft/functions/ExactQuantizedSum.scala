@@ -68,10 +68,16 @@ case class ExactQuantizedSum(
     if (v != null) {
       val x = v.asInstanceOf[Double]
       val scaled = x * 1e6
-      if (scaled > -FastBound && scaled < FastBound)
-        b.add(Math.round(scaled))
-      else
-        b.add(new JBigDecimal(x).setScale(6, RoundingMode.HALF_UP)
+      if (scaled > -FastBound && scaled < FastBound) {
+        // HALF_UP = round half AWAY FROM ZERO, like CAST(x AS DECIMAL).
+        // Math.round alone rounds half toward +inf (-2.5 -> -2, wrong
+        // for negatives); mirror through zero for the negative side.
+        b.add(if (scaled >= 0) Math.round(scaled) else -Math.round(-scaled))
+      } else
+        // valueOf uses the double's shortest decimal form — the same
+        // BigDecimal Spark's CAST(double AS DECIMAL) quantizes, unlike
+        // new JBigDecimal(x)'s exact binary expansion
+        b.add(JBigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP)
           .unscaledValue().longValueExact())
     }
     b

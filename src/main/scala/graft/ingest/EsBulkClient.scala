@@ -28,6 +28,16 @@ final class FileEsBulkClient(dir: String) extends EsBulkClient {
   private val counter = new AtomicLong()
   private val clientId = java.util.UUID.randomUUID().toString.take(8)
 
+  /** Wall-clock epoch micros — comparable ACROSS writer JVMs, unlike
+    * System.nanoTime() whose origin is arbitrary per JVM. EsSimStore's
+    * last-write-wins replay orders by file name, so the name's leading
+    * component must be a cross-process clock; clientId + counter break
+    * same-instant ties deterministically. */
+  private def epochMicros(): Long = {
+    val now = java.time.Instant.now()
+    now.getEpochSecond * 1000000L + now.getNano / 1000L
+  }
+
   override def bulk(actions: Seq[BulkAction]): Unit = {
     if (actions.isEmpty) return
     val sb = new java.lang.StringBuilder(actions.size * 128)
@@ -38,7 +48,7 @@ final class FileEsBulkClient(dir: String) extends EsBulkClient {
     }
     val p = Paths.get(dir)
     Files.createDirectories(p)
-    val name = f"bulk-${System.nanoTime()}%020d-$clientId-${counter.getAndIncrement()}%06d.ndjson"
+    val name = f"bulk-${epochMicros()}%020d-$clientId-${counter.getAndIncrement()}%06d.ndjson"
     Files.write(p.resolve(name), sb.toString.getBytes(UTF_8),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
   }

@@ -85,22 +85,31 @@ object EsBulkSink {
   * rather than duplicating, SURVEY B4). */
 object EsSimStore {
 
-  /** All actions, with their arrival sequence. */
+  /** All actions, with their arrival sequence.
+    *
+    * Line numbers come from `wholetext` + posexplode — the ordinal
+    * position inside the file, which survives any input-split layout.
+    * (row_number over monotonically_increasing_id does NOT: a bulk file
+    * split across input partitions can interleave ids across splits and
+    * pair meta lines with the wrong source lines.) Bulk files are small
+    * by construction — the writer flushes every 64 actions — so a
+    * one-row-per-file read stays balanced; posexplode fans back out to
+    * one row per line before any heavy lifting. */
   def actions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lines = spark.read.textFile(s"$dir/bulk-*.ndjson")
+    val files = spark.read.option("wholetext", "true").textFile(s"$dir/bulk-*.ndjson")
       .withColumn("file", input_file_name())
-    // pair meta/source lines: meta lines carry _index/_id; a source line
-    // belongs to the nearest preceding meta line in the same file.
-    val withIdx = lines.select($"file", $"value",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy($"file").orderBy(monotonically_increasing_id())).as("ln"))
-    val metas = withIdx.filter($"ln" % 2 === 1)
-      .select($"file", (($"ln" + 1) / 2).as("slot"),
+    val lines = files
+      .select($"file", posexplode(split($"value", "\n")).as(Seq("pos", "value")))
+      .filter(length($"value") > 0) // drop the trailing-newline empty
+    // meta lines carry _index/_id at even positions; the source line
+    // follows at the next odd position — same slot = pos / 2
+    val metas = lines.filter($"pos" % 2 === 0)
+      .select($"file", ($"pos" / 2).cast("int").as("slot"),
         get_json_object($"value", "$.index._index").as("indexId"),
         get_json_object($"value", "$.index._id").as("docId"))
-    val sources = withIdx.filter($"ln" % 2 === 0)
-      .select($"file", ($"ln" / 2).as("slot"), $"value".as("source"))
+    val sources = lines.filter($"pos" % 2 === 1)
+      .select($"file", ($"pos" / 2).cast("int").as("slot"), $"value".as("source"))
     metas.join(sources, Seq("file", "slot"))
       .select($"file", $"slot", $"indexId", $"docId", $"source")
   }

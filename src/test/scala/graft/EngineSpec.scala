@@ -46,6 +46,16 @@ class EngineSpec extends SparkSpec {
       "SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) FROM lineitem")
       .collect().head.getDouble(0)
     assert(qsum === ref)
+    // HALF_UP means away from zero on BOTH sides of zero: -2.5e-6
+    // quantizes to -3 millionths (Math.round alone would give -2)
+    val negHalf = spark.sql(
+      """SELECT exact_qsum(v) AS s FROM VALUES (CAST(-2.5E-6 AS DOUBLE)), (CAST(2.5E-6 AS DOUBLE)),
+        |  (CAST(-1.5E-6 AS DOUBLE)) AS t(v)""".stripMargin).collect().head.getDouble(0)
+    val negHalfRef = spark.sql(
+      """SELECT CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) FROM VALUES
+        |  (CAST(-2.5E-6 AS DOUBLE)), (CAST(2.5E-6 AS DOUBLE)),
+        |  (CAST(-1.5E-6 AS DOUBLE)) AS t(v)""".stripMargin).collect().head.getDouble(0)
+    assert(negHalf === negHalfRef, s"exact_qsum=$negHalf decimal=$negHalfRef")
     val sim = spark.sql(
       """SELECT dot_product(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) /
         |       (l2_norm(CAST(embedding AS ARRAY<DOUBLE>)) * l2_norm(CAST(embedding AS ARRAY<DOUBLE>))) AS c

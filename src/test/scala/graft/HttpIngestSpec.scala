@@ -1,0 +1,114 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicInteger
+import scala.collection.mutable
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest._
+
+/** A6/A7 over a live wire: the java.net.http `_bulk` transport against
+  * an in-process HTTP stub — proves the "production swap is config-only"
+  * claim (SURVEY §7.3): the same BulkBuffer policy drives either the
+  * file-simulated client or this one, and the stub sees the exact
+  * `_bulk` ndjson + auth headers a real ES node would. */
+class HttpIngestSpec extends AnyFunSuite {
+
+  /** Minimal ES `_bulk` stub: records requests, serves a scripted
+    * status sequence (then 200 {"errors":false} forever). */
+  private class BulkStub(statuses: Int*) {
+    val requests = mutable.ArrayBuffer.empty[(String, Map[String, String], String)]
+    private val calls = new AtomicInteger(0)
+    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val headers = ex.getRequestHeaders.entrySet().iterator()
+      val h = mutable.Map.empty[String, String]
+      while (headers.hasNext) { val e = headers.next(); h(e.getKey) = e.getValue.get(0) }
+      synchronized { requests += ((ex.getRequestURI.getPath, h.toMap, body)) }
+      val n = calls.getAndIncrement()
+      val (code, resp) =
+        if (n < statuses.length && statuses(n) != 200) (statuses(n), s"""{"error":"scripted ${statuses(n)}"}""")
+        else (200, """{"took":1,"errors":false,"items":[]}""")
+      val bytes = resp.getBytes(UTF_8)
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    val base: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("bulk POST: wire-faithful ndjson body, _bulk path, auth + content-type headers") {
+    val stub = new BulkStub()
+    try {
+      val headers = Map("Content-Type" -> "application/x-ndjson") ++
+        EsRestAuth.basicAuthHeader("elastic", "s3cret")
+      val client = new HttpEsBulkClient(Seq(stub.base), headers)
+      client.bulk(Seq(
+        BulkAction("idx", "1", """{"v":1}"""),
+        BulkAction("idx", "2", """{"v":2}""")))
+      assert(stub.requests.size === 1)
+      val (path, h, body) = stub.requests.head
+      assert(path === "/_bulk")
+      assert(h("Content-type") === "application/x-ndjson")
+      val expectedAuth = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("elastic:s3cret".getBytes(UTF_8))
+      assert(h("Authorization") === expectedAuth)
+      assert(body ===
+        "{\"index\":{\"_index\":\"idx\",\"_id\":\"1\"}}\n{\"v\":1}\n" +
+        "{\"index\":{\"_index\":\"idx\",\"_id\":\"2\"}}\n{\"v\":2}\n")
+    } finally stub.stop()
+  }
+
+  test("429/5xx: BulkBuffer retries through exponential backoff until accepted") {
+    val stub = new BulkStub(429, 503)
+    try {
+      val client = new HttpEsBulkClient(Seq(stub.base), Map.empty)
+      val slept = mutable.ArrayBuffer.empty[Long]
+      val buffer = new BulkBuffer(client, maxActions = 64, sleeper = (d: Long) => slept += d)
+      buffer.add(BulkAction("idx", "1", """{"v":1}"""))
+      buffer.flush()
+      // two scripted failures -> two backoff sleeps (2s, 4s), third wins
+      assert(stub.requests.size === 3)
+      assert(slept.toSeq === Seq(2000L, 4000L))
+    } finally stub.stop()
+  }
+
+  test("2xx envelope with errors:true is a retryable failure") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val resp = """{"took":1,"errors":true,"items":[{"index":{"status":429}}]}""".getBytes(UTF_8)
+      ex.getRequestBody.readAllBytes()
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.start()
+    try {
+      val client = new HttpEsBulkClient(
+        Seq(s"http://127.0.0.1:${server.getAddress.getPort}"), Map.empty)
+      val e = intercept[java.io.IOException](client.bulk(Seq(BulkAction("i", "1", "{}"))))
+      assert(e.getMessage.contains("item errors"))
+    } finally server.stop(0)
+  }
+
+  test("config-only swap: client built from IngestionConfig carries the configured auth") {
+    val stub = new BulkStub()
+    try {
+      val cfg = IngestionConfig.fromArgs(Seq(
+        s"sink.elasticsearch-urls=${stub.base}",
+        "sink.username=svc", "sink.password=pw"))
+      val client = HttpEsBulkClient.forConfig(cfg)
+      client.bulk(Seq(BulkAction("idx", "1", """{"v":1}""")))
+      val (_, h, _) = stub.requests.head
+      val expectedAuth = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("svc:pw".getBytes(UTF_8))
+      assert(h("Authorization") === expectedAuth)
+    } finally stub.stop()
+  }
+}
