@@ -58,6 +58,12 @@ object Engine {
       es => functions.L2Norm(es.head), "scala_udf")
     registry.createOrReplaceTempFunction("exact_qsum",
       es => functions.ExactQuantizedSum(es.head).toAggregateExpression(), "scala_udf")
+    // token_set_count(text, 'w1,w2,...') — the comma-joined word list
+    // must be a literal (it compiles into the expression)
+    registry.createOrReplaceTempFunction("token_set_count",
+      es => functions.TokenSetCount(es.head,
+        es(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .toString.split(',').toSeq), "scala_udf")
   }
 
   /** Run SQL against an attached session. */

@@ -17,24 +17,33 @@ object TextAnalysis {
 
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  /** Stopword hits: count of tokens in the (tiny, broadcast-as-literal)
-    * stopword set. */
-  private def stopHits(t: Column): Column =
-    size(filter(t, x => x.isin(enStop: _*)))
+  /** Stopword hits: native single-pass count of tokens in the (tiny,
+    * compiled-into-the-expression) stopword set. Replaces the
+    * interpreted `filter` HOF — CodegenFallback with a per-token
+    * lambda, the same trap [[graft.functions.ShingleHashes]] fixed. */
+  private def stopHits(text: Column): Column =
+    graft.functions.TokenSetCount(text, enStop)
 
   /** Per-document token statistics: counts, distinct counts, average
-    * token length, type-token ratio. */
+    * token length, type-token ratio.
+    *
+    * The token-length sum needs no per-token pass at all: splitting on
+    * a single space means `length(text) = sum(len(token)) + (n_tokens
+    * - 1)` (every separator is exactly one character), so the average
+    * token length is pure codegen'd arithmetic — the HOF
+    * `aggregate(toks, 0, acc + length(t))` it replaces was an
+    * interpreted per-token loop. */
   def t01TokenStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val t = toks($"text")
+    val nTok = size(t)
     documents(s, d).select(
       $"doc_id",
       length($"text").as("n_chars_calc"),
-      size(toks($"text")).as("n_tokens"),
-      size(array_distinct(toks($"text"))).as("n_types"),
-      (aggregate(toks($"text"), lit(0L), (acc, t) => acc + length(t)).cast("double") /
-        size(toks($"text"))).as("avg_token_len"),
-      (size(array_distinct(toks($"text"))).cast("double") /
-        size(toks($"text"))).as("type_token_ratio"))
+      nTok.as("n_tokens"),
+      size(array_distinct(t)).as("n_types"),
+      ((length($"text") - nTok + 1).cast("double") / nTok).as("avg_token_len"),
+      (size(array_distinct(t)).cast("double") / nTok).as("type_token_ratio"))
   }
 
   val t01Sql: String =
@@ -56,7 +65,7 @@ object TextAnalysis {
     val t = toks($"text")
     val nTok = size(t).cast("double")
     val diversity = size(array_distinct(t)).cast("double") / nTok
-    val stopRatio = stopHits(t).cast("double") / nTok
+    val stopRatio = stopHits($"text").cast("double") / nTok
     val lengthOk = when(nTok >= 20 && nTok <= 200, 1.0).otherwise(0.0)
     val score = lengthOk * 0.4 + diversity * 0.4 + stopRatio * 0.2
     documents(s, d).select(
@@ -83,11 +92,11 @@ object TextAnalysis {
     * operator contract is determinism, mirrored exactly in SQL.) */
   def t03LangId(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val t = toks($"text")
-    val en = size(filter(t, x => x.isin("the", "a", "of", "and")))
-    val de = size(filter(t, x => x.isin("der", "die", "das", "und")))
-    val fr = size(filter(t, x => x.isin("le", "la", "les", "et")))
-    val es = size(filter(t, x => x.isin("el", "los", "las", "y")))
+    import graft.functions.TokenSetCount
+    val en = TokenSetCount($"text", Seq("the", "a", "of", "and"))
+    val de = TokenSetCount($"text", Seq("der", "die", "das", "und"))
+    val fr = TokenSetCount($"text", Seq("le", "la", "les", "et"))
+    val es = TokenSetCount($"text", Seq("el", "los", "las", "y"))
     val pred = when(en >= de && en >= fr && en >= es && en > 0, "en")
       .when(de >= fr && de >= es && de > 0, "de")
       .when(fr >= es && fr > 0, "fr")

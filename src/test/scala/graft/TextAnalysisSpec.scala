@@ -32,6 +32,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(overlaps.max < 0.5, s"random-pair fingerprint overlap too high: ${overlaps.max}")
   }
 
+  test("token_set_count: native expression matches the HOF formulation, incl. edge cases") {
+    import spark.implicits._
+    import graft.functions.TokenSetCount
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    val docs = Seq(
+      "the cat sat on the mat",
+      "a  double  space and trailing ",
+      " leading space of a line",
+      "", "the", "THE The the",
+      "naïve café of über-tokens and ünïcödé"
+    ).toDF("text")
+    val got = docs.select(TokenSetCount($"text", stops).as("n")).as[Int].collect().toSeq
+    val ref = docs.select(
+      size(filter(split($"text", " "), x => x.isin(stops: _*))).as("n"))
+      .as[Int].collect().toSeq
+    assert(got === ref)
+    // stays codegen'd over a real scan: the projection containing the
+    // expression sits inside a WholeStageCodegen span (a CodegenFallback
+    // expression would break the span)
+    val plan = Tables.documents(spark, sf0001)
+      .select(TokenSetCount($"text", stops))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen spans; a CodegenFallback
+    // expression would strip the star off the containing Project
+    assert(plan.linesIterator.next().startsWith("*("), plan.take(400))
+  }
+
+  test("t01 avg_token_len identity: arithmetic form equals the per-token sum") {
+    import spark.implicits._
+    val t01 = TextAnalysis.t01TokenStats(spark, sf0001)
+    val hof = Tables.documents(spark, sf0001).select(
+      $"doc_id",
+      (aggregate(split($"text", " "), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(split($"text", " "))).as("avg_hof"))
+    val joined = t01.join(hof, "doc_id")
+      .select($"doc_id", $"avg_token_len", $"avg_hof").collect()
+    joined.foreach(r => assert(r.getDouble(1) === r.getDouble(2), r.toString))
+  }
+
   test("bpe token counts exceed whitespace counts only when punctuation/digits split") {
     import spark.implicits._
     val rows = TextAnalysis.t07BpeTokens(spark, sf0001).collect()
