@@ -311,7 +311,10 @@ object Dedup {
     "d02_keep_latest"   -> d02Sql,
     "d03_ngram_jaccard" -> d03Sql,
     "d04_minhash_lsh"   -> d04Sql,
-    // d05: engine-specific hashing → rows-only + ScalaTest.
+    // d05: engine-specific hashing, but fully deterministic → hard
+    // golden-snapshot check (expected/ parquet, see graft.GoldenGen)
+    // on top of the ScalaTest ground-truth comparison.
+    "d05_simhash"       -> graft.GoldenGen.oracle("d05_simhash"),
     "d06_char_ngram"    -> d06Sql,
   )
 }

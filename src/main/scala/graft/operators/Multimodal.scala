@@ -155,6 +155,8 @@ object Multimodal {
     "m02_payload_bytes" -> m02Sql,
     "m03_chunk_sample"  -> m03Sql,
     "m04_resize_stub"   -> m04Sql,
-    // m01: xxhash64-derived stub fields are Spark-side; ScalaTest'd.
+    // m01: xxhash64-derived stub fields are Spark-side but deterministic
+    // → golden-snapshot hard check (see graft.GoldenGen) + ScalaTest.
+    "m01_multimodal_meta" -> graft.GoldenGen.oracle("m01_multimodal_meta"),
   )
 }

@@ -101,6 +101,54 @@ object Similarity {
       |WHERE list_dot_product(a.v, b.v) /
       |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""".stripMargin
 
+  /** Exact-threshold near-dup at scale: the blocked (triangle) self-join
+    * form of s02's predicate — identical output, scalable plan.
+    *
+    * Why not LSH here: the threshold is LOW (τ = 0.45 → angle 63°; a
+    * random hyperplane separates such a pair with p ≈ 0.35), so any
+    * random-hyperplane banding with near-1 recall costs MORE than the
+    * n²/2 exact comparisons — LSH only pays above ~0.8 similarity (the
+    * s03 IVF / d04 MinHash territory). An exact low-τ join is
+    * inherently all-pairs compute; the scale problem to solve is the
+    * PLAN: s02's `a_id < b_id` non-equi join is a broadcast nested
+    * loop — one side fully broadcast, skew-prone, O(n) per-executor
+    * memory. This variant:
+    *
+    *  - hashes each vector into one of B blocks (uniform by xxhash64);
+    *  - materializes the B(B+1)/2 unordered block pairs as a tiny dim
+    *    table; each vector is replicated to its ≤ B+1 block-pair tasks
+    *    via two broadcast joins (replication factor B+1 ≈ 2·√tasks,
+    *    the triangle-join optimum — vs n-fold for the broadcast loop);
+    *  - equi-joins the two sides on the block-pair id — a shuffled
+    *    hash join with B(B+1)/2 evenly-loaded keys, (n/B)² comparisons
+    *    per task, no nested loop, no full-corpus broadcast;
+    *  - compares exactly within each task (same dot/norm/round as s02,
+    *    so the result hash-matches s02's oracle bit-for-bit).
+    *
+    * B scales with the cluster: B(B+1)/2 tasks should be ≳ total
+    * cores; compute per task is (n/B)²·d multiplies regardless of
+    * cluster size — the inherent exact cost, now evenly spread. */
+  def s04BlockedNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val B = 8
+    val c = corpus(s, d).withColumn("nrm", norm($"v"))
+      .withColumn("g", pmod(xxhash64($"vec_id"), lit(B)).cast("int"))
+    val blockPairs = (0 until B).flatMap(i => (i until B).map(j => (i, j, i * B + j)))
+      .toDF("gi", "gj", "pair")
+    val left = c.join(broadcast(blockPairs), $"g" === $"gi")
+      .select($"pair", $"gi", $"gj", $"vec_id".as("a_id"), $"v".as("av"), $"nrm".as("an"))
+    val right = c.join(broadcast(blockPairs.select($"gj".as("rgj"), $"pair")), $"g" === $"rgj")
+      .select($"pair", $"vec_id".as("b_id"), $"v".as("bv"), $"nrm".as("bn"))
+    left.join(right, Seq("pair"))
+      // same-block tasks deduplicate by id order; cross-block pairs are
+      // already unique (each unordered block pair is one task)
+      .filter($"gi" < $"gj" && $"a_id" =!= $"b_id" || $"a_id" < $"b_id")
+      .select(least($"a_id", $"b_id").as("a_id"), greatest($"a_id", $"b_id").as("b_id"),
+        (dot($"av", $"bv") / ($"an" * $"bn")).as("cosine"))
+      .filter($"cosine" >= 0.45)
+      .select($"a_id", $"b_id", round($"cosine", 6).as("cosine_r"))
+  }
+
   /** Element-wise mean of vectors per group key: explode to (key, pos,
     * x), average per slot, reassemble ordered by slot. */
   private def meanVectors(df: DataFrame, key: String): DataFrame = {
@@ -190,11 +238,14 @@ object Similarity {
     "s01_cosine_topk"       -> (s01CosineTopK _),
     "s02_embedding_neardup" -> (s02EmbeddingNearDup _),
     "s03_ivf_topk"          -> (s03IvfTopK _),
+    "s04_blocked_neardup"   -> (s04BlockedNearDup _),
   )
 
   val oracles: Map[String, String] = Map(
     "s01_cosine_topk"       -> s01Sql,
     "s02_embedding_neardup" -> s02Sql,
     // s03 is approximate by construction: rows-only check + ScalaTest recall.
+    // s04 is the scalable plan for the SAME predicate as s02 — same oracle.
+    "s04_blocked_neardup"   -> s02Sql,
   )
 }

@@ -246,7 +246,9 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "t07_bpe_tokens"   -> t07Sql,
     "t09_deterministic_split" -> t09Sql,
-    // t08: engine-specific hashing → rows-only + ScalaTest.
+    // t08: engine-specific hashing, but deterministic → golden-snapshot
+    // hard check (see graft.GoldenGen) + ScalaTest near-dup overlap.
+    "t08_modp_fingerprint" -> graft.GoldenGen.oracle("t08_modp_fingerprint"),
     "t01_token_stats"  -> t01Sql,
     "t02_quality"      -> t02Sql,
     "t03_lang_id"      -> t03Sql,

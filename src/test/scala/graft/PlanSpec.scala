@@ -41,6 +41,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("s04: blocked near-dup has no nested-loop join, equi-join on block pair") {
+    val p = plan("s04_blocked_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // the candidate join is an equi join on the block-pair id
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("s04 matches s02 exactly (same predicate, scalable plan)") {
+    val a = SparkEntry.queries("s02_embedding_neardup")(spark, sf001)
+      .collect().map(_.toString).sorted.toSeq
+    val b = SparkEntry.queries("s04_blocked_neardup")(spark, sf001)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
   test("s01: brute-force query side is broadcast, corpus streams") {
     val p = plan("s01_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
