@@ -26,6 +26,7 @@ object SparkEntry {
       operators.Skew.queries ++
       operators.EventAnalytics.queries ++
       operators.Dedup.queries ++
+      operators.Curation.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
       operators.Skew.oracles ++
       operators.EventAnalytics.oracles ++
       operators.Dedup.oracles ++
+      operators.Curation.oracles ++
       operators.Similarity.oracles ++
       operators.TextAnalysis.oracles ++
       operators.Multimodal.oracles ++

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables._
+
+/** Training-data curation operators beyond dedup/similarity: benchmark
+  * decontamination, PII redaction, repetition-based quality signals,
+  * and context-window packing — the remaining pieces a pretraining
+  * data pipeline runs between raw corpus and tokenizer.
+  *
+  * Scale notes: d07 broadcasts the (small) benchmark shingle set and
+  * streams the corpus — one shuffle for the per-pair count. t10/t11 are
+  * per-row expression work, shuffle-free. t12 packs within (lang)
+  * partitions — a global document order never materializes on one node.
+  */
+object Curation {
+
+  /** d07: benchmark decontamination. Flags corpus documents sharing ≥ 3
+    * word-3-gram shingles with any "benchmark" document (stand-in set:
+    * doc_id < 20) — the n-gram-overlap contamination check run before
+    * training so eval data is not memorized. The benchmark side is tiny
+    * by construction (benchmarks are thousands of rows, corpora are
+    * billions) → broadcast; the corpus side streams and aggregates on
+    * (doc, bench) once. */
+  def d07Decontamination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = documents(s, d)
+      .select($"doc_id", Dedup.shingleHashes($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val bench = sh.filter($"doc_id" < 20)
+      .select($"doc_id".as("bench_id"), explode($"sh").as("sg"))
+    val corpus = sh.filter($"doc_id" >= 20)
+      .select($"doc_id", explode($"sh").as("sg"))
+    corpus.join(broadcast(bench), "sg")
+      .groupBy($"doc_id", $"bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 3)
+  }
+
+  /** Shingle sets are distinct per doc, so the per-pair row count IS the
+    * intersection size (same identity d03 uses). The oracle rebuilds the
+    * 3-gram sets as strings; Spark compares 64-bit shingle hashes —
+    * collision-free at these set sizes in practice (d03's contract). */
+  val d07Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |           for i in range(1, len(t)-1)]) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS s FROM sh
+      |)
+      |SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+      |FROM ex c JOIN ex b ON c.s = b.s
+      |WHERE b.doc_id < 20 AND c.doc_id >= 20
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) >= 3""".stripMargin
+
+  /** t10: PII redaction — regexp-scrub emails and long digit runs, with
+    * counts per category and a content hash of the redacted text (the
+    * auditable artifact: same hash ⇒ same redaction output). Patterns
+    * are kept in the RE2 ∩ java.util.regex dialect so the oracle runs
+    * them verbatim. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val LongNumRe = "[0-9]{6,}"
+
+  def t10PiiRedaction(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val redacted = regexp_replace(
+      regexp_replace($"text", EmailRe, "<EMAIL>"), LongNumRe, "<NUM>")
+    documents(s, d).select(
+      $"doc_id",
+      regexp_count($"text", lit(EmailRe)).as("n_emails"),
+      regexp_count($"text", lit(LongNumRe)).as("n_longnums"),
+      sha2(redacted, 256).as("redacted_sha"))
+  }
+
+  val t10Sql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(text, '$LongNumRe')) AS n_longnums,
+       |  sha256(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |         '$LongNumRe', '<NUM>', 'g')) AS redacted_sha
+       |FROM documents""".stripMargin
+
+  /** t11: repetition ratio (the Gopher-style quality signal): fraction
+    * of word-3-grams that are repeats of an earlier trigram in the same
+    * document. High ratio ⇒ boilerplate/looping text. Distinct counting
+    * rides the native [[graft.functions.ShingleHashes]] (one pass, no
+    * interpreted HOF); total trigrams is plain arithmetic. */
+  def t11RepetitionRatio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nTok = size(split($"text", " "))
+    val nTri = (nTok - 2).cast("double")
+    val nDistinct = size(Dedup.shingleHashes($"text"))
+    documents(s, d)
+      .filter(nTok >= 3)
+      .select($"doc_id",
+        nTri.cast("int").as("n_trigrams"),
+        nDistinct.as("n_distinct"),
+        round(lit(1.0) - nDistinct / nTri, 6).as("rep_ratio"))
+  }
+
+  val t11Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(t) - 2 AS INTEGER) AS n_trigrams,
+      |  CAST(len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |       for i in range(1, len(t)-1)])) AS INTEGER) AS n_distinct,
+      |  ROUND(1.0 - len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |       for i in range(1, len(t)-1)])) / CAST(len(t) - 2 AS DOUBLE), 6) AS rep_ratio
+      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |WHERE len(t) >= 3""".stripMargin
+
+  /** t12: context-window packing — the concat-then-chunk layout
+    * pretraining uses: documents are laid end-to-end in a deterministic
+    * order and cut into fixed 512-token windows; pack_id is the window
+    * each document STARTS in. Packing runs per language partition, so
+    * the running sum parallelizes by group instead of forcing a global
+    * single-node order (at 100 TB you shard further, e.g. by
+    * (lang, t09-style hash bucket) — same code, finer key). */
+  def t12TokenPacking(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val T = 512
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select($"lang", $"doc_id", size(split($"text", " ")).as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("pack_id", floor(($"cum" - $"n_tok") / T))
+      .groupBy($"lang", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+  }
+
+  val t12Sql: String =
+    """SELECT lang, pack_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM (
+      |  SELECT lang, doc_id, n_tok,
+      |    CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n_tok) / 512.0) AS BIGINT) AS pack_id
+      |  FROM (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents)
+      |)
+      |GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d07_decontamination" -> (d07Decontamination _),
+    "t10_pii_redaction"   -> (t10PiiRedaction _),
+    "t11_repetition"      -> (t11RepetitionRatio _),
+    "t12_token_packing"   -> (t12TokenPacking _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d07_decontamination" -> d07Sql,
+    "t10_pii_redaction"   -> t10Sql,
+    "t11_repetition"      -> t11Sql,
+    "t12_token_packing"   -> t12Sql,
+  )
+}

@@ -57,6 +57,13 @@ class PlanSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("d07: benchmark shingle side is broadcast, corpus streams") {
+    val p = plan("d07_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+  }
+
   test("s01: brute-force query side is broadcast, corpus streams") {
     val p = plan("s01_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
