@@ -100,26 +100,40 @@ object Dedup {
 
   // ---- d03: exact n-gram Jaccard near-dup pairs (small-data oracle) ----
 
-  /** Exhaustive near-dup pairs by word-3-gram Jaccard ≥ 0.8, via a
-    * shared-shingle equi-join (inverted index) — exact, but candidate
-    * growth is quadratic in shingle document frequency: the oracle for
-    * d04, not the scale path. */
+  /** Exhaustive near-dup pairs by word-3-gram Jaccard ≥ 0.8 — EXACT,
+    * via prefix filtering (Chaudhuri et al. SSJoin / Bayardo AllPairs):
+    *
+    * under any global element order, two sets with |A∩B| ≥ α must share
+    * an element among the first |x| − α + 1 elements of each; Jaccard
+    * ≥ 0.8 implies |A∩B| ≥ 0.8·max(|A|,|B|), so indexing only the first
+    * n − ceil(0.8·n) + 1 sorted shingle hashes (~20% of each set)
+    * provably finds every qualifying pair. Candidates additionally pass
+    * the length filter (0.8·|A| ≤ |B| ≤ |A|/0.8) and are then verified
+    * with the exact intersection — same results as the naive inverted
+    * index, but the equi-join touches only prefix tokens, which is what
+    * makes an exact Jaccard join viable at corpus scale (d04's LSH
+    * remains the probabilistic-recall alternative when even prefix
+    * candidates are too many). */
   def d03NgramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = documents(s, d)
-      .select($"doc_id", shingleHashes($"text").as("sh"))
+      .select($"doc_id", array_sort(shingleHashes($"text")).as("sh"))
       .filter(size($"sh") > 0)
-    // inverted index: narrow (doc, shingle_hash, set_size) rows —
-    // intersection sizes fall out of a count per doc pair; no arrays
-    // cross the shuffle and the join key is a fixed-width long.
-    val ex = sh.select($"doc_id", size($"sh").as("n"), explode($"sh").as("s"))
-    ex.as("a").join(ex.as("b"),
-        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .agg(count(lit(1)).as("inter"),
-           first($"a.n").as("n1"), first($"b.n").as("n2"))
+    val n = size($"sh")
+    // ceil(0.8n) = (4n+4) div 5 in integer arithmetic
+    val prefLen = n - (n * 4 + 4) / lit(5) + 1
+    val pre = sh.select($"doc_id", n.as("n"),
+      explode(slice($"sh", lit(1), prefLen)).as("sg"))
+    val cand = pre.as("a").join(pre.as("b"),
+        $"a.sg" === $"b.sg" && $"a.doc_id" < $"b.doc_id" &&
+        $"b.n" * 5 >= $"a.n" * 4 && $"a.n" * 5 >= $"b.n" * 4)
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")).distinct()
+    val full1 = sh.select($"doc_id".as("d1"), $"sh".as("sh1"))
+    val full2 = sh.select($"doc_id".as("d2"), $"sh".as("sh2"))
+    val inter = size(array_intersect($"sh1", $"sh2"))
+    cand.join(full1, "d1").join(full2, "d2")
       .select($"d1", $"d2",
-        ($"inter".cast("double") / ($"n1" + $"n2" - $"inter")).as("jaccard"))
+        (inter.cast("double") / (size($"sh1") + size($"sh2") - inter)).as("jaccard"))
       .filter($"jaccard" >= 0.8)
   }
 
