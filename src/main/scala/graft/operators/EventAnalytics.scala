@@ -137,7 +137,52 @@ object EventAnalytics {
       |  COUNT(json_extract_string(props, '$.k')) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** AS-OF join (q64): each event is matched to the customer's most
+    * recent order at or before the event time — the canonical temporal
+    * enrichment operator (point-in-time feature lookup).
+    *
+    * Spark has no native as-of join; per the custom-operator preference
+    * order this is COMPOSED from existing ops rather than a custom
+    * SparkPlan: tag both inputs, union, and take `last(..., ignoreNulls)`
+    * over a (key, time)-ordered window — ONE shuffle on the join key,
+    * no range join, no per-event probe. Orders are pre-aggregated to one
+    * row per (customer, date) so the as-of pick is deterministic under
+    * ties; at equal timestamps the order row sorts before the event row
+    * (inclusive "at or before" semantics, matching DuckDB's ASOF JOIN
+    * with e.ts >= o.t). Skew note: the window partitions by customer —
+    * power-law customers stay bounded because window state is a single
+    * running value, not a buffered list. */
+  def q64AsofJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val od = orders(s, d)
+      .groupBy($"o_custkey", $"o_orderdate".cast("timestamp").as("t"))
+      .agg(max($"o_orderkey").as("last_order"))
+    val oSide = od.select($"o_custkey".as("uid"), $"t", lit(1).as("is_order"),
+      $"last_order", lit(null).cast("long").as("event_id"))
+    val eSide = events(s, d).select($"user_id".as("uid"), $"ts".as("t"),
+      lit(0).as("is_order"), lit(null).cast("long").as("last_order"), $"event_id")
+    val w = Window.partitionBy($"uid").orderBy($"t".asc, $"is_order".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    oSide.unionByName(eSide)
+      .withColumn("asof_order", last($"last_order", ignoreNulls = true).over(w))
+      .filter($"is_order" === 0 && $"asof_order".isNotNull)
+      .select($"event_id", $"uid".as("user_id"), $"t".as("ts"),
+        $"asof_order".as("last_order"))
+  }
+
+  val q64Sql: String =
+    """WITH od AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS t,
+      |         MAX(o_orderkey) AS last_order
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT e.event_id, e.user_id, e.ts, o.last_order
+      |FROM events e ASOF JOIN od o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_asof_join"    -> (q64AsofJoin _),
     "q44_variant"      -> (q44Variant _),
     "q27_json_extract" -> (q27JsonExtract _),
     "q28_time_buckets" -> (q28TimeBuckets _),
@@ -147,6 +192,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q64_asof_join"    -> q64Sql,
     "q44_variant"      -> q44Sql,
     "q27_json_extract" -> q27Sql,
     "q28_time_buckets" -> q28Sql,

@@ -95,7 +95,15 @@ object EsSimSource {
     * file pruning really skipped non-matching files. */
   val filesOpened = new AtomicLong(0)
 
-  private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss[.SSSSSS][.SSS]")
+  /** Accepts any fraction width 0-9 — Spark's timestamp→string cast
+    * trims trailing zeros (".179575" but also ".1"), and a fixed
+    * [.SSSSSS] pattern silently nulled every trimmed-fraction ts. */
+  private val TsFmt = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd HH:mm:ss")
+    .optionalStart()
+    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 0, 9, true)
+    .optionalEnd()
+    .toFormatter()
 
   /** Parse the cursor field out of a JSON body: epoch-micros number or
     * "yyyy-MM-dd HH:mm:ss[.ffffff]" string; null if absent/unparsable. */
