@@ -231,7 +231,45 @@ object TextAnalysis {
        |  FROM documents
        |) GROUP BY split""".stripMargin
 
+  /** Corpus term frequencies, top-20 with deterministic tie-break —
+    * the vocabulary head a tokenizer-training / stopword-mining pass
+    * needs. Partial+final agg then TakeOrderedAndProject; the explode
+    * never materializes per-doc arrays across the shuffle. */
+  def t13TermTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(explode(toks($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"token".asc)
+      .limit(20)
+  }
+
+  val t13Sql: String =
+    """SELECT token, COUNT(*) AS freq
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |WHERE len(token) > 0
+      |GROUP BY token
+      |ORDER BY freq DESC, token ASC
+      |LIMIT 20""".stripMargin
+
+  /** Document length histogram (100-char buckets) — the length
+    * distribution a curation pass thresholds against. */
+  def t14LengthHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select((floor($"n_chars" / lit(100.0)) * 100).cast("long").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n_docs"))
+  }
+
+  val t14Sql: String =
+    """SELECT CAST(FLOOR(n_chars / 100.0) * 100 AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_term_topk"    -> (t13TermTopk _),
+    "t14_length_histogram" -> (t14LengthHistogram _),
     "t07_bpe_tokens"   -> (t07BpeTokens _),
     "t08_modp_fingerprint" -> (t08ModpFingerprint _),
     "t09_deterministic_split" -> (t09DeterministicSplit _),
@@ -244,6 +282,8 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t13_term_topk"    -> t13Sql,
+    "t14_length_histogram" -> t14Sql,
     "t07_bpe_tokens"   -> t07Sql,
     "t09_deterministic_split" -> t09Sql,
     // t08: engine-specific hashing, but deterministic → golden-snapshot
