@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => functions.DotProduct(es(0), es(1))),
       fn("l2_norm", "L2 norm of a double array",
         es => functions.L2Norm(es.head)),
+      fn("token_set_count", "count of space-delimited tokens in the literal comma-joined word set",
+        es => functions.TokenSetCount(es.head,
+          es(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .toString.split(',').toSeq)),
     ).foreach(ext.injectFunction)
   }
 }

@@ -106,6 +106,18 @@ object EventStreams {
         col("c_ts"), col("p_ts"))
   }
 
+  /** Stream-static enrichment: each streaming event joined to a static
+    * dimension (the per-customer order profile) — the streaming form of
+    * the q64 point-in-time lookup when the dimension is slowly-changing
+    * enough to snapshot. The static side is broadcast into every
+    * micro-batch; no streaming state accrues (unlike stream-stream
+    * joins, nothing is buffered across triggers), so this scales with
+    * the dimension's broadcast size only. */
+  def enrichWithProfile(events: DataFrame, profile: DataFrame): DataFrame =
+    events.join(broadcast(profile), events("user_id") === profile("cust_id"), "left")
+      .select(events("event_id"), events("user_id"), events("ts"),
+        col("n_orders"), col("total_spent"))
+
   /** Left-outer stream-stream interval join: every click emits — joined
     * rows as matches arrive, unmatched clicks with null purchase once
     * the watermark proves no purchase can still arrive for them. */

@@ -18,21 +18,47 @@ class ExtensionsSpec extends AnyFunSuite {
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
     try {
-      val s = SparkSession.builder()
-        .master("local[2]")
-        .appName("graft-ext-test")
+      // spark.sql.extensions is a STATIC conf: Spark resolves it from
+      // the SparkContext's conf at session construction, so on a JVM
+      // whose context was created by another suite (without the key)
+      // the builder option alone never injects. Production sets it in
+      // spark-submit conf before the context exists; the test-harness
+      // equivalent is pinning it onto the (possibly shared) context.
+      val scConf = new org.apache.spark.SparkConf()
+        .setMaster("local[2]").setAppName("graft-ext-test")
+        .set("spark.sql.extensions", "graft.GraftExtensions")
+        .set("spark.ui.enabled", "false")
+      val sc = org.apache.spark.SparkContext.getOrCreate(scConf)
+      org.apache.spark.GraftTestGlue.setContextConf(
+        sc, "spark.sql.extensions", "graft.GraftExtensions")
+      def build(): SparkSession = SparkSession.builder()
         .config("spark.sql.extensions", "graft.GraftExtensions")
-        .config("spark.ui.enabled", "false")
         .getOrCreate()
+      // suites run in parallel: another suite's lazy session init can
+      // re-set the default between our clear and getOrCreate, handing us
+      // its (extension-less) session — probe the registry and retry
+      def hasFns(s: SparkSession): Boolean = s.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"))
+      var s = build()
+      var attempts = 0
+      while (!hasFns(s) && attempts < 20) {
+        SparkSession.clearDefaultSession()
+        SparkSession.clearActiveSession()
+        Thread.sleep(250)
+        s = build()
+        attempts += 1
+      }
       val row = s.sql(
         """SELECT size(minhash_sig(shingle_hashes('a b c d e f g'))) AS k,
           |  simhash64('a b c') AS fp,
           |  dot_product(ARRAY(1.0D, 2.0D), ARRAY(3.0D, 4.0D)) AS dp,
-          |  size(char_shingle_hashes('abcdefgh')) AS cg
+          |  size(char_shingle_hashes('abcdefgh')) AS cg,
+          |  token_set_count('the cat and the hat', 'the,and') AS tsc
           |""".stripMargin).collect().head
       assert(row.getInt(0) === 128)
       assert(row.getDouble(2) === 11.0)
       assert(row.getInt(3) === 4) // 8 chars → 4 distinct 5-grams
+      assert(row.getInt(4) === 3) // 'the' x2 + 'and'
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

@@ -63,6 +63,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: events pick up the broadcast profile, no state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val profile = Seq((1L, 3L, 150.0), (2L, 1L, 40.0))
+      .toDF("cust_id", "n_orders", "total_spent")
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val df = input.toDF().toDF("event_id", "user_id", "ts")
+    val q = EventStreams.enrichWithProfile(df, profile)
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      input.addData(
+        (10L, 1L, ts("2024-01-01 00:00:00")),
+        (11L, 2L, ts("2024-01-01 00:01:00")),
+        (12L, 9L, ts("2024-01-01 00:02:00"))) // no profile row → nulls
+      q.processAllAvailable()
+      val rows = spark.table("enrich")
+        .select($"event_id", $"n_orders", $"total_spent")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+      assert(rows === Set((10L, 3L, 150.0), (11L, 1L, 40.0), (12L, -1L, -1.0)))
+      // stream-static joins keep no streaming state across triggers
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses redelivery") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
