@@ -74,9 +74,52 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override def prettyName: String = "simhash64"
 }
 
+/** Symmetric int8 quantization statistics of a double vector, one JVM
+  * pass: scale = max|x|/127, q_i = floor(x_i/scale + 0.5), reporting
+  * (scale, qmin, qmax, max |x_i − q_i·scale|) — the storage-planning
+  * numbers for an int8 embedding column (4× smaller than float32). The
+  * arithmetic is elementary double ops in a fixed order so a SQL oracle
+  * reproduces it bit-for-bit; floor(x+0.5) is used instead of round()
+  * because round's half-case tie-breaking differs across engines. */
+case class QuantStats(child: Expression) extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("qmin", IntegerType, nullable = false),
+    StructField("qmax", IntegerType, nullable = false),
+    StructField("max_abs_err", DoubleType, nullable = false)))
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) { val v = math.abs(x.getDouble(i)); if (v > maxabs) maxabs = v; i += 1 }
+    val scale = maxabs / 127.0
+    var qmin = Double.MaxValue
+    var qmax = Double.MinValue
+    var maxerr = 0.0
+    i = 0
+    while (i < n) {
+      val v = x.getDouble(i)
+      val q = if (scale == 0.0) 0.0 else math.floor(v / scale + 0.5)
+      val err = math.abs(v - q * scale)
+      if (q < qmin) qmin = q
+      if (q > qmax) qmax = q
+      if (err > maxerr) maxerr = err
+      i += 1
+    }
+    if (n == 0) { qmin = 0.0; qmax = 0.0 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, qmin.toInt, qmax.toInt, maxerr))
+  }
+  override protected def withNewChildInternal(c: Expression): QuantStats = copy(child = c)
+  override def prettyName: String = "quant_stats"
+}
+
 object VectorOps {
   import org.apache.spark.sql.GraftGlue._
   def dotProduct(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
   def l2Norm(a: Column): Column = toCol(L2Norm(toExpr(a)))
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
+  def quantStats(c: Column): Column = toCol(QuantStats(toExpr(c)))
 }

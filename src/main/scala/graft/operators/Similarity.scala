@@ -149,6 +149,34 @@ object Similarity {
       .select($"a_id", $"b_id", round($"cosine", 6).as("cosine_r"))
   }
 
+  /** s05: int8 quantization planning stats per embedding — symmetric
+    * scale (max|x|/127), quantized range, and max reconstruction error,
+    * in one native pass per row ([[graft.functions.QuantStats]]). The
+    * numbers that decide whether an embedding column can ship as int8
+    * (4× smaller, SIMD-friendlier) instead of float32. Shuffle-free. */
+  def s05QuantStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    corpus(s, d)
+      .select($"vec_id", graft.functions.VectorOps.quantStats($"v").as("qs"))
+      .select($"vec_id", $"qs.scale".as("scale"), $"qs.qmin".as("qmin"),
+        $"qs.qmax".as("qmax"), $"qs.max_abs_err".as("max_abs_err"))
+  }
+
+  val s05Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), sc AS (
+      |  SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |  FROM e
+      |)
+      |SELECT vec_id, scale,
+      |  CAST(list_min(list_transform(v, x -> floor(x / scale + 0.5))) AS INTEGER) AS qmin,
+      |  CAST(list_max(list_transform(v, x -> floor(x / scale + 0.5))) AS INTEGER) AS qmax,
+      |  list_max(list_transform(v, x -> abs(x - floor(x / scale + 0.5) * scale))) AS max_abs_err
+      |FROM sc""".stripMargin
+
   /** Element-wise mean of vectors per group key: explode to (key, pos,
     * x), average per slot, reassemble ordered by slot. */
   private def meanVectors(df: DataFrame, key: String): DataFrame = {
@@ -262,6 +290,7 @@ object Similarity {
     "s02_embedding_neardup" -> (s02EmbeddingNearDup _),
     "s03_ivf_topk"          -> (s03IvfTopK _),
     "s04_blocked_neardup"   -> (s04BlockedNearDup _),
+    "s05_quant_stats"       -> (s05QuantStats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -270,5 +299,6 @@ object Similarity {
     // s03 is approximate by construction: rows-only check + ScalaTest recall.
     // s04 is the scalable plan for the SAME predicate as s02 — same oracle.
     "s04_blocked_neardup"   -> s02Sql,
+    "s05_quant_stats"       -> s05Sql,
   )
 }
