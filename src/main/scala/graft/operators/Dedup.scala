@@ -114,9 +114,17 @@ object Dedup {
     * makes an exact Jaccard join viable at corpus scale (d04's LSH
     * remains the probabilistic-recall alternative when even prefix
     * candidates are too many). */
-  def d03NgramJaccard(s: SparkSession, d: String): DataFrame = {
+  def d03NgramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairs(documents(s, d), 0.8)
+
+  /** The prefix-filtered exact join over any (doc_id, text) frame —
+    * exposed so property tests can drive it with generated corpora and
+    * compare against a brute-force scan. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val sh = documents(s, d)
+    require(threshold == 0.8, "prefix arithmetic below is specialized to t=0.8")
+    val sh = docs
       .select($"doc_id", array_sort(shingleHashes($"text")).as("sh"))
       .filter(size($"sh") > 0)
     val n = size($"sh")
@@ -134,7 +142,7 @@ object Dedup {
     cand.join(full1, "d1").join(full2, "d2")
       .select($"d1", $"d2",
         (inter.cast("double") / (size($"sh1") + size($"sh2") - inter)).as("jaccard"))
-      .filter($"jaccard" >= 0.8)
+      .filter($"jaccard" >= threshold)
   }
 
   val d03Sql: String =

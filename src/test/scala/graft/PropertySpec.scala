@@ -26,6 +26,38 @@ class PropertySpec extends SparkSpec {
   private val text: Gen[String] = Gen.chooseNum(3, 60)
     .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
 
+  test("prefix-filtered exact join loses no pair vs brute force (generated corpora)") {
+    import spark.implicits._
+    // corpora biased toward overlap: small vocab + explicit near-copies
+    (0 until 4).foreach { seed =>
+      val rnd = new scala.util.Random(1000 + seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+        "eta", "theta", "iota", "kappa")
+      def doc(): String =
+        Seq.fill(8 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val base = Seq.fill(15)(doc())
+      val nearCopies = base.take(6).map { t =>
+        val w = t.split(' ')
+        val i = rnd.nextInt(w.length)
+        w.updated(i, vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val texts = (base ++ nearCopies).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val docs = texts.toDF("doc_id", "text")
+      val got = Dedup.ngramJaccardPairs(docs, 0.8)
+        .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+      // brute force over the same shingle sets (same hashing)
+      val sets = docs.select($"doc_id", Dedup.shingleHashes($"text").as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        if sets(a).nonEmpty && sets(b).nonEmpty
+        j = (sets(a) & sets(b)).size.toDouble / (sets(a) | sets(b)).size
+        if j >= 0.8
+      } yield (a, b)).toSet
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
   test("from_json ∘ to_json = identity on generated nested records") {
     import spark.implicits._
     val gen = for {

@@ -30,6 +30,19 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.15, s"mean recall@3 = $mean")
   }
 
+  test("s05 quantization stats honor the mathematical bounds") {
+    val rows = operators.Similarity.s05QuantStats(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scale, qmin, qmax, err) =
+        (r.getDouble(1), r.getInt(2), r.getInt(3), r.getDouble(4))
+      // symmetric int8: quantized values live in [-127, 127]
+      assert(qmin >= -127 && qmax <= 127, r.toString)
+      // floor(x/s + 0.5) is within 0.5 of x/s → reconstruction error ≤ s/2
+      assert(err <= scale / 2 * (1 + 1e-12), r.toString)
+    }
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
