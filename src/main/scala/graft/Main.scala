@@ -59,13 +59,25 @@ object Main {
       .as[IngestRecord]
 
     // stage 4: start — foreachBatch bulk sink (A1 policy), poll cadence
-    // = B3 source.poll-interval
+    // = B3 source.poll-interval. The transport is chosen by the sink
+    // argument alone (the config-only production swap, SURVEY §7.3): an
+    // http(s) URL list gets the live _bulk client with the configured
+    // Basic auth; anything else is the file-simulated index.
+    val mkClient: () => EsBulkClient =
+      if (sinkDir.startsWith("http://") || sinkDir.startsWith("https://")) {
+        val urls = EsRestAuth.baseUrls(IngestionConfig.parseUrls(sinkDir))
+        val headers = EsRestAuth.bulkHeaders(config)
+        () => new HttpEsBulkClient(urls, headers)
+      } else {
+        val dir = sinkDir
+        () => new FileEsBulkClient(dir)
+      }
     val query = records.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(if (once) Trigger.AvailableNow()
                else Trigger.ProcessingTime(config.sourcePollIntervalMs))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[IngestRecord], _: Long) =>
-        EsBulkSink.write(batch, sinkDir,
+        EsBulkSink.writeWith(batch, mkClient,
           config.bulkMaxActions, config.bulkFlushIntervalMs,
           config.bulkMaxRetries, config.bulkBackoffInitialMs)
       }

@@ -62,12 +62,23 @@ final class BulkBuffer(
   * streaming (foreachBatch), with the BulkBuffer policy per partition. */
 object EsBulkSink {
 
-  /** Write a batch of records through per-partition bulk buffers. */
+  /** Write a batch of records through per-partition bulk buffers into
+    * the file-simulated index at `dir`. */
   def write(records: Dataset[IngestRecord], dir: String,
+            maxActions: Int = 64, flushIntervalMs: Long = 5000,
+            maxRetries: Int = 10, backoffInitialMs: Long = 2000): Unit =
+    writeWith(records, () => new FileEsBulkClient(dir), maxActions,
+      flushIntervalMs, maxRetries, backoffInitialMs)
+
+  /** Transport-agnostic form: `mkClient` runs ON THE EXECUTOR once per
+    * partition (so only its captured config strings are serialized) —
+    * pass `() => HttpEsBulkClient(...)` for a live cluster,
+    * `() => FileEsBulkClient(dir)` for the offline sim. */
+  def writeWith(records: Dataset[IngestRecord], mkClient: () => EsBulkClient,
             maxActions: Int = 64, flushIntervalMs: Long = 5000,
             maxRetries: Int = 10, backoffInitialMs: Long = 2000): Unit = {
     records.foreachPartition { (it: Iterator[IngestRecord]) =>
-      val buffer = new BulkBuffer(new FileEsBulkClient(dir), maxActions,
+      val buffer = new BulkBuffer(mkClient(), maxActions,
         flushIntervalMs, maxRetries, backoffInitialMs)
       it.foreach(r => buffer.add(BulkAction(r.indexId, r.docId, r.source)))
       buffer.flush()

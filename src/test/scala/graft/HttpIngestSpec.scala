@@ -97,6 +97,23 @@ class HttpIngestSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("distributed sink over HTTP: per-partition buffers bulk to the live endpoint") {
+    val stub = new BulkStub()
+    try {
+      val spark = SparkSpec.session
+      import spark.implicits._
+      val records = (1 to 150).map(i => IngestRecord("idx", i.toString, s"""{"v":$i}"""))
+        .toDS().repartition(4)
+      val base = stub.base
+      EsBulkSink.writeWith(records, () => new HttpEsBulkClient(Seq(base), Map.empty))
+      // 4 partitions x (64-action flushes + final flush) — every doc arrives once
+      val ids = stub.requests.flatMap(_._3.linesIterator
+        .filter(_.startsWith("{\"index\"")).map(l => l.split("\"_id\":\"")(1).takeWhile(_ != '"')))
+      assert(ids.sorted.toSeq === (1 to 150).map(_.toString).sorted)
+      assert(stub.requests.forall(_._3.linesIterator.count(_.startsWith("{\"index\"")) <= 64))
+    } finally stub.stop()
+  }
+
   test("config-only swap: client built from IngestionConfig carries the configured auth") {
     val stub = new BulkStub()
     try {

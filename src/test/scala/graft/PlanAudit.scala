@@ -16,8 +16,9 @@ object PlanAudit {
         org.apache.spark.sql.execution.FormattedMode))
     }
     Seq("q01_pricing_summary","q03_top_revenue","q05_region_revenue",
-        "q06_revenue_filter","d01_exact_dedup","d04_minhash_lsh",
-        "s01_cosine_topk","q17_range_join").foreach(show)
+        "q06_revenue_filter","d01_exact_dedup","d03_ngram_jaccard",
+        "d04_minhash_lsh","d07_decontamination","s01_cosine_topk",
+        "s04_blocked_neardup","q17_range_join","q64_asof_join").foreach(show)
     spark.stop()
   }
 }
