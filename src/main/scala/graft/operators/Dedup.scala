@@ -319,6 +319,64 @@ object Dedup {
       |FROM inter
       |WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.8""".stripMargin
 
+  // ---- d08: dedup clustering (connected components over the pair graph) ----
+
+  /** Near-dup PAIRS become actionable only as CLUSTERS: keep one
+    * representative per connected component of the similarity graph,
+    * drop the rest. Min-label propagation (the Pregel
+    * connected-components algorithm) on DataFrames: every node starts
+    * as its own label; each round, labels flow across edges and each
+    * node keeps the minimum seen; converged when no label changed.
+    *
+    * Scale notes: rounds = graph diameter — near-dup clusters are
+    * shallow (pairs of near-copies, occasionally chains), so a handful
+    * of rounds; each round is one equi-join + one aggregate, all
+    * shuffle-side. The per-round `count` is an AGGREGATED convergence
+    * probe (a single long to the driver), not a data collect;
+    * localCheckpoint truncates the iterative lineage. The iteration
+    * cap is a safety net for adversarial chains.
+    *
+    * Output: (doc_id, cluster_rep) for every document in any near-dup
+    * pair; `doc_id = cluster_rep` marks the kept representative. */
+  def d08DedupClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = d03NgramJaccard(s, d).select($"d1", $"d2")
+    val edges = pairs.union(pairs.select($"d2", $"d1")).toDF("src", "dst").cache()
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("label", $"id").localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = edges.join(labels, $"dst" === $"id")
+        .select($"src".as("id"), $"label")
+      val next = labels.union(prop)
+        .groupBy($"id").agg(min($"label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter($"label" < $"old").count()
+      labels = next
+      rounds += 1
+    }
+    labels.select($"id".as("doc_id"), $"label".as("cluster_rep"))
+  }
+
+  /** Oracle: transitive closure by recursive CTE over the same exact
+    * pair set (d03's SQL), min reachable id per node. */
+  val d08Sql: String = {
+    val pairSql = d03Sql.replace("\n", "\n  ")
+    s"""WITH RECURSIVE pairs AS (
+       |  ${pairSql}
+       |), edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION ALL SELECT d2, d1 FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+       |)
+       |SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> (d01ExactDedup _),
     "d02_keep_latest"   -> (d02KeepLatest _),
@@ -326,6 +384,7 @@ object Dedup {
     "d04_minhash_lsh"   -> (d04MinhashLsh _),
     "d05_simhash"       -> (d05Simhash _),
     "d06_char_ngram"    -> (d06CharNgram _),
+    "d08_dedup_clusters" -> (d08DedupClusters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -337,6 +396,7 @@ object Dedup {
     // golden-snapshot check (expected/ parquet, see graft.GoldenGen)
     // on top of the ScalaTest ground-truth comparison.
     "d05_simhash"       -> graft.GoldenGen.oracle("d05_simhash"),
+    "d08_dedup_clusters" -> d08Sql,
     "d06_char_ngram"    -> d06Sql,
   )
 }
