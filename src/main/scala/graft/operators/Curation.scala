@@ -147,7 +147,42 @@ object Curation {
       |)
       |GROUP BY 1, 2""".stripMargin
 
+  /** t15: column profile of the corpus table — null counts, distinct
+    * counts, min/max per column, one aggregate pass per column unioned
+    * into a tall profile. The data-quality gate a pipeline checks
+    * before committing a new corpus drop. (At 100 TB you'd compute all
+    * columns in ONE pass with a struct-of-aggregates projection; the
+    * per-column union keeps each row independently oracle-checkable,
+    * and Catalyst still scans the parquet once per column group with
+    * only that column read.) */
+  def t15ColumnProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val profiles = Seq("doc_id", "lang", "source", "n_chars").map { c =>
+      docs.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col(c).isNull, 1)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_val"),
+        max(col(c)).cast("string").as("max_val"))
+        .select(lit(c).as("column"), $"n_rows", $"n_nulls", $"n_distinct",
+          $"min_val", $"max_val")
+    }
+    profiles.reduce(_ unionByName _)
+  }
+
+  val t15Sql: String =
+    Seq("doc_id", "lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+         |  COUNT(*) FILTER ($c IS NULL) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_val,
+         |  CAST(MAX($c) AS VARCHAR) AS max_val
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_column_profile"  -> (t15ColumnProfile _),
     "d07_decontamination" -> (d07Decontamination _),
     "t10_pii_redaction"   -> (t10PiiRedaction _),
     "t11_repetition"      -> (t11RepetitionRatio _),
@@ -155,6 +190,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "t15_column_profile"  -> t15Sql,
     "d07_decontamination" -> d07Sql,
     "t10_pii_redaction"   -> t10Sql,
     "t11_repetition"      -> t11Sql,

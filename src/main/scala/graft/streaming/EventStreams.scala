@@ -106,6 +106,16 @@ object EventStreams {
         col("c_ts"), col("p_ts"))
   }
 
+  /** Streaming content dedup — the streaming twin of the batch d01
+    * exact dedup: documents whose sha256(text) was already seen within
+    * the watermark are suppressed, so re-crawled/re-delivered content
+    * never reaches the sink twice. State is one row per distinct hash
+    * inside the watermark horizon, evicted as event time advances. */
+  def dedupByContent(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs.withColumn("content_hash", sha2(col("text"), 256))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Stream-static enrichment: each streaming event joined to a static
     * dimension (the per-customer order profile) — the streaming form of
     * the q64 point-in-time lookup when the dimension is slowly-changing

@@ -63,6 +63,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming content dedup suppresses re-delivered identical text") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.dedupByContent(df, "10 minutes")
+      .writeStream.format("memory").queryName("cdedup").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00"), "hello world"),
+        (2L, ts("2024-01-01 00:00:30"), "something else"))
+      q.processAllAvailable()
+      // same CONTENT under a new doc_id within the watermark → suppressed
+      input.addData((3L, ts("2024-01-01 00:01:00"), "hello world"))
+      q.processAllAvailable()
+      val ids = spark.table("cdedup").select($"doc_id").as[Long].collect().toSet
+      assert(ids === Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: events pick up the broadcast profile, no state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
