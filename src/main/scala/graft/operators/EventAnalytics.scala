@@ -181,7 +181,73 @@ object EventAnalytics {
       |FROM events e ASOF JOIN od o
       |  ON e.user_id = o.o_custkey AND e.ts >= o.t""".stripMargin
 
+  /** q65: conversion funnel — users who did view → click → purchase in
+    * strict temporal order. Each stage is a per-user min-timestamp
+    * aggregate joined forward (stage N's clock starts at stage N−1's
+    * first qualifying event); output is one row per stage with the
+    * surviving-user count. Three small keyed aggregates + joins, no
+    * window over raw events. */
+  def q65Funnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"ts" > $"v_ts")
+      .groupBy($"user_id").agg(min($"ts").as("c_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"ts" > $"c_ts")
+      .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+    Seq(("1_view", v), ("2_click_after_view", c), ("3_purchase_after_click", p))
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), $"n_users")
+      }.reduce(_ unionByName _)
+  }
+
+  val q65Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id
+      |)
+      |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+      |UNION ALL SELECT '2_click_after_view', COUNT(*) FROM c
+      |UNION ALL SELECT '3_purchase_after_click', COUNT(*) FROM p""".stripMargin
+
+  /** q66: cohort retention — users grouped by first-seen day, counted
+    * on each later day they return. One pass to the per-user cohort
+    * day, one distinct (user, day) activity set, one join — the
+    * standard retention triangle. */
+  def q66Retention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val cohort = ev.groupBy($"user_id").agg(to_date(min($"ts")).as("cohort_day"))
+    val active = ev.select($"user_id", to_date($"ts").as("day")).distinct()
+    active.join(cohort, "user_id")
+      .groupBy($"cohort_day", datediff($"day", $"cohort_day").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+  }
+
+  val q66Sql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+      |  FROM events GROUP BY user_id
+      |), active AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |)
+      |SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM active JOIN cohort USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_funnel"       -> (q65Funnel _),
+    "q66_retention"    -> (q66Retention _),
     "q64_asof_join"    -> (q64AsofJoin _),
     "q44_variant"      -> (q44Variant _),
     "q27_json_extract" -> (q27JsonExtract _),
@@ -192,6 +258,8 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q65_funnel"       -> q65Sql,
+    "q66_retention"    -> q66Sql,
     "q64_asof_join"    -> q64Sql,
     "q44_variant"      -> q44Sql,
     "q27_json_extract" -> q27Sql,
