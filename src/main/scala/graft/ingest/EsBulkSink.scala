@@ -90,6 +90,27 @@ object EsBulkSink {
     write(batch, dir)
 }
 
+/** Bulk-file compaction: rewrite an ES-sim index directory as its
+  * current upsert-resolved state in large bulk files. The write path
+  * flushes every 64 actions (the reference's sink policy), so a
+  * long-running ingest accumulates thousands of tiny files — and file
+  * count is exactly what drives the source's planning cost (per-file
+  * stats) and read amplification (per-file opens). Compaction folds the
+  * upsert history (last write per doc id wins) and emits with a big
+  * flush size — the ES `_forcemerge` analogue.
+  *
+  * Runs fully distributed: EsSimStore.read is the windowed last-write
+  * replay, the sink writes per partition. */
+object EsSimCompact {
+  def run(spark: SparkSession, srcDir: String, dstDir: String,
+          maxActions: Int = 5000): Unit = {
+    import spark.implicits._
+    val current = EsSimStore.read(spark, srcDir)
+      .select($"indexId", $"docId", $"source").as[IngestRecord]
+    EsBulkSink.write(current, dstDir, maxActions = maxActions)
+  }
+}
+
 /** Read-back of the simulated ES index: replay bulk files in arrival
   * order, apply upsert-by-id (last write per (index, docId) wins — ES
   * document semantics, which is what makes re-running a copy idempotent

@@ -187,6 +187,26 @@ class EsSimSourceSpec extends SparkSpec {
     assert(direct.values.sum > 0)
   }
 
+  test("compaction folds upsert history into few large files, state preserved") {
+    import graft.ingest.{EsSimCompact, EsSimStore}
+    val src = Files.createTempDirectory("escomp-src").toString
+    val dst = Files.createTempDirectory("escomp-dst").toString
+    writeDocs(src, 0 until 100) // 10 files of 10
+    // overwrite a doc (upsert history) in one more tiny file
+    new FileEsBulkClient(src).bulk(Seq(
+      BulkAction("idx", "5", """{"id":5,"ts":"2024-01-01 09:00:00.000000","v":999}""")))
+    EsSimCompact.run(spark, src, dst)
+    val before = graft.sources.EsSimStats.list(src).size
+    val after = graft.sources.EsSimStats.list(dst).size
+    assert(after < before, s"expected fewer files, got $before -> $after")
+    val a = EsSimStore.read(spark, src).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val b = EsSimStore.read(spark, dst).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(a === b, "compacted index must resolve to the same current state")
+    assert(b(("idx", "5")).contains("999"), "upsert winner survives compaction")
+  }
+
   test("Trigger.AvailableNow drains the start snapshot and stops") {
     val dir = Files.createTempDirectory("essrc").toString
     val out = Files.createTempDirectory("esout").toString
