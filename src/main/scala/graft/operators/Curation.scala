@@ -181,7 +181,42 @@ object Curation {
          |FROM documents""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** d09: cross-modal dedup validation — for every text near-dup pair
+    * (d03's exact Jaccard join), the embedding-space cosine of the same
+    * two documents. The QA query a curation pipeline runs to check that
+    * its text and embedding dedup signals agree before trusting either
+    * at scale; pairs are few, so the embedding join is two keyed
+    * lookups. */
+  def d09CrossModal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.ngramJaccardPairs(documents(s, d), 0.8)
+    val e = embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .select($"vec_id", $"v", Similarity.norm($"v").as("nrm"))
+    pairs
+      .join(e.select($"vec_id".as("d1"), $"v".as("v1"), $"nrm".as("n1")), "d1")
+      .join(e.select($"vec_id".as("d2"), $"v".as("v2"), $"nrm".as("n2")), "d2")
+      .select($"d1", $"d2", round($"jaccard", 6).as("jaccard_r"),
+        round(Similarity.dot($"v1", $"v2") / ($"n1" * $"n2"), 6).as("cosine_r"))
+  }
+
+  val d09Sql: String = {
+    val pairSql = Dedup.d03Sql.replace("\n", "\n  ")
+    s"""WITH pairs AS (
+       |  ${pairSql}
+       |), e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |)
+       |SELECT d1, d2, ROUND(jaccard, 6) AS jaccard_r,
+       |  ROUND(list_dot_product(a.v, b.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_r
+       |FROM pairs JOIN e a ON pairs.d1 = a.vec_id
+       |           JOIN e b ON pairs.d2 = b.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d09_crossmodal"      -> (d09CrossModal _),
     "t15_column_profile"  -> (t15ColumnProfile _),
     "d07_decontamination" -> (d07Decontamination _),
     "t10_pii_redaction"   -> (t10PiiRedaction _),
@@ -190,6 +225,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "d09_crossmodal"      -> d09Sql,
     "t15_column_profile"  -> t15Sql,
     "d07_decontamination" -> d07Sql,
     "t10_pii_redaction"   -> t10Sql,
