@@ -340,7 +340,15 @@ object Dedup {
     * pair; `doc_id = cluster_rep` marks the kept representative. */
   def d08DedupClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = d03NgramJaccard(s, d).select($"d1", $"d2")
+    clusterPairs(d03NgramJaccard(s, d).select($"d1", $"d2"))
+  }
+
+  /** Connected components over any (d1, d2) pair frame — exposed so
+    * property tests can drive it with generated graphs and compare
+    * against a union-find ground truth. */
+  def clusterPairs(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
     val edges = pairs.union(pairs.select($"d2", $"d1")).toDF("src", "dst").cache()
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("label", $"id").localCheckpoint()

@@ -58,6 +58,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("label-propagation clustering equals union-find on generated graphs") {
+    import spark.implicits._
+    (0 until 4).foreach { seed =>
+      val rnd = new scala.util.Random(2000 + seed)
+      val n = 40
+      // sparse random graph + a long chain (stresses multi-round propagation)
+      val randomEdges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      val chain = (50L until 58L).map(i => (i, i + 1))
+      val pairs = (randomEdges ++ chain).distinct
+      val got = Dedup.clusterPairs(pairs.toDF("d1", "d2"))
+        .as[(Long, Long)].collect().toMap
+      // union-find ground truth with min-id representatives
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(x => x -> find(x)).toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
   test("from_json ∘ to_json = identity on generated nested records") {
     import spark.implicits._
     val gen = for {
