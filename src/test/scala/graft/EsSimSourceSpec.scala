@@ -45,6 +45,25 @@ class EsSimSourceSpec extends SparkSpec {
     assert(filtered.where("ts < timestamp'2024-01-01 00:00:40'").count() === 0)
   }
 
+  test("batch read: indexId filter prunes files of other indices") {
+    import graft.sources.EsSimSource
+    val dir = Files.createTempDirectory("essrc").toString
+    val client = new FileEsBulkClient(dir)
+    // two indices, four bulk files each holding a single index
+    (0 until 4).foreach { k =>
+      val idx = if (k < 2) "logs" else "metrics"
+      client.bulk((0 until 10).map(i =>
+        BulkAction(idx, s"$k-$i", s"""{"id":$i,"ts":"2024-01-01 00:0$k:0$i.000000"}""")))
+    }
+    val df = spark.read.format("graft.sources.EsSimSourceProvider")
+      .option("path", dir).load()
+      .where("indexId = 'metrics'")
+    EsSimSource.filesOpened.set(0)
+    assert(df.count() === 20)
+    assert(EsSimSource.filesOpened.get() === 2,
+      s"expected only the 2 metrics files opened, got ${EsSimSource.filesOpened.get()}")
+  }
+
   test("batch read: pushed filters and pruned columns appear in the scan") {
     val dir = Files.createTempDirectory("essrc").toString
     writeDocs(dir, 0 until 20)
