@@ -96,3 +96,36 @@ object CharShingleHashes {
   def apply(c: Column, n: Int, p: Long): Column =
     GraftGlue.toCol(CharShingleHashes(GraftGlue.toExpr(c), n, p))
 }
+
+/** Keep the elements of a long array that are ≡ r (mod m) — the 0-mod-p
+  * selection of Manber-style fingerprint sampling, as one native pass
+  * instead of `filter(arr, h -> h % m == r)`'s interpreted per-element
+  * lambda. Inputs are the non-negative mod-p shingle hashes. */
+case class ModFilter(child: Expression, m: Long, r: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      if (h % m == r) { out(k) = h; k += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
+  override protected def withNewChildInternal(c: Expression): ModFilter = copy(child = c)
+  override def prettyName: String = "mod_filter"
+}
+
+object ModFilter {
+  import org.apache.spark.sql.GraftGlue
+  def apply(c: Column, m: Long, r: Long): Column =
+    GraftGlue.toCol(ModFilter(GraftGlue.toExpr(c), m, r))
+}

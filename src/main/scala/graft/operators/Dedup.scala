@@ -260,9 +260,11 @@ object Dedup {
   def d05Simhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val fp = documents(s, d).select($"doc_id", simhash($"text").as("fp"))
-    val chunked = fp.select($"doc_id", $"fp",
-        posexplode(transform(sequence(lit(0), lit(7)),
-          c => call_function("shiftright", $"fp", c * 8).bitwiseAND(255))))
+    // literal-unrolled byte chunks: array(expr0..expr7) is plain codegen,
+    // unlike transform(sequence(...), lambda) which interprets per element
+    val chunks = array((0 until 8).map(c =>
+      shiftright($"fp", c * 8).bitwiseAND(lit(255L))): _*)
+    val chunked = fp.select($"doc_id", $"fp", posexplode(chunks))
       .toDF("doc_id", "fp", "chunk_id", "chunk_val")
     chunked.as("x").join(chunked.as("y"),
         $"x.chunk_id" === $"y.chunk_id" && $"x.chunk_val" === $"y.chunk_val" &&

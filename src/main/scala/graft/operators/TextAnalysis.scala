@@ -200,7 +200,7 @@ object TextAnalysis {
     import s.implicits._
     documents(s, d).select(
       $"doc_id",
-      array_sort(filter(Dedup.shingleHashes($"text"), h => h % 8 === 0))
+      array_sort(graft.functions.ModFilter(Dedup.shingleHashes($"text"), 8, 0))
         .as("fingerprint"))
       .select($"doc_id", size($"fingerprint").as("fp_size"),
         array_join($"fingerprint", ",").as("fp"))
