@@ -24,18 +24,23 @@ trait EsBulkClient extends Serializable {
   * them in arrival order and apply upsert-by-id semantics — the same
   * idempotent re-run behavior the reference gets from ES document ids
   * (core.clj:63). */
-final class FileEsBulkClient(dir: String) extends EsBulkClient {
+final class FileEsBulkClient(dir: String, tsField: String = "ts") extends EsBulkClient {
   private val counter = new AtomicLong()
   private val clientId = java.util.UUID.randomUUID().toString.take(8)
+  private val lastIssued = new AtomicLong(Long.MinValue)
 
   /** Wall-clock epoch micros — comparable ACROSS writer JVMs, unlike
     * System.nanoTime() whose origin is arbitrary per JVM. EsSimStore's
     * last-write-wins replay orders by file name, so the name's leading
     * component must be a cross-process clock; clientId + counter break
-    * same-instant ties deterministically. */
+    * same-instant ties deterministically. Clamped monotonic per client
+    * (max(last+1, wall)): an NTP step backwards must not reorder this
+    * writer's own files, or replay could resolve an upsert to the
+    * older document. */
   private def epochMicros(): Long = {
     val now = java.time.Instant.now()
-    now.getEpochSecond * 1000000L + now.getNano / 1000L
+    val wall = now.getEpochSecond * 1000000L + now.getNano / 1000L
+    lastIssued.updateAndGet(prev => math.max(prev + 1, wall))
   }
 
   override def bulk(actions: Seq[BulkAction]): Unit = {
@@ -49,7 +54,13 @@ final class FileEsBulkClient(dir: String) extends EsBulkClient {
     val p = Paths.get(dir)
     Files.createDirectories(p)
     val name = f"bulk-${epochMicros()}%020d-$clientId-${counter.getAndIncrement()}%06d.ndjson"
-    Files.write(p.resolve(name), sb.toString.getBytes(UTF_8),
+    val bulkPath = p.resolve(name)
+    // stats sidecar FIRST: any reader that can already list the bulk
+    // file finds its stats present, so the source's planning index
+    // never has to parse a body this client wrote
+    BulkStats.write(bulkPath, BulkStats.compute(tsField,
+      actions.iterator.map(a => (a.indexId, a.docId, BulkStats.tsOf(a.source, tsField)))))
+    Files.write(bulkPath, sb.toString.getBytes(UTF_8),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
   }
 }

@@ -3,8 +3,6 @@ package graft.sources
 import java.util
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path, Paths}
-import java.time.LocalDateTime
-import java.time.format.DateTimeFormatter
 import java.util.concurrent.atomic.AtomicLong
 import scala.jdk.CollectionConverters._
 
@@ -56,8 +54,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * running a periodic full copy, or an overlap window at the query.
   *
   * Scale notes: driver state is O(bulk files) — one
-  * (minTs, minId, maxTs, maxId, count) record per file, computed once
-  * per file and cached JVM-wide ([[EsSimStats]], the stand-in for the
+  * (minTs, minId, maxTs, maxId, count) record per file, read from the
+  * sink-written `.stats.json` sidecar (or parsed once for legacy files)
+  * and cached JVM-wide ([[EsSimStats]], the stand-in for the
   * ES coordinator's index metadata). Data never flows through the
   * driver: readers parse their own file slice on executors and filter
   * rows to the cursor range. A file whose range straddles a batch
@@ -88,35 +87,19 @@ object EsSimSource {
     StructField("ts", TimestampType, nullable = true)))
 
   /** Cursor position used for docs with no parsable ts: they sort first. */
-  val NullTs: Long = Long.MinValue + 1
+  val NullTs: Long = graft.ingest.BulkStats.NullTs
 
   /** Test-visible count of bulk files actually opened by partition
     * readers (local mode shares the JVM) — lets specs assert that
     * file pruning really skipped non-matching files. */
   val filesOpened = new AtomicLong(0)
 
-  /** Accepts any fraction width 0-9 — Spark's timestamp→string cast
-    * trims trailing zeros (".179575" but also ".1"), and a fixed
-    * [.SSSSSS] pattern silently nulled every trimmed-fraction ts. */
-  private val TsFmt = new java.time.format.DateTimeFormatterBuilder()
-    .appendPattern("yyyy-MM-dd HH:mm:ss")
-    .optionalStart()
-    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 0, 9, true)
-    .optionalEnd()
-    .toFormatter()
-
   /** Parse the cursor field out of a JSON body: epoch-micros number or
-    * "yyyy-MM-dd HH:mm:ss[.ffffff]" string; null if absent/unparsable. */
+    * "yyyy-MM-dd HH:mm:ss[.ffffff]" string; null if absent/unparsable.
+    * (One definition, shared with the sink's sidecar writer, so the
+    * stats a sidecar records and the ts a reader emits always agree.) */
   def parseTsMicros(node: com.fasterxml.jackson.databind.JsonNode): java.lang.Long =
-    if (node == null || node.isNull) null
-    else if (node.isNumber) java.lang.Long.valueOf(node.asLong())
-    else {
-      try {
-        val ldt = LocalDateTime.parse(node.asText(), TsFmt)
-        java.lang.Long.valueOf(
-          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
-      } catch { case _: Exception => null }
-    }
+    graft.ingest.BulkStats.parseTsMicros(node)
 
   /** One indexed document action parsed from a bulk file. */
   final case class Doc(indexId: String, docId: String, source: String, tsMicros: java.lang.Long)
@@ -144,16 +127,29 @@ object EsSimSource {
 
 /** Per-file index statistics — the driver-side stand-in for the ES
   * coordinator's shard metadata. One record per immutable bulk file,
-  * computed by parsing the file once and cached JVM-wide, so repeated
-  * scans/triggers over the same directory pay O(new files), and driver
-  * memory is O(files) regardless of corpus row count. */
+  * cached JVM-wide, so repeated scans/triggers over the same directory
+  * pay O(new files), and driver memory is O(files) regardless of corpus
+  * row count.
+  *
+  * Stats come from the sink-written `.stats.json` sidecars
+  * ([[graft.ingest.BulkStats]]) — an O(1) metadata read per file, so a
+  * cold start over an existing 100 TB index costs the driver a
+  * directory listing plus tiny sidecar reads, never a data parse. Only
+  * legacy files with no sidecar fall back to parsing the bulk body, and
+  * those parse concurrently on the common pool instead of serially
+  * under a lock. */
 object EsSimStats {
   /** min/max are over the composite (tsMicros, docId) cursor ordering,
     * with null ts mapped to [[EsSimSource.NullTs]]. */
   final case class FileStat(file: String, minTs: Long, minId: String,
       maxTs: Long, maxId: String, count: Long, indexIds: Option[Set[String]])
 
-  private val cache = scala.collection.mutable.Map.empty[(String, String), Map[String, FileStat]]
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Map[String, FileStat]]()
+
+  /** Test-visible count of bulk files the driver had to fully parse
+    * because no usable sidecar was present (the legacy path). */
+  val filesParsed = new AtomicLong(0)
 
   def list(path: String): Seq[Path] = {
     val dir = Paths.get(path)
@@ -164,36 +160,37 @@ object EsSimStats {
       .toSeq.sortBy(_.getFileName.toString)
   }
 
-  /** Stats for every bulk file currently in `path`; parses only files
-    * not seen before (bulk files are write-once). */
-  def forPath(path: String, tsField: String): Seq[FileStat] = synchronized {
+  /** Stats for every bulk file currently in `path`; stats only files
+    * not seen before (bulk files are write-once). Lock-free: concurrent
+    * first readers may stat the same fresh file twice, which is
+    * harmless (same immutable result) and cheaper than serializing
+    * every query behind a global parse lock. */
+  def forPath(path: String, tsField: String): Seq[FileStat] = {
     val key = (path, tsField)
-    val known = cache.getOrElse(key, Map.empty)
+    val known = cache.getOrDefault(key, Map.empty)
     val files = list(path)
-    val fresh = files.filterNot(f => known.contains(f.toString)).map { f =>
-      f.toString -> statFile(f, tsField)
-    }
-    val all = known ++ fresh
-    if (fresh.nonEmpty) cache(key) = all
+    val freshFiles = files.filterNot(f => known.contains(f.toString))
+    val all =
+      if (freshFiles.isEmpty) known
+      else {
+        val fresh = new java.util.concurrent.ConcurrentHashMap[String, FileStat]()
+        freshFiles.asJava.parallelStream().forEach { f =>
+          fresh.put(f.toString, statFile(f, tsField))
+        }
+        cache.compute(key, (_, old) =>
+          (if (old == null) Map.empty[String, FileStat] else old) ++ fresh.asScala)
+      }
     files.flatMap(f => all.get(f.toString))
   }
 
   private def statFile(p: Path, tsField: String): FileStat = {
-    val docs = EsSimSource.parseBulkFile(p, tsField)
-    var minTs = Long.MaxValue; var minId = ""
-    var maxTs = Long.MinValue; var maxId = ""
-    val indices = scala.collection.mutable.Set.empty[String]
-    docs.foreach { d =>
-      val ts = if (d.tsMicros == null) EsSimSource.NullTs else d.tsMicros.longValue()
-      if (ts < minTs || (ts == minTs && d.docId < minId)) { minTs = ts; minId = d.docId }
-      if (ts > maxTs || (ts == maxTs && d.docId > maxId)) { maxTs = ts; maxId = d.docId }
-      if (indices.size <= 32) indices += d.indexId
+    val st = graft.ingest.BulkStats.read(p, tsField).getOrElse {
+      filesParsed.incrementAndGet()
+      val docs = EsSimSource.parseBulkFile(p, tsField)
+      graft.ingest.BulkStats.compute(tsField,
+        docs.iterator.map(d => (d.indexId, d.docId, d.tsMicros)))
     }
-    if (docs.isEmpty) FileStat(p.toString, EsSimSource.NullTs, "", EsSimSource.NullTs, "", 0, Some(Set.empty))
-    else FileStat(p.toString, minTs, minId, maxTs, maxId, docs.size,
-      // cap the per-file index set: past 32 distinct indices the prune
-      // is unlikely to help and the stat should stay O(1)
-      if (indices.size > 32) None else Some(indices.toSet))
+    FileStat(p.toString, st.minTs, st.minId, st.maxTs, st.maxId, st.count, st.indexIds)
   }
 }
 

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.streaming.Trigger
 import graft.ingest.{BulkAction, FileEsBulkClient}
 
@@ -86,6 +87,44 @@ class EsSimSourceSpec extends SparkSpec {
       .option("path", dir).load()
       .select($"docId").as[String].collect().map(_.toInt).sorted
     assert(ids.toSeq === (0 until 15).toSeq)
+  }
+
+  test("sidecar stats: cold planning index reads zero bulk bodies") {
+    import graft.sources.EsSimStats
+    val dir = Files.createTempDirectory("essrc").toString
+    writeDocs(dir, 0 until 50) // 5 files, each with a sidecar
+    val parsedBefore = EsSimStats.filesParsed.get()
+    val stats = EsSimStats.forPath(dir, "ts") // cold: fresh temp dir
+    assert(stats.size === 5)
+    assert(EsSimStats.filesParsed.get() === parsedBefore,
+      "sidecar-bearing files must not be parsed on the driver")
+    // sidecar stats must agree with a from-scratch parse of the bodies
+    stats.foreach { st =>
+      val docs = graft.sources.EsSimSource.parseBulkFile(java.nio.file.Paths.get(st.file), "ts")
+      val recomputed = graft.ingest.BulkStats.compute("ts",
+        docs.iterator.map(d => (d.indexId, d.docId, d.tsMicros)))
+      assert((st.minTs, st.minId, st.maxTs, st.maxId, st.count, st.indexIds) ===
+        (recomputed.minTs, recomputed.minId, recomputed.maxTs, recomputed.maxId,
+         recomputed.count, recomputed.indexIds))
+    }
+  }
+
+  test("sidecar stats: legacy files without sidecars fall back to a parse") {
+    import graft.sources.EsSimStats
+    val dir = Files.createTempDirectory("essrc").toString
+    writeDocs(dir, 0 until 30) // 3 files
+    // simulate a pre-sidecar index
+    Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".stats.json"))
+      .foreach(Files.delete)
+    val parsedBefore = EsSimStats.filesParsed.get()
+    val stats = EsSimStats.forPath(dir, "ts")
+    assert(stats.size === 3)
+    assert(EsSimStats.filesParsed.get() === parsedBefore + 3)
+    assert(stats.map(_.count).sum === 30)
+    // second call is served from the cache: no further parses
+    EsSimStats.forPath(dir, "ts")
+    assert(EsSimStats.filesParsed.get() === parsedBefore + 3)
   }
 
   test("streaming: incremental cursor, batchSize admission, no dups no loss") {
