@@ -195,12 +195,19 @@ object Similarity {
   def kmeansCentroids(c: DataFrame, k: Int, iters: Int): DataFrame = {
     import c.sparkSession.implicits._
     val wq = Window.partitionBy($"vec_id").orderBy($"dist".asc, $"cluster_id".asc)
-    // init: k deterministic seeds spread by vec_id hash
+    // init: k deterministic seeds spread by vec_id hash. orderBy+limit
+    // compiles to TakeOrderedAndProject — a parallel per-partition top-k
+    // then a k-row merge — unlike row_number over a global Window, which
+    // funnels the whole corpus through one partition. Cluster ids come
+    // from the ordinal position in the sorted k-row seed list.
     var centroids = c
       .withColumn("r", pmod(xxhash64($"vec_id"), lit(997)))
-      .withColumn("rk", row_number().over(Window.orderBy($"r".asc, $"vec_id".asc)))
-      .filter($"rk" <= k)
-      .select(($"rk" - 1).as("cluster_id"), $"v".as("cv"))
+      .orderBy($"r".asc, $"vec_id".asc)
+      .limit(k)
+      .agg(array_sort(collect_list(struct($"r", $"vec_id", $"v"))).as("seeds"))
+      .select(posexplode($"seeds"))
+      .toDF("cluster_id", "seed")
+      .select($"cluster_id", $"seed.v".as("cv"))
     for (_ <- 1 to iters) {
       val assigned = c.crossJoin(broadcast(centroids))
         .select($"vec_id", $"v", $"cluster_id",

@@ -64,6 +64,21 @@ class PlanSpec extends SparkSpec {
       p.take(600))
   }
 
+  test("kmeans quantizer training: no partition-less Window, seeds via TakeOrderedAndProject") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val df = operators.Similarity.kmeansCentroids(emb, 5, 2)
+    val global = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty,
+      s"k-means lineage must not move the corpus to one partition: $global")
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    assert(df.count() === 5)
+  }
+
   test("s01: brute-force query side is broadcast, corpus streams") {
     val p = plan("s01_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
