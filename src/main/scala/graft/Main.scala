@@ -70,8 +70,14 @@ object Main {
         () => new HttpEsBulkClient(urls, headers)
       } else {
         val dir = sinkDir
-        () => new FileEsBulkClient(dir)
+        val tsField = config.sourceTimestampField
+        () => new FileEsBulkClient(dir, tsField)
       }
+    // permanent per-item rejects (mapping conflicts etc.) are preserved,
+    // not dropped, when a dead-letter dir is configured
+    val deadLetter: BulkItemFailure => Unit =
+      if (config.deadLetterDir.nonEmpty) new FileDeadLetter(config.deadLetterDir)
+      else _ => ()
     val query = records.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(if (once) Trigger.AvailableNow()
@@ -79,7 +85,8 @@ object Main {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[IngestRecord], _: Long) =>
         EsBulkSink.writeWith(batch, mkClient,
           config.bulkMaxActions, config.bulkFlushIntervalMs,
-          config.bulkMaxRetries, config.bulkBackoffInitialMs)
+          config.bulkMaxRetries, config.bulkBackoffInitialMs,
+          deadLetter = deadLetter)
       }
       .start()
 

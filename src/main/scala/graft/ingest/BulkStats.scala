@@ -104,23 +104,41 @@ object BulkStats {
       StandardOpenOption.WRITE)
   }
 
+  /** Count of PRESENT sidecars a reader declined (tsField mismatch,
+    * missing fields, parse error) — a silent decline would regress cold
+    * start to the full body parse with no signal; this makes it visible
+    * to tests and ops. */
+  val sidecarsDeclined = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Read a sidecar if present, well-formed, and computed over the same
     * tsField; None → caller falls back to parsing the bulk body. */
   def read(bulkFile: Path, tsField: String): Option[Stat] = {
     val sc = sidecar(bulkFile)
     if (!Files.exists(sc)) None
-    else try {
-      val n = mapper.readTree(new String(Files.readAllBytes(sc), UTF_8))
-      if (n.path("tsField").asText() != tsField) None
-      else {
-        val idsNode = n.get("indexIds")
-        val ids =
-          if (idsNode == null || idsNode.isNull) None
-          else Some(idsNode.elements().asScala.map(_.asText()).toSet)
-        Some(Stat(tsField, n.path("minTs").asLong(), n.path("minId").asText(),
-          n.path("maxTs").asLong(), n.path("maxId").asText(),
-          n.path("count").asLong(), ids))
-      }
-    } catch { case _: Exception => None }
+    else {
+      val st = try {
+        val n = mapper.readTree(new String(Files.readAllBytes(sc), UTF_8))
+        // require every numeric/id field to be PRESENT: a schema-skewed
+        // or hand-edited sidecar must fall back to the body parse, not
+        // silently parse absent fields as zeros/empty strings and feed
+        // wrong prune/admission stats to the planner
+        val fieldsOk = n.hasNonNull("minTs") && n.hasNonNull("maxTs") &&
+          n.hasNonNull("count") &&
+          (n.path("count").asLong() == 0L ||
+            (n.hasNonNull("minId") && n.hasNonNull("maxId")))
+        if (n.path("tsField").asText() != tsField || !fieldsOk) None
+        else {
+          val idsNode = n.get("indexIds")
+          val ids =
+            if (idsNode == null || idsNode.isNull) None
+            else Some(idsNode.elements().asScala.map(_.asText()).toSet)
+          Some(Stat(tsField, n.path("minTs").asLong(), n.path("minId").asText(),
+            n.path("maxTs").asLong(), n.path("maxId").asText(),
+            n.path("count").asLong(), ids))
+        }
+      } catch { case _: Exception => None }
+      if (st.isEmpty) sidecarsDeclined.incrementAndGet()
+      st
+    }
   }
 }

@@ -8,13 +8,38 @@ import java.util.concurrent.atomic.AtomicLong
   * built at core.clj:62-65 — id, index, JSON source). */
 final case class BulkAction(indexId: String, docId: String, source: String)
 
+/** One item the server rejected inside an otherwise-accepted bulk
+  * response. `status` is the per-item HTTP-style code ES reports in the
+  * response's `items` array. */
+final case class BulkItemFailure(action: BulkAction, status: Int, reason: String) {
+  /** ES retry semantics: 429 (rejected-execution, backpressure) and 5xx
+    * are transient; 4xx others (mapping conflict, malformed doc) are
+    * permanent and must not be re-sent. */
+  def retryable: Boolean = status == 429 || status >= 500
+}
+
+/** Per-item outcome of a bulk call whose envelope was accepted (2xx):
+  * actions not listed in either bucket were indexed successfully. */
+final case class BulkOutcome(retryable: Seq[BulkItemFailure], rejected: Seq[BulkItemFailure]) {
+  def allOk: Boolean = retryable.isEmpty && rejected.isEmpty
+}
+object BulkOutcome { val Ok: BulkOutcome = BulkOutcome(Nil, Nil) }
+
 /** Minimal ES bulk transport abstraction. A production deployment backs
   * this with the REST `_bulk` endpoint (plus a Basic-auth header —
   * reference core.clj:19-26); the offline test environment backs it
-  * with [[FileEsBulkClient]]. Throwing signals a retryable failure to
-  * the buffering layer. */
+  * with [[FileEsBulkClient]]. Throwing signals a whole-batch retryable
+  * failure to the buffering layer. */
 trait EsBulkClient extends Serializable {
   def bulk(actions: Seq[BulkAction]): Unit
+
+  /** Per-item form, the reference's per-action BulkProcessor semantics
+    * (core.clj:74-78): a transport/envelope failure still throws
+    * (whole batch retryable), but item-level failures come back in the
+    * outcome so the buffer retries only the 429/5xx items and
+    * dead-letters permanent rejects. Default for transports with no
+    * item-level reporting: all-or-nothing via [[bulk]]. */
+  def bulkOutcome(actions: Seq[BulkAction]): BulkOutcome = { bulk(actions); BulkOutcome.Ok }
 }
 
 /** Filesystem-simulated Elasticsearch bulk endpoint, wire-faithful to
@@ -60,8 +85,15 @@ final class FileEsBulkClient(dir: String, tsField: String = "ts") extends EsBulk
     // never has to parse a body this client wrote
     BulkStats.write(bulkPath, BulkStats.compute(tsField,
       actions.iterator.map(a => (a.indexId, a.docId, BulkStats.tsOf(a.source, tsField)))))
-    Files.write(bulkPath, sb.toString.getBytes(UTF_8),
+    // body published by atomic rename: a listable bulk file is always
+    // complete and matches its sidecar — a reader that admits a file on
+    // sidecar stats must never see a torn/partial body (a crash or
+    // ENOSPC mid-write would otherwise advance the streaming cursor
+    // past rows that were never readable)
+    val tmp = p.resolve(name + ".tmp")
+    Files.write(tmp, sb.toString.getBytes(UTF_8),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    Files.move(tmp, bulkPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 }
 

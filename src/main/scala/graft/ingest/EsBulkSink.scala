@@ -21,7 +21,8 @@ final class BulkBuffer(
     maxRetries: Int = 10,
     backoffInitialMs: Long = 2000,
     sleeper: Long => Unit = Thread.sleep,
-    clock: () => Long = System.currentTimeMillis) extends Serializable {
+    clock: () => Long = System.currentTimeMillis,
+    deadLetter: BulkItemFailure => Unit = _ => ()) extends Serializable {
 
   private val buf = scala.collection.mutable.ArrayBuffer.empty[BulkAction]
   private var lastFlush = clock()
@@ -37,24 +38,65 @@ final class BulkBuffer(
     }
   }
 
+  /** Per-item retry (reference BulkProcessor semantics, core.clj:74-78):
+    * an envelope failure retries the whole batch; item-level failures
+    * shrink the retry set to just the transient (429/5xx) items, while
+    * permanent rejects (mapping conflict, malformed doc) go to the
+    * dead-letter callback immediately — one poison document no longer
+    * burns the retry budget of its 63 good neighbors. */
   def flush(): Unit = {
     if (buf.nonEmpty) {
+      var pending: Seq[BulkAction] = buf.toSeq
       var attempt = 0
-      var done = false
-      while (!done) {
-        try { client.bulk(buf.toSeq); done = true }
-        catch {
-          case e: Exception =>
+      while (pending.nonEmpty) {
+        val outcome =
+          try Right(client.bulkOutcome(pending))
+          catch { case e: Exception => Left(e) }
+        outcome match {
+          case Right(o) =>
+            o.rejected.foreach(deadLetter)
+            if (o.retryable.isEmpty) pending = Nil
+            else {
+              if (attempt >= maxRetries)
+                throw new java.io.IOException(
+                  s"${o.retryable.size} bulk items still failing after $maxRetries retries " +
+                  s"(first: status ${o.retryable.head.status} ${o.retryable.head.reason.take(120)})")
+              backoff(attempt); attempt += 1
+              pending = o.retryable.map(_.action)
+            }
+          case Left(e) =>
             if (attempt >= maxRetries) throw e
-            val delay = backoffInitialMs << attempt // exponential: 2s, 4s, 8s…
-            backoffsSeen += delay
-            sleeper(delay)
-            attempt += 1
+            backoff(attempt); attempt += 1
         }
       }
       buf.clear()
     }
     lastFlush = clock()
+  }
+
+  private def backoff(attempt: Int): Unit = {
+    val delay = backoffInitialMs << attempt // exponential: 2s, 4s, 8s…
+    backoffsSeen += delay
+    sleeper(delay)
+  }
+}
+
+/** Durable dead-letter sink: each rejected action appended as one
+  * ndjson line (action metadata + source + status + reason) to a
+  * per-instance file — the offline analogue of a dead-letter queue.
+  * One instance per partition task (like the bulk clients), so no
+  * cross-task write contention. */
+final class FileDeadLetter(dir: String) extends (BulkItemFailure => Unit) with Serializable {
+  @transient private lazy val path = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    p.resolve(s"dead-${java.util.UUID.randomUUID().toString.take(8)}.ndjson")
+  }
+  override def apply(f: BulkItemFailure): Unit = {
+    val line = s"""{"indexId":${JsonStr.quote(f.action.indexId)},"docId":${JsonStr.quote(f.action.docId)},""" +
+      s""""status":${f.status},"reason":${JsonStr.quote(f.reason)},"source":${JsonStr.quote(f.action.source)}}""" + "\n"
+    java.nio.file.Files.write(path, line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
 }
 
@@ -63,31 +105,39 @@ final class BulkBuffer(
 object EsBulkSink {
 
   /** Write a batch of records through per-partition bulk buffers into
-    * the file-simulated index at `dir`. */
+    * the file-simulated index at `dir`. `tsField` must name the cursor
+    * field of the index — it flows into the stats sidecars the source's
+    * planning index reads back, and a mismatch would silently degrade
+    * cold start to a full body parse. */
   def write(records: Dataset[IngestRecord], dir: String,
             maxActions: Int = 64, flushIntervalMs: Long = 5000,
-            maxRetries: Int = 10, backoffInitialMs: Long = 2000): Unit =
-    writeWith(records, () => new FileEsBulkClient(dir), maxActions,
+            maxRetries: Int = 10, backoffInitialMs: Long = 2000,
+            tsField: String = "ts"): Unit =
+    writeWith(records, () => new FileEsBulkClient(dir, tsField), maxActions,
       flushIntervalMs, maxRetries, backoffInitialMs)
 
   /** Transport-agnostic form: `mkClient` runs ON THE EXECUTOR once per
     * partition (so only its captured config strings are serialized) —
     * pass `() => HttpEsBulkClient(...)` for a live cluster,
-    * `() => FileEsBulkClient(dir)` for the offline sim. */
+    * `() => FileEsBulkClient(dir)` for the offline sim. `deadLetter`
+    * also runs on the executor (e.g. [[FileDeadLetter]]) and receives
+    * every permanently-rejected item. */
   def writeWith(records: Dataset[IngestRecord], mkClient: () => EsBulkClient,
             maxActions: Int = 64, flushIntervalMs: Long = 5000,
-            maxRetries: Int = 10, backoffInitialMs: Long = 2000): Unit = {
+            maxRetries: Int = 10, backoffInitialMs: Long = 2000,
+            deadLetter: BulkItemFailure => Unit = _ => ()): Unit = {
     records.foreachPartition { (it: Iterator[IngestRecord]) =>
       val buffer = new BulkBuffer(mkClient(), maxActions,
-        flushIntervalMs, maxRetries, backoffInitialMs)
+        flushIntervalMs, maxRetries, backoffInitialMs, deadLetter = deadLetter)
       it.foreach(r => buffer.add(BulkAction(r.indexId, r.docId, r.source)))
       buffer.flush()
     }
   }
 
   /** Streaming writer: attach to `ds.writeStream.foreachBatch(streamBatch(dir))`. */
-  def streamBatch(dir: String)(batch: Dataset[IngestRecord], batchId: Long): Unit =
-    write(batch, dir)
+  def streamBatch(dir: String, tsField: String = "ts")(
+      batch: Dataset[IngestRecord], batchId: Long): Unit =
+    write(batch, dir, tsField = tsField)
 }
 
 /** Bulk-file compaction: rewrite an ES-sim index directory as its
@@ -103,11 +153,11 @@ object EsBulkSink {
   * replay, the sink writes per partition. */
 object EsSimCompact {
   def run(spark: SparkSession, srcDir: String, dstDir: String,
-          maxActions: Int = 5000): Unit = {
+          maxActions: Int = 5000, tsField: String = "ts"): Unit = {
     import spark.implicits._
     val current = EsSimStore.read(spark, srcDir)
       .select($"indexId", $"docId", $"source").as[IngestRecord]
-    EsBulkSink.write(current, dstDir, maxActions = maxActions)
+    EsBulkSink.write(current, dstDir, maxActions = maxActions, tsField = tsField)
   }
 }
 

@@ -39,8 +39,55 @@ final class HttpEsBulkClient(
     HttpClient.newBuilder().connectTimeout(Duration.ofMillis(requestTimeoutMs)).build()
   private val next = new AtomicLong(0)
 
+  /** All-or-nothing form: any item failure is a whole-batch failure.
+    * [[bulkOutcome]] is the per-item path [[BulkBuffer]] actually uses. */
   override def bulk(actions: Seq[BulkAction]): Unit = {
-    if (actions.isEmpty) return
+    val body = send(actions)
+    if (body != null && body.contains("\"errors\":true"))
+      throw new java.io.IOException(s"bulk response has item errors: ${body.take(200)}")
+  }
+
+  /** Per-item outcome, the reference BulkProcessor's per-action failure
+    * handling (core.clj:74-78): parse the response `items` array —
+    * positionally aligned with the request actions, an ES API guarantee
+    * — and bucket failures into transient (429/5xx → retry) vs
+    * permanent (mapping conflict etc. → dead-letter). Envelope-level
+    * failures (transport error, non-2xx) still throw = whole batch
+    * retryable. */
+  override def bulkOutcome(actions: Seq[BulkAction]): BulkOutcome = {
+    val body = send(actions)
+    if (body == null || !body.contains("\"errors\":true")) return BulkOutcome.Ok
+    val items = HttpEsBulkClient.mapper.readTree(body).path("items")
+    if (!items.isArray || items.size() != actions.size)
+      // a server that flags errors but reports no aligned items gives us
+      // nothing to split on — degrade to whole-batch retry
+      throw new java.io.IOException(s"bulk response has item errors: ${body.take(200)}")
+    val retryable = Seq.newBuilder[BulkItemFailure]
+    val rejected = Seq.newBuilder[BulkItemFailure]
+    var i = 0
+    while (i < actions.size) {
+      // each item is {"<op>": {"status":…, "error":{…}?}}
+      val op = items.get(i).elements()
+      val r = if (op.hasNext) op.next() else HttpEsBulkClient.mapper.createObjectNode()
+      val status = r.path("status").asInt(500)
+      if (status < 200 || status >= 300) {
+        val reason = {
+          val e = r.path("error")
+          if (e.isMissingNode || e.isNull) s"HTTP $status"
+          else e.path("reason").asText(e.toString.take(200))
+        }
+        val f = BulkItemFailure(actions(i), status, reason)
+        if (f.retryable) retryable += f else rejected += f
+      }
+      i += 1
+    }
+    BulkOutcome(retryable.result(), rejected.result())
+  }
+
+  /** POST the batch; returns the 2xx response body (null for an empty
+    * batch), throws on transport error or non-2xx. */
+  private def send(actions: Seq[BulkAction]): String = {
+    if (actions.isEmpty) return null
     val sb = new java.lang.StringBuilder(actions.size * 128)
     actions.foreach { a =>
       sb.append("""{"index":{"_index":""").append(JsonStr.quote(a.indexId))
@@ -56,15 +103,14 @@ final class HttpEsBulkClient(
     val code = resp.statusCode()
     if (code < 200 || code >= 300)
       throw new java.io.IOException(s"bulk request failed: HTTP $code ${resp.body().take(200)}")
-    // ES returns 200 even when individual items failed; the envelope's
-    // errors flag is the authoritative signal (same check the reference
-    // client performs internally before its failure handler fires)
-    if (resp.body().contains("\"errors\":true"))
-      throw new java.io.IOException(s"bulk response has item errors: ${resp.body().take(200)}")
+    resp.body()
   }
 }
 
 object HttpEsBulkClient {
+  /** Thread-safe for reads; one per JVM (same pattern as BulkStats). */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** The "production swap is config-only" constructor (SURVEY §7.3):
     * build the live client for a sink config's URL list + credentials. */
   def forConfig(config: IngestionConfig): HttpEsBulkClient =

@@ -31,7 +31,8 @@ final case class IngestionConfig(
     bulkMaxActions: Int,
     bulkFlushIntervalMs: Long,
     bulkMaxRetries: Int,
-    bulkBackoffInitialMs: Long)
+    bulkBackoffInitialMs: Long,
+    deadLetterDir: String)
 
 object IngestionConfig {
 
@@ -54,6 +55,9 @@ object IngestionConfig {
     "sink.bulk.flush-interval" -> "5000",
     "sink.bulk.max-retries" -> "10",
     "sink.bulk.backoff-initial" -> "2000",
+    // where permanently-rejected bulk items land ("" = drop silently,
+    // the reference's behavior — its failure handler only logs)
+    "sink.dead-letter-dir" -> "",
   )
 
   /** Parse a comma-separated URL list into host/port/scheme triples,
@@ -93,6 +97,7 @@ object IngestionConfig {
       bulkMaxActions = m("sink.bulk.max-actions").toInt,
       bulkFlushIntervalMs = m("sink.bulk.flush-interval").toLong,
       bulkMaxRetries = m("sink.bulk.max-retries").toInt,
-      bulkBackoffInitialMs = m("sink.bulk.backoff-initial").toLong)
+      bulkBackoffInitialMs = m("sink.bulk.backoff-initial").toLong,
+      deadLetterDir = m("sink.dead-letter-dir"))
   }
 }

@@ -154,10 +154,16 @@ object EsSimStats {
   def list(path: String): Seq[Path] = {
     val dir = Paths.get(path)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("bulk-") &&
-                   p.getFileName.toString.endsWith(".ndjson"))
-      .toSeq.sortBy(_.getFileName.toString)
+    else {
+      // close the DirectoryStream eagerly — this runs on every trigger,
+      // and leaking the fd until GC exhausts the limit on long streams
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("bulk-") &&
+                     p.getFileName.toString.endsWith(".ndjson"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
   }
 
   /** Stats for every bulk file currently in `path`; stats only files

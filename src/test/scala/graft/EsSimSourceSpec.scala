@@ -114,9 +114,11 @@ class EsSimSourceSpec extends SparkSpec {
     val dir = Files.createTempDirectory("essrc").toString
     writeDocs(dir, 0 until 30) // 3 files
     // simulate a pre-sidecar index
-    Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+    val listing = Files.list(java.nio.file.Paths.get(dir))
+    try listing.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".stats.json"))
       .foreach(Files.delete)
+    finally listing.close()
     val parsedBefore = EsSimStats.filesParsed.get()
     val stats = EsSimStats.forPath(dir, "ts")
     assert(stats.size === 3)
@@ -125,6 +127,41 @@ class EsSimSourceSpec extends SparkSpec {
     // second call is served from the cache: no further parses
     EsSimStats.forPath(dir, "ts")
     assert(EsSimStats.filesParsed.get() === parsedBefore + 3)
+  }
+
+  test("sidecar stats: schema-skewed sidecar is declined (counted), body parse takes over") {
+    import graft.sources.EsSimStats
+    val dir = Files.createTempDirectory("essrc").toString
+    writeDocs(dir, 0 until 10) // 1 file + sidecar
+    val bulk = EsSimStats.list(dir).head
+    val sc = graft.ingest.BulkStats.sidecar(bulk)
+    // a future-schema sidecar: right tsField, but count/minTs absent
+    Files.write(sc, """{"tsField":"ts","note":"schema skew"}""".getBytes("UTF-8"))
+    val declinedBefore = graft.ingest.BulkStats.sidecarsDeclined.get()
+    val parsedBefore = EsSimStats.filesParsed.get()
+    val stats = EsSimStats.forPath(dir, "ts")
+    assert(graft.ingest.BulkStats.sidecarsDeclined.get() === declinedBefore + 1,
+      "a present-but-unusable sidecar must be visibly counted, not silently skipped")
+    assert(EsSimStats.filesParsed.get() === parsedBefore + 1)
+    // fallback stats are still the correct ones
+    assert(stats.size === 1)
+    assert(stats.head.count === 10)
+  }
+
+  test("bulk body is published atomically: no .tmp files, body always complete beside its sidecar") {
+    val dir = Files.createTempDirectory("essrc").toString
+    writeDocs(dir, 0 until 20)
+    val listing = Files.list(java.nio.file.Paths.get(dir))
+    val names = try listing.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally listing.close()
+    assert(!names.exists(_.endsWith(".tmp")))
+    // every listable bulk file parses completely and matches its sidecar count
+    graft.sources.EsSimStats.list(dir).foreach { f =>
+      val st = graft.ingest.BulkStats.read(f, "ts")
+      assert(st.isDefined)
+      val docs = graft.sources.EsSimSource.parseBulkFile(f, "ts")
+      assert(docs.size.toLong === st.get.count)
+    }
   }
 
   test("streaming: incremental cursor, batchSize admission, no dups no loss") {

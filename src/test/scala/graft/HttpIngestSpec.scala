@@ -4,6 +4,7 @@ import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.concurrent.atomic.AtomicInteger
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.scalatest.funsuite.AnyFunSuite
@@ -95,6 +96,106 @@ class HttpIngestSpec extends AnyFunSuite {
       val e = intercept[java.io.IOException](client.bulk(Seq(BulkAction("i", "1", "{}"))))
       assert(e.getMessage.contains("item errors"))
     } finally server.stop(0)
+  }
+
+  /** Item-level `_bulk` stub: parses the request ndjson and answers a
+    * per-item status from `script(callIndex, docId)` — the aligned
+    * `items` array a real ES node returns. */
+  private class ItemStub(script: (Int, String) => Int) {
+    val requests = mutable.ArrayBuffer.empty[Seq[String]] // doc ids per call
+    private val calls = new AtomicInteger(0)
+    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val ids = body.linesIterator.filter(_.startsWith("{\"index\""))
+        .map(l => l.split("\"_id\":\"")(1).takeWhile(_ != '"')).toSeq
+      val n = synchronized { requests += ids; calls.getAndIncrement() }
+      val items = ids.map { id =>
+        val s = script(n, id)
+        val err = if (s >= 200 && s < 300) ""
+          else s""","error":{"type":"stub","reason":"scripted $s for $id"}"""
+        s"""{"index":{"_id":"$id","status":$s$err}}"""
+      }.mkString(",")
+      val errors = ids.exists(id => { val s = script(n, id); s < 200 || s >= 300 })
+      val resp = s"""{"took":1,"errors":$errors,"items":[$items]}""".getBytes(UTF_8)
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.start()
+    val base: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("poison doc: permanent 400 item is dead-lettered once, 63 good docs index with zero retries") {
+    // doc "13" always fails with a mapping-style 400; everything else indexes
+    val stub = new ItemStub((_, id) => if (id == "13") 400 else 201)
+    try {
+      val client = new HttpEsBulkClient(Seq(stub.base), Map.empty)
+      val slept = mutable.ArrayBuffer.empty[Long]
+      val dead = mutable.ArrayBuffer.empty[BulkItemFailure]
+      val buffer = new BulkBuffer(client, maxActions = 64,
+        sleeper = (d: Long) => slept += d, deadLetter = (f: BulkItemFailure) => dead += f)
+      (1 to 64).foreach(i => buffer.add(BulkAction("idx", i.toString, s"""{"v":$i}""")))
+      // 64th add triggers the flush; no exception, ONE request, no backoff
+      assert(stub.requests.size === 1)
+      assert(slept.isEmpty, "a permanent reject must not burn the retry budget")
+      assert(dead.map(_.action.docId).toSeq === Seq("13"))
+      assert(dead.head.status === 400)
+      assert(dead.head.reason.contains("scripted 400"))
+    } finally stub.stop()
+  }
+
+  test("429 subset: only the throttled items are re-sent, then succeed") {
+    // first call: odd ids throttled with 429; second call: all accepted
+    val stub = new ItemStub((call, id) => if (call == 0 && id.toInt % 2 == 1) 429 else 201)
+    try {
+      val client = new HttpEsBulkClient(Seq(stub.base), Map.empty)
+      val slept = mutable.ArrayBuffer.empty[Long]
+      val dead = mutable.ArrayBuffer.empty[BulkItemFailure]
+      val buffer = new BulkBuffer(client, maxActions = 64,
+        sleeper = (d: Long) => slept += d, deadLetter = (f: BulkItemFailure) => dead += f)
+      (1 to 10).foreach(i => buffer.add(BulkAction("idx", i.toString, s"""{"v":$i}""")))
+      buffer.flush()
+      assert(stub.requests.size === 2)
+      assert(stub.requests(0) === (1 to 10).map(_.toString))
+      // retry carries ONLY the five throttled docs, after one backoff step
+      assert(stub.requests(1) === Seq("1", "3", "5", "7", "9"))
+      assert(slept.toSeq === Seq(2000L))
+      assert(dead.isEmpty)
+    } finally stub.stop()
+  }
+
+  test("items that keep failing retryably exhaust maxRetries and throw") {
+    val stub = new ItemStub((_, id) => if (id == "2") 503 else 201)
+    try {
+      val client = new HttpEsBulkClient(Seq(stub.base), Map.empty)
+      val buffer = new BulkBuffer(client, maxActions = 64, maxRetries = 3,
+        sleeper = (_: Long) => ())
+      (1 to 4).foreach(i => buffer.add(BulkAction("idx", i.toString, s"""{"v":$i}""")))
+      val e = intercept[java.io.IOException](buffer.flush())
+      assert(e.getMessage.contains("still failing after 3 retries"))
+      // initial call + 3 retries, each retry only the failing doc
+      assert(stub.requests.size === 4)
+      assert(stub.requests.drop(1).forall(_ == Seq("2")))
+    } finally stub.stop()
+  }
+
+  test("FileDeadLetter: rejected items land as readable ndjson with status + reason") {
+    val dir = java.nio.file.Files.createTempDirectory("dlq").toString
+    val dl = new FileDeadLetter(dir)
+    dl(BulkItemFailure(BulkAction("idx", "7", """{"v":7}"""), 400, "mapper_parsing_exception"))
+    dl(BulkItemFailure(BulkAction("idx", "9", """{"v":9}"""), 404, "index_not_found"))
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val files = try listing.iterator().asScala.toSeq finally listing.close()
+    assert(files.size === 1) // one instance = one file
+    val lines = java.nio.file.Files.readAllLines(files.head).asScala
+    assert(lines.size === 2)
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(lines.head)
+    assert(n.path("docId").asText() === "7")
+    assert(n.path("status").asInt() === 400)
+    assert(n.path("reason").asText() === "mapper_parsing_exception")
+    assert(n.path("source").asText() === """{"v":7}""")
   }
 
   test("distributed sink over HTTP: per-partition buffers bulk to the live endpoint") {
