@@ -82,6 +82,9 @@ object Bench {
     // exclude the first two (warmup) batches from the median.
     System.gc()
     Thread.sleep(2000)
+    // the sink above wrote stats sidecars; the source's planning index
+    // must be a pure metadata read — any body parse here is a regression
+    val parsedBefore = sources.EsSimStats.filesParsed.get()
     val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
     val q = spark.readStream
       .format("graft.sources.EsSimSourceProvider")
@@ -102,6 +105,7 @@ object Bench {
       .drop(2) // warmup batches carry codegen/classload cost
     val streamingBatchMs =
       if (trigMs.nonEmpty) trigMs.sorted.apply(trigMs.length / 2) else -1.0
+    val streamFilesParsed = sources.EsSimStats.filesParsed.get() - parsedBefore
 
     // clean up the ~11k bulk files + checkpoint this run created —
     // the driver benches every round and /tmp accumulates otherwise
@@ -109,8 +113,11 @@ object Bench {
       import java.nio.file.{Files, Paths}
       import scala.jdk.CollectionConverters._
       val root = Paths.get(dir)
-      if (Files.exists(root))
-        Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      if (Files.exists(root)) {
+        val w = Files.walk(root)
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally w.close()
+      }
     }
     rmTree(copyDir)
     rmTree(ckpt)
@@ -119,11 +126,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val byName = results.toMap
     def named(q: String): Double = byName.getOrElse(q, -1.0)
+    // name the tail: the p100 was anonymous for two rounds while it
+    // drifted — attribution is the first step of any perf fix
+    val slowest5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => s"""{"name":"$k","sec":$v}""" }.mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","query_median_s":$medianS,"query_p100_s":$p100S""" +
+      s""","query_median_s":$medianS,"query_p100_s":$p100S,"slowest5":$slowest5""" +
       s""","copy_docs":$nDocs,"copy_sec":$copySec,"copy_docs_per_s":$copyDocsPerS""" +
       s""","streaming_batch_ms":$streamingBatchMs""" +
+      s""","stream_files_parsed":$streamFilesParsed""" +
       // BASELINE.md row mapping (explicit so the grader needn't infer)
       s""","dedup_exact_s":${named("d01_exact_dedup")}""" +
       s""","minhash_lsh_s":${named("d04_minhash_lsh")}""" +

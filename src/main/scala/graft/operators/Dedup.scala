@@ -117,24 +117,38 @@ object Dedup {
   def d03NgramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardPairs(documents(s, d), 0.8)
 
-  /** The prefix-filtered exact join over any (doc_id, text) frame —
-    * exposed so property tests can drive it with generated corpora and
-    * compare against a brute-force scan. */
+  /** The prefix-filtered exact join over any (doc_id, text) frame and
+    * any threshold τ ∈ (0, 1] — exposed so property tests can drive it
+    * with generated corpora and compare against a brute-force scan.
+    *
+    * All prefix/length arithmetic is exact integer over the rational
+    * p/q ≈ τ (q = 10^6 represents any sanely-specified threshold
+    * exactly): a double `ceil(τ·n)` can round the wrong way at the
+    * boundary, and a prefix one element too short silently LOSES
+    * qualifying pairs — a recall bug no small test reliably catches. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    require(threshold == 0.8, "prefix arithmetic below is specialized to t=0.8")
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val q = 1000000L
+    val p = math.round(threshold * q)
     val sh = docs
       .select($"doc_id", array_sort(shingleHashes($"text")).as("sh"))
       .filter(size($"sh") > 0)
-    val n = size($"sh")
-    // ceil(0.8n) = (4n+4) div 5 in integer arithmetic
-    val prefLen = n - (n * 4 + 4) / lit(5) + 1
+    val n = size($"sh").cast("long")
+    // Jaccard ≥ τ ⇒ |A∩B| ≥ ceil(τ·max(|A|,|B|)) ≥ ceil(τ·n) =: α on
+    // each side, so qualifying pairs share an element within the first
+    // n − α + 1 sorted shingles. ceil(p·n/q) = floor((p·n + q − 1)/q),
+    // exact in double for any numerator < 2^53.
+    val alpha = floor((n * lit(p) + lit(q - 1)) / lit(q))
+    val prefLen = (n - alpha + lit(1L)).cast("int")
     val pre = sh.select($"doc_id", n.as("n"),
       explode(slice($"sh", lit(1), prefLen)).as("sg"))
+    // length filter: τ·|A| ≤ |B| ∧ τ·|B| ≤ |A|, cross-multiplied to
+    // stay in integers (n is already long: no overflow below 9·10^12)
     val cand = pre.as("a").join(pre.as("b"),
         $"a.sg" === $"b.sg" && $"a.doc_id" < $"b.doc_id" &&
-        $"b.n" * 5 >= $"a.n" * 4 && $"a.n" * 5 >= $"b.n" * 4)
+        $"b.n" * q >= $"a.n" * p && $"a.n" * q >= $"b.n" * p)
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")).distinct()
     val full1 = sh.select($"doc_id".as("d1"), $"sh".as("sh1"))
     val full2 = sh.select($"doc_id".as("d2"), $"sh".as("sh2"))
@@ -347,23 +361,53 @@ object Dedup {
 
   /** Connected components over any (d1, d2) pair frame — exposed so
     * property tests can drive it with generated graphs and compare
-    * against a union-find ground truth. */
-  def clusterPairs(pairs: DataFrame): DataFrame = {
+    * against a union-find ground truth.
+    *
+    * `checkpointDir = None` (default) truncates per-round lineage with
+    * `localCheckpoint` — executor-memory blocks, no I/O, but NOT
+    * executor-loss tolerant: losing one executor mid-iteration kills
+    * the job. For long CC jobs on a real cluster pass a reliable dir
+    * (HDFS/S3): each round then costs one distributed write, and the
+    * iteration survives executor loss — the standard Pregel trade. */
+  def clusterPairs(pairs: DataFrame, checkpointDir: Option[String] = None): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        s.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     val edges = pairs.union(pairs.select($"d2", $"d1")).toDF("src", "dst").cache()
-    var labels = edges.select($"src".as("id")).distinct()
-      .withColumn("label", $"id").localCheckpoint()
+    var labels = ckpt(edges.select($"src".as("id")).distinct()
+      .withColumn("label", $"id"))
+    // convergence probe: labels are monotonically non-increasing per id
+    // over a fixed id set, so for numeric ids Σlabel (as DECIMAL(38,0),
+    // overflow-proof) strictly decreases iff any label changed — one
+    // narrow aggregate per round instead of a shuffle join + count.
+    // Non-numeric ids keep the join probe.
+    val numericLabels = labels.schema("label").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum($"label".cast("decimal(38,0)"))).head.getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    var prevSum = if (numericLabels) labelSum(labels) else null
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
       val prop = edges.join(labels, $"dst" === $"id")
         .select($"src".as("id"), $"label")
-      val next = labels.union(prop)
-        .groupBy($"id").agg(min($"label").as("label"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter($"label" < $"old").count()
+      val next = ckpt(labels.union(prop)
+        .groupBy($"id").agg(min($"label").as("label")))
+      if (numericLabels) {
+        val s2 = labelSum(next)
+        changed = if (s2.compareTo(prevSum) < 0) 1L else 0L
+        prevSum = s2
+      } else {
+        changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+          .filter($"label" < $"old").count()
+      }
       labels = next
       rounds += 1
     }

@@ -223,21 +223,62 @@ object Similarity {
 
   /** Pre-trained coarse quantizer store: k-means runs once per
     * (corpus, k, iters) and the resulting k centroid vectors — a model
-    * artifact of k·dim doubles, NOT data — are kept on the driver and
+    * artifact of k·dim doubles, NOT data — are cached on the driver and
     * rebuilt as a tiny broadcastable table on demand. This is the
     * production IVF lifecycle (train the quantizer once, serve many
     * queries against it); the learn-inline path stays available as
     * [[kmeansCentroids]]. Training itself remains all shuffle-side;
-    * only the finished k rows are collected. */
+    * only the finished k rows are collected.
+    *
+    * Durability: when `spark.graft.centroids.dir` is set, trained
+    * centroids are ALSO written to a tiny parquet keyed by
+    * (corpus, k, iters), and a fresh driver reloads them from there —
+    * "train once, serve many" then survives driver restarts, not just
+    * one JVM lifetime. The in-memory TrieMap is a read-through cache
+    * in front of the store. */
   private val centroidStore =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Seq[(Int, Seq[Double], Double)]]
 
+  /** Test-visible count of actual k-means trainings (cache+store misses). */
+  private[graft] val trainings = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[graft] def clearCentroidCache(): Unit = centroidStore.clear()
+
+  /** Store path for one quantizer artifact: corpus dir is key-hashed
+    * (paths contain separators), k/iters stay readable. */
+  private def storePath(dir: String, d: String, k: Int, iters: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+    s"$dir/centroids-$md-k$k-i$iters"
+  }
+
   def trainedCentroids(s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
     import s.implicits._
+    val durableDir = s.conf.getOption("spark.graft.centroids.dir")
     val rows = centroidStore.getOrElseUpdate((d, k, iters), {
-      kmeansCentroids(corpus(s, d).select($"vec_id", $"v"), k, iters)
-        .select($"cluster_id", $"cv", $"cn").collect().toSeq
-        .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+      val persisted: Option[Seq[(Int, Seq[Double], Double)]] = durableDir.flatMap { dir =>
+        val p = storePath(dir, d, k, iters)
+        try {
+          if (new java.io.File(p).isDirectory)
+            Some(s.read.parquet(p).select($"cluster_id", $"cv", $"cn")
+              .collect().toSeq
+              .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2))))
+          else None
+        } catch { case _: Exception => None }
+      }
+      persisted.getOrElse {
+        trainings.incrementAndGet()
+        val trained = kmeansCentroids(corpus(s, d).select($"vec_id", $"v"), k, iters)
+          .select($"cluster_id", $"cv", $"cn").collect().toSeq
+          .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+        durableDir.foreach { dir =>
+          trained.toDF("cluster_id", "cv", "cn")
+            .coalesce(1) // k rows — one tiny file
+            .write.mode("overwrite").parquet(storePath(dir, d, k, iters))
+        }
+        trained
+      }
     })
     rows.toDF("cluster_id", "cv", "cn")
   }

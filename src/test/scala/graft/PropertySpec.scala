@@ -58,8 +58,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered join is exact for any τ: sweep {0.5, 0.7, 0.9} vs brute force") {
+    import spark.implicits._
+    Seq(0.5, 0.7, 0.9).foreach { tau =>
+      (0 until 3).foreach { seed =>
+        val rnd = new scala.util.Random(3000 + seed)
+        val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+          "eta", "theta", "iota", "kappa")
+        def doc(): String =
+          Seq.fill(8 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        val base = Seq.fill(15)(doc())
+        // heavier mutation than the τ=0.8 test: pairs must straddle the
+        // lower thresholds too, or the sweep tests nothing new
+        val nearCopies = base.take(8).map { t =>
+          val w = t.split(' ').toVector
+          (0 until 1 + rnd.nextInt(4)).foldLeft(w) { (v, _) =>
+            v.updated(rnd.nextInt(v.length), vocab(rnd.nextInt(vocab.size)))
+          }.mkString(" ")
+        }
+        val texts = (base ++ nearCopies).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        val docs = texts.toDF("doc_id", "text")
+        val got = Dedup.ngramJaccardPairs(docs, tau)
+          .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+        val sets = docs.select($"doc_id", Dedup.shingleHashes($"text").as("sh"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+        val expected = (for {
+          a <- sets.keys; b <- sets.keys if a < b
+          if sets(a).nonEmpty && sets(b).nonEmpty
+          j = (sets(a) & sets(b)).size.toDouble / (sets(a) | sets(b)).size
+          if j >= tau
+        } yield (a, b)).toSet
+        assert(got === expected, s"tau=$tau seed=$seed")
+      }
+    }
+  }
+
   test("label-propagation clustering equals union-find on generated graphs") {
     import spark.implicits._
+    // reliable-checkpoint mode on the last seed: same results, lineage
+    // truncated through a durable dir instead of executor memory
+    val ckptDir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
     (0 until 4).foreach { seed =>
       val rnd = new scala.util.Random(2000 + seed)
       val n = 40
@@ -69,7 +107,8 @@ class PropertySpec extends SparkSpec {
         .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
       val chain = (50L until 58L).map(i => (i, i + 1))
       val pairs = (randomEdges ++ chain).distinct
-      val got = Dedup.clusterPairs(pairs.toDF("d1", "d2"))
+      val mode = if (seed == 3) Some(ckptDir) else None
+      val got = Dedup.clusterPairs(pairs.toDF("d1", "d2"), mode)
         .as[(Long, Long)].collect().toMap
       // union-find ground truth with min-id representatives
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -85,6 +124,11 @@ class PropertySpec extends SparkSpec {
         .map(x => x -> find(x)).toMap
       assert(got === expected, s"seed=$seed")
     }
+    // the reliable mode must actually have persisted rounds to the dir
+    val w = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+    val persisted = try w.filter(java.nio.file.Files.isRegularFile(_)).count()
+      finally w.close()
+    assert(persisted > 0, "reliable checkpoint mode wrote nothing")
   }
 
   test("from_json ∘ to_json = identity on generated nested records") {

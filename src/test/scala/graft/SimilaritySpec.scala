@@ -43,6 +43,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("durable centroids: a fresh driver reloads the quantizer with zero re-trainings") {
+    val dir = java.nio.file.Files.createTempDirectory("centroids").toString
+    spark.conf.set("spark.graft.centroids.dir", dir)
+    try {
+      Similarity.clearCentroidCache()
+      val before = Similarity.trainings.get()
+      def fetch() = Similarity.trainedCentroids(spark, sf0001, 4, 2)
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      val first = fetch()
+      assert(Similarity.trainings.get() === before + 1)
+      assert(first.size === 4)
+      // fresh driver: in-memory cache gone, parquet store remains
+      Similarity.clearCentroidCache()
+      val second = fetch()
+      assert(Similarity.trainings.get() === before + 1,
+        "reload must come from the parquet store, not re-run Lloyd's iterations")
+      assert(second === first)
+    } finally {
+      spark.conf.unset("spark.graft.centroids.dir")
+      Similarity.clearCentroidCache()
+    }
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
