@@ -42,12 +42,16 @@ def type_class(dtype):
         return "timestamp"
     return "object"  # strings, lists, decimals-as-object, bytes, dates
 
-def fetch(rel):
-    """Fetch a DuckDB relation the way the driver does (pandas)."""
-    df = rel.fetchdf()
+def fetch(con, sql):
+    """Fetch a query both ways: fetchdf for the driver's dtype-class
+    canonicalization (the HUGEINT trap), fetchall for VALUES — pandas
+    float columns conflate NULL with computed NaN, so hashing pandas
+    rows would silently pass a NaN-vs-NULL divergence; fetchall keeps
+    None and float('nan') distinct."""
+    df = con.execute(sql).fetchdf()
     cols = list(df.columns)
     classes = [type_class(df[c].dtype) for c in cols]
-    rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
+    rows = con.execute(sql).fetchall()
     return cols, classes, rows
 
 def canon(val):
@@ -55,7 +59,7 @@ def canon(val):
         return "NULL"
     if isinstance(val, float):
         if val != val:
-            return "NULL"  # pandas NaN stands in for NULL in float cols
+            return "NaN"  # a COMPUTED NaN is data, not NULL
         # normalized float formatting: 12 significant digits
         return f"{val:.12g}"
     if isinstance(val, bytes):
@@ -106,15 +110,23 @@ def selftest():
     con = duckdb.connect()
     con.execute("CREATE TABLE t AS SELECT CAST(x AS INTEGER) AS x FROM range(5) r(x)")
     # "spark side": what Spark would emit for sum(int) — an int64 column
-    sp = fetch(con.execute("SELECT CAST(SUM(x) AS BIGINT) AS s FROM t"))
-    bad = fetch(con.execute("SELECT SUM(x) AS s FROM t"))          # HUGEINT
-    good = fetch(con.execute("SELECT CAST(SUM(x) AS BIGINT) AS s FROM t"))
+    sp = fetch(con, "SELECT CAST(SUM(x) AS BIGINT) AS s FROM t")
+    bad = fetch(con, "SELECT SUM(x) AS s FROM t")          # HUGEINT
+    good = fetch(con, "SELECT CAST(SUM(x) AS BIGINT) AS s FROM t")
     p_bad = compare(*sp, *bad)
     p_good = compare(*sp, *good)
     assert p_bad, "uncast integer SUM should fail the gate but passed"
     assert any("type class" in p for p in p_bad), f"expected type-class problem, got {p_bad}"
     assert not p_good, f"cast integer SUM should pass, got {p_good}"
-    print("selftest OK: uncast integer SUM fails, CAST AS BIGINT passes")
+    # computed NaN is DATA: it must not silently pass against a NULL
+    nan = fetch(con, "SELECT CAST('NaN' AS DOUBLE) AS v")
+    nul = fetch(con, "SELECT CAST(NULL AS DOUBLE) AS v")
+    p_nan_null = compare(*nan, *nul)
+    p_nan_nan = compare(*nan, *fetch(con, "SELECT CAST('NaN' AS DOUBLE) AS v"))
+    assert p_nan_null, "NaN vs NULL should fail the gate but passed"
+    assert not p_nan_nan, f"NaN vs NaN should pass, got {p_nan_nan}"
+    print("selftest OK: uncast integer SUM fails, CAST AS BIGINT passes, "
+          "NaN!=NULL, NaN==NaN")
 
 def main():
     if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
@@ -136,8 +148,8 @@ def main():
             n_fail += 1
             continue
         try:
-            sp = fetch(con.execute(f"SELECT * FROM read_parquet({files!r})"))
-            du = fetch(con.execute(oracle[name]))
+            sp = fetch(con, f"SELECT * FROM read_parquet({files!r})")
+            du = fetch(con, oracle[name])
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1

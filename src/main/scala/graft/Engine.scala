@@ -59,11 +59,11 @@ object Engine {
     registry.createOrReplaceTempFunction("exact_qsum",
       es => functions.ExactQuantizedSum(es.head).toAggregateExpression(), "scala_udf")
     // token_set_count(text, 'w1,w2,...') — the comma-joined word list
-    // must be a literal (it compiles into the expression)
+    // must be a literal (it compiles into the expression); non-literal
+    // args fail analysis with a clear message
     registry.createOrReplaceTempFunction("token_set_count",
       es => functions.TokenSetCount(es.head,
-        es(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-          .toString.split(',').toSeq), "scala_udf")
+        functions.TokenSetCount.parseWordList(es(1))), "scala_udf")
   }
 
   /** Run SQL against an attached session. */

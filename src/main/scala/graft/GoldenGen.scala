@@ -4,15 +4,17 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.SparkSession
 
 /** Regenerates the committed golden-result parquet files under
-  * `expected/` for the deterministic engine-specific queries that have
-  * no SQL oracle (d05 simhash banding, t08 mod-p fingerprint, m01
-  * stub-decoded metadata — all pure functions of fixed-seed hashes over
-  * the fixed sf0.01 corpus, so a snapshot is a sound regression check).
+  * `expected/<sfTag>/` for the deterministic engine-specific queries
+  * that have no SQL oracle (d05 simhash banding, t08 mod-p fingerprint,
+  * m01 stub-decoded metadata — all pure functions of fixed-seed hashes
+  * over a fixed corpus, so a snapshot is a sound regression check).
+  * Goldens are keyed by the scale-factor directory name, so the same
+  * Verify run passes at every sf that has a committed snapshot.
   *
   * The driver's DuckDB gate then hash-compares them like any oracle via
-  * `SELECT * FROM read_parquet('<repo>/expected/<name>.parquet')` —
+  * `SELECT * FROM read_parquet('<repo>/expected/<sf>/<name>.parquet')` —
   * upgrading these entries from rows-only to hard checks. Run after an
-  * INTENDED change to their semantics:
+  * INTENDED change to their semantics, once per supported sf:
   *
   * {{{ sbt "runMain graft.GoldenGen /root/testdata/sf0.01" }}}
   */
@@ -20,10 +22,19 @@ object GoldenGen {
   val goldenQueries: Seq[String] =
     Seq("d05_simhash", "t08_modp_fingerprint", "m01_multimodal_meta")
 
-  def goldenDir: Path = Paths.get(sys.props.getOrElse("graft.repo.dir", "/root/repo"), "expected")
+  /** The sf the current run verifies against — set by [[Verify]] from
+    * its sfDir argument; defaults to the driver gate's sf0.01. */
+  def sfTag: String = sys.props.getOrElse("graft.sf.tag", "sf0.01")
+
+  def setSfTag(sfDir: String): Unit =
+    sys.props("graft.sf.tag") = Paths.get(sfDir).getFileName.toString
+
+  def goldenDir: Path =
+    Paths.get(sys.props.getOrElse("graft.repo.dir", "/root/repo"), "expected", sfTag)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    setSfTag(sfDir)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -36,16 +47,18 @@ object GoldenGen {
       val tmp = Files.createTempDirectory(s"golden-$name").resolve("out")
       SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst().orElseThrow()
+      val listing = Files.list(tmp)
+      val part = try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow() finally listing.close()
       Files.move(part, goldenDir.resolve(s"$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      println(s"[golden] wrote expected/$name.parquet")
+      println(s"[golden] wrote expected/$sfTag/$name.parquet")
     }
     spark.stop()
   }
 
   /** Oracle SQL for a golden-snapshot query: DuckDB reads the committed
-    * parquet directly, making the driver's compare a hard hash check. */
+    * parquet directly, making the driver's compare a hard hash check.
+    * Resolved at oracle-dump time, after [[setSfTag]]. */
   def oracle(name: String): String =
     s"SELECT * FROM read_parquet('${goldenDir.resolve(s"$name.parquet")}')"
 }

@@ -46,8 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => functions.L2Norm(es.head)),
       fn("token_set_count", "count of space-delimited tokens in the literal comma-joined word set",
         es => functions.TokenSetCount(es.head,
-          es(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-            .toString.split(',').toSeq)),
+          functions.TokenSetCount.parseWordList(es(1)))),
     ).foreach(ext.injectFunction)
   }
 }

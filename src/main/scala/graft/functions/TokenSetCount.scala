@@ -50,6 +50,23 @@ object TokenSetCount {
   def apply(c: Column, words: Seq[String]): Column =
     GraftGlue.toCol(TokenSetCount(GraftGlue.toExpr(c), words))
 
+  /** SQL-registration arg parsing: the word-list argument compiles into
+    * the expression, so it must be a foldable non-null string. A plain
+    * `eval()` on a non-foldable arg dies deep in the expression tree
+    * with an opaque UnsupportedOperationException — fail analysis with
+    * a proper AnalysisException instead. */
+  def parseWordList(e: Expression): Seq[String] = {
+    def fail(why: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          s"token_set_count(text, words): the words argument must be a $why (a comma-joined string literal like 'the,a,of')"))
+    if (!e.foldable) fail("literal, got a non-foldable expression")
+    val v = e.eval()
+    if (v == null) fail("non-null string, got NULL")
+    v.asInstanceOf[UTF8String].toString.split(',').toSeq
+  }
+
   /** Static helper invoked from both interpreted eval and generated
     * code (raw HashSet in the signature keeps Janino happy). */
   def count(s: UTF8String, set: java.util.HashSet[UTF8String]): Int = {

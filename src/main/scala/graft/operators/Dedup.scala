@@ -441,7 +441,9 @@ object Dedup {
     "d08_dedup_clusters" -> (d08DedupClusters _),
   )
 
-  val oracles: Map[String, String] = Map(
+  // def, not val: the golden-snapshot oracle path resolves the sf tag
+  // at dump time (GoldenGen.setSfTag), after object initialization
+  def oracles: Map[String, String] = Map(
     "d01_exact_dedup"   -> d01Sql,
     "d02_keep_latest"   -> d02Sql,
     "d03_ngram_jaccard" -> d03Sql,

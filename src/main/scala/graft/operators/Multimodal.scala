@@ -151,7 +151,9 @@ object Multimodal {
       |      FROM documents),
       |  unnest(range(0, nc)) AS t(i)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // def, not val: the golden-snapshot oracle path resolves the sf tag
+  // at dump time (GoldenGen.setSfTag), after object initialization
+  def oracles: Map[String, String] = Map(
     "m02_payload_bytes" -> m02Sql,
     "m03_chunk_sample"  -> m03Sql,
     "m04_resize_stub"   -> m04Sql,

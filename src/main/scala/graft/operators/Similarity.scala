@@ -162,6 +162,9 @@ object Similarity {
         $"qs.qmax".as("qmax"), $"qs.max_abs_err".as("max_abs_err"))
   }
 
+  /** Mirrors the Spark expression's scale==0 special case (all-zero
+    * vector quantizes to all-zeros) — an unguarded x/scale would
+    * diverge to NaN there while the engine reports 0. */
   val s05Sql: String =
     """WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -172,9 +175,12 @@ object Similarity {
       |  FROM e
       |)
       |SELECT vec_id, scale,
-      |  CAST(list_min(list_transform(v, x -> floor(x / scale + 0.5))) AS INTEGER) AS qmin,
-      |  CAST(list_max(list_transform(v, x -> floor(x / scale + 0.5))) AS INTEGER) AS qmax,
-      |  list_max(list_transform(v, x -> abs(x - floor(x / scale + 0.5) * scale))) AS max_abs_err
+      |  CAST(list_min(list_transform(v,
+      |    x -> CASE WHEN scale = 0 THEN 0 ELSE floor(x / scale + 0.5) END)) AS INTEGER) AS qmin,
+      |  CAST(list_max(list_transform(v,
+      |    x -> CASE WHEN scale = 0 THEN 0 ELSE floor(x / scale + 0.5) END)) AS INTEGER) AS qmax,
+      |  list_max(list_transform(v,
+      |    x -> abs(x - CASE WHEN scale = 0 THEN 0 ELSE floor(x / scale + 0.5) END * scale))) AS max_abs_err
       |FROM sc""".stripMargin
 
   /** Element-wise mean of vectors per group key: explode to (key, pos,

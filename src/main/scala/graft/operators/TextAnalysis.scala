@@ -281,7 +281,9 @@ object TextAnalysis {
     "t06_approx_stats" -> (t06ApproxStats _),
   )
 
-  val oracles: Map[String, String] = Map(
+  // def, not val: the golden-snapshot oracle path resolves the sf tag
+  // at dump time (GoldenGen.setSfTag), after object initialization
+  def oracles: Map[String, String] = Map(
     "t13_term_topk"    -> t13Sql,
     "t14_length_histogram" -> t14Sql,
     "t07_bpe_tokens"   -> t07Sql,

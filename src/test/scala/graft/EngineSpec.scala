@@ -29,6 +29,20 @@ class EngineSpec extends SparkSpec {
     assert(sql === df)
   }
 
+  test("token_set_count rejects non-literal and NULL word lists at analysis time") {
+    Engine.registerFunctions(spark)
+    Engine.attach(spark, sf0001)
+    val nonLit = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT token_set_count(text, text) FROM documents").collect()
+    }
+    assert(nonLit.getMessage.contains("must be a literal"),
+      s"got: ${nonLit.getMessage}")
+    val nul = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT token_set_count(text, CAST(NULL AS STRING)) FROM documents").collect()
+    }
+    assert(nul.getMessage.contains("non-null string"), s"got: ${nul.getMessage}")
+  }
+
   test("custom native functions usable from SQL") {
     Engine.registerFunctions(spark)
     Engine.attach(spark, sf0001)
