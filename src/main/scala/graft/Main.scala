@@ -63,8 +63,15 @@ object Main {
     // argument alone (the config-only production swap, SURVEY §7.3): an
     // http(s) URL list gets the live _bulk client with the configured
     // Basic auth; anything else is the file-simulated index.
+    // flush size is transport-specific: 64 actions is the reference's
+    // ES BulkProcessor wire policy (core.clj:72); the file transport
+    // pays per-FILE publish costs (sidecar + atomic rename) and runs
+    // 5× faster at its own default (sink.file.max-actions, 1024 —
+    // measured by graft.SinkBench)
+    val isHttp = sinkDir.startsWith("http://") || sinkDir.startsWith("https://")
+    val maxActions = if (isHttp) config.bulkMaxActions else config.fileMaxActions
     val mkClient: () => EsBulkClient =
-      if (sinkDir.startsWith("http://") || sinkDir.startsWith("https://")) {
+      if (isHttp) {
         val urls = EsRestAuth.baseUrls(IngestionConfig.parseUrls(sinkDir))
         val headers = EsRestAuth.bulkHeaders(config)
         () => new HttpEsBulkClient(urls, headers)
@@ -84,7 +91,7 @@ object Main {
                else Trigger.ProcessingTime(config.sourcePollIntervalMs))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[IngestRecord], _: Long) =>
         EsBulkSink.writeWith(batch, mkClient,
-          config.bulkMaxActions, config.bulkFlushIntervalMs,
+          maxActions, config.bulkFlushIntervalMs,
           config.bulkMaxRetries, config.bulkBackoffInitialMs,
           deadLetter = deadLetter)
       }

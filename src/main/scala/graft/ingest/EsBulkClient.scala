@@ -49,10 +49,21 @@ trait EsBulkClient extends Serializable {
   * them in arrival order and apply upsert-by-id semantics — the same
   * idempotent re-run behavior the reference gets from ES document ids
   * (core.clj:63). */
-final class FileEsBulkClient(dir: String, tsField: String = "ts") extends EsBulkClient {
+final class FileEsBulkClient(dir: String, tsField: String = "ts",
+    // measurement-only knobs (graft.SinkBench): production always runs
+    // with sidecars + atomic publish — disabling either re-opens the
+    // cold-start O(corpus) driver parse / torn-read hazards
+    private[graft] val sidecars: Boolean = true,
+    private[graft] val atomicPublish: Boolean = true) extends EsBulkClient {
   private val counter = new AtomicLong()
   private val clientId = java.util.UUID.randomUUID().toString.take(8)
   private val lastIssued = new AtomicLong(Long.MinValue)
+  // one mkdir per client lifetime, not one stat() per 64-doc flush
+  @transient private lazy val dirPath: Path = {
+    val p = Paths.get(dir)
+    Files.createDirectories(p)
+    p
+  }
 
   /** Wall-clock epoch micros — comparable ACROSS writer JVMs, unlike
     * System.nanoTime() whose origin is arbitrary per JVM. EsSimStore's
@@ -76,24 +87,29 @@ final class FileEsBulkClient(dir: String, tsField: String = "ts") extends EsBulk
         .append(""","_id":""").append(JsonStr.quote(a.docId)).append("}}\n")
       sb.append(a.source).append('\n')
     }
-    val p = Paths.get(dir)
-    Files.createDirectories(p)
+    val p = dirPath
     val name = f"bulk-${epochMicros()}%020d-$clientId-${counter.getAndIncrement()}%06d.ndjson"
     val bulkPath = p.resolve(name)
     // stats sidecar FIRST: any reader that can already list the bulk
     // file finds its stats present, so the source's planning index
     // never has to parse a body this client wrote
-    BulkStats.write(bulkPath, BulkStats.compute(tsField,
-      actions.iterator.map(a => (a.indexId, a.docId, BulkStats.tsOf(a.source, tsField)))))
+    if (sidecars)
+      BulkStats.write(bulkPath, BulkStats.compute(tsField,
+        actions.iterator.map(a => (a.indexId, a.docId, BulkStats.tsOf(a.source, tsField)))))
     // body published by atomic rename: a listable bulk file is always
     // complete and matches its sidecar — a reader that admits a file on
     // sidecar stats must never see a torn/partial body (a crash or
     // ENOSPC mid-write would otherwise advance the streaming cursor
     // past rows that were never readable)
-    val tmp = p.resolve(name + ".tmp")
-    Files.write(tmp, sb.toString.getBytes(UTF_8),
-      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-    Files.move(tmp, bulkPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (atomicPublish) {
+      val tmp = p.resolve(name + ".tmp")
+      Files.write(tmp, sb.toString.getBytes(UTF_8),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      Files.move(tmp, bulkPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      Files.write(bulkPath, sb.toString.getBytes(UTF_8),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    }
   }
 }
 

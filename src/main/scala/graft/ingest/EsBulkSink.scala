@@ -108,9 +108,17 @@ object EsBulkSink {
     * the file-simulated index at `dir`. `tsField` must name the cursor
     * field of the index — it flows into the stats sidecars the source's
     * planning index reads back, and a mismatch would silently degrade
-    * cold start to a full body parse. */
+    * cold start to a full body parse.
+    *
+    * `maxActions` defaults to 1024 here, NOT the reference's 64: the
+    * 64-action flush is an ES `_bulk` WIRE policy (request sizing for
+    * an HTTP round trip, core.clj:72) while this transport pays its
+    * costs per FILE — sidecar write + tmp write + atomic rename — and
+    * graft.SinkBench measured 104k → 549k docs/s going 64 → 1024 with
+    * durability unchanged. The HTTP path (Main, BulkBuffer default)
+    * keeps the reference's 64. */
   def write(records: Dataset[IngestRecord], dir: String,
-            maxActions: Int = 64, flushIntervalMs: Long = 5000,
+            maxActions: Int = 1024, flushIntervalMs: Long = 5000,
             maxRetries: Int = 10, backoffInitialMs: Long = 2000,
             tsField: String = "ts"): Unit =
     writeWith(records, () => new FileEsBulkClient(dir, tsField), maxActions,
@@ -142,8 +150,9 @@ object EsBulkSink {
 
 /** Bulk-file compaction: rewrite an ES-sim index directory as its
   * current upsert-resolved state in large bulk files. The write path
-  * flushes every 64 actions (the reference's sink policy), so a
-  * long-running ingest accumulates thousands of tiny files — and file
+  * flushes every `maxActions` buffered docs (1024 by default for the
+  * file transport; 64 on the ES wire), so a
+  * long-running ingest accumulates thousands of small files — and file
   * count is exactly what drives the source's planning cost (per-file
   * stats) and read amplification (per-file opens). Compaction folds the
   * upsert history (last write per doc id wins) and emits with a big
@@ -174,7 +183,8 @@ object EsSimStore {
     * (row_number over monotonically_increasing_id does NOT: a bulk file
     * split across input partitions can interleave ids across splits and
     * pair meta lines with the wrong source lines.) Bulk files are small
-    * by construction — the writer flushes every 64 actions — so a
+    * by construction — the writer flushes every `maxActions` docs, a
+    * few hundred KB at the 1024 default — so a
     * one-row-per-file read stays balanced; posexplode fans back out to
     * one row per line before any heavy lifting. */
   def actions(spark: SparkSession, dir: String): DataFrame = {

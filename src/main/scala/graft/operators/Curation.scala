@@ -187,9 +187,17 @@ object Curation {
     * its text and embedding dedup signals agree before trusting either
     * at scale; pairs are few, so the embedding join is two keyed
     * lookups. */
-  def d09CrossModal(s: SparkSession, d: String): DataFrame = {
+  def d09CrossModal(s: SparkSession, d: String): DataFrame =
+    d09CrossModal(s, d, None)
+
+  /** Pipeline form: accepts the d03 pair frame precomputed by the
+    * caller (shared with d08's clustering) so the corpus-wide
+    * similarity join runs once per pipeline; must carry (d1, d2,
+    * jaccard). `None` recomputes — the standalone oracle path. */
+  def d09CrossModal(s: SparkSession, d: String,
+                    precomputed: Option[DataFrame]): DataFrame = {
     import s.implicits._
-    val pairs = Dedup.ngramJaccardPairs(documents(s, d), 0.8)
+    val pairs = precomputed.getOrElse(Dedup.ngramJaccardPairs(documents(s, d), 0.8))
     val e = embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .select($"vec_id", $"v", Similarity.norm($"v").as("nrm"))

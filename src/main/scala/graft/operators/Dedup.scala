@@ -130,8 +130,14 @@ object Dedup {
     val s = docs.sparkSession
     import s.implicits._
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    // p = FLOOR(τ·q), so p/q ≤ τ always: a rational approximation from
+    // below is recall-safe (prefix one element longer, length filter one
+    // notch looser than τ demands), and the final exact `jaccard ≥ τ`
+    // filter removes the false positives the slack admits. round() could
+    // land ABOVE τ (τ = 2/3 → p = 666667), silently losing pairs with
+    // Jaccard in [τ, p/q).
     val q = 1000000L
-    val p = math.round(threshold * q)
+    val p = math.floor(threshold * q).toLong max 1L
     val sh = docs
       .select($"doc_id", array_sort(shingleHashes($"text")).as("sh"))
       .filter(size($"sh") > 0)
@@ -354,9 +360,18 @@ object Dedup {
     *
     * Output: (doc_id, cluster_rep) for every document in any near-dup
     * pair; `doc_id = cluster_rep` marks the kept representative. */
-  def d08DedupClusters(s: SparkSession, d: String): DataFrame = {
+  def d08DedupClusters(s: SparkSession, d: String): DataFrame =
+    d08DedupClusters(s, d, None)
+
+  /** Pipeline form: a curation run that already materialized the d03
+    * pair frame (it also feeds d09's cross-modal QA) passes it here and
+    * the corpus-wide similarity join runs ONCE per pipeline instead of
+    * once per consumer — at 100 TB the pair join is the expensive stage
+    * and everything downstream of it is cheap by comparison. `None`
+    * recomputes, which is what the standalone oracle path uses. */
+  def d08DedupClusters(s: SparkSession, d: String, pairs: Option[DataFrame]): DataFrame = {
     import s.implicits._
-    clusterPairs(d03NgramJaccard(s, d).select($"d1", $"d2"))
+    clusterPairs(pairs.getOrElse(d03NgramJaccard(s, d)).select($"d1", $"d2"))
   }
 
   /** Connected components over any (d1, d2) pair frame — exposed so
@@ -382,17 +397,26 @@ object Dedup {
     var labels = ckpt(edges.select($"src".as("id")).distinct()
       .withColumn("label", $"id"))
     // convergence probe: labels are monotonically non-increasing per id
-    // over a fixed id set, so for numeric ids Σlabel (as DECIMAL(38,0),
+    // over a fixed id set, so for INTEGRAL ids Σlabel (as DECIMAL(38,0),
     // overflow-proof) strictly decreases iff any label changed — one
     // narrow aggregate per round instead of a shuffle join + count.
-    // Non-numeric ids keep the join probe.
-    val numericLabels = labels.schema("label").dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // Fractional ids (Double/Float/scaled Decimal) must NOT take this
+    // path: the scale-0 cast rounds, so a label drop below one unit
+    // leaves the sum unchanged and would converge early with wrong
+    // clusters. They keep the join probe, as do non-numeric ids.
+    val integralLabels = {
+      import org.apache.spark.sql.types._
+      labels.schema("label").dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType if d.scale == 0                => true
+        case _                                             => false
+      }
+    }
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(sum($"label".cast("decimal(38,0)"))).head.getDecimal(0)
       if (v == null) java.math.BigDecimal.ZERO else v
     }
-    var prevSum = if (numericLabels) labelSum(labels) else null
+    var prevSum = if (integralLabels) labelSum(labels) else null
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -400,7 +424,7 @@ object Dedup {
         .select($"src".as("id"), $"label")
       val next = ckpt(labels.union(prop)
         .groupBy($"id").agg(min($"label").as("label")))
-      if (numericLabels) {
+      if (integralLabels) {
         val s2 = labelSum(next)
         changed = if (s2.compareTo(prevSum) < 0) 1L else 0L
         prevSum = s2

@@ -50,6 +50,26 @@ class DedupSpec extends SparkSpec {
     assert(sim.size <= exact.size * 3 + 10, s"simhash precision blowup: ${sim.size} pairs")
   }
 
+  test("shared pair frame: d08/d09 over precomputed pairs equal standalone forms") {
+    import spark.implicits._
+    // the pipeline form: materialize the d03 join ONCE, feed clusters
+    // and cross-modal QA from it — results must be identical to each
+    // operator recomputing the join itself
+    val pairs = Dedup.ngramJaccardPairs(graft.Tables.documents(spark, sf001), 0.8).cache()
+    try {
+      val clustersShared = Dedup.d08DedupClusters(spark, sf001, Some(pairs))
+        .as[(Long, Long)].collect().toSet
+      val clustersAlone = Dedup.d08DedupClusters(spark, sf001)
+        .as[(Long, Long)].collect().toSet
+      assert(clustersShared === clustersAlone)
+      val xmShared = graft.operators.Curation.d09CrossModal(spark, sf001, Some(pairs))
+        .collect().map(_.toSeq).toSet
+      val xmAlone = graft.operators.Curation.d09CrossModal(spark, sf001)
+        .collect().map(_.toSeq).toSet
+      assert(xmShared === xmAlone)
+    } finally pairs.unpersist()
+  }
+
   test("dedup is idempotent: d01 over its own survivors is identity") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001)

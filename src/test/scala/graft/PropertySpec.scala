@@ -58,9 +58,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("prefix-filtered join is exact for any τ: sweep {0.5, 0.7, 0.9} vs brute force") {
+  test("τ floor-rounding: boundary pair at J = 2/3 survives a non-representable τ") {
     import spark.implicits._
-    Seq(0.5, 0.7, 0.9).foreach { tau =>
+    // B's 2 shingles ⊂ A's 3 → Jaccard exactly 2/3. With p = ROUND(τ·10⁶)
+    // = 666667 > τ·10⁶ the cross-multiplied length filter (2·10⁶ ≥ 3·p)
+    // rejects the pair before verification ever runs; floor keeps p/q ≤ τ
+    // and the pair survives. Pins the round-5 ADVICE regression.
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, 2.0 / 3.0)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("prefix-filtered join is exact for any τ: sweep {0.5, 2/3, 0.7, 0.9} vs brute force") {
+    import spark.implicits._
+    Seq(0.5, 2.0 / 3.0, 0.7, 0.9).foreach { tau =>
       (0 until 3).foreach { seed =>
         val rnd = new scala.util.Random(3000 + seed)
         val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
@@ -129,6 +141,18 @@ class PropertySpec extends SparkSpec {
     val persisted = try w.filter(java.nio.file.Files.isRegularFile(_)).count()
       finally w.close()
     assert(persisted > 0, "reliable checkpoint mode wrote nothing")
+  }
+
+  test("clusterPairs with fractional double ids converges correctly (join probe)") {
+    import spark.implicits._
+    // chain 0.25—0.5—0.75: the labels differ by < 1 unit, so a
+    // DECIMAL(38,0) sum probe would see an unchanged sum after round 1
+    // (21.25 and 21.0 both land on 21) and stop with 0.75 still labeled
+    // 0.5 — the premature-convergence bug the IntegralType gate prevents
+    val pairs = Seq((0.5, 0.25), (0.75, 0.5), (10.25, 10.125)).toDF("d1", "d2")
+    val got = Dedup.clusterPairs(pairs).as[(Double, Double)].collect().toMap
+    assert(got === Map(0.25 -> 0.25, 0.5 -> 0.25, 0.75 -> 0.25,
+      10.125 -> 10.125, 10.25 -> 10.125))
   }
 
   test("from_json ∘ to_json = identity on generated nested records") {
