@@ -11,12 +11,20 @@ count, and a hash over rows sorted with columns in name order —
 mirroring the driver's compare as documented (sorts columns by name
 before hashing values).
 
-Both sides are fetched via DuckDB -> pandas (fetchdf), matching the
-driver's canonicalization path: DuckDB HUGEINT (integer SUM) surfaces as
-float64 there while Spark's BIGINT stays int64, so an uncast integer-SUM
-oracle fails HERE exactly as it does at the driver gate. fetchall()
-would hide that (HUGEINT -> Python int -> str matches int64) — round 1
-passed 82/82 locally while the driver failed 3 for exactly this reason.
+Each side is compared on two planes, fetched differently on purpose:
+ - TYPE CLASSES come from pandas dtypes (fetchdf), mirroring the
+   driver's canonicalization: DuckDB HUGEINT (integer SUM) surfaces as
+   float64 there while Spark's BIGINT stays int64, so an uncast
+   integer-SUM oracle fails HERE exactly as it does at the driver gate
+   (round 1 passed 82/82 locally while the driver failed 3 for this).
+   The dtypes are read from a `LIMIT 0` wrapper — the pandas dtype
+   mapping is schema-driven, identical at zero rows, and skips
+   re-executing the query.
+ - VALUES come from one fetchall() of the real query: pandas float
+   columns conflate NULL with a computed NaN, so hashing pandas rows
+   would silently pass a NaN-vs-NULL divergence; fetchall keeps None
+   and float('nan') distinct. (fetchall alone can't replace the dtype
+   plane: HUGEINT -> Python int -> str would collide with int64.)
 """
 import sys, os, json, glob, hashlib
 import duckdb
@@ -43,12 +51,11 @@ def type_class(dtype):
     return "object"  # strings, lists, decimals-as-object, bytes, dates
 
 def fetch(con, sql):
-    """Fetch a query both ways: fetchdf for the driver's dtype-class
-    canonicalization (the HUGEINT trap), fetchall for VALUES — pandas
-    float columns conflate NULL with computed NaN, so hashing pandas
-    rows would silently pass a NaN-vs-NULL divergence; fetchall keeps
-    None and float('nan') distinct."""
-    df = con.execute(sql).fetchdf()
+    """One real execution (fetchall, for values) plus a LIMIT 0 probe
+    (fetchdf, for the driver's pandas dtype-class canonicalization —
+    schema-driven, so zero rows carry the same dtypes). See module
+    docstring for why the two planes need different fetch paths."""
+    df = con.execute(f"SELECT * FROM ({sql}) _q LIMIT 0").fetchdf()
     cols = list(df.columns)
     classes = [type_class(df[c].dtype) for c in cols]
     rows = con.execute(sql).fetchall()

@@ -81,19 +81,38 @@ object Main {
         () => new FileEsBulkClient(dir, tsField)
       }
     // permanent per-item rejects (mapping conflicts etc.) are preserved,
-    // not dropped, when a dead-letter dir is configured
-    val deadLetter: BulkItemFailure => Unit =
+    // not dropped, when a dead-letter dir is configured; either way a
+    // job-level accumulator counts them (executor-side callbacks can't
+    // be read from the driver, a LongAccumulator can) and each batch
+    // logs its delta — rejects are never silent
+    val rejects = spark.sparkContext.longAccumulator("bulk-rejected-items")
+    val baseDeadLetter: BulkItemFailure => Unit =
       if (config.deadLetterDir.nonEmpty) new FileDeadLetter(config.deadLetterDir)
       else _ => ()
+    val deadLetter: BulkItemFailure => Unit = f => { rejects.add(1); baseDeadLetter(f) }
+    var rejectsSeen = 0L
     val query = records.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(if (once) Trigger.AvailableNow()
                else Trigger.ProcessingTime(config.sourcePollIntervalMs))
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[IngestRecord], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[IngestRecord], batchId: Long) =>
         EsBulkSink.writeWith(batch, mkClient,
           maxActions, config.bulkFlushIntervalMs,
           config.bulkMaxRetries, config.bulkBackoffInitialMs,
           deadLetter = deadLetter)
+        val total = rejects.value
+        if (total > rejectsSeen) {
+          System.err.println(s"[graft] batch $batchId: ${total - rejectsSeen} bulk item(s) " +
+            s"permanently rejected ($total total)" +
+            (if (config.deadLetterDir.nonEmpty) s" -> ${config.deadLetterDir}" else " — DROPPED (no sink.dead-letter-dir)"))
+          rejectsSeen = total
+        }
+        // opt-in maintenance: periodically fold the file sink's upsert
+        // history into large files (sink.compact.every-batches; the
+        // protocol is live-reader-safe, see EsSimCompact.inPlace)
+        if (!isHttp && config.compactEveryBatches > 0 &&
+            batchId > 0 && batchId % config.compactEveryBatches == 0)
+          EsSimCompact.inPlace(spark, sinkDir, tsField = config.sourceTimestampField)
       }
       .start()
 

@@ -54,9 +54,17 @@ final class FileEsBulkClient(dir: String, tsField: String = "ts",
     // with sidecars + atomic publish — disabling either re-opens the
     // cold-start O(corpus) driver parse / torn-read hazards
     private[graft] val sidecars: Boolean = true,
-    private[graft] val atomicPublish: Boolean = true) extends EsBulkClient {
+    private[graft] val atomicPublish: Boolean = true,
+    // compaction-only (EsSimCompact.inPlace): pin every file name to
+    // this micros instead of the wall clock, so compacted output sorts
+    // AT the newest input it replaces in upsert-replay order — after
+    // everything it folded, before anything written since
+    private[graft] val fixedMicros: Option[Long] = None) extends EsBulkClient {
   private val counter = new AtomicLong()
-  private val clientId = java.util.UUID.randomUUID().toString.take(8)
+  // compaction clients lead with 'z' (> any hex char): at EQUAL micros
+  // a compacted file must sort after the real client files it replaces
+  private val clientId = (if (fixedMicros.isDefined) "z" else "") +
+    java.util.UUID.randomUUID().toString.take(if (fixedMicros.isDefined) 7 else 8)
   private val lastIssued = new AtomicLong(Long.MinValue)
   // one mkdir per client lifetime, not one stat() per 64-doc flush
   @transient private lazy val dirPath: Path = {
@@ -73,7 +81,7 @@ final class FileEsBulkClient(dir: String, tsField: String = "ts",
     * (max(last+1, wall)): an NTP step backwards must not reorder this
     * writer's own files, or replay could resolve an upsert to the
     * older document. */
-  private def epochMicros(): Long = {
+  private def epochMicros(): Long = fixedMicros.getOrElse {
     val now = java.time.Instant.now()
     val wall = now.getEpochSecond * 1000000L + now.getNano / 1000L
     lastIssued.updateAndGet(prev => math.max(prev + 1, wall))

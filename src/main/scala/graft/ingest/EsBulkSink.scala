@@ -1,5 +1,7 @@
 package graft.ingest
 
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -43,7 +45,22 @@ final class BulkBuffer(
     * shrink the retry set to just the transient (429/5xx) items, while
     * permanent rejects (mapping conflict, malformed doc) go to the
     * dead-letter callback immediately — one poison document no longer
-    * burns the retry budget of its 63 good neighbors. */
+    * burns the retry budget of its 63 good neighbors.
+    *
+    * Every reject also bumps [[BulkBuffer.rejectedTotal]] and logs one
+    * warning per flush, INDEPENDENT of the callback: with the default
+    * no-op dead-letter a mapping-conflict drop must still be visible
+    * to ops, not silent.
+    *
+    * Dead-letter delivery is AT-LEAST-ONCE: rejects are handed to the
+    * callback as soon as the server reports them, so if this flush
+    * later exhausts its retry budget and throws, Spark's task retry
+    * re-sends the batch and the same rejects are delivered again.
+    * Consumers must dedup by (indexId, docId) — see
+    * [[FileDeadLetter.read]]. (Buffering rejects until the flush
+    * succeeds would instead LOSE them whenever the job dies mid-flush
+    * — for a queue whose whole job is preserving failures, duplicates
+    * are the right side of that trade.) */
   def flush(): Unit = {
     if (buf.nonEmpty) {
       var pending: Seq[BulkAction] = buf.toSeq
@@ -54,6 +71,13 @@ final class BulkBuffer(
           catch { case e: Exception => Left(e) }
         outcome match {
           case Right(o) =>
+            if (o.rejected.nonEmpty) {
+              BulkBuffer.rejectedTotal.addAndGet(o.rejected.size)
+              BulkBuffer.log.warning(
+                s"${o.rejected.size} bulk item(s) permanently rejected " +
+                s"(first: status ${o.rejected.head.status} " +
+                s"${o.rejected.head.reason.take(120)})")
+            }
             o.rejected.foreach(deadLetter)
             if (o.retryable.isEmpty) pending = Nil
             else {
@@ -81,6 +105,15 @@ final class BulkBuffer(
   }
 }
 
+object BulkBuffer {
+  /** Per-JVM count of permanently-rejected bulk items — bumped on every
+    * reject even when no dead-letter sink is configured, so the
+    * silent-drop default is at least observable (per-executor on a
+    * cluster; see Main's accumulator for the job-level count). */
+  val rejectedTotal = new AtomicLong()
+  private[ingest] val log = java.util.logging.Logger.getLogger("graft.ingest.BulkBuffer")
+}
+
 /** Durable dead-letter sink: each rejected action appended as one
   * ndjson line (action metadata + source + status + reason) to a
   * per-instance file — the offline analogue of a dead-letter queue.
@@ -97,6 +130,29 @@ final class FileDeadLetter(dir: String) extends (BulkItemFailure => Unit) with S
       s""""status":${f.status},"reason":${JsonStr.quote(f.reason)},"source":${JsonStr.quote(f.action.source)}}""" + "\n"
     java.nio.file.Files.write(path, line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  }
+}
+
+object FileDeadLetter {
+  import org.apache.spark.sql.types._
+
+  /** The ndjson schema [[FileDeadLetter]] writes. */
+  val schema: StructType = StructType(Seq(
+    StructField("indexId", StringType), StructField("docId", StringType),
+    StructField("status", IntegerType), StructField("reason", StringType),
+    StructField("source", StringType)))
+
+  /** Read a dead-letter directory back as a DataFrame — the queue is
+    * useless if rejects can only be inspected by grepping ndjson.
+    *
+    * Delivery is AT-LEAST-ONCE (see [[BulkBuffer.flush]]): a batch that
+    * exhausts its retry budget after dead-lettering is retried by Spark
+    * and re-appends the same rejects. `dedup = true` (default) keeps
+    * one row per (indexId, docId) — the logical reject set; pass false
+    * for the raw delivery log (e.g. to count retry storms). */
+  def read(spark: SparkSession, dir: String, dedup: Boolean = true): DataFrame = {
+    val raw = spark.read.schema(schema).json(s"$dir/dead-*.ndjson")
+    if (dedup) raw.dropDuplicates("indexId", "docId") else raw
   }
 }
 
@@ -168,6 +224,86 @@ object EsSimCompact {
       .select($"indexId", $"docId", $"source").as[IngestRecord]
     EsBulkSink.write(current, dstDir, maxActions = maxActions, tsField = tsField)
   }
+
+  /** In-place maintenance compaction of a LIVE directory — safe to run
+    * between micro-batches while a sink appends and readers stream.
+    * Main runs it every `sink.compact.every-batches` batches.
+    *
+    * Protocol (each step crash-safe, readers never lose a row):
+    *  1. sweep: delete `*.gone` tombstones older than `graceMs`;
+    *  2. snapshot the current bulk files; resolve THEIR upsert state
+    *     (an explicit file list — files the sink writes concurrently
+    *     are untouched);
+    *  3. publish the resolved state as large bulk files whose names
+    *     reuse the newest input's micros with a 'z'-leading client id,
+    *     so in replay order they sort after every input they fold and
+    *     before anything written after the snapshot (the sink's
+    *     monotonic wall clock guarantees later files get later micros;
+    *     cross-writer clock skew is the store's pre-existing caveat);
+    *  4. retire inputs by ATOMIC_MOVE to `<file>.gone` — immediately
+    *     invisible to new plans, but a reader that planned the old name
+    *     falls back to the tombstone ([[EsSimSource.parseBulkFile]]),
+    *     so the list→open race cannot drop the rows of an in-flight
+    *     micro-batch. Tombstones die at the next sweep, after grace.
+    *
+    * Cursor safety: streaming offsets are (tsMicros, docId) — file
+    * layout is not part of the cursor, so checkpoints stay valid; the
+    * compacted file's stats span the folded range and its rows at or
+    * below a reader's cursor are re-filtered per row, exactly like any
+    * straddling file. `graceMs` must exceed the longest micro-batch a
+    * reader runs (default 60 s). A Trigger.AvailableNow query racing
+    * the compactor may under-drain (its start-time file snapshot can
+    * vanish) — it re-admits from the compacted file on the next run;
+    * rows are never lost, only deferred. */
+  def inPlace(spark: SparkSession, dir: String, maxActions: Int = 5000,
+              tsField: String = "ts", graceMs: Long = 60000): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return
+    // 1. sweep expired tombstones (previous run's inputs, past grace)
+    val now = System.currentTimeMillis()
+    def pastGrace(p: java.nio.file.Path): Boolean =
+      try now - Files.getLastModifiedTime(p).toMillis > graceMs
+      catch { case _: Exception => false }
+    val listing = Files.list(root)
+    try listing.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".gone") ||
+          // orphaned sidecar: its bulk body is gone (a crash between the
+          // two retire moves). Age-gated: during a normal publish the
+          // sidecar legitimately exists milliseconds before its body.
+          (n.endsWith(".stats.json") &&
+            !Files.exists(p.resolveSibling(n.stripSuffix(".stats.json"))))
+      }
+      .filter(pastGrace)
+      .foreach(p => Files.deleteIfExists(p))
+    finally listing.close()
+    // 2. snapshot + resolve
+    val inputs = graft.sources.EsSimStats.list(dir)
+    if (inputs.size <= 1) return // nothing to fold
+    val maxName = inputs.map(_.getFileName.toString).max
+    // names are bulk-<micros %020d>-<client>-<counter>.ndjson
+    val micros = maxName.stripPrefix("bulk-").take(20).toLong
+    val resolved = EsSimStore.readOf(spark, inputs.map(_.toString))
+      .select($"indexId", $"docId", $"source").as[IngestRecord]
+    // 3. publish compacted files pinned to the snapshot's replay slot
+    EsBulkSink.writeWith(resolved,
+      () => new FileEsBulkClient(dir, tsField, fixedMicros = Some(micros)),
+      maxActions = maxActions)
+    // 4. retire the inputs (bulk file first, then its sidecar: stats
+    // must never outlive a body that new plans can still admit)
+    inputs.foreach { f =>
+      Files.move(f, f.resolveSibling(f.getFileName.toString + ".gone"),
+        StandardCopyOption.ATOMIC_MOVE)
+      val sc = BulkStats.sidecar(f)
+      if (Files.exists(sc))
+        Files.move(sc, sc.resolveSibling(sc.getFileName.toString + ".gone"),
+          StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
 }
 
 /** Read-back of the simulated ES index: replay bulk files in arrival
@@ -187,9 +323,17 @@ object EsSimStore {
     * few hundred KB at the 1024 default — so a
     * one-row-per-file read stays balanced; posexplode fans back out to
     * one row per line before any heavy lifting. */
-  def actions(spark: SparkSession, dir: String): DataFrame = {
+  def actions(spark: SparkSession, dir: String): DataFrame =
+    actionsOf(spark, Seq(s"$dir/bulk-*.ndjson"))
+
+  /** Same, over an explicit file list — in-place compaction must read
+    * exactly the snapshot of files it will retire, not whatever the
+    * glob resolves to by the time the job runs (a live sink keeps
+    * appending new files, which must NOT be folded-then-retired by a
+    * compaction pass that started before they existed). */
+  def actionsOf(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
-    val files = spark.read.option("wholetext", "true").textFile(s"$dir/bulk-*.ndjson")
+    val files = spark.read.option("wholetext", "true").textFile(paths: _*)
       .withColumn("file", input_file_name())
     val lines = files
       .select($"file", posexplode(split($"value", "\n")).as(Seq("pos", "value")))
@@ -207,12 +351,20 @@ object EsSimStore {
   }
 
   /** Current index contents after upsert-by-id replay. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String): DataFrame =
+    resolve(actions(spark, dir))
+
+  /** Upsert-resolved state of an explicit file snapshot. */
+  def readOf(spark: SparkSession, paths: Seq[String]): DataFrame =
+    resolve(actionsOf(spark, paths))
+
+  private def resolve(acts: DataFrame): DataFrame = {
+    val spark = acts.sparkSession
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"indexId", $"docId")
       .orderBy($"file".desc, $"slot".desc)
-    actions(spark, dir)
+    acts
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"indexId", $"docId", $"source")

@@ -30,6 +30,7 @@ final case class IngestionConfig(
     sinkPassword: String,
     bulkMaxActions: Int,
     fileMaxActions: Int,
+    compactEveryBatches: Int,
     bulkFlushIntervalMs: Long,
     bulkMaxRetries: Int,
     bulkBackoffInitialMs: Long,
@@ -60,6 +61,11 @@ object IngestionConfig {
     // graft.SinkBench measured 104k → 549k docs/s going 64 → 1024
     // with full durability retained
     "sink.file.max-actions" -> "1024",
+    // in-place compaction cadence for the file sink dir (0 = off): a
+    // long-running ingest otherwise accumulates one file per flush
+    // forever, and file count drives both the downstream source's
+    // planning cost and read amplification (EsSimCompact.inPlace)
+    "sink.compact.every-batches" -> "0",
     "sink.bulk.flush-interval" -> "5000",
     "sink.bulk.max-retries" -> "10",
     "sink.bulk.backoff-initial" -> "2000",
@@ -104,6 +110,7 @@ object IngestionConfig {
       sinkPassword = m("sink.password"),
       bulkMaxActions = m("sink.bulk.max-actions").toInt,
       fileMaxActions = m("sink.file.max-actions").toInt,
+      compactEveryBatches = m("sink.compact.every-batches").toInt,
       bulkFlushIntervalMs = m("sink.bulk.flush-interval").toLong,
       bulkMaxRetries = m("sink.bulk.max-retries").toInt,
       bulkBackoffInitialMs = m("sink.bulk.backoff-initial").toLong,

@@ -112,9 +112,24 @@ object EsSimSource {
   /** Parse a bulk ndjson file (meta line + source line pairs).
     * `parseBody=false` skips the JSON body parse (ts comes back null) —
     * the column-pruned fast path when neither `ts` nor a ts predicate
-    * is in play. */
+    * is in play.
+    *
+    * A file that vanished between planning and read was retired by
+    * [[graft.ingest.EsSimCompact.inPlace]], which first moves it to
+    * `<file>.gone` and only deletes the tombstone after a grace period
+    * — so the fallback read finds identical content and an in-flight
+    * micro-batch loses nothing. Both missing means the grace period
+    * (which must exceed the longest micro-batch) was violated: fail
+    * loudly, never emit a silently-short batch. */
   def parseBulkFile(p: Path, tsField: String, parseBody: Boolean = true): Seq[Doc] = {
-    val lines = Files.readAllLines(p, UTF_8).asScala
+    val lines =
+      try Files.readAllLines(p, UTF_8).asScala
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          val tomb = p.resolveSibling(p.getFileName.toString + ".gone")
+          try Files.readAllLines(tomb, UTF_8).asScala
+          catch { case _: java.nio.file.NoSuchFileException => throw e }
+      }
     lines.grouped(2).flatMap {
       case scala.collection.mutable.Buffer(meta, src) =>
         val m = mapper.readTree(meta).path("index")
@@ -183,8 +198,14 @@ object EsSimStats {
         freshFiles.asJava.parallelStream().forEach { f =>
           fresh.put(f.toString, statFile(f, tsField))
         }
+        // merge fresh stats and drop entries whose file vanished from
+        // the listing (in-place compaction retires inputs every cycle;
+        // without pruning the cache grows with every file EVER seen,
+        // not the O(current files) the design promises)
+        val current = files.iterator.map(_.toString).toSet
         cache.compute(key, (_, old) =>
-          (if (old == null) Map.empty[String, FileStat] else old) ++ fresh.asScala)
+          ((if (old == null) Map.empty[String, FileStat] else old) ++ fresh.asScala)
+            .filter { case (f, _) => current.contains(f) || fresh.containsKey(f) })
       }
     files.flatMap(f => all.get(f.toString))
   }

@@ -302,6 +302,78 @@ class EsSimSourceSpec extends SparkSpec {
     assert(b(("idx", "5")).contains("999"), "upsert winner survives compaction")
   }
 
+  test("in-place compaction of a live-streamed dir: cursor survives, no loss, no dups") {
+    import spark.implicits._
+    import graft.ingest.{EsSimCompact, EsSimStore}
+    val dir = Files.createTempDirectory("escomp-live").toString
+    val out = Files.createTempDirectory("esout").toString
+    val ckpt = Files.createTempDirectory("esckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.EsSimSourceProvider")
+        .option("path", dir).option("batchSize", "7")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    writeDocs(dir, 0 until 50) // 5 bulk files
+    drain()
+    assert(spark.read.parquet(out).count() === 50)
+    // maintenance between micro-batches (what Main's trigger does)
+    EsSimCompact.inPlace(spark, dir, graceMs = 3600000)
+    val bulks = graft.sources.EsSimStats.list(dir)
+    assert(bulks.size === 1, s"expected one compacted file, got ${bulks.size}")
+    writeDocs(dir, 50 until 80)
+    drain()
+    val all = spark.read.parquet(out)
+    // the checkpointed (ts, docId) cursor is layout-independent: the
+    // compacted file (whose stats span everything) is re-admitted but
+    // its rows at/below the cursor are filtered — nothing re-delivered
+    assert(all.count() === 80, "cursor must survive compaction")
+    assert(all.select($"docId").distinct().count() === 80)
+    assert(EsSimStore.read(spark, dir).count() === 80)
+  }
+
+  test("in-place compaction: upsert history folds; a post-compaction upsert still wins") {
+    import graft.ingest.{EsSimCompact, EsSimStore}
+    val dir = Files.createTempDirectory("escomp-ip").toString
+    writeDocs(dir, 0 until 20)
+    new FileEsBulkClient(dir).bulk(Seq(
+      BulkAction("idx", "5", """{"id":5,"ts":"2024-01-01 09:00:00.000000","v":999}""")))
+    EsSimCompact.inPlace(spark, dir, graceMs = 3600000)
+    val folded = EsSimStore.read(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(folded.size === 20)
+    assert(folded("5").contains("999"), "pre-compaction upsert winner survives the fold")
+    // a write AFTER compaction gets a later wall-clock name than the
+    // compacted file (pinned to the newest INPUT's micros) — it must win
+    new FileEsBulkClient(dir).bulk(Seq(
+      BulkAction("idx", "5", """{"id":5,"ts":"2024-01-01 10:00:00.000000","v":111}""")))
+    val after = EsSimStore.read(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(after("5").contains("111"), "post-compaction upsert must override the fold")
+  }
+
+  test("retired bulk file: a reader that planned the old name reads the .gone tombstone") {
+    import graft.sources.{EsSimSource, EsSimStats}
+    val dir = Files.createTempDirectory("esgone").toString
+    writeDocs(dir, 0 until 10)
+    val f = EsSimStats.list(dir).head
+    java.nio.file.Files.move(f, f.resolveSibling(f.getFileName.toString + ".gone"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // the list->open race of in-place compaction: content identical
+    val docs = EsSimSource.parseBulkFile(f, "ts")
+    assert(docs.size === 10)
+    assert(docs.map(_.docId).sorted === (0 until 10).map(_.toString).sorted)
+  }
+
   test("Trigger.AvailableNow drains the start snapshot and stops") {
     val dir = Files.createTempDirectory("essrc").toString
     val out = Files.createTempDirectory("esout").toString

@@ -181,6 +181,58 @@ class HttpIngestSpec extends AnyFunSuite {
     } finally stub.stop()
   }
 
+  test("retry round turning permanent: 429 item that 400s on re-send is dead-lettered, not looped") {
+    // call 0: doc "5" throttled (429); call 1 (the retry): same doc now
+    // permanently rejected (400) — the pending set must go empty via the
+    // dead-letter route, not spin against the retry budget
+    val stub = new ItemStub((call, id) =>
+      if (id == "5") { if (call == 0) 429 else 400 } else 201)
+    try {
+      val client = new HttpEsBulkClient(Seq(stub.base), Map.empty)
+      val slept = mutable.ArrayBuffer.empty[Long]
+      val dead = mutable.ArrayBuffer.empty[BulkItemFailure]
+      val buffer = new BulkBuffer(client, maxActions = 64,
+        sleeper = (d: Long) => slept += d, deadLetter = (f: BulkItemFailure) => dead += f)
+      (1 to 10).foreach(i => buffer.add(BulkAction("idx", i.toString, s"""{"v":$i}""")))
+      buffer.flush()
+      // initial call + exactly one retry of just doc 5, then done
+      assert(stub.requests.size === 2)
+      assert(stub.requests(1) === Seq("5"))
+      assert(slept.toSeq === Seq(2000L))
+      assert(dead.map(f => (f.action.docId, f.status)).toSeq === Seq(("5", 400)))
+    } finally stub.stop()
+  }
+
+  test("rejects are observable with the default no-op dead-letter (counter + no throw)") {
+    val stub = new ItemStub((_, id) => if (id == "3") 400 else 201)
+    try {
+      val client = new HttpEsBulkClient(Seq(stub.base), Map.empty)
+      val before = BulkBuffer.rejectedTotal.get()
+      val buffer = new BulkBuffer(client, maxActions = 64, sleeper = (_: Long) => ())
+      (1 to 8).foreach(i => buffer.add(BulkAction("idx", i.toString, s"""{"v":$i}""")))
+      buffer.flush() // default deadLetter drops — but never silently
+      assert(BulkBuffer.rejectedTotal.get() - before === 1)
+    } finally stub.stop()
+  }
+
+  test("dead-letter round trip: reject -> FileDeadLetter -> read back, at-least-once deduped") {
+    val spark = SparkSpec.session
+    val dir = java.nio.file.Files.createTempDirectory("dlq-rt").toString
+    val dl = new FileDeadLetter(dir)
+    val f = BulkItemFailure(BulkAction("idx", "7", """{"v":7,"s":"a\"b"}"""), 400, "mapper_parsing_exception")
+    dl(f)
+    dl(BulkItemFailure(BulkAction("idx", "9", """{"v":9}"""), 404, "index_not_found"))
+    dl(f) // the Spark-batch-retry double delivery (at-least-once contract)
+    val raw = FileDeadLetter.read(spark, dir, dedup = false).collect()
+    assert(raw.length === 3)
+    val rows = FileDeadLetter.read(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(3), r.getString(4)))
+      .sortBy(_._2)
+    assert(rows.toSeq === Seq(
+      ("idx", "7", 400, "mapper_parsing_exception", """{"v":7,"s":"a\"b"}"""),
+      ("idx", "9", 404, "index_not_found", """{"v":9}""")))
+  }
+
   test("FileDeadLetter: rejected items land as readable ndjson with status + reason") {
     val dir = java.nio.file.Files.createTempDirectory("dlq").toString
     val dl = new FileDeadLetter(dir)
