@@ -107,7 +107,29 @@ object Bench {
       if (trigMs.nonEmpty) trigMs.sorted.apply(trigMs.length / 2) else -1.0
     val streamFilesParsed = sources.EsSimStats.filesParsed.get() - parsedBefore
 
-    // clean up the ~11k bulk files + checkpoint this run created —
+    // skew stress (round-5 carried item): 1200 copies of one boilerplate
+    // doc on top of the sf corpus — the d04 maxBucket guard must keep
+    // candidate generation bounded, and the exact d03 prefix join must
+    // complete carrying the full quadratic truth (~720k boiler pairs)
+    System.gc()
+    import operators.Dedup
+    val boiler = "all rights reserved " +
+      Seq.tabulate(30)(i => s"w${i % 11}").mkString(" ")
+    val skewDocs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      .unionByName(spark.range(1200)
+        .select(($"id" + 10000000L).as("doc_id"), lit(boiler).as("text")))
+    val skewSh = skewDocs
+      .select($"doc_id", Dedup.shingleHashes($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val skewBanded = skewSh
+      .select($"doc_id", posexplode(Dedup.bandKeys(Dedup.minhashSignature($"sh"))))
+      .toDF("doc_id", "band_id", "band_hash")
+    var skewLshCands = 0L
+    val skewLshSec = timeSec { skewLshCands = Dedup.lshCandidates(skewBanded).count() }
+    var skewD03Pairs = 0L
+    val skewD03Sec = timeSec { skewD03Pairs = Dedup.ngramJaccardPairs(skewDocs, 0.8).count() }
+
+    // clean up the ~700 bulk files + checkpoint this run created —
     // the driver benches every round and /tmp accumulates otherwise
     def rmTree(dir: String): Unit = {
       import java.nio.file.{Files, Paths}
@@ -136,6 +158,8 @@ object Bench {
       s""","copy_docs":$nDocs,"copy_sec":$copySec,"copy_docs_per_s":$copyDocsPerS""" +
       s""","streaming_batch_ms":$streamingBatchMs""" +
       s""","stream_files_parsed":$streamFilesParsed""" +
+      s""","skew_lsh_s":$skewLshSec,"skew_lsh_candidates":$skewLshCands""" +
+      s""","skew_d03_s":$skewD03Sec,"skew_d03_pairs":$skewD03Pairs""" +
       // BASELINE.md row mapping (explicit so the grader needn't infer)
       s""","dedup_exact_s":${named("d01_exact_dedup")}""" +
       s""","minhash_lsh_s":${named("d04_minhash_lsh")}""" +

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Skew stress for the near-dup paths (round-3/4 carried item): the
+  * corpus shape that shows up at 100 TB is a mass-duplicated
+  * boilerplate doc (license header, template page) whose LSH band
+  * buckets all explode past any cap. The d04 `maxBucket` guard exists
+  * for exactly this; these tests exercise it UNDER that condition, and
+  * pin the exact d03 join's behavior on the same corpus. */
+class SkewStressSpec extends SparkSpec {
+
+  private val BoilerCopies = 1200 // > the guard's 1000-doc bucket cap
+
+  /** 1200 identical boilerplate docs + 60 normal docs with 8 planted
+    * near-dup pairs (single-word mutation over ~30-word texts). */
+  private def skewedCorpus = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val boiler = "all rights reserved " +
+      Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def doc(): String =
+      Seq.fill(25 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val normal = Seq.fill(52)(doc())
+    val nearCopies = normal.take(8).map { t =>
+      val w = t.split(' ')
+      w.updated(rnd.nextInt(w.length), vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val texts = Seq.fill(BoilerCopies)(boiler) ++ normal ++ nearCopies
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  private def banded(docs: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val sh = docs.select($"doc_id", Dedup.shingleHashes($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    sh.select($"doc_id", posexplode(Dedup.bandKeys(Dedup.minhashSignature($"sh"))))
+      .toDF("doc_id", "band_id", "band_hash")
+  }
+
+  /** Brute-force J ≥ 0.8 pair count over the whole corpus, and the
+    * subset among non-boilerplate docs, computed from collected shingle
+    * sets (61 distinct texts — cheap on the driver). */
+  private def groundTruth(docs: org.apache.spark.sql.DataFrame): (Long, Set[(Long, Long)]) = {
+    import spark.implicits._
+    val sets = docs.select($"doc_id", Dedup.shingleHashes($"text").as("sh"))
+      .as[(Long, Seq[Long])].collect().map { case (id, sh) => id -> sh.toSet }
+    var total = 0L
+    val normal = Set.newBuilder[(Long, Long)]
+    for (i <- sets.indices; j <- (i + 1) until sets.length) {
+      val (ia, sa) = sets(i); val (ib, sb) = sets(j)
+      if (sa.nonEmpty && sb.nonEmpty) {
+        val inter = (sa & sb).size
+        if (inter.toDouble / (sa.size + sb.size - inter) >= 0.8) {
+          total += 1
+          if (ia >= BoilerCopies && ib >= BoilerCopies)
+            normal += ((math.min(ia, ib), math.max(ia, ib)))
+        }
+      }
+    }
+    (total, normal.result())
+  }
+
+  test("maxBucket guard: flooded boilerplate buckets are dropped, normal recall intact") {
+    import spark.implicits._
+    val docs = skewedCorpus.cache()
+    try {
+      val b = banded(docs).cache()
+      val guarded = Dedup.lshCandidates(b) // default maxBucket = 1000
+        .as[(Long, Long)].collect()
+      // every boilerplate bucket holds all 1200 copies (identical docs
+      // -> identical signatures) > cap -> dropped from candidate gen
+      assert(guarded.forall { case (d1, d2) =>
+        d1 >= BoilerCopies && d2 >= BoilerCopies
+      }, "boilerplate doc leaked into candidate generation past the guard")
+      // the guard is a NO-OP for normal docs: their buckets are small,
+      // so the guarded candidate set restricted to normal docs equals
+      // the unguarded one exactly. (LSH recall itself — a pair at
+      // J ≈ 0.8 has a ~5% genuine miss chance per banding theory — is
+      // d04's oracle-compare concern, not the guard's.)
+      val unguardedAll = Dedup.lshCandidates(b, maxBucket = Int.MaxValue)
+        .as[(Long, Long)].collect()
+      val unguardedNormal = unguardedAll.filter { case (d1, d2) =>
+        d1 >= BoilerCopies && d2 >= BoilerCopies }.toSet
+      assert(guarded.toSet === unguardedNormal,
+        "guard changed candidates among docs with healthy buckets")
+      // sanity: verified candidates are real near-dups of the truth set
+      val (_, normalTruth) = groundTruth(docs)
+      assert(normalTruth.nonEmpty, "fixture must plant normal near-dup pairs")
+      val sh = docs.select($"doc_id", Dedup.shingleHashes($"text").as("sh"))
+      val verified = guarded.toSeq.toDF("d1", "d2")
+        .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), "d1")
+        .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), "d2")
+        .select($"d1", $"d2", Dedup.jaccard($"sh1", $"sh2").as("j"))
+        .filter($"j" >= 0.8)
+        .select($"d1", $"d2").as[(Long, Long)].collect()
+        .map { case (a, b2) => (math.min(a, b2), math.max(a, b2)) }.toSet
+      assert(verified.subsetOf(normalTruth),
+        "verified guarded candidates must be true near-dup pairs")
+      assert(verified.nonEmpty, "guard must not starve all normal recall")
+      // what the guard PREVENTS: unguarded candidate set is quadratic
+      // in the duplicated doc (1200*1199/2 pairs from one text)
+      val quad = BoilerCopies.toLong * (BoilerCopies - 1) / 2
+      assert(unguardedAll.length >= quad,
+        s"expected >= $quad unguarded candidates, got ${unguardedAll.length}")
+      assert(guarded.length.toLong < quad / 100,
+        "guard failed to cap the candidate explosion")
+      b.unpersist()
+    } finally docs.unpersist()
+  }
+
+  test("exact d03 prefix join completes on the skewed corpus with the full quadratic truth") {
+    import spark.implicits._
+    val docs = skewedCorpus.cache()
+    try {
+      val (expected, _) = groundTruth(docs)
+      val t0 = System.nanoTime()
+      // exact join: mass duplicates ARE near-dups (J = 1.0), so the true
+      // answer contains all C(1200,2) boilerplate pairs — the test is
+      // that the prefix join produces exactly them without hanging
+      // (candidates stay bounded by prefix-token buckets, then verify
+      // is per-pair)
+      val n = Dedup.ngramJaccardPairs(docs, 0.8).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val quad = BoilerCopies.toLong * (BoilerCopies - 1) / 2
+      assert(expected >= quad, "fixture sanity: boilerplate pairs dominate")
+      assert(n === expected, s"exact join must return the full truth")
+      assert(sec < 120.0, s"skewed exact join took ${sec}s — budget blown")
+    } finally docs.unpersist()
+  }
+}
