@@ -309,7 +309,16 @@ object EsSimCompact {
 /** Read-back of the simulated ES index: replay bulk files in arrival
   * order, apply upsert-by-id (last write per (index, docId) wins — ES
   * document semantics, which is what makes re-running a copy idempotent
-  * rather than duplicating, SURVEY B4). */
+  * rather than duplicating, SURVEY B4).
+  *
+  * Concurrency note: these BATCH reads glob the directory once and are
+  * not safe against an [[EsSimCompact.inPlace]] run racing them (the
+  * glob can resolve before the compacted file publishes and read after
+  * the inputs retire). The STREAMING source is the concurrent-read
+  * path — its per-file tombstone fallback and layout-independent
+  * cursor make it compaction-safe; batch readers should run when
+  * maintenance is quiesced (Main serializes the two inside
+  * foreachBatch). */
 object EsSimStore {
 
   /** All actions, with their arrival sequence.

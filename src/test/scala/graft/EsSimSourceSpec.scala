@@ -374,6 +374,27 @@ class EsSimSourceSpec extends SparkSpec {
     assert(docs.map(_.docId).sorted === (0 until 10).map(_.toString).sorted)
   }
 
+  test("Main --once e2e: copy pipeline with per-batch compaction folds the live sink") {
+    import graft.ingest.EsSimStore
+    val src = Files.createTempDirectory("main-src").toString
+    val sink = Files.createTempDirectory("main-sink").toString
+    val ckpt = Files.createTempDirectory("main-ckpt").toString
+    writeDocs(src, 0 until 40) // 4 source files of 10
+    // batch-size 10 -> several micro-batches; compaction after every
+    // batch exercises inPlace against the dir the sink is appending to
+    graft.Main.main(Array(src, sink, ckpt, "--once",
+      "source.batch-size=10", "sink.compact.every-batches=1"))
+    val copied = EsSimStore.read(spark, sink).collect()
+      .map(r => r.getString(1)).sorted
+    assert(copied.toSeq === (0 until 40).map(_.toString).sorted,
+      "every doc must survive the copy + repeated in-place compaction")
+    // compaction really ran: retired inputs left tombstones (grace 60 s)
+    val l = Files.list(java.nio.file.Paths.get(sink))
+    val gone = try l.iterator().asScala.count(_.getFileName.toString.endsWith(".gone"))
+      finally l.close()
+    assert(gone > 0, "expected .gone tombstones from the per-batch compaction")
+  }
+
   test("Trigger.AvailableNow drains the start snapshot and stops") {
     val dir = Files.createTempDirectory("essrc").toString
     val out = Files.createTempDirectory("esout").toString
