@@ -17,9 +17,13 @@ Each side is compared on two planes, fetched differently on purpose:
    float64 there while Spark's BIGINT stays int64, so an uncast
    integer-SUM oracle fails HERE exactly as it does at the driver gate
    (round 1 passed 82/82 locally while the driver failed 3 for this).
-   The dtypes are read from a `LIMIT 0` wrapper — the pandas dtype
-   mapping is schema-driven, identical at zero rows, and skips
-   re-executing the query.
+   The dtypes MUST come from the real result, not a `LIMIT 0` schema
+   probe: pandas dtype mapping is value-dependent — a BIGINT column
+   that CONTAINS nulls surfaces as float64, while the same column's
+   empty probe stays int64 — so a probe would diverge from the driver
+   exactly the way this gate exists to prevent. The query therefore
+   executes twice (once per plane); oracle queries are sf0.01-sized,
+   so the cost is noise.
  - VALUES come from one fetchall() of the real query: pandas float
    columns conflate NULL with a computed NaN, so hashing pandas rows
    would silently pass a NaN-vs-NULL divergence; fetchall keeps None
@@ -51,11 +55,13 @@ def type_class(dtype):
     return "object"  # strings, lists, decimals-as-object, bytes, dates
 
 def fetch(con, sql):
-    """One real execution (fetchall, for values) plus a LIMIT 0 probe
-    (fetchdf, for the driver's pandas dtype-class canonicalization —
-    schema-driven, so zero rows carry the same dtypes). See module
-    docstring for why the two planes need different fetch paths."""
-    df = con.execute(f"SELECT * FROM ({sql}) _q LIMIT 0").fetchdf()
+    """Fetch both planes of the compare: fetchdf of the REAL result for
+    the driver's dtype-class canonicalization (value-dependent: e.g.
+    BIGINT-with-nulls -> float64, so no LIMIT 0 schema probe can stand
+    in), fetchall for values (pandas float columns conflate NULL with a
+    computed NaN; fetchall keeps None and float('nan') distinct). See
+    module docstring."""
+    df = con.execute(sql).fetchdf()
     cols = list(df.columns)
     classes = [type_class(df[c].dtype) for c in cols]
     rows = con.execute(sql).fetchall()
@@ -132,8 +138,16 @@ def selftest():
     p_nan_nan = compare(*nan, *fetch(con, "SELECT CAST('NaN' AS DOUBLE) AS v"))
     assert p_nan_null, "NaN vs NULL should fail the gate but passed"
     assert not p_nan_nan, f"NaN vs NaN should pass, got {p_nan_nan}"
+    # dtype classes must come from the REAL result, not a schema probe:
+    # pandas maps BIGINT-with-nulls to float64, so an int-with-null
+    # column compares as float against a float oracle (what the driver
+    # sees); a LIMIT 0 probe would call it int and fail spuriously
+    int_null = fetch(con, "SELECT CAST(NULL AS BIGINT) AS v UNION ALL SELECT 1")
+    dbl_null = fetch(con, "SELECT CAST(NULL AS DOUBLE) AS v UNION ALL SELECT 1.0")
+    p_int_dbl = compare(*int_null, *dbl_null)
+    assert not p_int_dbl, f"nullable-int vs double should pass (both float64), got {p_int_dbl}"
     print("selftest OK: uncast integer SUM fails, CAST AS BIGINT passes, "
-          "NaN!=NULL, NaN==NaN")
+          "NaN!=NULL, NaN==NaN, nullable-int==double")
 
 def main():
     if len(sys.argv) == 2 and sys.argv[1] == "--selftest":

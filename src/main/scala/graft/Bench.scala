@@ -20,11 +20,7 @@ object Bench {
 
   private def materialize(df: DataFrame): Long = df.queryExecution.toRdd.count()
 
-  private def timeSec[T](f: => T): Double = {
-    val t0 = System.nanoTime()
-    f
-    (System.nanoTime() - t0) / 1e9
-  }
+  import BenchUtil.{timeSec, rmTree}
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -146,16 +142,6 @@ object Bench {
 
     // clean up the ~700 bulk files + checkpoint this run created —
     // the driver benches every round and /tmp accumulates otherwise
-    def rmTree(dir: String): Unit = {
-      import java.nio.file.{Files, Paths}
-      import scala.jdk.CollectionConverters._
-      val root = Paths.get(dir)
-      if (Files.exists(root)) {
-        val w = Files.walk(root)
-        try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-        finally w.close()
-      }
-    }
     rmTree(copyDir)
     rmTree(ckpt)
 

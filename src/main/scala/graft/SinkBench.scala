@@ -21,29 +21,18 @@ import graft.ingest._
   *   base1024     full durability, 1024-doc files
   *   base5000     full durability, 5000-doc files (EsSimCompact size)
   *
-  * Each variant runs twice; the second (steady-state) time is reported.
-  * Also reports the per-doc cost of the sidecar's Jackson ts-extraction
-  * in isolation, since it is the only per-DOC (not per-file) cost the
-  * sidecar added.
+  * Methodology: one unrecorded warmup pass over all variants, then 3
+  * recorded rounds with the variants INTERLEAVED, reporting the MIN per
+  * variant — tmpfs/page-cache/GC interference between adjacent runs is
+  * larger than some effects under measurement, and sequential
+  * per-variant timing produced ordering artifacts (a no-op variant
+  * "slower" than the full path). Also reports the per-doc cost of the
+  * sidecar's Jackson ts-extraction in isolation, since it is the only
+  * per-DOC (not per-file) cost the sidecar added.
   */
 object SinkBench {
 
-  private def timeSec[T](f: => T): Double = {
-    val t0 = System.nanoTime()
-    f
-    (System.nanoTime() - t0) / 1e9
-  }
-
-  private def rmTree(dir: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(dir)
-    if (Files.exists(root)) {
-      val w = Files.walk(root)
-      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally w.close()
-    }
-  }
+  import BenchUtil.{timeSec, rmTree}
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,6 +1,7 @@
 package graft.ingest
 
 import java.util.concurrent.atomic.AtomicLong
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -151,7 +152,24 @@ object FileDeadLetter {
     * one row per (indexId, docId) — the logical reject set; pass false
     * for the raw delivery log (e.g. to count retry storms). */
   def read(spark: SparkSession, dir: String, dedup: Boolean = true): DataFrame = {
-    val raw = spark.read.schema(schema).json(s"$dir/dead-*.ndjson")
+    // a healthy queue is an EMPTY queue: a configured dir with no
+    // rejects yet must read as zero rows, not throw PATH_NOT_FOUND
+    // on the unmatched glob
+    val p = java.nio.file.Paths.get(dir)
+    val files =
+      if (!java.nio.file.Files.isDirectory(p)) Seq.empty[String]
+      else {
+        val l = java.nio.file.Files.list(p)
+        try l.iterator().asScala
+          .filter { f => val n = f.getFileName.toString
+            n.startsWith("dead-") && n.endsWith(".ndjson") }
+          .map(_.toString).toSeq
+        finally l.close()
+      }
+    val raw =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).json(files: _*)
     if (dedup) raw.dropDuplicates("indexId", "docId") else raw
   }
 }
@@ -272,9 +290,13 @@ object EsSimCompact {
       .filter { p =>
         val n = p.getFileName.toString
         n.endsWith(".gone") ||
-          // orphaned sidecar: its bulk body is gone (a crash between the
-          // two retire moves). Age-gated: during a normal publish the
-          // sidecar legitimately exists milliseconds before its body.
+          // orphaned publish debris, age-gated because both exist for
+          // milliseconds during a healthy publish: a sidecar whose bulk
+          // body never landed, and a .tmp body whose ATOMIC_MOVE never
+          // ran (writer crashed mid-publish) — without this, crashed
+          // tasks accumulate debris forever in exactly the directory
+          // whose file count this maintenance exists to bound
+          n.endsWith(".ndjson.tmp") ||
           (n.endsWith(".stats.json") &&
             !Files.exists(p.resolveSibling(n.stripSuffix(".stats.json"))))
       }
@@ -295,13 +317,20 @@ object EsSimCompact {
       maxActions = maxActions)
     // 4. retire the inputs (bulk file first, then its sidecar: stats
     // must never outlive a body that new plans can still admit)
+    // rename preserves mtime, so a tombstone of an OLD file would be
+    // born already past grace and swept by the very next run while a
+    // reader is still inside its contract window — restamp the clock:
+    // grace counts from RETIREMENT, not from original write
+    val retiredAt = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
+    def retire(p: java.nio.file.Path): Unit = {
+      val tomb = p.resolveSibling(p.getFileName.toString + ".gone")
+      Files.move(p, tomb, StandardCopyOption.ATOMIC_MOVE)
+      Files.setLastModifiedTime(tomb, retiredAt)
+    }
     inputs.foreach { f =>
-      Files.move(f, f.resolveSibling(f.getFileName.toString + ".gone"),
-        StandardCopyOption.ATOMIC_MOVE)
+      retire(f)
       val sc = BulkStats.sidecar(f)
-      if (Files.exists(sc))
-        Files.move(sc, sc.resolveSibling(sc.getFileName.toString + ".gone"),
-          StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(sc)) retire(sc)
     }
   }
 }

@@ -374,6 +374,41 @@ class EsSimSourceSpec extends SparkSpec {
     assert(docs.map(_.docId).sorted === (0 until 10).map(_.toString).sorted)
   }
 
+  test("tombstone grace counts from RETIREMENT: old files' tombstones survive the next sweep") {
+    import graft.ingest.EsSimCompact
+    import java.nio.file.{Files => F, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = Files.createTempDirectory("esgrace").toString
+    writeDocs(dir, 0 until 20) // 2 bulk files
+    // age the inputs: written "2 hours ago" (rename preserves mtime, so
+    // without restamping their tombstones would be born already expired)
+    val old = FileTime.fromMillis(System.currentTimeMillis() - 2 * 3600 * 1000)
+    val l = F.list(Paths.get(dir))
+    try l.iterator().asScala.foreach(p => F.setLastModifiedTime(p, old)) finally l.close()
+    EsSimCompact.inPlace(spark, dir, graceMs = 60000) // retires the 2 old files
+    // drop a crashed-publish .tmp, also aged past grace -> must be swept
+    val tmp = Paths.get(dir).resolve("bulk-00000000000000000001-deadbeef-000000.ndjson.tmp")
+    F.write(tmp, "partial".getBytes)
+    F.setLastModifiedTime(tmp, old)
+    writeDocs(dir, 20 until 30) // make the second pass have >1 input
+    EsSimCompact.inPlace(spark, dir, graceMs = 60000) // sweeps, then folds again
+    val l2 = F.list(Paths.get(dir))
+    val names = try l2.iterator().asScala.map(_.getFileName.toString).toSeq finally l2.close()
+    assert(names.count(_.endsWith(".ndjson.gone")) >= 2,
+      s"just-retired tombstones must survive a sweep inside grace, got $names")
+    assert(!names.contains(tmp.getFileName.toString), "aged publish debris must be swept")
+    assert(graft.ingest.EsSimStore.read(spark, dir).count() === 30)
+  }
+
+  test("FileDeadLetter.read of an empty or absent queue returns zero rows, not an error") {
+    import graft.ingest.FileDeadLetter
+    val dir = Files.createTempDirectory("dlq-empty").toString
+    val df = FileDeadLetter.read(spark, dir)
+    assert(df.schema === FileDeadLetter.schema)
+    assert(df.count() === 0)
+    assert(FileDeadLetter.read(spark, dir + "/does-not-exist").count() === 0)
+  }
+
   test("Main --once e2e: copy pipeline with per-batch compaction folds the live sink") {
     import graft.ingest.EsSimStore
     val src = Files.createTempDirectory("main-src").toString
