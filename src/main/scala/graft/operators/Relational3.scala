@@ -56,7 +56,14 @@ object Relational3 {
       |FROM orders""".stripMargin
 
   /** Rank-family window functions: ntile, percent_rank, cume_dist over
-    * a unique total order (tie-free → engine-identical). */
+    * a unique total order (tie-free → engine-identical).
+    *
+    * The partition-less Window is DELIBERATE here: a global percent_rank
+    * is definitionally a total order, so Spark warns and single-
+    * partitions the sort — acceptable on dimension-sized inputs
+    * (customer), the only place this surface is offered. Corpus-scale
+    * paths are machine-checked to never do this (PlanSpec's
+    * partition-less-Window guard on the k-means lineage). */
   def q34RankFamily(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.orderBy($"c_acctbal".asc, $"c_custkey".asc)
