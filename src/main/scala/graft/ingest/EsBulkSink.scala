@@ -273,6 +273,25 @@ object EsSimCompact {
     * the compactor may under-drain (its start-time file snapshot can
     * vanish) — it re-admits from the compacted file on the next run;
     * rows are never lost, only deferred. */
+  /** Move one file to its `.gone` tombstone, restamping mtime so grace
+    * counts from retirement (rename preserves the original mtime). A
+    * missing source is benign — a CONCURRENT compactor already retired
+    * it, and both folded the same snapshot to identical resolved
+    * content pinned to the same replay slot, so whichever compacted
+    * file replay prefers, the state is the same; never fail the batch
+    * job over losing that race. */
+  private[graft] def retireFile(p: java.nio.file.Path,
+      retiredAt: java.nio.file.attribute.FileTime): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val tomb = p.resolveSibling(p.getFileName.toString + ".gone")
+    try {
+      Files.move(p, tomb, StandardCopyOption.ATOMIC_MOVE)
+      Files.setLastModifiedTime(tomb, retiredAt)
+    } catch {
+      case _: java.nio.file.NoSuchFileException => ()
+    }
+  }
+
   def inPlace(spark: SparkSession, dir: String, maxActions: Int = 5000,
               tsField: String = "ts", graceMs: Long = 60000): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -322,15 +341,10 @@ object EsSimCompact {
     // reader is still inside its contract window — restamp the clock:
     // grace counts from RETIREMENT, not from original write
     val retiredAt = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
-    def retire(p: java.nio.file.Path): Unit = {
-      val tomb = p.resolveSibling(p.getFileName.toString + ".gone")
-      Files.move(p, tomb, StandardCopyOption.ATOMIC_MOVE)
-      Files.setLastModifiedTime(tomb, retiredAt)
-    }
     inputs.foreach { f =>
-      retire(f)
+      retireFile(f, retiredAt)
       val sc = BulkStats.sidecar(f)
-      if (Files.exists(sc)) retire(sc)
+      if (Files.exists(sc)) retireFile(sc, retiredAt)
     }
   }
 }

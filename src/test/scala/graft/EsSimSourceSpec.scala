@@ -400,6 +400,26 @@ class EsSimSourceSpec extends SparkSpec {
     assert(graft.ingest.EsSimStore.read(spark, dir).count() === 30)
   }
 
+  test("concurrent compactors: losing the retire race is benign (no throw, mtime restamped)") {
+    import graft.ingest.EsSimCompact
+    import java.nio.file.{Files => F, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = Files.createTempDirectory("esrace")
+    val now = FileTime.fromMillis(System.currentTimeMillis())
+    // rival already retired this input: our retire must be a no-op,
+    // not a NoSuchFileException that fails the whole batch job
+    EsSimCompact.retireFile(dir.resolve("bulk-x.ndjson"), now)
+    // normal retire: tombstone exists with the RETIREMENT mtime, even
+    // for a file written long ago (rename alone preserves old mtime)
+    val f = dir.resolve("bulk-y.ndjson")
+    F.write(f, "m\ns\n".getBytes)
+    F.setLastModifiedTime(f, FileTime.fromMillis(1000000L)) // ancient
+    EsSimCompact.retireFile(f, now)
+    val tomb = dir.resolve("bulk-y.ndjson.gone")
+    assert(F.exists(tomb) && !F.exists(f))
+    assert(F.getLastModifiedTime(tomb) === now)
+  }
+
   test("FileDeadLetter.read of an empty or absent queue returns zero rows, not an error") {
     import graft.ingest.FileDeadLetter
     val dir = Files.createTempDirectory("dlq-empty").toString
