@@ -276,7 +276,15 @@ object Dedup {
     * pairs arise from chunk-bucket collisions, then the exact hamming
     * filter ≤ 5 applies (measured on the fixture: true near-dups sit at
     * 0–5, random pairs at ≥ 6 with median 18). Engine-specific hashing →
-    * rows-only check + ScalaTest vs the exact-Jaccard ground truth. */
+    * rows-only check + ScalaTest vs the exact-Jaccard ground truth.
+    *
+    * Mass-duplicated boilerplate floods chunk buckets here exactly as
+    * it floods d04's band buckets — but for IDENTICAL docs the
+    * quadratic candidates are all TRUE pairs (hamming 0), so a bucket
+    * cap would change the answer, not trim waste. The remedy at scale
+    * is the same one d04's guard comment prescribes: an exact-dedup
+    * (d01) pre-pass removes the duplicates before any near-dup join
+    * runs — SkewStressSpec exercises that corpus shape. */
   def d05Simhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val fp = documents(s, d).select($"doc_id", simhash($"text").as("fp"))
