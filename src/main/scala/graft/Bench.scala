@@ -124,6 +124,19 @@ object Bench {
     val skewLshSec = timeSec { skewLshCands = Dedup.lshCandidates(skewBanded).count() }
     var skewD03Pairs = 0L
     val skewD03Sec = timeSec { skewD03Pairs = Dedup.ngramJaccardPairs(skewDocs, 0.8).count() }
+    // same corpus, d10 collapse pre-pass: identical pair count, but the
+    // join sees each distinct shingle set once — the 1200-dup boilerplate
+    // costs one join row, and only the O(m²) OUTPUT expansion remains
+    var skewD10Pairs = 0L
+    val skewD10Sec = timeSec {
+      skewD10Pairs = Dedup.ngramJaccardPairsViaCollapse(skewDocs, 0.8).count()
+    }
+    // the cluster-path form a real pipeline uses: star edges instead of
+    // the within-group clique — O(m) edges, no quadratic anything
+    var skewGraphEdges = 0L
+    val skewGraphSec = timeSec {
+      skewGraphEdges = Dedup.collapsedPairGraph(skewDocs, 0.8).count()
+    }
 
     // composed pipeline: materialize the d03 pair join ONCE and feed
     // clusters (d08) + cross-modal QA (d09) from it — the form a real
@@ -161,6 +174,8 @@ object Bench {
       s""","stream_files_parsed":$streamFilesParsed""" +
       s""","skew_lsh_s":$skewLshSec,"skew_lsh_candidates":$skewLshCands""" +
       s""","skew_d03_s":$skewD03Sec,"skew_d03_pairs":$skewD03Pairs""" +
+      s""","skew_d10_collapsed_s":$skewD10Sec,"skew_d10_pairs":$skewD10Pairs""" +
+      s""","skew_graph_s":$skewGraphSec,"skew_graph_edges":$skewGraphEdges""" +
       s""","pipeline_pairs_clusters_crossmodal_s":$pipelineSec""" +
       // BASELINE.md row mapping (explicit so the grader needn't infer)
       s""","dedup_exact_s":${named("d01_exact_dedup")}""" +

@@ -129,6 +129,18 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    val sh = docs
+      .select($"doc_id", array_sort(shingleHashes($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+    prefixJoinPairs(sh, threshold)
+  }
+
+  /** The AllPairs prefix join over a pre-shingled `(doc_id, sh)` frame
+    * (`sh` sorted ascending, non-empty) — the core both the direct path
+    * and the collapse path (see [[ngramJaccardPairsViaCollapse]]) share. */
+  private[graft] def prefixJoinPairs(shingled: DataFrame, threshold: Double): DataFrame = {
+    val s = shingled.sparkSession
+    import s.implicits._
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     // p = FLOOR(τ·q), so p/q ≤ τ always: a rational approximation from
     // below is recall-safe (prefix one element longer, length filter one
@@ -138,9 +150,7 @@ object Dedup {
     // Jaccard in [τ, p/q).
     val q = 1000000L
     val p = math.floor(threshold * q).toLong max 1L
-    val sh = docs
-      .select($"doc_id", array_sort(shingleHashes($"text")).as("sh"))
-      .filter(size($"sh") > 0)
+    val sh = shingled
     val n = size($"sh").cast("long")
     // Jaccard ≥ τ ⇒ |A∩B| ≥ ceil(τ·max(|A|,|B|)) ≥ ceil(τ·n) =: α on
     // each side, so qualifying pairs share an element within the first
@@ -163,6 +173,84 @@ object Dedup {
       .select($"d1", $"d2",
         (inter.cast("double") / (size($"sh1") + size($"sh2") - inter)).as("jaccard"))
       .filter($"jaccard" >= threshold)
+  }
+
+  /** Collapse exact-duplicate shingle sets to one representative before
+    * the pair join. GroupBy is on the sorted hash ARRAY itself — exact
+    * equality, no collision risk — so docs land in the same group iff
+    * their shingle sets are identical, i.e. iff their pairwise Jaccard
+    * is exactly 1. Returns the representative-level shingle frame
+    * (rep = min doc_id per group) and the (rep, doc_id) membership.
+    *
+    * Scale: one shuffle keyed by the shingle array. The aggregation
+    * buffer per group is the member-ID list, O(group size) — a doc
+    * duplicated 10^6 times costs ~8 MB in one buffer, fine; the payoff
+    * is that the JOIN then sees each distinct set once, so mass
+    * duplication no longer makes candidate generation quadratic. */
+  private[graft] def collapseShingleGroups(docs: DataFrame): (DataFrame, DataFrame) = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sh = docs
+      .select($"doc_id", array_sort(shingleHashes($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+    val groups = sh.groupBy($"sh")
+      .agg(min($"doc_id").as("rep"), collect_list($"doc_id").as("members"))
+    (groups.select($"rep".as("doc_id"), $"sh"),
+     groups.select($"rep", explode($"members").as("doc_id")))
+  }
+
+  /** d10: the mass-duplication-proof form of the exact Jaccard join —
+    * identical output to [[ngramJaccardPairs]] (the driver hash-checks
+    * it against d03's own oracle), different cost model.
+    *
+    * J(a, b) depends only on the shingle SETS, so after collapsing
+    * identical sets ([[collapseShingleGroups]]) it suffices to run the
+    * prefix join on distinct sets and reconstruct: within a group every
+    * ordered pair has J = 1 (≥ any τ ≤ 1); across groups each rep-level
+    * pair expands over both memberships with its jaccard unchanged.
+    * A doc duplicated m times (license boilerplate, template pages —
+    * the 100 TB corpus shape) costs the JOIN one row instead of m;
+    * only the OUTPUT expansion stays O(m²), which is inherent in the
+    * pair contract. Consumers that don't need expanded pairs
+    * (clustering) should take [[collapsedPairGraph]] instead — O(m)
+    * edges, same connected components. */
+  def ngramJaccardPairsViaCollapse(docs: DataFrame, threshold: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (repSh, members) = collapseShingleGroups(docs)
+    val repPairs = prefixJoinPairs(repSh, threshold)
+    // within-group clique: J = 1 exactly; self-join keyed by rep stays
+    // bounded because comparisons group per key and output is the
+    // contract's own size
+    val within = members.as("a").join(members.as("b"),
+        $"a.rep" === $"b.rep" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"), lit(1.0).as("jaccard"))
+    // cross-group expansion: rep order (rep1 < rep2) need not be member
+    // order, so re-normalize to d1 < d2
+    val cross = repPairs
+      .join(members.as("ma"), $"d1" === $"ma.rep")
+      .join(members.as("mb"), $"d2" === $"mb.rep")
+      .select(least($"ma.doc_id", $"mb.doc_id").as("d1"),
+              greatest($"ma.doc_id", $"mb.doc_id").as("d2"), $"jaccard")
+    within.unionByName(cross)
+  }
+
+  def d10CollapsedJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairsViaCollapse(documents(s, d), 0.8)
+
+  /** The pair graph for CLUSTERING without the quadratic expansion:
+    * member→rep star edges (rep = min, so d1 < d2 holds) ∪ rep-level
+    * near-dup pairs. Connected components over this graph equal those
+    * over the full expanded pair set — within a group the star connects
+    * exactly the vertex set the clique would — at O(m) edges per
+    * m-duplicated doc instead of O(m²). Feed to [[clusterPairs]]. */
+  def collapsedPairGraph(docs: DataFrame, threshold: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (repSh, members) = collapseShingleGroups(docs)
+    val chain = members.filter($"doc_id" =!= $"rep")
+      .select($"rep".as("d1"), $"doc_id".as("d2"))
+    prefixJoinPairs(repSh, threshold).select($"d1", $"d2").unionByName(chain)
   }
 
   val d03Sql: String =
@@ -471,6 +559,7 @@ object Dedup {
     "d05_simhash"       -> (d05Simhash _),
     "d06_char_ngram"    -> (d06CharNgram _),
     "d08_dedup_clusters" -> (d08DedupClusters _),
+    "d10_collapsed_jaccard" -> (d10CollapsedJaccard _),
   )
 
   // def, not val: the golden-snapshot oracle path resolves the sf tag
@@ -486,5 +575,8 @@ object Dedup {
     "d05_simhash"       -> graft.GoldenGen.oracle("d05_simhash"),
     "d08_dedup_clusters" -> d08Sql,
     "d06_char_ngram"    -> d06Sql,
+    // same oracle as d03 by design: the collapse is a cost-model change,
+    // not a semantics change — the driver hash-check proves it
+    "d10_collapsed_jaccard" -> d03Sql,
   )
 }

@@ -105,6 +105,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("collapse pre-pass ≡ direct prefix join on corpora with mass exact duplicates") {
+    import spark.implicits._
+    // corpora where exact duplication dominates — the shape the collapse
+    // exists for: identical copies must yield within-group J=1 pairs,
+    // near-copies must expand across groups with unchanged jaccard
+    Seq(0.7, 0.8).foreach { tau =>
+      (0 until 3).foreach { seed =>
+        val rnd = new scala.util.Random(4000 + seed)
+        val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+          "eta", "theta", "iota", "kappa")
+        def doc(): String =
+          Seq.fill(8 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        val base = Seq.fill(10)(doc())
+        // exact duplicates: doc 0 copied 12×, docs 1-3 copied 2× each
+        val exactDups = Seq.fill(12)(base(0)) ++ base.slice(1, 4).flatMap(t => Seq(t, t))
+        val nearCopies = base.take(5).map { t =>
+          val w = t.split(' ')
+          w.updated(rnd.nextInt(w.length), vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        }
+        val texts = (base ++ exactDups ++ nearCopies).zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }
+        val docs = texts.toDF("doc_id", "text")
+        val direct = Dedup.ngramJaccardPairs(docs, tau)
+          .as[(Long, Long, Double)].collect().toSet
+        val collapsed = Dedup.ngramJaccardPairsViaCollapse(docs, tau)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(collapsed === direct, s"tau=$tau seed=$seed")
+      }
+    }
+  }
+
+  test("collapsedPairGraph clusters ≡ clusters over the full expanded pair set") {
+    import spark.implicits._
+    (0 until 3).foreach { seed =>
+      val rnd = new scala.util.Random(5000 + seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+        "eta", "theta", "iota", "kappa")
+      def doc(): String =
+        Seq.fill(8 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val base = Seq.fill(10)(doc())
+      val exactDups = Seq.fill(9)(base(0)) ++ Seq(base(1), base(1))
+      val nearCopies = base.take(4).map { t =>
+        val w = t.split(' ')
+        w.updated(rnd.nextInt(w.length), vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val texts = (base ++ exactDups ++ nearCopies).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val docs = texts.toDF("doc_id", "text")
+      val full = Dedup.clusterPairs(
+        Dedup.ngramJaccardPairs(docs, 0.8).select($"d1", $"d2"))
+        .as[(Long, Long)].collect().toMap
+      val viaGraph = Dedup.clusterPairs(Dedup.collapsedPairGraph(docs, 0.8))
+        .as[(Long, Long)].collect().toMap
+      assert(viaGraph === full, s"seed=$seed")
+    }
+  }
+
   test("label-propagation clustering equals union-find on generated graphs") {
     import spark.implicits._
     // reliable-checkpoint mode on the last seed: same results, lineage
