@@ -64,6 +64,12 @@ object Engine {
     registry.createOrReplaceTempFunction("token_set_count",
       es => functions.TokenSetCount(es.head,
         functions.TokenSetCount.parseWordList(es(1))), "scala_udf")
+    registry.createOrReplaceTempFunction("char_shingle_hashes",
+      es => functions.CharShingleHashes(es.head, 5, 4294967291L), "scala_udf")
+    registry.createOrReplaceTempFunction("mod_filter",
+      es => functions.ModFilter(es(0),
+        functions.ModFilter.literalLong(es(1), "m"),
+        functions.ModFilter.literalLong(es(2), "r")), "scala_udf")
   }
 
   /** Run SQL against an attached session. */

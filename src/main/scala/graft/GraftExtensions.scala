@@ -47,6 +47,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("token_set_count", "count of space-delimited tokens in the literal comma-joined word set",
         es => functions.TokenSetCount(es.head,
           functions.TokenSetCount.parseWordList(es(1)))),
+      fn("exact_qsum", "exact order-insensitive sum of 10^-6-quantized doubles",
+        es => functions.ExactQuantizedSum(es.head).toAggregateExpression()),
+      fn("mod_filter", "keep array elements ≡ r (mod m); args (arr, m, r) with literal m, r",
+        es => functions.ModFilter(es(0),
+          functions.ModFilter.literalLong(es(1), "m"),
+          functions.ModFilter.literalLong(es(2), "r"))),
     ).foreach(ext.injectFunction)
   }
 }

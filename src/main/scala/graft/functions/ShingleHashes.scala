@@ -128,4 +128,25 @@ object ModFilter {
   import org.apache.spark.sql.GraftGlue
   def apply(c: Column, m: Long, r: Long): Column =
     GraftGlue.toCol(ModFilter(GraftGlue.toExpr(c), m, r))
+
+  /** SQL-registration arg parsing: m and r compile into the expression,
+    * so they must be foldable non-null integers — fail analysis with a
+    * clear message otherwise (same contract as
+    * [[TokenSetCount.parseWordList]]). */
+  def literalLong(e: Expression, name: String): Long = {
+    def fail(why: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          s"mod_filter(arr, m, r): the $name argument must be a $why (an integer literal like 4)"))
+    if (!e.foldable) fail("literal, got a non-foldable expression")
+    e.eval() match {
+      case null       => fail("non-null integer, got NULL")
+      case i: Int     => i.toLong
+      case l: Long    => l
+      case s: Short   => s.toLong
+      case b: Byte    => b.toLong
+      case other      => fail(s"integer, got ${other.getClass.getSimpleName}")
+    }
+  }
 }

@@ -53,12 +53,30 @@ class ExtensionsSpec extends AnyFunSuite {
           |  simhash64('a b c') AS fp,
           |  dot_product(ARRAY(1.0D, 2.0D), ARRAY(3.0D, 4.0D)) AS dp,
           |  size(char_shingle_hashes('abcdefgh')) AS cg,
-          |  token_set_count('the cat and the hat', 'the,and') AS tsc
+          |  token_set_count('the cat and the hat', 'the,and') AS tsc,
+          |  mod_filter(ARRAY(0L, 3L, 4L, 8L, 9L), 4, 0) AS mf
           |""".stripMargin).collect().head
       assert(row.getInt(0) === 128)
       assert(row.getDouble(2) === 11.0)
       assert(row.getInt(3) === 4) // 8 chars → 4 distinct 5-grams
       assert(row.getInt(4) === 3) // 'the' x2 + 'and'
+      assert(row.getSeq[Long](5) === Seq(0L, 4L, 8L))
+      // aggregate tier: exact_qsum through the config-only path too
+      val qsum = s.sql(
+        """SELECT exact_qsum(x) AS sq FROM VALUES (0.1D), (0.2D), (0.3D) t(x)
+          |""".stripMargin).collect().head.getDouble(0)
+      assert(qsum === 0.6)
+      // parity: the config-only surface ⊇ the per-session surface of
+      // Engine.registerFunctions — a user switching deployment modes
+      // must not lose functions
+      val perSession = Seq("shingle_hashes", "char_shingle_hashes",
+        "minhash_sig", "minhash_band_keys", "simhash64", "dot_product",
+        "l2_norm", "exact_qsum", "token_set_count", "mod_filter")
+      perSession.foreach { name =>
+        assert(s.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+          s"config-only path missing $name")
+      }
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
