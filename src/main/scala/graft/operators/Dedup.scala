@@ -148,24 +148,41 @@ object Dedup {
     // filter removes the false positives the slack admits. round() could
     // land ABOVE τ (τ = 2/3 → p = 666667), silently losing pairs with
     // Jaccard in [τ, p/q).
-    val q = 1000000L
-    val p = math.floor(threshold * q).toLong max 1L
-    val sh = shingled
-    val n = size($"sh").cast("long")
-    // Jaccard ≥ τ ⇒ |A∩B| ≥ ceil(τ·max(|A|,|B|)) ≥ ceil(τ·n) =: α on
-    // each side, so qualifying pairs share an element within the first
-    // n − α + 1 sorted shingles. ceil(p·n/q) = floor((p·n + q − 1)/q),
-    // exact in double for any numerator < 2^53.
-    val alpha = floor((n * lit(p) + lit(q - 1)) / lit(q))
-    val prefLen = (n - alpha + lit(1L)).cast("int")
-    val pre = sh.select($"doc_id", n.as("n"),
-      explode(slice($"sh", lit(1), prefLen)).as("sg"))
+    val p = math.floor(threshold * RatQ).toLong max 1L
+    val pre = prefixExplode(shingled, p)
     // length filter: τ·|A| ≤ |B| ∧ τ·|B| ≤ |A|, cross-multiplied to
     // stay in integers (n is already long: no overflow below 9·10^12)
     val cand = pre.as("a").join(pre.as("b"),
         $"a.sg" === $"b.sg" && $"a.doc_id" < $"b.doc_id" &&
-        $"b.n" * q >= $"a.n" * p && $"a.n" * q >= $"b.n" * p)
+        $"b.n" * RatQ >= $"a.n" * p && $"a.n" * RatQ >= $"b.n" * p)
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")).distinct()
+    verifyCandidates(cand, shingled, threshold)
+  }
+
+  /** τ as a rational p/RatQ from below (see [[prefixJoinPairs]]). */
+  private val RatQ = 1000000L
+
+  /** Prefix rows (doc_id, n, sg) of a sorted shingle frame: Jaccard ≥ τ
+    * ⇒ |A∩B| ≥ ceil(τ·max(|A|,|B|)) ≥ ceil(τ·n) =: α on each side, so
+    * qualifying pairs share an element within the first n − α + 1
+    * sorted shingles. ceil(p·n/q) = floor((p·n + q − 1)/q), exact in
+    * double for any numerator < 2^53. */
+  private def prefixExplode(sh: DataFrame, p: Long): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    val n = size($"sh").cast("long")
+    val alpha = floor((n * lit(p) + lit(RatQ - 1)) / lit(RatQ))
+    val prefLen = (n - alpha + lit(1L)).cast("int")
+    sh.select($"doc_id", n.as("n"),
+      explode(slice($"sh", lit(1), prefLen)).as("sg"))
+  }
+
+  /** Exact-Jaccard verification of a candidate (d1, d2) frame against
+    * the full shingle arrays. */
+  private def verifyCandidates(cand: DataFrame, sh: DataFrame,
+                               threshold: Double): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
     val full1 = sh.select($"doc_id".as("d1"), $"sh".as("sh1"))
     val full2 = sh.select($"doc_id".as("d2"), $"sh".as("sh2"))
     val inter = size(array_intersect($"sh1", $"sh2"))
@@ -253,6 +270,57 @@ object Dedup {
     prefixJoinPairs(repSh, threshold).select($"d1", $"d2").unionByName(chain)
   }
 
+  /** d11: incremental (delta) near-dup — the every-day form of the
+    * join at 100 TB. A curation pipeline doesn't re-run corpus×corpus
+    * when a batch of new documents arrives; it needs exactly the pairs
+    * with ≥ 1 NEW endpoint (new-vs-corpus and new-vs-new; old-old pairs
+    * were found when the old docs arrived). Prefix filtering gives this
+    * asymmetrically: candidates come from joining the DELTA's prefix
+    * rows against the full corpus's prefix rows — the corpus side is
+    * scanned once, the shuffle is keyed by prefix tokens as in d03, and
+    * when the delta is small Spark's AQE turns the probe side into a
+    * broadcast. Cost scales with |delta|·corpus-overlap, not |corpus|².
+    *
+    * Both inputs are (doc_id, text) with globally unique doc_ids;
+    * output is (d1, d2, jaccard), d1 < d2, exactly the J ≥ τ pairs
+    * touching the delta (the driver hash-checks this against the full
+    * join filtered to delta-touching pairs). */
+  def deltaNearDupPairs(oldDocs: DataFrame, newDocs: DataFrame,
+                        threshold: Double): DataFrame = {
+    val s = oldDocs.sparkSession
+    import s.implicits._
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val p = math.floor(threshold * RatQ).toLong max 1L
+    def shingled(df: DataFrame) = df
+      .select($"doc_id", array_sort(shingleHashes($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+    val shNew = shingled(newDocs)
+    val shAll = shingled(oldDocs).unionByName(shNew)
+    val preNew = prefixExplode(shNew, p)
+    val preAll = prefixExplode(shAll, p)
+    // a = delta, b = corpus: every qualifying pair has a new endpoint,
+    // and its prefixes intersect (AllPairs guarantee holds per side
+    // regardless of which frame each doc came from). New-new pairs
+    // arise twice (both directions) — normalized + distinct collapses
+    // them; a.doc_id ≠ b.doc_id drops self-pairs.
+    val cand = preNew.as("a").join(preAll.as("b"),
+        $"a.sg" === $"b.sg" && $"a.doc_id" =!= $"b.doc_id" &&
+        $"b.n" * RatQ >= $"a.n" * p && $"a.n" * RatQ >= $"b.n" * p)
+      .select(least($"a.doc_id", $"b.doc_id").as("d1"),
+              greatest($"a.doc_id", $"b.doc_id").as("d2"))
+      .distinct()
+    verifyCandidates(cand, shAll, threshold)
+  }
+
+  /** The driver-checked split: docs with doc_id ≡ 0 (mod 10) play the
+    * newly-arrived delta, the rest the standing corpus. */
+  def d11DeltaNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"text")
+    deltaNearDupPairs(docs.filter($"doc_id" % 10 =!= 0),
+                      docs.filter($"doc_id" % 10 === 0), 0.8)
+  }
+
   val d03Sql: String =
     """WITH sh AS (
       |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -270,6 +338,12 @@ object Dedup {
       |SELECT d1, d2, CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
       |FROM inter
       |WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.8""".stripMargin
+
+  /** Oracle: the full exact pair set restricted to pairs touching the
+    * delta — the definition d11 must reproduce without the full join. */
+  val d11Sql: String =
+    s"""SELECT * FROM (${d03Sql.replace("\n", "\n  ")})
+       |WHERE d1 % 10 = 0 OR d2 % 10 = 0""".stripMargin
 
   // ---- d04: MinHash + LSH banding, exact-verified ----
 
@@ -560,6 +634,7 @@ object Dedup {
     "d06_char_ngram"    -> (d06CharNgram _),
     "d08_dedup_clusters" -> (d08DedupClusters _),
     "d10_collapsed_jaccard" -> (d10CollapsedJaccard _),
+    "d11_delta_neardup"  -> (d11DeltaNearDup _),
   )
 
   // def, not val: the golden-snapshot oracle path resolves the sf tag
@@ -578,5 +653,6 @@ object Dedup {
     // same oracle as d03 by design: the collapse is a cost-model change,
     // not a semantics change — the driver hash-check proves it
     "d10_collapsed_jaccard" -> d03Sql,
+    "d11_delta_neardup" -> d11Sql,
   )
 }

@@ -136,6 +136,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("delta near-dup ≡ full pair join restricted to pairs touching the delta") {
+    import spark.implicits._
+    Seq(0.7, 0.8).foreach { tau =>
+      (0 until 3).foreach { seed =>
+        val rnd = new scala.util.Random(6000 + seed)
+        val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+          "eta", "theta", "iota", "kappa")
+        def doc(): String =
+          Seq.fill(8 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        val base = Seq.fill(14)(doc())
+        // near-copies land on BOTH sides of the split so the test sees
+        // new-new, new-old, and (excluded) old-old qualifying pairs
+        val nearCopies = base.take(7).map { t =>
+          val w = t.split(' ')
+          w.updated(rnd.nextInt(w.length), vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        }
+        val texts = (base ++ nearCopies).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        val docs = texts.toDF("doc_id", "text")
+        val isNew = (id: Long) => id % 3 == 0
+        val oldDocs = docs.filter($"doc_id" % 3 =!= 0)
+        val newDocs = docs.filter($"doc_id" % 3 === 0)
+        val got = Dedup.deltaNearDupPairs(oldDocs, newDocs, tau)
+          .as[(Long, Long, Double)].collect().toSet
+        val expected = Dedup.ngramJaccardPairs(docs, tau)
+          .as[(Long, Long, Double)].collect().toSet
+          .filter(pr => isNew(pr._1) || isNew(pr._2))
+        assert(got === expected, s"tau=$tau seed=$seed")
+      }
+    }
+  }
+
   test("collapsedPairGraph clusters ≡ clusters over the full expanded pair set") {
     import spark.implicits._
     (0 until 3).foreach { seed =>
