@@ -18,7 +18,8 @@ object PlanAudit {
     Seq("q01_pricing_summary","q03_top_revenue","q05_region_revenue",
         "q06_revenue_filter","d01_exact_dedup","d03_ngram_jaccard",
         "d04_minhash_lsh","d07_decontamination","s01_cosine_topk",
-        "s04_blocked_neardup","q17_range_join","q64_asof_join").foreach(show)
+        "s04_blocked_neardup","q17_range_join","q64_asof_join",
+        "d10_collapsed_jaccard","d11_delta_neardup").foreach(show)
     spark.stop()
   }
 }

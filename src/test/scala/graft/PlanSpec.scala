@@ -41,6 +41,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("d10: collapse path is all equi-joins — no cartesian/NLJ, no global window") {
+    val p = plan("d10_collapsed_jaccard")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")), "global window")
+  }
+
+  test("d11: delta join is equi-keyed on prefix tokens — no cartesian/NLJ") {
+    val p = plan("d11_delta_neardup")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("s04: blocked near-dup has no nested-loop join, equi-join on block pair") {
     val p = plan("s04_blocked_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
