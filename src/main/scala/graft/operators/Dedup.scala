@@ -289,13 +289,23 @@ object Dedup {
                         threshold: Double): DataFrame = {
     val s = oldDocs.sparkSession
     import s.implicits._
-    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    val p = math.floor(threshold * RatQ).toLong max 1L
     def shingled(df: DataFrame) = df
       .select($"doc_id", array_sort(shingleHashes($"text")).as("sh"))
       .filter(size($"sh") > 0)
-    val shNew = shingled(newDocs)
-    val shAll = shingled(oldDocs).unionByName(shNew)
+    deltaPairsFromShingled(shingled(oldDocs), shingled(newDocs), threshold)
+  }
+
+  /** Pre-shingled form of [[deltaNearDupPairs]]: callers that keep a
+    * standing corpus (streaming admission, repeated deltas) store the
+    * sorted shingle arrays once and skip re-shingling the corpus on
+    * every delta. */
+  private[graft] def deltaPairsFromShingled(shOld: DataFrame, shNew: DataFrame,
+                                            threshold: Double): DataFrame = {
+    val s = shOld.sparkSession
+    import s.implicits._
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val p = math.floor(threshold * RatQ).toLong max 1L
+    val shAll = shOld.unionByName(shNew)
     val preNew = prefixExplode(shNew, p)
     val preAll = prefixExplode(shAll, p)
     // a = delta, b = corpus: every qualifying pair has a new endpoint,

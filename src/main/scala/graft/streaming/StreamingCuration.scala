@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+
+import graft.operators.Dedup
+
+/** Online near-dup curation: admit or reject each document of a stream
+  * against everything that came before it.
+  *
+  * Contract (batching-invariant by construction): a document is
+  * REJECTED iff some document with a smaller `doc_id` — in the seed
+  * corpus or anywhere earlier in the stream, including rejected docs
+  * and smaller-id docs of the same micro-batch — has word-3-gram
+  * Jaccard ≥ τ with it. The predicate depends only on the global
+  * document SET, never on how the stream was sliced into batches, so
+  * the admitted set equals the one-shot batch computation (keep-first
+  * dedup: drop `d2` of every [[Dedup.ngramJaccardPairs]] pair) — the
+  * equivalence [[graft.StreamingCurationSpec]] asserts. Rejected docs
+  * stay in the history because they still suppress their own later
+  * near-copies; dropping them would make admission depend on batch
+  * boundaries. Requires doc_ids non-decreasing across batches (stream
+  * order — a monotonic ingest id; within a batch any order).
+  *
+  * Mechanics per micro-batch: one [[Dedup.deltaPairsFromShingled]] of
+  * the batch against the history — cost |batch| · overlap, never
+  * |corpus|² — then append the batch (with its sorted shingle arrays,
+  * so the corpus is never re-shingled) under `batch=<id>`. The
+  * per-batch-id subdirectory makes replays after a failure idempotent:
+  * a re-run of batch N overwrites exactly `batch=N`. At 100 TB the
+  * history IS the standing curated corpus; the obvious further step —
+  * maintaining the prefix-token index incrementally instead of
+  * re-deriving it from `sh` per delta — changes constants, not
+  * complexity, and keeps the same admission semantics.
+  */
+object StreamingCuration {
+
+  /** Start the admission query over a streaming (doc_id, text) frame.
+    * History accumulates under `historyDir` (seed it with
+    * [[seedHistory]]); admitted docs are the `admitted = true` rows
+    * ([[admittedDocs]]). */
+  def nearDupAdmission(docs: DataFrame, historyDir: String, tau: Double,
+                       checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(batch, historyDir, tau, batchId)
+        ()
+      }
+      .start()
+
+  /** One admission step — exposed so batch pipelines can run the same
+    * policy over a bounded delta, and for tests. */
+  def admitBatch(batch0: DataFrame, historyDir: String, tau: Double,
+                 batchId: Long): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val batch = batch0
+      .select($"doc_id", $"text", array_sort(Dedup.shingleHashes($"text")).as("sh"))
+      .persist()
+    try {
+      val hist = readHistory(spark, historyDir, batch.schema)
+      // shingle-less docs can't pair (the join drops them) — they admit
+      val rejected = Dedup.deltaPairsFromShingled(
+          hist.filter(size($"sh") > 0).select($"doc_id", $"sh"),
+          batch.filter(size($"sh") > 0).select($"doc_id", $"sh"), tau)
+        .select($"d2".as("doc_id")).distinct()
+        // monotonic ids put every pair's d2 in the batch; the semi-join
+        // keeps the flag honest if a caller violates that
+        .join(batch.select($"doc_id"), Seq("doc_id"), "left_semi")
+      batch
+        .join(rejected.withColumn("rej", lit(true)), Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"text", $"sh", coalesce(!$"rej", lit(true)).as("admitted"))
+        .write.mode("overwrite").parquet(s"$historyDir/batch=$batchId")
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Pre-load a standing corpus (all admitted) before streaming. */
+  def seedHistory(docs: DataFrame, historyDir: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id", $"text",
+        array_sort(Dedup.shingleHashes($"text")).as("sh"),
+        lit(true).as("admitted"))
+      .write.mode("overwrite").parquet(s"$historyDir/batch=-1")
+  }
+
+  /** The curated output: admitted documents across seed + stream. */
+  def admittedDocs(spark: SparkSession, historyDir: String): DataFrame = {
+    import spark.implicits._
+    readHistory(spark, historyDir, null).filter($"admitted")
+      .select($"doc_id", $"text")
+  }
+
+  /** History as one frame; empty-with-schema when nothing was written
+    * yet (same contract as FileDeadLetter.read — a fresh dir is not an
+    * error). */
+  private def readHistory(spark: SparkSession, dir: String,
+                          batchSchema: StructType): DataFrame = {
+    val path = java.nio.file.Paths.get(dir)
+    val hasData = java.nio.file.Files.isDirectory(path) && {
+      val s = java.nio.file.Files.list(path)
+      try s.anyMatch(p => p.getFileName.toString.startsWith("batch="))
+      finally s.close()
+    }
+    if (hasData) spark.read.parquet(dir).drop("batch")
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(batchSchema.fields :+ StructField("admitted", BooleanType)))
+  }
+}

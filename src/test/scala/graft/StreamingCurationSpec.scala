@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.streaming.StreamingCuration
+
+/** Online near-dup admission: the streamed result must equal the
+  * one-shot batch computation (keep-first dedup) REGARDLESS of how the
+  * stream was sliced into micro-batches — the batching-invariance the
+  * operator's contract promises. */
+class StreamingCurationSpec extends SparkSpec {
+
+  /** Corpus with near-dup chains that CROSS batch boundaries: base
+    * docs early, near-copies later (and a near-copy of a near-copy, so
+    * a rejected doc must still suppress its own copies). */
+  private def corpus: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc(): String =
+      Seq.fill(20 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def mutate(t: String): String = {
+      val w = t.split(' ')
+      w.updated(rnd.nextInt(w.length), vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val base = Seq.fill(12)(doc())
+    val copies = base.take(6).map(mutate)         // near-dups of admitted docs
+    val copyOfCopy = copies.take(3).map(mutate)   // near-dups of REJECTED docs
+    (base ++ copies ++ copyOfCopy).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  }
+
+  /** Ground truth: keep-first = drop d2 of every J ≥ τ pair. */
+  private def keepFirst(docs: Seq[(Long, String)], tau: Double): Set[Long] = {
+    import spark.implicits._
+    val all = docs.toDF("doc_id", "text")
+    val rejected = Dedup.ngramJaccardPairs(all, tau)
+      .select($"d2").as[Long].collect().toSet
+    docs.map(_._1).toSet -- rejected
+  }
+
+  test("streamed admission ≡ one-shot keep-first dedup across batch slicings") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = corpus
+    val expected = keepFirst(docs, 0.8)
+    // sanity: the fixture must actually exercise cross-batch chains
+    assert(expected.size < docs.size && expected.size > docs.size / 3)
+    Seq(Seq(7, 7, 7), Seq(1, 20), Seq(docs.size)).foreach { slicing =>
+      val histDir = java.nio.file.Files.createTempDirectory("cur-hist").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("cur-ckpt").toString
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingCuration.nearDupAdmission(
+        input.toDF().toDF("doc_id", "text"), histDir, 0.8, ckpt)
+      try {
+        var rest = docs
+        slicing.foreach { n =>
+          val (batch, tail) = rest.splitAt(n)
+          rest = tail
+          input.addData(batch: _*)
+          q.processAllAvailable()
+        }
+        rest.grouped(9).foreach { batch => // leftovers, if the slicing undercounts
+          input.addData(batch: _*)
+          q.processAllAvailable()
+        }
+        val admitted = StreamingCuration.admittedDocs(spark, histDir)
+          .select($"doc_id").as[Long].collect().toSet
+        assert(admitted === expected, s"slicing=$slicing")
+      } finally q.stop()
+    }
+  }
+
+  test("seeded corpus suppresses stream near-copies; replayed batch is idempotent") {
+    import spark.implicits._
+    val docs = corpus
+    val histDir = java.nio.file.Files.createTempDirectory("cur-seed").toString
+    val seed = docs.take(12).toDF("doc_id", "text")
+    StreamingCuration.seedHistory(seed, histDir)
+    // batch 0 = the near-copies; every one collides with the seed
+    val batch = docs.slice(12, 18).toDF("doc_id", "text")
+    StreamingCuration.admitBatch(batch, histDir, 0.8, batchId = 0L)
+    val admittedAfter = StreamingCuration.admittedDocs(spark, histDir)
+      .select($"doc_id").as[Long].collect().toSet
+    val expected = keepFirst(docs.take(18), 0.8)
+    assert(admittedAfter === expected)
+    // replay the same batch id (failure recovery): history must not
+    // grow — the batch=0 subdir is overwritten, not appended
+    StreamingCuration.admitBatch(batch, histDir, 0.8, batchId = 0L)
+    val replayed = StreamingCuration.admittedDocs(spark, histDir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(replayed === expected)
+    val total = spark.read.parquet(histDir).count()
+    assert(total === 18L, s"replay must be idempotent, history has $total rows")
+  }
+}
