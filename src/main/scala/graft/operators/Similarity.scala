@@ -339,12 +339,58 @@ object Similarity {
       .select($"q_id", $"n_id", $"rank", round($"cosine", 6).as("cosine_r"))
   }
 
+  /** s06: incremental embedding near-dup — the vector twin of d11. A
+    * pipeline that embeds each new document batch needs the cosine ≥ τ
+    * pairs TOUCHING the delta, not corpus×corpus again. Asymmetric
+    * blocked join: the corpus is hash-bucketed into B blocks exactly
+    * as in s04; each DELTA vector is replicated to all B blocks (the
+    * delta is the small side — B-fold replication of |delta| rows vs
+    * s04's (B+1)-fold replication of the whole corpus), then one
+    * shuffled equi-join on the block id compares (n/B)·|delta| pairs
+    * per task. Cost ∝ |delta|·n, evenly spread, no nested loop, no
+    * full-corpus broadcast; new-new pairs arise in both directions and
+    * collapse in the normalized distinct (dot(a,b) and dot(b,a) sum
+    * identical products in identical index order — bit-equal doubles).
+    * Exact by construction, so the driver hash-checks it against the
+    * full s02 pair set restricted to delta-touching pairs. */
+  def deltaEmbeddingNearDup(oldVecs: DataFrame, newVecs: DataFrame,
+                            threshold: Double, blocks: Int = 8): DataFrame = {
+    val s = oldVecs.sparkSession
+    import s.implicits._
+    val all = oldVecs.unionByName(newVecs)
+      .withColumn("bn", norm($"v"))
+      .withColumn("g", pmod(xxhash64($"vec_id"), lit(blocks)).cast("int"))
+      .select($"g", $"vec_id".as("b_id"), $"v".as("bv"), $"bn")
+    val newRep = newVecs.withColumn("an", norm($"v"))
+      .select($"vec_id".as("a_id"), $"v".as("av"), $"an",
+        explode(sequence(lit(0), lit(blocks - 1))).as("blk"))
+    newRep.join(all, $"blk" === $"g" && $"a_id" =!= $"b_id")
+      .filter((dot($"av", $"bv") / ($"an" * $"bn")) >= threshold)
+      .select(least($"a_id", $"b_id").as("a_id"),
+              greatest($"a_id", $"b_id").as("b_id"),
+              round(dot($"av", $"bv") / ($"an" * $"bn"), 6).as("cosine_r"))
+      .distinct()
+  }
+
+  /** Driver-checked split: vec_id ≡ 0 (mod 10) plays the new batch. */
+  def s06DeltaNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d)
+    deltaEmbeddingNearDup(c.filter($"vec_id" % 10 =!= 0),
+                          c.filter($"vec_id" % 10 === 0), 0.45)
+  }
+
+  val s06Sql: String =
+    s"""SELECT * FROM (${s02Sql.replace("\n", "\n  ")})
+       |WHERE a_id % 10 = 0 OR b_id % 10 = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> (s01CosineTopK _),
     "s02_embedding_neardup" -> (s02EmbeddingNearDup _),
     "s03_ivf_topk"          -> (s03IvfTopK _),
     "s04_blocked_neardup"   -> (s04BlockedNearDup _),
     "s05_quant_stats"       -> (s05QuantStats _),
+    "s06_delta_neardup"     -> (s06DeltaNearDup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -354,5 +400,8 @@ object Similarity {
     // s04 is the scalable plan for the SAME predicate as s02 — same oracle.
     "s04_blocked_neardup"   -> s02Sql,
     "s05_quant_stats"       -> s05Sql,
+    // exact by construction: the full s02 pair set restricted to
+    // delta-touching pairs
+    "s06_delta_neardup"     -> s06Sql,
   )
 }

@@ -55,6 +55,12 @@ class PlanSpec extends SparkSpec {
            !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("s06: delta embedding join is equi-keyed on block id — no cartesian/NLJ") {
+    val p = plan("s06_delta_neardup")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("s04: blocked near-dup has no nested-loop join, equi-join on block pair") {
     val p = plan("s04_blocked_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))

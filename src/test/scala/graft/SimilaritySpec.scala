@@ -30,6 +30,17 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.15, s"mean recall@3 = $mean")
   }
 
+  test("s06 delta near-dup ≡ full s02 pair set restricted to delta-touching pairs") {
+    import spark.implicits._
+    val got = Similarity.s06DeltaNearDup(spark, sf001)
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = Similarity.s02EmbeddingNearDup(spark, sf001)
+      .as[(Long, Long, Double)].collect().toSet
+      .filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture must produce at least one delta pair")
+  }
+
   test("s05 quantization stats honor the mathematical bounds") {
     val rows = operators.Similarity.s05QuantStats(spark, sf001).collect()
     assert(rows.nonEmpty)
