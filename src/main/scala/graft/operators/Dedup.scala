@@ -24,7 +24,12 @@ import graft.Tables._
   *  - Band buckets of pathological size (mass-duplicated boilerplate)
   *    would make the bucket self-join quadratic; production guard = cap
   *    bucket size (drop or sample buckets > N docs), which is a single
-  *    filter on a count window over the bucket key.
+  *    filter on a count window over the bucket key. The exact-dedup
+  *    pre-pass that corpus shape really wants is d10
+  *    ([[ngramJaccardPairsViaCollapse]] / [[collapsedPairGraph]]).
+  *  - A standing corpus takes deltas incrementally (d11,
+  *    [[deltaNearDupPairs]]) instead of re-running corpus×corpus;
+  *    the streaming form is [[graft.streaming.StreamingCuration]].
   */
 object Dedup {
 

@@ -72,6 +72,34 @@ class StreamingCurationSpec extends SparkSpec {
     }
   }
 
+  test("admission survives a checkpoint restart without duplicate or lost history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = corpus
+    val expected = keepFirst(docs, 0.8)
+    val histDir = java.nio.file.Files.createTempDirectory("cur-restart-h").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cur-restart-c").toString
+    val input = MemoryStream[(Long, String)]
+    def start() = StreamingCuration.nearDupAdmission(
+      input.toDF().toDF("doc_id", "text"), histDir, 0.8, ckpt)
+    val q1 = start()
+    try {
+      input.addData(docs.take(10): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the checkpoint; the rest of the stream continues
+    val q2 = start()
+    try {
+      input.addData(docs.drop(10): _*)
+      q2.processAllAvailable()
+      val admitted = StreamingCuration.admittedDocs(spark, histDir)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(admitted === expected)
+      assert(spark.read.parquet(histDir).count() === docs.size.toLong,
+        "history must hold each doc exactly once across the restart")
+    } finally q2.stop()
+  }
+
   test("seeded corpus suppresses stream near-copies; replayed batch is idempotent") {
     import spark.implicits._
     val docs = corpus
