@@ -191,17 +191,47 @@ object Relational2 {
        |  SELECT 'cheap' AS bucket, o_totalprice FROM orders WHERE o_totalprice < 5000
        |) GROUP BY bucket""".stripMargin
 
-  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-    * `quantile_cont`), plus exact median per group. */
+  /** Exact interpolated percentiles (≡ Spark `percentile` ≡ DuckDB
+    * `quantile_cont`) per group — WITHOUT per-group value buffering.
+    *
+    * Spark's `percentile()` is a TypedImperativeAggregate that holds
+    * every value of a group in one aggregation buffer: O(group size)
+    * executor MEMORY, the one thing that cannot survive billion-row
+    * groups. Scalable form of the same exact semantics: shuffle-sort
+    * per group (`row_number` — WindowExec spills its partition buffer
+    * to disk, so the bound is disk not heap), keep only the floor/ceil
+    * rank rows each quantile needs, and interpolate with the identical
+    * formula `lower·(hi−pos) + higher·(pos−lo)` both engines use, so
+    * the doubles stay bit-equal to `percentile()`'s (two non-null
+    * terms per sum — FP addition is commutative, so partial-agg order
+    * cannot change the bits). */
   def q22Percentiles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    lineitem(s, d)
-      .groupBy($"l_returnflag")
-      .agg(
-        expr("percentile(l_quantity, 0.25)").as("q25"),
-        expr("percentile(l_quantity, 0.5)").as("q50"),
-        expr("percentile(l_quantity, 0.75)").as("q75"),
-        expr("percentile(l_extendedprice, 0.9)").as("price_p90"))
+    import org.apache.spark.sql.expressions.Window
+    val li = lineitem(s, d)
+    def quantiles(valueCol: String, ps: Seq[(String, Double)]): DataFrame = {
+      val w = Window.partitionBy($"l_returnflag").orderBy($"v")
+      val counts = li.groupBy($"l_returnflag")
+        .agg(count(col(valueCol)).as("n"))
+      val ranked = li.select($"l_returnflag", col(valueCol).as("v"))
+        .filter($"v".isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(counts), "l_returnflag")
+      val aggs = ps.map { case (name, p) =>
+        val pos = lit(p) * ($"n" - 1).cast("double")
+        val lo = floor(pos)
+        val hi = ceil(pos)
+        val rank0 = ($"rn" - 1).cast("double")
+        sum(
+          when(rank0 === lo && lo === hi, $"v")
+            .when(rank0 === lo, $"v" * (hi - pos))
+            .when(rank0 === hi, $"v" * (pos - lo))
+        ).as(name)
+      }
+      ranked.groupBy($"l_returnflag").agg(aggs.head, aggs.tail: _*)
+    }
+    quantiles("l_quantity", Seq("q25" -> 0.25, "q50" -> 0.5, "q75" -> 0.75))
+      .join(quantiles("l_extendedprice", Seq("price_p90" -> 0.9)), "l_returnflag")
   }
 
   val q22Sql: String =
