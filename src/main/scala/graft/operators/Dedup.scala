@@ -460,8 +460,10 @@ object Dedup {
     * quadratic candidates are all TRUE pairs (hamming 0), so a bucket
     * cap would change the answer, not trim waste. The remedy at scale
     * is the same one d04's guard comment prescribes: an exact-dedup
-    * (d01) pre-pass removes the duplicates before any near-dup join
-    * runs — SkewStressSpec exercises that corpus shape. */
+    * pre-pass removes the duplicates before any near-dup join runs —
+    * implemented as d10 ([[ngramJaccardPairsViaCollapse]] /
+    * [[collapsedPairGraph]]); SkewStressSpec exercises the corpus
+    * shape and the skew bench records both costs. */
   def d05Simhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val fp = documents(s, d).select($"doc_id", simhash($"text").as("fp"))

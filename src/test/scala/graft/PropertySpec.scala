@@ -110,7 +110,9 @@ class PropertySpec extends SparkSpec {
     // corpora where exact duplication dominates — the shape the collapse
     // exists for: identical copies must yield within-group J=1 pairs,
     // near-copies must expand across groups with unchanged jaccard
-    Seq(0.7, 0.8).foreach { tau =>
+    // τ = 1.0: cross-group pairs are impossible (distinct sets ⇒ J < 1),
+    // so the output must be exactly the within-group cliques
+    Seq(0.7, 0.8, 1.0).foreach { tau =>
       (0 until 3).foreach { seed =>
         val rnd = new scala.util.Random(4000 + seed)
         val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
@@ -165,6 +167,19 @@ class PropertySpec extends SparkSpec {
         assert(got === expected, s"tau=$tau seed=$seed")
       }
     }
+  }
+
+  test("delta near-dup degenerate inputs: empty corpus, empty delta") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    val none = docs.limit(0)
+    // empty standing corpus: delta-vs-delta pairs only
+    val coldStart = Dedup.deltaNearDupPairs(none, docs, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(coldStart === Set((1L, 2L, 1.0)))
+    // empty delta: nothing to admit, nothing to pair
+    assert(Dedup.deltaNearDupPairs(docs, none, 0.8).count() === 0L)
   }
 
   test("collapsedPairGraph clusters ≡ clusters over the full expanded pair set") {
