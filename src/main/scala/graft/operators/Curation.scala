@@ -223,7 +223,116 @@ object Curation {
        |           JOIN e b ON pairs.d2 = b.vec_id""".stripMargin
   }
 
+  /** c01: the END-TO-END curation pipeline, composed from the
+    * individually-oracled stages in their canonical order —
+    *
+    *   language filter (t03, keep 'en')
+    *   → quality filter (t02, score ≥ 0.5)
+    *   → exact dedup, keep-first (group by text, keep min doc_id)
+    *   → near-dup dedup, keep-first (d03 pairs at τ = 0.8, drop d2)
+    *   → benchmark decontamination (d07's ≥ 3 shared shingles rule
+    *     against the doc_id < 20 benchmark set)
+    *
+    * — the "would a user switch" artifact: one DataFrame program from
+    * raw corpus to curated doc set, hash-checked as a WHOLE against a
+    * single DuckDB CTE chain (stage composition is where silent
+    * semantic drift hides; per-stage oracles can't see it).
+    *
+    * Stage order matters and is part of the contract: filters run
+    * before dedup (cheap row-local predicates prune the expensive
+    * joins' input), near-dup runs on the exact-deduped set, and
+    * decontamination last (a contaminated doc must not have suppressed
+    * a clean near-copy). Output: (doc_id, quality) of survivors. */
+  def c01CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = documents(s, d).select($"doc_id", $"text")
+    val en = TextAnalysis.t03LangId(s, d)
+      .filter($"lang_pred" === "en").select($"doc_id")
+    val qual = TextAnalysis.t02QualityScore(s, d)
+      .filter($"keep").select($"doc_id", $"quality")
+    val f1 = all.filter($"doc_id" >= 20)
+      .join(en, Seq("doc_id"), "left_semi")
+      .join(qual, "doc_id")
+    val firstExact = f1.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+    val f2 = f1.join(firstExact.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val nearRejected = Dedup.ngramJaccardPairs(f2.select($"doc_id", $"text"), 0.8)
+      .select($"d2".as("doc_id")).distinct()
+    val f3 = f2.join(nearRejected, Seq("doc_id"), "left_anti")
+    val benchEx = all.filter($"doc_id" < 20)
+      .select($"doc_id".as("bench_id"),
+        explode(Dedup.shingleHashes($"text")).as("sg"))
+    val contaminated = f3
+      .select($"doc_id", explode(Dedup.shingleHashes($"text")).as("sg"))
+      .join(broadcast(benchEx), "sg")
+      .groupBy($"doc_id", $"bench_id").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 3)
+      .select($"doc_id").distinct()
+    f3.join(contaminated, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"quality")
+  }
+
+  /** The same five stages as one CTE chain, built by embedding the
+    * per-stage oracle SQL verbatim (t02Sql/t03Sql) and d03/d07's
+    * shingle patterns over the filtered sets. */
+  val c01Sql: String = {
+    val t03 = TextAnalysis.t03Sql.replace("\n", "\n  ")
+    val t02 = TextAnalysis.t02Sql.replace("\n", "\n  ")
+    s"""WITH lang_keep AS (
+       |  SELECT doc_id FROM (
+       |  ${t03}
+       |  ) WHERE lang_pred = 'en'
+       |), qual_keep AS (
+       |  SELECT doc_id, quality FROM (
+       |  ${t02}
+       |  ) WHERE keep
+       |), f1 AS (
+       |  SELECT d.doc_id, d.text, q.quality
+       |  FROM documents d
+       |  JOIN lang_keep l ON d.doc_id = l.doc_id
+       |  JOIN qual_keep q ON d.doc_id = q.doc_id
+       |  WHERE d.doc_id >= 20
+       |), first_exact AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM f1 GROUP BY text
+       |), f2 AS (
+       |  SELECT f1.* FROM f1 JOIN first_exact USING (doc_id)
+       |), sh AS (
+       |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |           for i in range(1, len(t)-1)]) AS shingles
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM f2)
+       |  WHERE len(t) >= 3
+       |), ex AS (
+       |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+       |), inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter,
+       |         any_value(a.n) AS n1, any_value(b.n) AS n2
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), near_rejected AS (
+       |  SELECT DISTINCT d2 AS doc_id FROM inter
+       |  WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.8
+       |), bex AS (
+       |  SELECT doc_id AS bench_id, unnest(shingles) AS s FROM (
+       |    SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |             for i in range(1, len(t)-1)]) AS shingles
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |          WHERE doc_id < 20)
+       |    WHERE len(t) >= 3)
+       |), contaminated AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT c.doc_id, b.bench_id
+       |    FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM near_rejected)) c
+       |    JOIN bex b ON c.s = b.s
+       |    GROUP BY c.doc_id, b.bench_id
+       |    HAVING COUNT(*) >= 3)
+       |)
+       |SELECT doc_id, quality FROM f2
+       |WHERE doc_id NOT IN (SELECT doc_id FROM near_rejected)
+       |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c01_curation_pipeline" -> (c01CurationPipeline _),
     "d09_crossmodal"      -> (d09CrossModal _),
     "t15_column_profile"  -> (t15ColumnProfile _),
     "d07_decontamination" -> (d07Decontamination _),
@@ -233,6 +342,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "c01_curation_pipeline" -> c01Sql,
     "d09_crossmodal"      -> d09Sql,
     "t15_column_profile"  -> t15Sql,
     "d07_decontamination" -> d07Sql,

@@ -55,6 +55,12 @@ class PlanSpec extends SparkSpec {
            !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("c01: five-stage curation pipeline is equi-joins end to end — no cartesian/NLJ") {
+    val p = plan("c01_curation_pipeline")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("s06: delta embedding join is equi-keyed on block id — no cartesian/NLJ") {
     val p = plan("s06_delta_neardup")
     assert(!p.contains("CartesianProduct") &&
