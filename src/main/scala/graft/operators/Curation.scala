@@ -30,14 +30,22 @@ object Curation {
     val sh = documents(s, d)
       .select($"doc_id", Dedup.shingleHashes($"text").as("sh"))
       .filter(size($"sh") > 0)
-    val bench = sh.filter($"doc_id" < 20)
-      .select($"doc_id".as("bench_id"), explode($"sh").as("sg"))
-    val corpus = sh.filter($"doc_id" >= 20)
-      .select($"doc_id", explode($"sh").as("sg"))
-    corpus.join(broadcast(bench), "sg")
+    contaminationCounts(
+      sh.filter($"doc_id" >= 20).select($"doc_id", explode($"sh").as("sg")),
+      sh.filter($"doc_id" < 20)
+        .select($"doc_id".as("bench_id"), explode($"sh").as("sg")))
+  }
+
+  /** The contamination rule both d07 and c01 apply: corpus docs sharing
+    * ≥ `minShared` shingles with any benchmark doc. Inputs are exploded
+    * (doc_id, sg) / (bench_id, sg) frames; bench side broadcast. */
+  private[graft] def contaminationCounts(corpusEx: DataFrame, benchEx: DataFrame,
+                                         minShared: Int = 3): DataFrame = {
+    import corpusEx.sparkSession.implicits._
+    corpusEx.join(broadcast(benchEx), "sg")
       .groupBy($"doc_id", $"bench_id")
       .agg(count(lit(1)).as("n_shared"))
-      .filter($"n_shared" >= 3)
+      .filter($"n_shared" >= minShared)
   }
 
   /** Shingle sets are distinct per doc, so the per-pair row count IS the
@@ -241,8 +249,12 @@ object Curation {
     * Stage order matters and is part of the contract: filters run
     * before dedup (cheap row-local predicates prune the expensive
     * joins' input), near-dup runs on the exact-deduped set, and
-    * decontamination last (a contaminated doc must not have suppressed
-    * a clean near-copy). Output: (doc_id, quality) of survivors. */
+    * decontamination runs last — so a contaminated doc DOES still
+    * suppress its near-copies (deliberately conservative: a near-copy
+    * of a benchmark-contaminated doc is itself suspect even when its
+    * own shared-shingle count sits under the threshold; running decon
+    * first would instead re-admit such copies). Output:
+    * (doc_id, quality) of survivors. */
   def c01CurationPipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val all = documents(s, d).select($"doc_id", $"text")
@@ -255,17 +267,21 @@ object Curation {
       .join(qual, "doc_id")
     val firstExact = f1.groupBy($"text").agg(min($"doc_id").as("doc_id"))
     val f2 = f1.join(firstExact.select($"doc_id"), Seq("doc_id"), "left_semi")
-    val nearRejected = Dedup.ngramJaccardPairs(f2.select($"doc_id", $"text"), 0.8)
+    // shingle the surviving corpus ONCE; the near-dup join and the
+    // contamination explode both consume this frame
+    val f2sh = f2
+      .select($"doc_id", array_sort(Dedup.shingleHashes($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+    val nearRejected = Dedup.prefixJoinPairs(f2sh, 0.8)
       .select($"d2".as("doc_id")).distinct()
     val f3 = f2.join(nearRejected, Seq("doc_id"), "left_anti")
     val benchEx = all.filter($"doc_id" < 20)
       .select($"doc_id".as("bench_id"),
         explode(Dedup.shingleHashes($"text")).as("sg"))
-    val contaminated = f3
-      .select($"doc_id", explode(Dedup.shingleHashes($"text")).as("sg"))
-      .join(broadcast(benchEx), "sg")
-      .groupBy($"doc_id", $"bench_id").agg(count(lit(1)).as("n"))
-      .filter($"n" >= 3)
+    val contaminated = contaminationCounts(
+        f2sh.join(f3.select($"doc_id"), Seq("doc_id"), "left_semi")
+          .select($"doc_id", explode($"sh").as("sg")),
+        benchEx)
       .select($"doc_id").distinct()
     f3.join(contaminated, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"quality")

@@ -230,8 +230,15 @@ object Relational2 {
       }
       ranked.groupBy($"l_returnflag").agg(aggs.head, aggs.tail: _*)
     }
-    quantiles("l_quantity", Seq("q25" -> 0.25, "q50" -> 0.5, "q75" -> 0.75))
-      .join(quantiles("l_extendedprice", Seq("price_p90" -> 0.9)), "l_returnflag")
+    // anchor on the full group list with left joins: a group whose
+    // values are all NULL in one column keeps its row with a NULL
+    // quantile (percentile()'s semantics), instead of vanishing from
+    // the inner join
+    li.select($"l_returnflag").distinct()
+      .join(quantiles("l_quantity",
+        Seq("q25" -> 0.25, "q50" -> 0.5, "q75" -> 0.75)), Seq("l_returnflag"), "left_outer")
+      .join(quantiles("l_extendedprice",
+        Seq("price_p90" -> 0.9)), Seq("l_returnflag"), "left_outer")
   }
 
   val q22Sql: String =

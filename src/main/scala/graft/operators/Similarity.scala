@@ -365,10 +365,11 @@ object Similarity {
       .select($"vec_id".as("a_id"), $"v".as("av"), $"an",
         explode(sequence(lit(0), lit(blocks - 1))).as("blk"))
     newRep.join(all, $"blk" === $"g" && $"a_id" =!= $"b_id")
-      .filter((dot($"av", $"bv") / ($"an" * $"bn")) >= threshold)
+      .select($"a_id", $"b_id", (dot($"av", $"bv") / ($"an" * $"bn")).as("cosine"))
+      .filter($"cosine" >= threshold)
       .select(least($"a_id", $"b_id").as("a_id"),
               greatest($"a_id", $"b_id").as("b_id"),
-              round(dot($"av", $"bv") / ($"an" * $"bn"), 6).as("cosine_r"))
+              round($"cosine", 6).as("cosine_r"))
       .distinct()
   }
 

@@ -61,7 +61,8 @@ object StreamingCuration {
       .select($"doc_id", $"text", array_sort(Dedup.shingleHashes($"text")).as("sh"))
       .persist()
     try {
-      val hist = readHistory(spark, historyDir, batch.schema)
+      val hist = readHistory(spark, historyDir,
+        StructType(batch.schema.fields :+ StructField("admitted", BooleanType)))
       // shingle-less docs can't pair (the join drops them) — they admit
       val rejected = Dedup.deltaPairsFromShingled(
           hist.filter(size($"sh") > 0).select($"doc_id", $"sh"),
@@ -87,18 +88,28 @@ object StreamingCuration {
       .write.mode("overwrite").parquet(s"$historyDir/batch=-1")
   }
 
-  /** The curated output: admitted documents across seed + stream. */
+  /** Canonical history row shape, used when an empty frame must be
+    * conjured before any batch has defined one. */
+  private val HistorySchema = StructType(Seq(
+    StructField("doc_id", org.apache.spark.sql.types.LongType),
+    StructField("text", org.apache.spark.sql.types.StringType),
+    StructField("sh", org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)),
+    StructField("admitted", BooleanType)))
+
+  /** The curated output: admitted documents across seed + stream.
+    * A fresh (or still-empty) history dir yields an empty frame. */
   def admittedDocs(spark: SparkSession, historyDir: String): DataFrame = {
     import spark.implicits._
-    readHistory(spark, historyDir, null).filter($"admitted")
+    readHistory(spark, historyDir, HistorySchema).filter($"admitted")
       .select($"doc_id", $"text")
   }
 
-  /** History as one frame; empty-with-schema when nothing was written
-    * yet (same contract as FileDeadLetter.read — a fresh dir is not an
-    * error). */
+  /** History as one frame; empty with the given (full, admitted-
+    * included) schema when nothing was written yet — same contract as
+    * FileDeadLetter.read: a fresh dir is not an error. */
   private def readHistory(spark: SparkSession, dir: String,
-                          batchSchema: StructType): DataFrame = {
+                          emptySchema: StructType): DataFrame = {
     val path = java.nio.file.Paths.get(dir)
     val hasData = java.nio.file.Files.isDirectory(path) && {
       val s = java.nio.file.Files.list(path)
@@ -106,7 +117,7 @@ object StreamingCuration {
       finally s.close()
     }
     if (hasData) spark.read.parquet(dir).drop("batch")
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(batchSchema.fields :+ StructField("admitted", BooleanType)))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
   }
 }

@@ -208,6 +208,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q22 rank-interpolated quantiles match percentile() incl. all-NULL groups") {
+    import spark.implicits._
+    // synthetic lineitem slice: group C has every l_extendedprice NULL —
+    // percentile() keeps the group with a NULL quantile; the scalable
+    // rewrite must too (left joins off the full group list)
+    val rows = Seq(
+      ("A", Some(1.0), Some(10.0)), ("A", Some(2.0), Some(20.0)),
+      ("A", Some(3.0), Some(30.0)), ("A", Some(4.0), None: Option[Double]),
+      ("B", Some(5.0), Some(50.0)), ("B", Some(7.0), Some(70.0)),
+      ("C", Some(9.0), None), ("C", Some(11.0), None))
+    val dir = java.nio.file.Files.createTempDirectory("q22null").toString
+    rows.toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Relational2.q22Percentiles(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.get(1), r.get(2), r.get(3), r.get(4))).toMap
+    val expected = graft.Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.25)").as("q25"),
+           expr("percentile(l_quantity, 0.5)").as("q50"),
+           expr("percentile(l_quantity, 0.75)").as("q75"),
+           expr("percentile(l_extendedprice, 0.9)").as("price_p90"))
+      .collect().map(r => r.getString(0) ->
+        (r.get(1), r.get(2), r.get(3), r.get(4))).toMap
+    assert(got === expected)
+    assert(got("C")._4 === null, "all-NULL group must keep its row with NULL quantile")
+  }
+
   test("label-propagation clustering equals union-find on generated graphs") {
     import spark.implicits._
     // reliable-checkpoint mode on the last seed: same results, lineage
