@@ -138,6 +138,26 @@ object Bench {
       skewGraphEdges = Dedup.collapsedPairGraph(skewDocs, 0.8).count()
     }
 
+    // streaming near-dup admission over the sf corpus in 5 batches:
+    // each batch delta-joins against the growing history (the standing-
+    // corpus cost model a daily curation run pays)
+    System.gc()
+    val curDocs = Tables.documents(spark, sfDir).select($"doc_id", $"text").cache()
+    val curN = curDocs.count()
+    val curDir = java.nio.file.Files.createTempDirectory("bench-cur").toString
+    var curAdmitted = 0L
+    val curSec = timeSec {
+      val bounds = (0 to 5).map(i => curN * i / 5)
+      (0 until 5).foreach { i =>
+        streaming.StreamingCuration.admitBatch(
+          curDocs.filter($"doc_id" >= bounds(i) && $"doc_id" < bounds(i + 1)),
+          curDir, 0.8, i.toLong)
+      }
+      curAdmitted = streaming.StreamingCuration.admittedDocs(spark, curDir).count()
+    }
+    curDocs.unpersist()
+    rmTree(curDir)
+
     // composed pipeline: materialize the d03 pair join ONCE and feed
     // clusters (d08) + cross-modal QA (d09) from it — the form a real
     // curation run uses. Compare against the d08+d09 standalone query
@@ -176,6 +196,8 @@ object Bench {
       s""","skew_d03_s":$skewD03Sec,"skew_d03_pairs":$skewD03Pairs""" +
       s""","skew_d10_collapsed_s":$skewD10Sec,"skew_d10_pairs":$skewD10Pairs""" +
       s""","skew_graph_s":$skewGraphSec,"skew_graph_edges":$skewGraphEdges""" +
+      s""","curation_stream_docs":$curN,"curation_stream_s":$curSec""" +
+      s""","curation_stream_admitted":$curAdmitted""" +
       s""","pipeline_pairs_clusters_crossmodal_s":$pipelineSec""" +
       // BASELINE.md row mapping (explicit so the grader needn't infer)
       s""","dedup_exact_s":${named("d01_exact_dedup")}""" +

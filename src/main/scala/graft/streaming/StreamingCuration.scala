@@ -64,17 +64,29 @@ object StreamingCuration {
       val hist = readHistory(spark, historyDir,
         StructType(batch.schema.fields :+ StructField("admitted", BooleanType)))
       // shingle-less docs can't pair (the join drops them) — they admit
-      val rejected = Dedup.deltaPairsFromShingled(
+      val pairs = Dedup.deltaPairsFromShingled(
           hist.filter(size($"sh") > 0).select($"doc_id", $"sh"),
           batch.filter(size($"sh") > 0).select($"doc_id", $"sh"), tau)
+        .persist() // two consumers below; the frame is threshold-small
+      // monotonic ids put every pair's d2 in the batch; the semi-join
+      // keeps the flag honest if a caller violates that, and the
+      // orphan count makes the violation VISIBLE — an out-of-order id
+      // stream silently loses batch-invariance otherwise
+      val rejected = pairs
         .select($"d2".as("doc_id")).distinct()
-        // monotonic ids put every pair's d2 in the batch; the semi-join
-        // keeps the flag honest if a caller violates that
         .join(batch.select($"doc_id"), Seq("doc_id"), "left_semi")
-      batch
+      val orphans = pairs
+        .join(batch.select($"doc_id".as("d2")), Seq("d2"), "left_anti").count()
+      if (orphans > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"admitBatch(batch=$batchId): $orphans near-dup pair(s) point at " +
+          "an already-written history doc — doc_ids are not monotonic " +
+          "across batches, so the admitted set is batch-slicing-dependent")
+      try batch
         .join(rejected.withColumn("rej", lit(true)), Seq("doc_id"), "left_outer")
         .select($"doc_id", $"text", $"sh", coalesce(!$"rej", lit(true)).as("admitted"))
         .write.mode("overwrite").parquet(s"$historyDir/batch=$batchId")
+      finally { pairs.unpersist(); () }
     } finally { batch.unpersist(); () }
   }
 

@@ -100,6 +100,29 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("out-of-order ids: defined (d2-in-batch) semantics, history doc untouched") {
+    import spark.implicits._
+    val histDir = java.nio.file.Files.createTempDirectory("cur-ooo").toString
+    val t = "alpha beta gamma delta eps zeta eta theta iota kappa " * 3
+    StreamingCuration.seedHistory(
+      Seq((10L, t), (20L, "x y z " * 10)).toDF("doc_id", "text"), histDir)
+    // doc 5 violates monotonicity and duplicates history doc 10: the
+    // pair's d2 = 10 is already written, so 5 ADMITS (semi-join keeps
+    // only batch-side d2s) and the violation is logged, not silent data
+    // corruption
+    StreamingCuration.admitBatch(
+      Seq((5L, t)).toDF("doc_id", "text"), histDir, 0.8, batchId = 0L)
+    val admitted = StreamingCuration.admittedDocs(spark, histDir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(admitted === Set(5L, 10L, 20L))
+  }
+
+  test("admittedDocs on a fresh dir returns an empty frame, not an error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cur-fresh").toString
+    assert(StreamingCuration.admittedDocs(spark, dir).count() === 0L)
+  }
+
   test("seeded corpus suppresses stream near-copies; replayed batch is idempotent") {
     import spark.implicits._
     val docs = corpus
