@@ -19,7 +19,8 @@ object PlanAudit {
         "q06_revenue_filter","d01_exact_dedup","d03_ngram_jaccard",
         "d04_minhash_lsh","d07_decontamination","s01_cosine_topk",
         "s04_blocked_neardup","q17_range_join","q64_asof_join",
-        "d10_collapsed_jaccard","d11_delta_neardup").foreach(show)
+        "d10_collapsed_jaccard","d11_delta_neardup","s06_delta_neardup",
+        "c01_curation_pipeline").foreach(show)
     spark.stop()
   }
 }
