@@ -257,14 +257,25 @@ object Curation {
     * (doc_id, quality) of survivors. */
   def c01CurationPipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    curationStages(s, d).survivors.select($"doc_id", $"quality")
+  }
+
+  /** The pipeline's intermediate frames, shared by c01 (survivor rows)
+    * and c02 (per-stage counts) so the stage definitions cannot drift
+    * between the two. */
+  private case class CurationStages(corpus0: DataFrame, afterLang: DataFrame,
+      f1: DataFrame, f2: DataFrame, f3: DataFrame, survivors: DataFrame)
+
+  private def curationStages(s: SparkSession, d: String): CurationStages = {
+    import s.implicits._
     val all = documents(s, d).select($"doc_id", $"text")
+    val corpus0 = all.filter($"doc_id" >= 20)
     val en = TextAnalysis.t03LangId(s, d)
       .filter($"lang_pred" === "en").select($"doc_id")
     val qual = TextAnalysis.t02QualityScore(s, d)
       .filter($"keep").select($"doc_id", $"quality")
-    val f1 = all.filter($"doc_id" >= 20)
-      .join(en, Seq("doc_id"), "left_semi")
-      .join(qual, "doc_id")
+    val afterLang = corpus0.join(en, Seq("doc_id"), "left_semi")
+    val f1 = afterLang.join(qual, "doc_id")
     val firstExact = f1.groupBy($"text").agg(min($"doc_id").as("doc_id"))
     val f2 = f1.join(firstExact.select($"doc_id"), Seq("doc_id"), "left_semi")
     // shingle the surviving corpus ONCE; the near-dup join and the
@@ -283,14 +294,32 @@ object Curation {
           .select($"doc_id", explode($"sh").as("sg")),
         benchEx)
       .select($"doc_id").distinct()
-    f3.join(contaminated, Seq("doc_id"), "left_anti")
-      .select($"doc_id", $"quality")
+    val survivors = f3.join(contaminated, Seq("doc_id"), "left_anti")
+    CurationStages(corpus0, afterLang, f1, f2, f3, survivors)
+  }
+
+  /** c02: the funnel — row counts surviving each c01 stage, the
+    * observability artifact a pipeline operator actually watches (a
+    * stage suddenly eating 40% of the corpus is the first symptom of a
+    * bad filter or a dup storm). Same stage frames as c01 by
+    * construction. */
+  def c02CurationFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val st = curationStages(s, d)
+    def cnt(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(stage).as("stage"), $"n")
+    cnt("1_input", st.corpus0)
+      .unionByName(cnt("2_lang", st.afterLang))
+      .unionByName(cnt("3_quality", st.f1))
+      .unionByName(cnt("4_exact_dedup", st.f2))
+      .unionByName(cnt("5_near_dedup", st.f3))
+      .unionByName(cnt("6_decontaminated", st.survivors))
   }
 
   /** The same five stages as one CTE chain, built by embedding the
     * per-stage oracle SQL verbatim (t02Sql/t03Sql) and d03/d07's
     * shingle patterns over the filtered sets. */
-  val c01Sql: String = {
+  private val curationCtes: String = {
     val t03 = TextAnalysis.t03Sql.replace("\n", "\n  ")
     val t02 = TextAnalysis.t02Sql.replace("\n", "\n  ")
     s"""WITH lang_keep AS (
@@ -341,14 +370,35 @@ object Curation {
        |    JOIN bex b ON c.s = b.s
        |    GROUP BY c.doc_id, b.bench_id
        |    HAVING COUNT(*) >= 3)
-       |)
+       |)""".stripMargin
+  }
+
+  val c01Sql: String =
+    s"""$curationCtes
        |SELECT doc_id, quality FROM f2
        |WHERE doc_id NOT IN (SELECT doc_id FROM near_rejected)
        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
-  }
+
+  /** Funnel counts off the same CTE chain (shared `curationCtes`, so
+    * the two oracles cannot drift either). */
+  val c02Sql: String =
+    s"""$curationCtes
+       |SELECT stage, CAST(n AS BIGINT) AS n FROM (
+       |  SELECT '1_input' AS stage, COUNT(*) AS n FROM documents WHERE doc_id >= 20
+       |  UNION ALL SELECT '2_lang', COUNT(*) FROM documents d
+       |    JOIN lang_keep USING (doc_id) WHERE d.doc_id >= 20
+       |  UNION ALL SELECT '3_quality', COUNT(*) FROM f1
+       |  UNION ALL SELECT '4_exact_dedup', COUNT(*) FROM f2
+       |  UNION ALL SELECT '5_near_dedup', COUNT(*) FROM f2
+       |    WHERE doc_id NOT IN (SELECT doc_id FROM near_rejected)
+       |  UNION ALL SELECT '6_decontaminated', COUNT(*) FROM f2
+       |    WHERE doc_id NOT IN (SELECT doc_id FROM near_rejected)
+       |      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_curation_pipeline" -> (c01CurationPipeline _),
+    "c02_curation_funnel"   -> (c02CurationFunnel _),
     "d09_crossmodal"      -> (d09CrossModal _),
     "t15_column_profile"  -> (t15ColumnProfile _),
     "d07_decontamination" -> (d07Decontamination _),
@@ -359,6 +409,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "c01_curation_pipeline" -> c01Sql,
+    "c02_curation_funnel"   -> c02Sql,
     "d09_crossmodal"      -> d09Sql,
     "t15_column_profile"  -> t15Sql,
     "d07_decontamination" -> d07Sql,
