@@ -70,6 +70,13 @@ object Engine {
       es => functions.ModFilter(es(0),
         functions.ModFilter.literalLong(es(1), "m"),
         functions.ModFilter.literalLong(es(2), "r")), "scala_udf")
+    // the typed-Aggregator tier for SQL callers: per-group top-3
+    // (score, tag) → tags. k is baked in at registration (an Aggregator
+    // closes over it; SQL args can't parameterize the buffer), so the
+    // common k gets a named function — DataFrame callers needing other
+    // k instantiate TopKAggregator directly (q43 pattern).
+    spark.udf.register("topk3",
+      org.apache.spark.sql.functions.udaf(new functions.TopKAggregator(3)))
   }
 
   /** Run SQL against an attached session. */

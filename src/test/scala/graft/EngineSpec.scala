@@ -54,6 +54,12 @@ class EngineSpec extends SparkSpec {
         |FROM documents LIMIT 1""".stripMargin).collect().head
     assert(row.getInt(1) > 0)
     assert(row.getInt(2) === 128)
+    // the typed-Aggregator tier through SQL: top-3 tags by score
+    val topk = spark.sql(
+      """SELECT topk3(CAST(v AS DOUBLE), CAST(t AS BIGINT)) AS tags
+        |FROM VALUES (1.0, 10), (5.0, 50), (3.0, 30), (4.0, 40) AS x(v, t)
+        |""".stripMargin).collect().head.getSeq[Long](0)
+    assert(topk === Seq(50L, 40L, 30L))
     val qsum = spark.sql(
       "SELECT exact_qsum(l_quantity) AS s FROM lineitem").collect().head.getDouble(0)
     val ref = spark.sql(
