@@ -32,13 +32,21 @@ class SimilaritySpec extends SparkSpec {
 
   test("s06 delta near-dup ≡ full s02 pair set restricted to delta-touching pairs") {
     import spark.implicits._
-    val got = Similarity.s06DeltaNearDup(spark, sf001)
-      .as[(Long, Long, Double)].collect().toSet
     val expected = Similarity.s02EmbeddingNearDup(spark, sf001)
       .as[(Long, Long, Double)].collect().toSet
       .filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
-    assert(got === expected)
-    assert(got.nonEmpty, "fixture must produce at least one delta pair")
+    assert(expected.nonEmpty, "fixture must produce at least one delta pair")
+    // block count must not affect the result: B=1 (single task), B=3
+    // (delta spans blocks unevenly), B=8 (the default)
+    val e = graft.Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    Seq(1, 3, 8).foreach { b =>
+      val got = Similarity.deltaEmbeddingNearDup(
+          e.filter($"vec_id" % 10 =!= 0), e.filter($"vec_id" % 10 === 0),
+          0.45, blocks = b)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === expected, s"blocks=$b")
+    }
   }
 
   test("s05 quantization stats honor the mathematical bounds") {

@@ -47,7 +47,14 @@ class StreamingCurationSpec extends SparkSpec {
     val expected = keepFirst(docs, 0.8)
     // sanity: the fixture must actually exercise cross-batch chains
     assert(expected.size < docs.size && expected.size > docs.size / 3)
-    Seq(Seq(7, 7, 7), Seq(1, 20), Seq(docs.size)).foreach { slicing =>
+    // three fixed slicings plus three seeded-random ones: invariance
+    // must hold for ANY batch boundaries, not just round numbers
+    val randomSlicings = (0 until 3).map { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      Iterator.continually(1 + rnd.nextInt(9)).scanLeft(0)(_ + _)
+        .takeWhile(_ < docs.size).toSeq.sliding(2).map(w => w(1) - w(0)).toSeq
+    }
+    (Seq(Seq(7, 7, 7), Seq(1, 20), Seq(docs.size)) ++ randomSlicings).foreach { slicing =>
       val histDir = java.nio.file.Files.createTempDirectory("cur-hist").toString
       val ckpt = java.nio.file.Files.createTempDirectory("cur-ckpt").toString
       val input = MemoryStream[(Long, String)]
