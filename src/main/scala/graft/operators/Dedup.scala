@@ -260,6 +260,14 @@ object Dedup {
   def d10CollapsedJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardPairsViaCollapse(documents(s, d), 0.8)
 
+  /** d12: dedup clusters THROUGH the collapse graph — the cluster path
+    * a mass-dup corpus should take (O(m) star edges where d08's input
+    * carries O(m²) clique pairs). Same connected components, same
+    * min-id representatives, so the driver hash-checks it against
+    * d08's own recursive-CTE oracle. */
+  def d12CollapsedClusters(s: SparkSession, d: String): DataFrame =
+    clusterPairs(collapsedPairGraph(documents(s, d), 0.8))
+
   /** The pair graph for CLUSTERING without the quadratic expansion:
     * member→rep star edges (rep = min, so d1 < d2 holds) ∪ rep-level
     * near-dup pairs. Connected components over this graph equal those
@@ -652,6 +660,7 @@ object Dedup {
     "d08_dedup_clusters" -> (d08DedupClusters _),
     "d10_collapsed_jaccard" -> (d10CollapsedJaccard _),
     "d11_delta_neardup"  -> (d11DeltaNearDup _),
+    "d12_collapsed_clusters" -> (d12CollapsedClusters _),
   )
 
   // def, not val: the golden-snapshot oracle path resolves the sf tag
@@ -671,5 +680,7 @@ object Dedup {
     // not a semantics change — the driver hash-check proves it
     "d10_collapsed_jaccard" -> d03Sql,
     "d11_delta_neardup" -> d11Sql,
+    // same clusters as d08 by construction (star ≡ clique components)
+    "d12_collapsed_clusters" -> d08Sql,
   )
 }

@@ -229,7 +229,33 @@ object Relational5 {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** q67: recursive CTE — `WITH RECURSIVE` landed in Spark 4, closing
+    * the one relational construct this surface previously reached only
+    * through the iterative-DataFrame form (d08's clusterPairs). The
+    * workload: ancestor chains by integer halving over customer keys
+    * (cur → ⌊cur/2⌋ until 1), depth histogram — ~log₂(maxkey) recursion
+    * rounds, each a narrow projection, identical arithmetic in DuckDB.
+    * Same SQL text runs on both engines. */
+  def q67RecursiveCte(s: SparkSession, d: String): DataFrame = {
+    graft.Engine.attach(s, d)
+    s.sql(q67Sql)
+  }
+
+  val q67Sql: String =
+    """WITH RECURSIVE anc(start, cur, depth) AS (
+      |  SELECT c_custkey, c_custkey, 0 FROM customer
+      |  UNION ALL
+      |  SELECT start, CAST(FLOOR(cur / 2.0) AS BIGINT), depth + 1
+      |  FROM anc WHERE cur > 1
+      |), depths AS (
+      |  SELECT start AS c_custkey, MAX(depth) AS depth_to_root
+      |  FROM anc GROUP BY start
+      |)
+      |SELECT depth_to_root, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM depths GROUP BY depth_to_root""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_recursive_cte"  -> (q67RecursiveCte _),
     "q61_try_semantics"  -> (q61TrySemantics _),
     "q62_inline_values"  -> (q62InlineValues _),
     "q63_grouping_id"    -> (q63GroupingId _),
@@ -242,6 +268,7 @@ object Relational5 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q67_recursive_cte"  -> q67Sql,
     "q61_try_semantics"  -> q61Sql,
     "q62_inline_values"  -> q62Sql,
     "q63_grouping_id"    -> q63Sql,
