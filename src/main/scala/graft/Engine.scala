@@ -70,13 +70,11 @@ object Engine {
       es => functions.ModFilter(es(0),
         functions.ModFilter.literalLong(es(1), "m"),
         functions.ModFilter.literalLong(es(2), "r")), "scala_udf")
-    // the typed-Aggregator tier for SQL callers: per-group top-3
-    // (score, tag) → tags. k is baked in at registration (an Aggregator
-    // closes over it; SQL args can't parameterize the buffer), so the
-    // common k gets a named function — DataFrame callers needing other
-    // k instantiate TopKAggregator directly (q43 pattern).
-    spark.udf.register("topk3",
-      org.apache.spark.sql.functions.udaf(new functions.TopKAggregator(3)))
+    // per-group top-k for SQL callers — topk(score, tag, k) with a
+    // literal k, null-skipping, O(k) state (native TypedImperative
+    // form; the typed-Aggregator tier remains TopKAggregator via q43)
+    registry.createOrReplaceTempFunction("topk",
+      es => functions.TopKTags.forSql(es(0), es(1), es(2)), "scala_udf")
   }
 
   /** Run SQL against an attached session. */

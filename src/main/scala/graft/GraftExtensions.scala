@@ -53,6 +53,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => functions.ModFilter(es(0),
           functions.ModFilter.literalLong(es(1), "m"),
           functions.ModFilter.literalLong(es(2), "r"))),
+      fn("topk", "per-group top-k tags by score; args (score, tag, k) with literal k",
+        es => functions.TopKTags.forSql(es(0), es(1), es(2))),
     ).foreach(ext.injectFunction)
   }
 }

@@ -306,14 +306,24 @@ object Curation {
   def c02CurationFunnel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val st = curationStages(s, d)
-    def cnt(stage: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n")).select(lit(stage).as("stage"), $"n")
-    cnt("1_input", st.corpus0)
-      .unionByName(cnt("2_lang", st.afterLang))
-      .unionByName(cnt("3_quality", st.f1))
-      .unionByName(cnt("4_exact_dedup", st.f2))
-      .unionByName(cnt("5_near_dedup", st.f3))
-      .unionByName(cnt("6_decontaminated", st.survivors))
+    // counts are computed EAGERLY with the expensive shared subtrees
+    // persisted: six lazy union branches would each re-run the f1/f2
+    // lineage and two of them the near-dup prefix join (the pipeline's
+    // dominant stage). Six longs to the driver is the legitimate end
+    // of this query, not a distributed-op smell.
+    val f1 = st.f1.persist()
+    val f2 = st.f2.persist()
+    val f3 = st.f3.persist()
+    try {
+      Seq(
+        ("1_input", st.corpus0.count()),
+        ("2_lang", st.afterLang.count()),
+        ("3_quality", f1.count()),
+        ("4_exact_dedup", f2.count()),
+        ("5_near_dedup", f3.count()),
+        ("6_decontaminated", st.survivors.count()),
+      ).toDF("stage", "n")
+    } finally { f1.unpersist(); f2.unpersist(); f3.unpersist(); () }
   }
 
   /** The same five stages as one CTE chain, built by embedding the

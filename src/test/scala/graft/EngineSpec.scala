@@ -54,12 +54,24 @@ class EngineSpec extends SparkSpec {
         |FROM documents LIMIT 1""".stripMargin).collect().head
     assert(row.getInt(1) > 0)
     assert(row.getInt(2) === 128)
-    // the typed-Aggregator tier through SQL: top-3 tags by score
+    // per-group top-k through SQL: literal k, NULL rows skipped (the
+    // typed-UDAF form would crash its encoder on the NULL score)
     val topk = spark.sql(
-      """SELECT topk3(CAST(v AS DOUBLE), CAST(t AS BIGINT)) AS tags
-        |FROM VALUES (1.0, 10), (5.0, 50), (3.0, 30), (4.0, 40) AS x(v, t)
+      """SELECT topk(CAST(v AS DOUBLE), CAST(t AS BIGINT), 3) AS tags
+        |FROM VALUES (1.0, 10), (5.0, 50), (3.0, 30), (4.0, 40),
+        |            (CAST(NULL AS DOUBLE), 99), (9.0, CAST(NULL AS BIGINT)) AS x(v, t)
         |""".stripMargin).collect().head.getSeq[Long](0)
     assert(topk === Seq(50L, 40L, 30L))
+    // cross-check the native form against the typed Aggregator on
+    // non-null data: identical (-score, tag) ordering
+    import spark.implicits._
+    val data = Seq((2.0, 1L), (9.0, 2L), (9.0, 1L), (4.0, 7L), (6.0, 3L))
+    val viaAggregator = data.toDF("score", "tag")
+      .agg(org.apache.spark.sql.functions.udaf(new functions.TopKAggregator(3))
+        .apply($"score", $"tag")).collect().head.getSeq[Long](0)
+    val viaNative = data.toDF("score", "tag").createOrReplaceTempView("tk")
+    val nat = spark.sql("SELECT topk(score, tag, 3) FROM tk").collect().head.getSeq[Long](0)
+    assert(nat === viaAggregator)
     val qsum = spark.sql(
       "SELECT exact_qsum(l_quantity) AS s FROM lineitem").collect().head.getDouble(0)
     val ref = spark.sql(

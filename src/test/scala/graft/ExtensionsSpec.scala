@@ -69,9 +69,15 @@ class ExtensionsSpec extends AnyFunSuite {
       // parity: the config-only surface ⊇ the per-session surface of
       // Engine.registerFunctions — a user switching deployment modes
       // must not lose functions
+      // topk through the config-only path too, with its literal k
+      val tk = s.sql(
+        """SELECT topk(CAST(v AS DOUBLE), CAST(t AS BIGINT), 2) AS tags
+          |FROM VALUES (1.0, 10), (5.0, 50), (3.0, 30) AS x(v, t)
+          |""".stripMargin).collect().head.getSeq[Long](0)
+      assert(tk === Seq(50L, 30L))
       val perSession = Seq("shingle_hashes", "char_shingle_hashes",
         "minhash_sig", "minhash_band_keys", "simhash64", "dot_product",
-        "l2_norm", "exact_qsum", "token_set_count", "mod_filter")
+        "l2_norm", "exact_qsum", "token_set_count", "mod_filter", "topk")
       perSession.foreach { name =>
         assert(s.sessionState.functionRegistry.functionExists(
           org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
