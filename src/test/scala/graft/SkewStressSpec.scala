@@ -131,4 +131,29 @@ class SkewStressSpec extends SparkSpec {
       assert(sec < 120.0, s"skewed exact join took ${sec}s — budget blown")
     } finally docs.unpersist()
   }
+
+  test("collapse path on the mass-dup corpus: same truth, O(1) join rows, O(m) graph edges") {
+    import spark.implicits._
+    val docs = skewedCorpus.cache()
+    try {
+      val (expected, _) = groundTruth(docs)
+      // d10 reproduces the full quadratic TRUTH (all C(1200,2) boiler
+      // pairs included) while the JOIN saw the boilerplate once
+      assert(Dedup.ngramJaccardPairsViaCollapse(docs, 0.8).count() === expected)
+      // the clustering form never materializes the clique at all:
+      // 1199 star edges for the 1200-dup group instead of 719,400
+      val edges = Dedup.collapsedPairGraph(docs, 0.8)
+        .as[(Long, Long)].collect()
+      val boilerEdges = edges.count { case (d1, d2) =>
+        d1 < BoilerCopies && d2 < BoilerCopies }
+      assert(boilerEdges === BoilerCopies - 1,
+        s"expected a ${BoilerCopies - 1}-edge star for the boiler group, got $boilerEdges")
+      // and those edges produce the correct single cluster for the group
+      val clusters = Dedup.clusterPairs(edges.toSeq.toDF("d1", "d2"))
+        .as[(Long, Long)].collect().toMap
+      (0L until BoilerCopies.toLong).foreach { id =>
+        assert(clusters(id) === 0L, s"boiler doc $id not clustered to rep 0")
+      }
+    } finally docs.unpersist()
+  }
 }
