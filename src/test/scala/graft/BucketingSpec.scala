@@ -50,6 +50,35 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("IVF probes over a cluster-partitioned corpus are partition-pruned scans") {
+    import spark.implicits._
+    // SCALE.md's claim for s03 at 100 TB: write the bucketed corpus
+    // partitioned by cluster id and a probe of nprobe clusters reads
+    // only those partitions' files — proof via PartitionFilters in the
+    // scan plan plus the partitions-scanned count
+    val dir = java.nio.file.Files.createTempDirectory("ivf-part").toString
+    val k = 5
+    Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("cluster_id", pmod(xxhash64($"vec_id"), lit(k)).cast("int"))
+      .write.partitionBy("cluster_id").mode("overwrite").parquet(dir)
+    val probed = spark.read.parquet(dir).filter($"cluster_id".isin(0, 2))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(600))
+    val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .map(_.files.size).sum > 0)
+    // the probe touches 2 of k partitions, never the full corpus
+    val partsRead = scan.relation.location.listFiles(scan.partitionFilters, Nil).size
+    assert(partsRead === 2, s"expected 2 pruned partitions, scanned $partsRead")
+    // and the rows really are only those clusters'
+    val clusters = probed.select($"cluster_id").distinct()
+      .as[Int].collect().toSet
+    assert(clusters === Set(0, 2))
+  }
+
   test("basic auth header (A5/A6): RFC 7617 token, absent when unconfigured") {
     import graft.ingest._
     assert(EsRestAuth.basicAuthHeader("", "x") === None)
