@@ -208,6 +208,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native topk ≡ typed TopKAggregator on random scores with ties") {
+    import spark.implicits._
+    Engine.registerFunctions(spark)
+    (0 until 3).foreach { seed =>
+      val rnd = new scala.util.Random(7000 + seed)
+      // few distinct scores → heavy ties, exercising the (-score, tag)
+      // tie-break in both implementations
+      val data = Seq.fill(200)((rnd.nextInt(10).toDouble, rnd.nextInt(1000).toLong))
+        .distinct
+      data.toDF("score", "tag").createOrReplaceTempView("tk_prop")
+      val native = spark.sql("SELECT topk(score, tag, 7) FROM tk_prop")
+        .collect().head.getSeq[Long](0)
+      val typed = data.toDF("score", "tag")
+        .agg(udaf(new functions.TopKAggregator(7)).apply($"score", $"tag"))
+        .collect().head.getSeq[Long](0)
+      assert(native === typed, s"seed=$seed")
+      // and both equal the reference sort
+      val ref = data.sortBy { case (s, t) => (-s, t) }.take(7).map(_._2)
+      assert(native === ref, s"seed=$seed")
+    }
+  }
+
   test("q22 rank-interpolated quantiles match percentile() incl. all-NULL groups") {
     import spark.implicits._
     // synthetic lineitem slice: group C has every l_extendedprice NULL —
