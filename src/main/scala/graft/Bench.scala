@@ -146,8 +146,14 @@ object Bench {
     val curN = curDocs.count()
     val curDir = java.nio.file.Files.createTempDirectory("bench-cur").toString
     var curAdmitted = 0L
+    // slice bounds from the actual id range, not row count: sparse or
+    // offset doc_ids would silently fall outside count-based bounds
+    val (curLo, curHi) = {
+      val r = curDocs.agg(min($"doc_id"), max($"doc_id")).head
+      (r.getLong(0), r.getLong(1))
+    }
     val curSec = timeSec {
-      val bounds = (0 to 5).map(i => curN * i / 5)
+      val bounds = (0 to 5).map(i => curLo + (curHi - curLo + 1) * i / 5)
       (0 until 5).foreach { i =>
         streaming.StreamingCuration.admitBatch(
           curDocs.filter($"doc_id" >= bounds(i) && $"doc_id" < bounds(i + 1)),

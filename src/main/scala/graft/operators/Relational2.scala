@@ -209,14 +209,22 @@ object Relational2 {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val li = lineitem(s, d)
+    // every key join below is null-safe (<=>): percentile() under
+    // groupBy keeps a NULL group key as its own group, and a plain
+    // equi-join (null != null) would silently drop it
+    def nsJoin(lhs: DataFrame, rhs: DataFrame, how: String): DataFrame = {
+      val r = rhs.withColumnRenamed("l_returnflag", "rf_r")
+      lhs.join(r, lhs("l_returnflag") <=> r("rf_r"), how).drop("rf_r")
+    }
     def quantiles(valueCol: String, ps: Seq[(String, Double)]): DataFrame = {
       val w = Window.partitionBy($"l_returnflag").orderBy($"v")
       val counts = li.groupBy($"l_returnflag")
         .agg(count(col(valueCol)).as("n"))
-      val ranked = li.select($"l_returnflag", col(valueCol).as("v"))
-        .filter($"v".isNotNull)
-        .withColumn("rn", row_number().over(w))
-        .join(broadcast(counts), "l_returnflag")
+      val ranked = nsJoin(
+        li.select($"l_returnflag", col(valueCol).as("v"))
+          .filter($"v".isNotNull)
+          .withColumn("rn", row_number().over(w)),
+        broadcast(counts), "inner")
       val aggs = ps.map { case (name, p) =>
         val pos = lit(p) * ($"n" - 1).cast("double")
         val lo = floor(pos)
@@ -234,11 +242,11 @@ object Relational2 {
     // values are all NULL in one column keeps its row with a NULL
     // quantile (percentile()'s semantics), instead of vanishing from
     // the inner join
-    li.select($"l_returnflag").distinct()
-      .join(quantiles("l_quantity",
-        Seq("q25" -> 0.25, "q50" -> 0.5, "q75" -> 0.75)), Seq("l_returnflag"), "left_outer")
-      .join(quantiles("l_extendedprice",
-        Seq("price_p90" -> 0.9)), Seq("l_returnflag"), "left_outer")
+    nsJoin(
+      nsJoin(li.select($"l_returnflag").distinct(),
+        quantiles("l_quantity",
+          Seq("q25" -> 0.25, "q50" -> 0.5, "q75" -> 0.75)), "left_outer"),
+      quantiles("l_extendedprice", Seq("price_p90" -> 0.9)), "left_outer")
   }
 
   val q22Sql: String =

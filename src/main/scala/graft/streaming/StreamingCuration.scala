@@ -61,8 +61,15 @@ object StreamingCuration {
       .select($"doc_id", $"text", array_sort(Dedup.shingleHashes($"text")).as("sh"))
       .persist()
     try {
+      // exclude batch=<batchId> itself: on a replay the final overwrite
+      // of that subdir would otherwise race the lazy read of it (the
+      // write job can still be recomputing lineage from files the
+      // overwrite is deleting). Partition pruning makes the exclusion
+      // free, and semantics are unchanged — a replayed batch must see
+      // exactly the history the original run saw.
       val hist = readHistory(spark, historyDir,
-        StructType(batch.schema.fields :+ StructField("admitted", BooleanType)))
+        StructType(batch.schema.fields :+ StructField("admitted", BooleanType)),
+        excludeBatch = Some(batchId))
       // shingle-less docs can't pair (the join drops them) — they admit
       val pairs = Dedup.deltaPairsFromShingled(
           hist.filter(size($"sh") > 0).select($"doc_id", $"sh"),
@@ -113,7 +120,8 @@ object StreamingCuration {
     * A fresh (or still-empty) history dir yields an empty frame. */
   def admittedDocs(spark: SparkSession, historyDir: String): DataFrame = {
     import spark.implicits._
-    readHistory(spark, historyDir, HistorySchema).filter($"admitted")
+    readHistory(spark, historyDir, HistorySchema, excludeBatch = None)
+      .filter($"admitted")
       .select($"doc_id", $"text")
   }
 
@@ -121,15 +129,22 @@ object StreamingCuration {
     * included) schema when nothing was written yet — same contract as
     * FileDeadLetter.read: a fresh dir is not an error. */
   private def readHistory(spark: SparkSession, dir: String,
-                          emptySchema: StructType): DataFrame = {
+                          emptySchema: StructType,
+                          excludeBatch: Option[Long]): DataFrame = {
     val path = java.nio.file.Paths.get(dir)
     val hasData = java.nio.file.Files.isDirectory(path) && {
       val s = java.nio.file.Files.list(path)
-      try s.anyMatch(p => p.getFileName.toString.startsWith("batch="))
+      try s.anyMatch { p =>
+        val n = p.getFileName.toString
+        n.startsWith("batch=") && !excludeBatch.exists(b => n == s"batch=$b")
+      }
       finally s.close()
     }
-    if (hasData) spark.read.parquet(dir).drop("batch")
-    else spark.createDataFrame(
+    if (hasData) {
+      val all = spark.read.parquet(dir)
+      excludeBatch.fold(all)(b => all.filter(col("batch") =!= b))
+        .drop("batch")
+    } else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
   }
 }

@@ -43,6 +43,23 @@ class EngineSpec extends SparkSpec {
     assert(nul.getMessage.contains("non-null string"), s"got: ${nul.getMessage}")
   }
 
+  test("wrong arity fails analysis with a usage message, not IndexOutOfBounds") {
+    Engine.registerFunctions(spark)
+    Engine.attach(spark, sf0001)
+    // too few args for a positionally-indexed builder (es(1)/es(2))
+    for (q <- Seq("SELECT mod_filter(shingle_hashes(text)) FROM documents",
+                  "SELECT topk(doc_id) FROM documents",
+                  "SELECT token_set_count(text) FROM documents",
+                  "SELECT dot_product(embedding) FROM embeddings",
+                  "SELECT shingle_hashes() FROM documents",
+                  "SELECT shingle_hashes(text, text) FROM documents")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(q).collect()
+      }
+      assert(e.getMessage.contains("usage:"), s"query [$q] gave: ${e.getMessage}")
+    }
+  }
+
   test("custom native functions usable from SQL") {
     Engine.registerFunctions(spark)
     Engine.attach(spark, sf0001)

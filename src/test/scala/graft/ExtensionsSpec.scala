@@ -83,6 +83,16 @@ class ExtensionsSpec extends AnyFunSuite {
           org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
           s"config-only path missing $name")
       }
+      // wrong arity → clean AnalysisException with the usage string,
+      // not an IndexOutOfBoundsException from es(1)/es(2)
+      for (q <- Seq("SELECT mod_filter(ARRAY(1L))",
+                    "SELECT topk(1.0D)",
+                    "SELECT dot_product(ARRAY(1.0D))")) {
+        val e = intercept[org.apache.spark.sql.AnalysisException] {
+          s.sql(q).collect()
+        }
+        assert(e.getMessage.contains("usage:"), s"query [$q] gave: ${e.getMessage}")
+      }
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

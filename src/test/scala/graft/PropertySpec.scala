@@ -235,11 +235,15 @@ class PropertySpec extends SparkSpec {
     // synthetic lineitem slice: group C has every l_extendedprice NULL —
     // percentile() keeps the group with a NULL quantile; the scalable
     // rewrite must too (left joins off the full group list)
+    // and a NULL group KEY: percentile() keeps NULL as its own group;
+    // the rewrite's joins must be null-safe (<=>) to keep it too
     val rows = Seq(
-      ("A", Some(1.0), Some(10.0)), ("A", Some(2.0), Some(20.0)),
-      ("A", Some(3.0), Some(30.0)), ("A", Some(4.0), None: Option[Double]),
-      ("B", Some(5.0), Some(50.0)), ("B", Some(7.0), Some(70.0)),
-      ("C", Some(9.0), None), ("C", Some(11.0), None))
+      (Some("A"), Some(1.0), Some(10.0)), (Some("A"), Some(2.0), Some(20.0)),
+      (Some("A"), Some(3.0), Some(30.0)), (Some("A"), Some(4.0), None: Option[Double]),
+      (Some("B"), Some(5.0), Some(50.0)), (Some("B"), Some(7.0), Some(70.0)),
+      (Some("C"), Some(9.0), None), (Some("C"), Some(11.0), None),
+      (None: Option[String], Some(13.0), Some(130.0)),
+      (None: Option[String], Some(15.0), Some(150.0)))
     val dir = java.nio.file.Files.createTempDirectory("q22null").toString
     rows.toDF("l_returnflag", "l_quantity", "l_extendedprice")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
@@ -256,6 +260,8 @@ class PropertySpec extends SparkSpec {
         (r.get(1), r.get(2), r.get(3), r.get(4))).toMap
     assert(got === expected)
     assert(got("C")._4 === null, "all-NULL group must keep its row with NULL quantile")
+    assert(got.contains(null) && got(null)._2 === 14.0,
+      "NULL group key must survive the joins with its computed quantiles")
   }
 
   test("label-propagation clustering equals union-find on generated graphs") {
