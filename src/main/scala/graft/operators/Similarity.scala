@@ -385,6 +385,75 @@ object Similarity {
     s"""SELECT * FROM (${s02Sql.replace("\n", "\n  ")})
        |WHERE a_id % 10 = 0 OR b_id % 10 = 0""".stripMargin
 
+  /** s07: exact k-NN graph — the top-k cosine neighbors of EVERY
+    * vector, not just a query set. The training-pipeline primitive
+    * behind embedding-space dedup clustering, diversity sampling, and
+    * graph-based curation; exact, so the driver hash-checks it against
+    * the brute-force window oracle.
+    *
+    * Scale plan — s01's naive form broadcasts the query set and ranks
+    * all n−1 candidates per query; done for every vector it would
+    * broadcast the whole corpus. This variant reuses s04's blocked
+    * triangle self-join (each unordered block pair is one equi-join
+    * key; no nested loop, no full-corpus broadcast, (B+1)-fold
+    * replication ≈ the 2·√tasks optimum); both orientations of each
+    * pair are emitted inside the join task (explode of the two (q,n)
+    * structs — narrow, no second join). The rank-≤-k filter then
+    * compiles to Spark's two-phase WindowGroupLimit: the PARTIAL pass
+    * keeps only k rows per query per map partition BEFORE the shuffle,
+    * so the exchange ahead of the final ranking carries ≤ tasks·k rows
+    * per query instead of n−1 — map-side combine for top-k, pinned by
+    * [[graft.PlanSpec]].
+    *
+    * Ties break by (cosine DESC, n_id ASC) in both engines on the
+    * bit-identical unrounded double. */
+  def knnGraph(c: DataFrame, k: Int, blocks: Int = 8): DataFrame = {
+    val s = c.sparkSession
+    import s.implicits._
+    val B = blocks
+    val cc = c.withColumn("nrm", norm($"v"))
+      .withColumn("g", pmod(xxhash64($"vec_id"), lit(B)).cast("int"))
+    val blockPairs = (0 until B).flatMap(i => (i until B).map(j => (i, j, i * B + j)))
+      .toDF("gi", "gj", "pair")
+    val left = cc.join(broadcast(blockPairs), $"g" === $"gi")
+      .select($"pair", $"gi", $"gj", $"vec_id".as("a_id"), $"v".as("av"), $"nrm".as("an"))
+    val right = cc.join(broadcast(blockPairs.select($"gj".as("rgj"), $"pair")), $"g" === $"rgj")
+      .select($"pair", $"vec_id".as("b_id"), $"v".as("bv"), $"nrm".as("bn"))
+    val cands = left.join(right, Seq("pair"))
+      // same-block tasks deduplicate by id order; cross-block pairs are
+      // already unique (each unordered block pair is one task)
+      .filter($"gi" < $"gj" && $"a_id" =!= $"b_id" || $"a_id" < $"b_id")
+      .select($"a_id", $"b_id", (dot($"av", $"bv") / ($"an" * $"bn")).as("cosine"))
+      .select(explode(array(
+        struct($"a_id".as("q_id"), $"b_id".as("n_id"), $"cosine"),
+        struct($"b_id".as("q_id"), $"a_id".as("n_id"), $"cosine"))).as("e"))
+      .select($"e.q_id", $"e.n_id", $"e.cosine")
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
+    cands
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+      .select($"q_id", $"n_id", $"rank", round($"cosine", 6).as("cosine_r"))
+  }
+
+  def s07KnnGraph(s: SparkSession, d: String): DataFrame =
+    knnGraph(corpus(s, d).select(col("vec_id"), col("v")), 3)
+
+  val s07Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), sims AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    list_dot_product(q.v, c.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_dot_product(q.v, c.v) /
+      |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+      |        c.vec_id ASC) AS rank
+      |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      |)
+      |SELECT q_id, n_id, rank, ROUND(cosine, 6) AS cosine_r
+      |FROM sims WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> (s01CosineTopK _),
     "s02_embedding_neardup" -> (s02EmbeddingNearDup _),
@@ -392,6 +461,7 @@ object Similarity {
     "s04_blocked_neardup"   -> (s04BlockedNearDup _),
     "s05_quant_stats"       -> (s05QuantStats _),
     "s06_delta_neardup"     -> (s06DeltaNearDup _),
+    "s07_knn_graph"         -> (s07KnnGraph _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -404,5 +474,6 @@ object Similarity {
     // exact by construction: the full s02 pair set restricted to
     // delta-touching pairs
     "s06_delta_neardup"     -> s06Sql,
+    "s07_knn_graph"         -> s07Sql,
   )
 }

@@ -67,6 +67,27 @@ class PlanSpec extends SparkSpec {
            !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("s07: knn graph — no NLJ, partial top-k pruned before the shuffle") {
+    val p = plan("s07_knn_graph")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the map-side-combine claim: the rank ≤ k filter must compile to
+    // the two-phase WindowGroupLimit, with the Partial pass BELOW the
+    // q_id exchange (only ≤ k rows per query per map partition shuffle)
+    val lines = p.linesIterator.toVector
+    val partial = lines.indexWhere(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
+    val fin = lines.indexWhere(l =>
+      l.contains("WindowGroupLimit") && l.contains("Final"))
+    val exch = lines.indexWhere(l =>
+      l.contains("Exchange") && l.contains("q_id"))
+    assert(partial >= 0 && fin >= 0 && exch >= 0,
+      s"expected partial+final WindowGroupLimit and a q_id exchange:\n${p.take(1500)}")
+    // executedPlan prints top-down: Final above Exchange above Partial
+    assert(fin < exch && exch < partial,
+      s"partial pruning must sit below the exchange:\n${lines.slice(fin, partial + 1).mkString("\n")}")
+  }
+
   test("s04: blocked near-dup has no nested-loop join, equi-join on block pair") {
     val p = plan("s04_blocked_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))

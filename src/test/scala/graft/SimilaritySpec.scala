@@ -30,6 +30,19 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.15, s"mean recall@3 = $mean")
   }
 
+  test("s07 knn graph ≡ s01 brute-force top-k on the shared query set") {
+    // s01 is the naive global-window form over vec_id < 20; the blocked
+    // two-stage s07 must produce identical neighbors and ranks there
+    val brute = topk(Similarity.s01CosineTopK(spark, sf001))
+    val graph = topk(Similarity.s07KnnGraph(spark, sf001)
+      .filter(org.apache.spark.sql.functions.col("q_id") < 20))
+    assert(brute === graph)
+    // and the graph covers EVERY vector with exactly k rows
+    val all = topk(Similarity.s07KnnGraph(spark, sf001))
+    assert(all.size === 500)
+    all.values.foreach(ns => assert(ns.size === 3))
+  }
+
   test("s06 delta near-dup ≡ full s02 pair set restricted to delta-touching pairs") {
     import spark.implicits._
     val expected = Similarity.s02EmbeddingNearDup(spark, sf001)
