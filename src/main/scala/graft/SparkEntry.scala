@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Relational3.queries ++
       operators.Relational4.queries ++
       operators.Relational5.queries ++
+      operators.Layout.queries ++
       operators.Skew.queries ++
       operators.EventAnalytics.queries ++
       operators.Dedup.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       operators.Relational3.oracles ++
       operators.Relational4.oracles ++
       operators.Relational5.oracles ++
+      operators.Layout.oracles ++
       operators.Skew.oracles ++
       operators.EventAnalytics.oracles ++
       operators.Dedup.oracles ++

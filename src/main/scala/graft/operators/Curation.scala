@@ -406,9 +406,67 @@ object Curation {
        |      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
        |)""".stripMargin
 
+  /** Deterministic stratified downsampling to a target training mix:
+    * given per-stratum weights `w` (summing to ≤ 1) and a corpus-
+    * fraction budget, keep each stratum at rate
+    * `min(1, w·budget·N/n_stratum)` using the same Knuth multiplicative
+    * hash as t09's split — so the sample is reproducible, independent
+    * of partitioning and row order, and a re-run over a grown corpus
+    * keeps a superset-stable per-doc decision given fixed rates. This
+    * is the data-mixing step of a pretraining pipeline (upweight
+    * under-represented sources, cap dominant ones) expressed as two
+    * broadcast joins over one groupBy — no shuffle of the corpus
+    * itself, so it runs at any scale the scan runs at.
+    *
+    * Unweighted strata drop (weight 0); rates and thresholds are exact
+    * IEEE-double + integer arithmetic, identical in DuckDB, so the
+    * driver hash-checks the full kept set. */
+  def trainingMix(docs: DataFrame, weights: Map[String, Double],
+                  budgetFrac: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val wdf = weights.toSeq.toDF("lang", "w")
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val rates = counts.join(broadcast(wdf), Seq("lang"))
+      .crossJoin(broadcast(total))
+      .withColumn("rate",
+        least(lit(1.0), $"w" * lit(budgetFrac) * $"n_total" / $"n_l"))
+      .withColumn("thresh", floor($"rate" * 1000000).cast("long"))
+    docs.join(broadcast(rates.select($"lang", $"thresh")), Seq("lang"))
+      .filter(pmod($"doc_id" * 2654435761L, lit(1000000L)) < $"thresh")
+      .select($"doc_id", $"lang")
+  }
+
+  /** Canonical mix: rebalance the en-heavy corpus toward uniform-ish
+    * shares at a 60% budget. */
+  val c03Weights: Seq[(String, Double)] = Seq(
+    "en" -> 0.30, "zh" -> 0.20, "es" -> 0.20, "de" -> 0.15, "fr" -> 0.15)
+
+  def c03TrainingMix(s: SparkSession, d: String): DataFrame =
+    trainingMix(documents(s, d), c03Weights.toMap, 0.6)
+
+  val c03Sql: String = {
+    val values = c03Weights
+      .map { case (l, w) => s"('$l', CAST($w AS DOUBLE))" }.mkString(", ")
+    s"""WITH w(lang, w) AS (VALUES $values),
+       |c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY 1),
+       |t AS (SELECT COUNT(*) AS n_total FROM documents),
+       |r AS (
+       |  SELECT c.lang,
+       |    CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+       |      w.w * 0.6 * t.n_total / c.n_l) * 1000000) AS BIGINT) AS thresh
+       |  FROM c JOIN w ON c.lang = w.lang CROSS JOIN t
+       |)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d JOIN r ON d.lang = r.lang
+       |WHERE (d.doc_id * 2654435761) % 1000000 < r.thresh""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_curation_pipeline" -> (c01CurationPipeline _),
     "c02_curation_funnel"   -> (c02CurationFunnel _),
+    "c03_training_mix"      -> (c03TrainingMix _),
     "d09_crossmodal"      -> (d09CrossModal _),
     "t15_column_profile"  -> (t15ColumnProfile _),
     "d07_decontamination" -> (d07Decontamination _),
@@ -420,6 +478,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "c01_curation_pipeline" -> c01Sql,
     "c02_curation_funnel"   -> c02Sql,
+    "c03_training_mix"      -> c03Sql,
     "d09_crossmodal"      -> d09Sql,
     "t15_column_profile"  -> t15Sql,
     "d07_decontamination" -> d07Sql,

@@ -59,6 +59,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.linesIterator.next().startsWith("*("), plan.take(400))
   }
 
+  test("c03 training mix: rebalances toward target shares, deterministic, caps at availability") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val docs = graft.Tables.documents(spark, sf001)
+    val n = docs.count().toDouble
+    val mix = Curation.c03TrainingMix(spark, sf001).cache()
+    try {
+      val kept = mix.groupBy($"lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = kept.values.sum.toDouble
+      val targets = Curation.c03Weights.toMap
+      // every weighted stratum is represented, and the sampled shares
+      // sit closer to the target than the raw corpus shares do
+      val rawShares = docs.groupBy($"lang").count()
+        .collect().map(r => r.getString(0) -> (r.getLong(1) / n)).toMap
+      targets.foreach { case (lang, w) =>
+        assert(kept.contains(lang), s"stratum $lang missing from the mix")
+        val achieved = kept(lang) / total
+        assert(math.abs(achieved - w) <= math.abs(rawShares(lang) - w) + 0.02,
+          s"$lang: achieved $achieved vs target $w (raw ${rawShares(lang)})")
+      }
+      // determinism: identical kept set on a re-run
+      val again = Curation.c03TrainingMix(spark, sf001)
+      assert(mix.exceptAll(again).isEmpty && again.exceptAll(mix).isEmpty)
+      // a rate capped at 1 keeps the whole stratum: weight 1 on 'fr'
+      val all = Curation.trainingMix(docs, Map("fr" -> 1.0), 1.0)
+        .filter($"lang" === "fr").count()
+      val frAll = docs.filter($"lang" === "fr").count()
+      assert(all === frAll, "rate min(1, ·) must cap at full stratum")
+    } finally { mix.unpersist(); () }
+  }
+
   test("t01 avg_token_len identity: arithmetic form equals the per-token sum") {
     import spark.implicits._
     val t01 = TextAnalysis.t01TokenStats(spark, sf0001)
