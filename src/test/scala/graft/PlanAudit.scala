@@ -20,7 +20,8 @@ object PlanAudit {
         "d04_minhash_lsh","d07_decontamination","s01_cosine_topk",
         "s04_blocked_neardup","q17_range_join","q64_asof_join",
         "d10_collapsed_jaccard","d11_delta_neardup","s06_delta_neardup",
-        "c01_curation_pipeline","q67_recursive_cte").foreach(show)
+        "c01_curation_pipeline","q67_recursive_cte",
+        "s07_knn_graph","q68_zorder","c03_training_mix").foreach(show)
     spark.stop()
   }
 }
