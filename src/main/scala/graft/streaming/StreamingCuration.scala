@@ -128,7 +128,7 @@ object StreamingCuration {
   /** History as one frame; empty with the given (full, admitted-
     * included) schema when nothing was written yet — same contract as
     * FileDeadLetter.read: a fresh dir is not an error. */
-  private def readHistory(spark: SparkSession, dir: String,
+  private[streaming] def readHistory(spark: SparkSession, dir: String,
                           emptySchema: StructType,
                           excludeBatch: Option[Long]): DataFrame = {
     val path = java.nio.file.Paths.get(dir)

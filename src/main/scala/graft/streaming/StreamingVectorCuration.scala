@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType, LongType, StructField, StructType}
+
+import graft.operators.Similarity
+
+/** Online embedding-space near-dup admission — the vector twin of
+  * [[StreamingCuration]]: admit or reject each vector of a stream
+  * against everything that came before it.
+  *
+  * Same contract, same batching-invariance argument: a vector is
+  * REJECTED iff some vector with a smaller `vec_id` — seed corpus or
+  * anywhere earlier in the stream, including rejected vectors and
+  * smaller-id vectors of the same micro-batch — has cosine ≥ τ with
+  * it. The predicate depends only on the global vector SET, so the
+  * admitted set equals the one-shot keep-first computation (drop the
+  * larger id of every [[Similarity.deltaEmbeddingNearDup]] pair),
+  * asserted by [[graft.StreamingVectorCurationSpec]] across slicings.
+  * Requires vec_ids non-decreasing across batches.
+  *
+  * Mechanics per micro-batch: one asymmetric blocked delta join of the
+  * batch against the history — cost |batch| · |corpus| spread evenly
+  * over block tasks, never |corpus|² — then append the batch under
+  * `batch=<id>` (replay overwrites exactly that subdir; the history
+  * read excludes it, so a replay can never race its own overwrite). */
+object StreamingVectorCuration {
+
+  /** Start the admission query over a streaming (vec_id, v) frame —
+    * `v` an array<double> embedding. */
+  def nearDupAdmission(vecs: DataFrame, historyDir: String, tau: Double,
+                       checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(batch, historyDir, tau, batchId)
+        ()
+      }
+      .start()
+
+  /** One admission step — exposed for bounded deltas and tests. */
+  def admitBatch(batch0: DataFrame, historyDir: String, tau: Double,
+                 batchId: Long): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val batch = batch0.select($"vec_id", $"v").persist()
+    try {
+      val hist = StreamingCuration.readHistory(spark, historyDir,
+        StructType(batch.schema.fields :+ StructField("admitted", BooleanType)),
+        excludeBatch = Some(batchId))
+      // delta pairs are (a_id, b_id) with a_id < b_id: monotonic ids
+      // put every pair's larger end in the batch; the semi-join keeps
+      // the flag honest otherwise and the orphan count surfaces the
+      // contract violation (same policy as the text twin)
+      val pairs = Similarity.deltaEmbeddingNearDup(
+          hist.select($"vec_id", $"v"), batch, tau)
+        .persist()
+      val rejected = pairs
+        .select($"b_id".as("vec_id")).distinct()
+        .join(batch.select($"vec_id"), Seq("vec_id"), "left_semi")
+      val orphans = pairs
+        .join(batch.select($"vec_id".as("b_id")), Seq("b_id"), "left_anti").count()
+      if (orphans > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"admitBatch(batch=$batchId): $orphans near-dup pair(s) point at " +
+          "an already-written history vector — vec_ids are not monotonic " +
+          "across batches, so the admitted set is batch-slicing-dependent")
+      try batch
+        .join(rejected.withColumn("rej", lit(true)), Seq("vec_id"), "left_outer")
+        .select($"vec_id", $"v", coalesce(!$"rej", lit(true)).as("admitted"))
+        .write.mode("overwrite").parquet(s"$historyDir/batch=$batchId")
+      finally { pairs.unpersist(); () }
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Pre-load a standing corpus (all admitted) before streaming. */
+  def seedHistory(vecs: DataFrame, historyDir: String): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.select($"vec_id", $"v", lit(true).as("admitted"))
+      .write.mode("overwrite").parquet(s"$historyDir/batch=-1")
+  }
+
+  private val HistorySchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("v", ArrayType(DoubleType)),
+    StructField("admitted", BooleanType)))
+
+  /** The curated output: admitted vectors across seed + stream. */
+  def admittedVecs(spark: SparkSession, historyDir: String): DataFrame = {
+    import spark.implicits._
+    StreamingCuration.readHistory(spark, historyDir, HistorySchema,
+        excludeBatch = None)
+      .filter($"admitted")
+      .select($"vec_id", $"v")
+  }
+}
