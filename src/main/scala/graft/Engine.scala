@@ -83,6 +83,9 @@ object Engine {
     // form; the typed-Aggregator tier remains TopKAggregator via q43)
     reg("topk", "topk(score, tag, k)", 3)(
       es => functions.TopKTags.forSql(es(0), es(1), es(2)))
+    // Morton / Z-curve bit interleave of two pre-bucketed dimensions
+    // (composed from builtin bit ops — codegen-friendly)
+    reg("morton_interleave", "morton_interleave(bx, by)", 2)(es => operators.Layout.interleaveExpr(es(0), es(1)))
   }
 
   /** Run SQL against an attached session. */

@@ -57,6 +57,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           functions.ModFilter.literalLong(es(2), "r"))),
       fn("topk", "per-group top-k tags by score; args (score, tag, k) with literal k", 3,
         es => functions.TopKTags.forSql(es(0), es(1), es(2))),
+      fn("morton_interleave", "Z-curve bit interleave of two pre-bucketed dimensions", 2,
+        es => operators.Layout.interleaveExpr(es(0), es(1))),
     ).foreach(ext.injectFunction)
   }
 }

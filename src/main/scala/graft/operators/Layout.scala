@@ -43,13 +43,30 @@ object Layout {
         floor((x - mn) / (mx - mn) * lit(Buckets.toDouble)).cast("long")))
 
   /** Interleave the low `Bits` bits of two bucket ids (x gets the odd
-    * bit positions, y the even) — the Morton / Z-curve index. */
-  private def interleave(bx: Column, by: Column): Column =
+    * bit positions, y the even) — the Morton / Z-curve index. Public as
+    * the SQL function `morton_interleave` for callers that bucket their
+    * own dimensions. */
+  def interleave(bx: Column, by: Column): Column =
     (0 until Bits).foldLeft(lit(0L)) { (acc, i) =>
       acc +
         shiftleft(shiftright(bx, i).bitwiseAND(lit(1L)), 2 * i + 1) +
         shiftleft(shiftright(by, i).bitwiseAND(lit(1L)), 2 * i)
     }
+
+  /** The same interleave as a raw Catalyst expression tree, for the
+    * SQL function registries (a Column built from the public functions
+    * API holds unresolved nodes that cannot be embedded in a registry
+    * builder's expression). Same bit arithmetic, codegen-friendly. */
+  def interleaveExpr(bx: org.apache.spark.sql.catalyst.expressions.Expression,
+                     by: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def bit(e: Expression, i: Int, pos: Int): Expression =
+      ShiftLeft(BitwiseAnd(ShiftRight(e, Literal(i)), Literal(1L)), Literal(pos))
+    (0 until Bits).foldLeft(Literal(0L): Expression) { (acc, i) =>
+      Add(Add(acc, bit(bx, i, 2 * i + 1)), bit(by, i, 2 * i))
+    }
+  }
 
   /** Append a `zkey` column: the Z-order key of (colA, colB), bucketed
     * by each column's global min/max (computed in one broadcast 1-row
