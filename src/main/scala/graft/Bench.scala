@@ -137,6 +137,13 @@ object Bench {
     val skewGraphSec = timeSec {
       skewGraphEdges = Dedup.collapsedPairGraph(skewDocs, 0.8).count()
     }
+    // end-to-end clusters via rep-level CC: label propagation iterates
+    // one node per DISTINCT shingle set — the 1200-dup boiler group is
+    // a single node per round, members attach with one final join
+    var skewClusterRows = 0L
+    val skewClustersSec = timeSec {
+      skewClusterRows = Dedup.collapsedClusters(skewDocs, 0.8).count()
+    }
 
     // streaming near-dup admission over the sf corpus in 5 batches:
     // each batch delta-joins against the growing history (the standing-
@@ -185,30 +192,54 @@ object Bench {
     rmTree(ckpt)
 
     val total = ok.sum
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // 3-decimal rounding: ms resolution is below run-to-run noise, and the
+    // harness that collects this output keeps only the last ~2000 chars of
+    // stdout — the final line must fit that window to be machine-parsed
+    def r3(d: Double): String = "%.3f".format(d)
     val byName = results.toMap
     def named(q: String): Double = byName.getOrElse(q, -1.0)
+    // full per-query map: on its OWN line (and file) — at 100+ queries it
+    // no longer fits the collector's tail window, so it must not be part
+    // of the final summary line
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"detail":"per_query_s","queries":$qsFull}""")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      s"""{"sf":"$sfDir","per_query_s":$qsFull}\n""".getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     // name the tail: the p100 was anonymous for two rounds while it
     // drifted — attribution is the first step of any perf fix
     val slowest5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
-      .map { case (k, v) => s"""{"name":"$k","sec":$v}""" }.mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","query_median_s":$medianS,"query_p100_s":$p100S,"slowest5":$slowest5""" +
-      s""","copy_docs":$nDocs,"copy_sec":$copySec,"copy_docs_per_s":$copyDocsPerS""" +
+      .map { case (k, v) => s"""{"name":"$k","sec":${r3(v)}}""" }.mkString("[", ",", "]")
+    // headline queries only in the summary line (BASELINE.md rows + the
+    // named pipeline stages); everything is in bench_detail.json above
+    val headline = Seq("d01_exact_dedup", "d03_ngram_jaccard", "d04_minhash_lsh",
+      "d10_collapsed_jaccard", "s01_cosine_topk", "s03_ivf_topk",
+      "c01_curation_pipeline", "q01_agg_pushdown")
+    val qsHead = headline.filter(byName.contains)
+      .map(k => "\"" + k + "\":" + r3(byName(k))).mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsHead""" +
+      s""","n_queries":${results.size},"sf":"$sfDir"""" +
+      s""","query_median_s":${r3(medianS)},"query_p100_s":${r3(p100S)}""" +
+      s""","slowest5":$slowest5""" +
+      s""","copy_docs":$nDocs,"copy_sec":${r3(copySec)},"copy_docs_per_s":${r3(copyDocsPerS)}""" +
       s""","streaming_batch_ms":$streamingBatchMs""" +
       s""","stream_files_parsed":$streamFilesParsed""" +
-      s""","skew_lsh_s":$skewLshSec,"skew_lsh_candidates":$skewLshCands""" +
-      s""","skew_d03_s":$skewD03Sec,"skew_d03_pairs":$skewD03Pairs""" +
-      s""","skew_d10_collapsed_s":$skewD10Sec,"skew_d10_pairs":$skewD10Pairs""" +
-      s""","skew_graph_s":$skewGraphSec,"skew_graph_edges":$skewGraphEdges""" +
-      s""","curation_stream_docs":$curN,"curation_stream_s":$curSec""" +
+      s""","skew_lsh_s":${r3(skewLshSec)},"skew_lsh_candidates":$skewLshCands""" +
+      s""","skew_d03_s":${r3(skewD03Sec)},"skew_d03_pairs":$skewD03Pairs""" +
+      s""","skew_d10_collapsed_s":${r3(skewD10Sec)},"skew_d10_pairs":$skewD10Pairs""" +
+      s""","skew_graph_s":${r3(skewGraphSec)},"skew_graph_edges":$skewGraphEdges""" +
+      s""","skew_clusters_s":${r3(skewClustersSec)},"skew_cluster_rows":$skewClusterRows""" +
+      s""","curation_stream_docs":$curN,"curation_stream_s":${r3(curSec)}""" +
       s""","curation_stream_admitted":$curAdmitted""" +
-      s""","pipeline_pairs_clusters_crossmodal_s":$pipelineSec""" +
+      s""","pipeline_pairs_clusters_crossmodal_s":${r3(pipelineSec)}""" +
       // BASELINE.md row mapping (explicit so the grader needn't infer)
-      s""","dedup_exact_s":${named("d01_exact_dedup")}""" +
-      s""","minhash_lsh_s":${named("d04_minhash_lsh")}""" +
-      s""","cosine_topk_s":${named("s01_cosine_topk")}}""")
+      s""","dedup_exact_s":${r3(named("d01_exact_dedup"))}""" +
+      s""","minhash_lsh_s":${r3(named("d04_minhash_lsh"))}""" +
+      s""","cosine_topk_s":${r3(named("s01_cosine_topk"))}}"""
+    println(line)
     spark.stop()
   }
 }

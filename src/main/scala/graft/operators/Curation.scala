@@ -289,8 +289,11 @@ object Curation {
     val benchEx = all.filter($"doc_id" < 20)
       .select($"doc_id".as("bench_id"),
         explode(Dedup.shingleHashes($"text")).as("sg"))
+    // f2sh ▷ nearRejected ≡ f2sh ⋉ f3 (f2sh's ids ⊆ f2's), but references
+    // the near-dup join's output once instead of pulling in f3's whole
+    // anti-join subtree a second time
     val contaminated = contaminationCounts(
-        f2sh.join(f3.select($"doc_id"), Seq("doc_id"), "left_semi")
+        f2sh.join(nearRejected, Seq("doc_id"), "left_anti")
           .select($"doc_id", explode($"sh").as("sg")),
         benchEx)
       .select($"doc_id").distinct()

@@ -260,13 +260,42 @@ object Dedup {
   def d10CollapsedJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardPairsViaCollapse(documents(s, d), 0.8)
 
-  /** d12: dedup clusters THROUGH the collapse graph — the cluster path
-    * a mass-dup corpus should take (O(m) star edges where d08's input
-    * carries O(m²) clique pairs). Same connected components, same
+  /** d12: dedup clusters THROUGH the collapse — the cluster path a
+    * mass-dup corpus should take. Same connected components, same
     * min-id representatives, so the driver hash-checks it against
-    * d08's own recursive-CTE oracle. */
+    * d08's own recursive-CTE oracle.
+    *
+    * Label propagation runs on the REP-LEVEL pair graph only (one node
+    * per distinct shingle set); members attach afterwards with a single
+    * join. Compared to iterating over the expanded doc-level graph
+    * (d08) or even the star graph, a doc duplicated m times costs each
+    * propagation round 1 node instead of m, and the star edges add no
+    * diameter (they'd force one extra round if iterated). Rep = min
+    * doc_id of its group and rep-components carry the min rep, so the
+    * joined-out label is the component-wide min doc_id — exactly d08's
+    * contract. */
   def d12CollapsedClusters(s: SparkSession, d: String): DataFrame =
-    clusterPairs(collapsedPairGraph(documents(s, d), 0.8))
+    collapsedClusters(documents(s, d), 0.8)
+
+  /** Rep-level connected components + member attachment (see
+    * [[d12CollapsedClusters]]). Output (doc_id, cluster_rep) covers
+    * exactly the docs that appear in some expanded near-dup pair:
+    * members of multi-member groups (their exact dups are J = 1 pairs)
+    * and members of groups whose rep sits in a rep-level pair. */
+  def collapsedClusters(docs: DataFrame, threshold: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (repSh, members) = collapseShingleGroups(docs)
+    val repPairs = prefixJoinPairs(repSh, threshold).select($"d1", $"d2")
+    val repLabels = clusterPairs(repPairs)
+      .select($"doc_id".as("rep"), $"cluster_rep".as("rep_label"))
+    val groupSize = members.groupBy($"rep").agg(count(lit(1)).as("m"))
+    members
+      .join(groupSize, "rep")
+      .join(repLabels, Seq("rep"), "left_outer")
+      .filter($"m" > 1 || $"rep_label".isNotNull)
+      .select($"doc_id", coalesce($"rep_label", $"rep").as("cluster_rep"))
+  }
 
   /** The pair graph for CLUSTERING without the quadratic expansion:
     * member→rep star edges (rep = min, so d1 < d2 holds) ∪ rep-level

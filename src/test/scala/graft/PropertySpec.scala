@@ -205,6 +205,11 @@ class PropertySpec extends SparkSpec {
       val viaGraph = Dedup.clusterPairs(Dedup.collapsedPairGraph(docs, 0.8))
         .as[(Long, Long)].collect().toMap
       assert(viaGraph === full, s"seed=$seed")
+      // d12's actual path: CC on rep-level pairs only, members attached
+      // by one join — must still equal the doc-level ground truth
+      val viaRepCC = Dedup.collapsedClusters(docs, 0.8)
+        .as[(Long, Long)].collect().toMap
+      assert(viaRepCC === full, s"seed=$seed (rep-level CC)")
     }
   }
 
