@@ -454,6 +454,94 @@ object Similarity {
       |SELECT q_id, n_id, rank, ROUND(cosine, 6) AS cosine_r
       |FROM sims WHERE rank <= 3""".stripMargin
 
+  /** s08: IVF-bucketed near-dup pairs — the ANN (SemDeDup-style)
+    * alternative to s04's exact blocked join for EMBEDDING-space
+    * deduplication. Every vector is assigned to its `nprobe` nearest
+    * coarse-quantizer centroids; candidate pairs are those sharing at
+    * least one assigned cluster (an EQUI-join on cluster_id — shuffled
+    * hash join, no nested loop, no corpus broadcast); candidates are
+    * verified with the exact cosine, so precision is 1 by construction
+    * and the approximation is recall-only (a true pair whose endpoints
+    * share no probed cluster is missed).
+    *
+    * Scale: at 100 TB the quadratic term is confined to within-bucket
+    * comparisons — k is chosen so n/k vectors fit a task's compare
+    * budget (k ∝ corpus size / target bucket), and the multi-probe
+    * replication is nprobe-fold, not B-fold as in s04. This beats the
+    * exact triangle join exactly when the corpus is CLUSTERED so that
+    * near-dup pairs co-locate (real embedding corpora; SemDeDup runs
+    * k-means with large k for this reason). On the synthetic gaussian
+    * fixture clustering is absent by construction (see [[s03IvfTopK]]'s
+    * recall note), measured here as recall 12/14 at sf0.01 and 106/144
+    * at sf0.1 with a 2.2× candidate cut — the SPEC pins those floors.
+    *
+    * Pass [[trainedCentroids]] for the production k-means quantizer.
+    * The s08 query entry instead uses [[seedCentroids]] — the first k
+    * corpus vectors — because that quantizer is deterministic AND
+    * SQL-expressible, so the ENTIRE approximate operator (probe
+    * ranking, candidate join, verification) hash-matches a DuckDB
+    * oracle replicating it: the correctness gate then checks the real
+    * mechanism, not a rows-only count, which no k-means-seeded ANN
+    * variant could offer. */
+  def ivfNearDupPairs(vecs: DataFrame, centroids: DataFrame,
+                      threshold: Double, nprobe: Int = 2): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val c = vecs.withColumn("nrm", norm($"v"))
+    val wp = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"cluster_id".asc)
+    val probes = c.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"v", $"nrm", $"cluster_id",
+        (dot($"v", $"cv") / ($"nrm" * $"cn")).as("c_cos"))
+      .withColumn("rn", row_number().over(wp))
+      .filter($"rn" <= nprobe)
+      .select($"vec_id", $"v", $"nrm", $"cluster_id")
+    // a pair sharing BOTH probed clusters arrives twice with bit-equal
+    // cosines (same dot, same index order) — distinct collapses them
+    probes.as("a").join(probes.as("b"),
+        $"a.cluster_id" === $"b.cluster_id" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
+        (dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).as("cosine"))
+      .filter($"cosine" >= threshold)
+      .select($"a_id", $"b_id", round($"cosine", 6).as("cosine_r"))
+      .distinct()
+  }
+
+  /** The deterministic seed quantizer (first k corpus vectors as
+    * centroids) — the SQL-replicable stand-in for k-means that lets
+    * the s08 gate hash-match; see [[ivfNearDupPairs]]. */
+  def seedCentroids(vecs: DataFrame, k: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    vecs.filter($"vec_id" < k)
+      .select($"vec_id".as("cluster_id"), $"v".as("cv"), norm($"v").as("cn"))
+  }
+
+  def s08IvfNearDup(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    ivfNearDupPairs(c, seedCentroids(c, 8), 0.45, nprobe = 2)
+  }
+
+  val s08Sql: String =
+    """WITH en AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings
+      |), cen AS (
+      |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM en WHERE vec_id < 8
+      |), probes AS (
+      |  SELECT vec_id, v, nrm, cid FROM (
+      |    SELECT en.vec_id, en.v, en.nrm, cen.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY en.vec_id
+      |        ORDER BY list_dot_product(en.v, cen.cv) / (en.nrm * cen.cn) DESC,
+      |                 cen.cid ASC) AS rn
+      |    FROM en CROSS JOIN cen
+      |  ) WHERE rn <= 2
+      |)
+      |SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine_r
+      |FROM probes a JOIN probes b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> (s01CosineTopK _),
     "s02_embedding_neardup" -> (s02EmbeddingNearDup _),
@@ -462,6 +550,7 @@ object Similarity {
     "s05_quant_stats"       -> (s05QuantStats _),
     "s06_delta_neardup"     -> (s06DeltaNearDup _),
     "s07_knn_graph"         -> (s07KnnGraph _),
+    "s08_ivf_neardup"       -> (s08IvfNearDup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -475,5 +564,8 @@ object Similarity {
     // delta-touching pairs
     "s06_delta_neardup"     -> s06Sql,
     "s07_knn_graph"         -> s07Sql,
+    // approximate RECALL, but deterministic mechanism: the oracle
+    // replicates the seed quantizer + probe join bit-for-bit
+    "s08_ivf_neardup"       -> s08Sql,
   )
 }

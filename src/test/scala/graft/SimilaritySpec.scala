@@ -30,6 +30,31 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.15, s"mean recall@3 = $mean")
   }
 
+  test("s08 IVF near-dup: perfect precision, recall floor, k-means quantizer parity") {
+    import spark.implicits._
+    val truth = Similarity.s02EmbeddingNearDup(spark, sf001)
+      .as[(Long, Long, Double)].collect().toSet
+    val got = Similarity.s08IvfNearDup(spark, sf001)
+      .as[(Long, Long, Double)].collect().toSet
+    // precision 1 by construction: every emitted pair is exact-verified,
+    // with the same rounded cosine the brute-force path computes
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth).take(3)}")
+    // recall on the unclustered gaussian fixture measured 12/14 with the
+    // seed quantizer (see scaladoc) — floor set beneath it to catch
+    // mechanism regressions, not as a clustered-data SLA
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.7, s"recall = $recall (${got.size}/${truth.size})")
+    // the production path takes the k-means quantizer: same contract
+    // (subset of truth, exact cosines), independent of quantizer choice
+    val e = graft.Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val viaKmeans = Similarity.ivfNearDupPairs(
+        e, Similarity.trainedCentroids(spark, sf001, k = 5, iters = 2), 0.45)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaKmeans.subsetOf(truth))
+    assert(viaKmeans.size.toDouble / truth.size >= 0.7)
+  }
+
   test("s07 knn graph ≡ s01 brute-force top-k on the shared query set") {
     // s01 is the naive global-window form over vec_id < 20; the blocked
     // two-stage s07 must produce identical neighbors and ranks there
