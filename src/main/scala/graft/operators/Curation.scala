@@ -466,7 +466,65 @@ object Curation {
        |WHERE (d.doc_id * 2654435761) % 1000000 < r.thresh""".stripMargin
   }
 
+  /** c05: leakage-free train/val/test split. t09's per-doc hash split
+    * has a blind spot for TRAINING data: two near-duplicate documents
+    * can land in different splits, and the eval copy then "contaminates"
+    * the benchmark — the model saw its twin in train. The guard is to
+    * split CLUSTERS, not documents: every doc inherits its near-dup
+    * cluster representative ([[Dedup.collapsedClusters]]) as its split
+    * key (its own id when it has no near-dups), and the Knuth-hash
+    * bucket of that key decides train/val/test — so a whole near-dup
+    * cluster moves as one unit and no J ≥ τ pair ever straddles splits
+    * (spec-asserted).
+    *
+    * Scale: the cluster pass is the d12 rep-level CC (the corpus-wide
+    * near-dup join runs once — share it with the dedup stage in a real
+    * pipeline); the split itself is one left join against the cluster
+    * map plus row-local hash arithmetic — partition-independent,
+    * reproducible, and stable per document as the corpus grows (a doc's
+    * split flips only if its cluster gains a lower-id member). */
+  def leakageSafeSplit(docs: DataFrame, threshold: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val clusters = Dedup.collapsedClusters(docs, threshold)
+    val keyed = docs.select($"doc_id")
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"cluster_rep", $"doc_id").as("split_key"))
+    val bucket = pmod($"split_key" * 2654435761L, lit(100L))
+    keyed.select($"doc_id", $"split_key",
+      when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
+  }
+
+  def c05LeakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    leakageSafeSplit(documents(s, d).select($"doc_id", $"text"), 0.8)
+  }
+
+  /** Oracle: d08's recursive-CTE clusters, left-joined under the same
+    * hash arithmetic as t09's split. */
+  val c05Sql: String = {
+    val pairSql = Dedup.d03Sql.replace("\n", "\n  ")
+    s"""WITH RECURSIVE pairs AS (
+       |  ${pairSql}
+       |), edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION ALL SELECT d2, d1 FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+       |), clusters AS (
+       |  SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id
+       |)
+       |SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS split_key,
+       |  CASE WHEN (COALESCE(c.rep, d.doc_id) * 2654435761) % 100 < 90 THEN 'train'
+       |       WHEN (COALESCE(c.rep, d.doc_id) * 2654435761) % 100 < 95 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c05_leakage_safe_split" -> (c05LeakageSafeSplit _),
     "c01_curation_pipeline" -> (c01CurationPipeline _),
     "c02_curation_funnel"   -> (c02CurationFunnel _),
     "c03_training_mix"      -> (c03TrainingMix _),
@@ -479,6 +537,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "c05_leakage_safe_split" -> c05Sql,
     "c01_curation_pipeline" -> c01Sql,
     "c02_curation_funnel"   -> c02Sql,
     "c03_training_mix"      -> c03Sql,

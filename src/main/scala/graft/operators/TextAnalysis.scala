@@ -267,7 +267,41 @@ object TextAnalysis {
       |  COUNT(*) AS n_docs
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** t16: adjacent-token-pair frequencies — the count/argmax step of a
+    * BPE/WordPiece merge iteration (at word granularity): the most
+    * frequent adjacent pair is the next merge candidate, and the head
+    * of this table is what a tokenizer-training pass consumes each
+    * round. slice+arrays_zip build the bigram list as codegen'd array
+    * ops (no interpreted higher-order lambda, no positional self-join —
+    * a posexplode join on (doc_id, pos+1) would shuffle the corpus
+    * twice for what is row-local work); the explode feeds a
+    * partial+final count and the top-20 is TakeOrderedAndProject with
+    * a deterministic tie-break. */
+  def t16MergePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    val n1 = greatest(size(t) - 1, lit(0))
+    val pairs = arrays_zip(slice(t, lit(1), n1), slice(t, lit(2), n1))
+    documents(s, d)
+      .select(explode(pairs).as("p"))
+      .select(concat_ws(" ", $"p.0", $"p.1").as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"pair".asc)
+      .limit(20)
+  }
+
+  val t16Sql: String =
+    """SELECT pair, COUNT(*) AS freq
+      |FROM (
+      |  SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS pair
+      |  FROM (SELECT string_split(text, ' ') AS t FROM documents)
+      |)
+      |GROUP BY pair
+      |ORDER BY freq DESC, pair ASC
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_merge_pairs"  -> (t16MergePairs _),
     "t13_term_topk"    -> (t13TermTopk _),
     "t14_length_histogram" -> (t14LengthHistogram _),
     "t07_bpe_tokens"   -> (t07BpeTokens _),
@@ -284,6 +318,7 @@ object TextAnalysis {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    "t16_merge_pairs"  -> t16Sql,
     "t13_term_topk"    -> t13Sql,
     "t14_length_histogram" -> t14Sql,
     "t07_bpe_tokens"   -> t07Sql,

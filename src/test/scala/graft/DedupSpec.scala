@@ -70,6 +70,30 @@ class DedupSpec extends SparkSpec {
     } finally pairs.unpersist()
   }
 
+  test("c05 leakage-safe split: no near-dup pair straddles splits, all docs covered") {
+    import spark.implicits._
+    val split = graft.operators.Curation.c05LeakageSafeSplit(spark, sf001)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    // total coverage, one split per doc
+    assert(split.size === Tables.documents(spark, sf001).count())
+    // the contract t09's per-doc split cannot give: both endpoints of
+    // every J >= 0.8 pair land in the SAME split
+    val pairs = Dedup.ngramJaccardPairs(
+        Tables.documents(spark, sf001).select($"doc_id", $"text"), 0.8)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b), s"pair ($a,$b) straddles ${split(a)}/${split(b)}")
+    }
+    // and t09's split DOES violate it on this fixture (the reason c05
+    // exists) — if this ever stops holding, the fixture lost its
+    // cross-bucket near-dups and the test above went vacuous
+    def bucket(id: Long) = (id * 2654435761L) % 100
+    assert(pairs.exists { case (a, b) =>
+      (bucket(a) < 90) != (bucket(b) < 90) ||
+      (bucket(a) < 95) != (bucket(b) < 95) })
+  }
+
   test("dedup is idempotent: d01 over its own survivors is identity") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001)
