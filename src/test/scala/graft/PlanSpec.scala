@@ -67,6 +67,30 @@ class PlanSpec extends SparkSpec {
            !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("s08: pair join equi-keyed on cluster id; NLJ only against k-row centroid broadcasts") {
+    val p = plan("s08_ivf_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the corpus × centroids probe assignment is a deliberate broadcast
+    // of k rows (once per self-join side); the candidate join itself
+    // must be a shuffled equi-join, never a nested loop over the corpus
+    val nlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj <= 2, s"$nlj nested-loop joins: ${p.take(800)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "candidate join is not an equi-join")
+  }
+
+  test("t16: merge-pair count is partial+final with a two-phase top-k") {
+    val p = plan("t16_merge_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(p.contains("partial_count") || p.contains("Partial"), "no map-side combine")
+  }
+
+  test("c05: leakage-safe split is equi-joins only — no cartesian/NLJ") {
+    val p = plan("c05_leakage_safe_split")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("s07: knn graph — no NLJ, partial top-k pruned before the shuffle") {
     val p = plan("s07_knn_graph")
     assert(!p.contains("CartesianProduct") &&
