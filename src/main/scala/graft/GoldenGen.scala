@@ -20,7 +20,13 @@ import org.apache.spark.sql.SparkSession
   */
 object GoldenGen {
   val goldenQueries: Seq[String] =
-    Seq("d05_simhash", "t08_modp_fingerprint", "m01_multimodal_meta")
+    Seq("d05_simhash", "t08_modp_fingerprint", "m01_multimodal_meta",
+      // deterministic despite being approximate ALGORITHMS: HLL register
+      // merge is a max (commutative), the quantile sketch and the
+      // fixed-seed k-means produce partition-count-independent results —
+      // probed empirically at local[4]/p=4 vs local[32]/p=32 before
+      // promotion from rows-only to golden-hashed
+      "s03_ivf_topk", "t06_approx_stats")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

@@ -294,8 +294,9 @@ object Similarity {
     * nearest centroid buckets and ranks exactly within them. The
     * quantizer comes from [[trainedCentroids]] — first use trains it,
     * steady state reuses it, so the per-query cost is the probe search
-    * alone. Approximate → rows-only driver check; mechanism + recall
-    * asserted in ScalaTest.
+    * alone. Approximate RECALL, deterministic mechanism (fixed-seed
+    * init, exact-arithmetic determinism probed across parallelisms) →
+    * golden-snapshot hard check; recall floor asserted in ScalaTest.
     *
     * Recall is data-dependent: on clustered production embeddings IVF
     * recall is high; the synthetic fixture is unclustered gaussian
@@ -553,10 +554,15 @@ object Similarity {
     "s08_ivf_neardup"       -> (s08IvfNearDup _),
   )
 
-  val oracles: Map[String, String] = Map(
+  // def, not val: the golden-snapshot oracle resolves the sf tag at
+  // dump time (GoldenGen.setSfTag), after object initialization
+  def oracles: Map[String, String] = Map(
     "s01_cosine_topk"       -> s01Sql,
     "s02_embedding_neardup" -> s02Sql,
-    // s03 is approximate by construction: rows-only check + ScalaTest recall.
+    // s03 is approximate RECALL but a deterministic mechanism (probed
+    // across parallelisms) → golden-snapshot hard check + ScalaTest
+    // recall floor; see GoldenGen.
+    "s03_ivf_topk"          -> graft.GoldenGen.oracle("s03_ivf_topk"),
     // s04 is the scalable plan for the SAME predicate as s02 — same oracle.
     "s04_blocked_neardup"   -> s02Sql,
     "s05_quant_stats"       -> s05Sql,

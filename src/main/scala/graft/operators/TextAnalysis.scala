@@ -331,6 +331,8 @@ object TextAnalysis {
     "t03_lang_id"      -> t03Sql,
     "t04_fingerprint"  -> t04Sql,
     "t05_corpus_stats" -> t05Sql,
-    // t06 approximate → rows-only.
+    // t06: approximate SKETCHES, deterministic results (HLL max-merge,
+    // quantile-sketch merge probed across parallelisms) → golden-hashed.
+    "t06_approx_stats" -> graft.GoldenGen.oracle("t06_approx_stats"),
   )
 }
