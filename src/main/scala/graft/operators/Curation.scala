@@ -523,7 +523,50 @@ object Curation {
        |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id""".stripMargin
   }
 
+  /** d13: cross-source near-dup overlap matrix — for every unordered
+    * pair of corpus SOURCES, how many J ≥ τ document pairs connect
+    * them. This is the dataset-mixing diagnostic a pretraining run
+    * reads before weighting sources (c03): heavy off-diagonal mass
+    * means two "different" sources are substantially the same crawl
+    * and their weights double-count; heavy diagonal mass means a
+    * source needs dedup before it can be trusted at its row count.
+    *
+    * Cost = the d03 pair join (share the materialized pair frame in a
+    * real pipeline — same economics as d08/d09) + two id-keyed lookups
+    * of the tiny (doc_id, source) projection + a k²-key aggregate. */
+  def d13SourceOverlap(s: SparkSession, d: String): DataFrame =
+    d13SourceOverlap(s, d, None)
+
+  def d13SourceOverlap(s: SparkSession, d: String,
+                       pairs: Option[DataFrame]): DataFrame = {
+    import s.implicits._
+    val p = pairs.getOrElse(
+      Dedup.ngramJaccardPairs(documents(s, d).select($"doc_id", $"text"), 0.8))
+    val src = documents(s, d).select($"doc_id", $"source")
+    p.join(src.toDF("d1", "src1"), "d1")
+      .join(src.toDF("d2", "src2"), "d2")
+      .select(least($"src1", $"src2").as("source_a"),
+              greatest($"src1", $"src2").as("source_b"))
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val d13Sql: String = {
+    val pairSql = Dedup.d03Sql.replace("\n", "\n  ")
+    s"""WITH pairs AS (
+       |  ${pairSql}
+       |)
+       |SELECT LEAST(a.source, b.source) AS source_a,
+       |  GREATEST(a.source, b.source) AS source_b,
+       |  COUNT(*) AS n_pairs
+       |FROM pairs
+       |JOIN documents a ON pairs.d1 = a.doc_id
+       |JOIN documents b ON pairs.d2 = b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_source_overlap"    -> ((s: SparkSession, d: String) => d13SourceOverlap(s, d)),
     "c05_leakage_safe_split" -> (c05LeakageSafeSplit _),
     "c01_curation_pipeline" -> (c01CurationPipeline _),
     "c02_curation_funnel"   -> (c02CurationFunnel _),
@@ -537,6 +580,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "d13_source_overlap"    -> d13Sql,
     "c05_leakage_safe_split" -> c05Sql,
     "c01_curation_pipeline" -> c01Sql,
     "c02_curation_funnel"   -> c02Sql,

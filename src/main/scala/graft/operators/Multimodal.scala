@@ -131,11 +131,35 @@ object Multimodal {
       |  substr(upper(hex(encode(text))), 1, 16) AS resized_prefix_hex
       |FROM documents""".stripMargin
 
+  /** m05: byte-exact payload deduplication — the multimodal twin of
+    * d01. Images/audio recrawled from mirrors are byte-identical far
+    * more often than text is (no boilerplate injection), so a content-
+    * hash group over the BINARY column is the first multimodal dedup
+    * pass of any pipeline. One shuffle on a 256-bit hash — uniform by
+    * construction, payload skew cannot skew it; payload bytes never
+    * cross the shuffle (only hash + id do, after the partial agg). */
+  def m05PayloadDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+      .groupBy(sha2($"payload", 256).as("payload_sha256"))
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keep_id"))
+  }
+
+  /** DuckDB's sha256 takes VARCHAR (hashing its UTF-8 bytes) — the
+    * same bytes Spark's sha2(encode(text,'utf-8'), 256) hashes. */
+  val m05Sql: String =
+    """SELECT sha256(text) AS payload_sha256,
+      |  COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_meta" -> (m01MultimodalMeta _),
     "m02_payload_bytes"   -> (m02PayloadBytes _),
     "m03_chunk_sample"    -> (m03ChunkSample _),
     "m04_resize_stub"     -> (m04ResizeStub _),
+    "m05_payload_dedup"   -> (m05PayloadDedup _),
   )
 
   /** Spark's split keeps a trailing empty chunk when the text length is
@@ -154,6 +178,7 @@ object Multimodal {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    "m05_payload_dedup" -> m05Sql,
     "m02_payload_bytes" -> m02Sql,
     "m03_chunk_sample"  -> m03Sql,
     "m04_resize_stub"   -> m04Sql,
