@@ -485,17 +485,32 @@ object Similarity {
     * mechanism, not a rows-only count, which no k-means-seeded ANN
     * variant could offer. */
   def ivfNearDupPairs(vecs: DataFrame, centroids: DataFrame,
-                      threshold: Double, nprobe: Int = 2): DataFrame = {
+                      threshold: Double, nprobe: Int = 2,
+                      maxBucket: Long = 0L): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
     val c = vecs.withColumn("nrm", norm($"v"))
     val wp = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"cluster_id".asc)
-    val probes = c.crossJoin(broadcast(centroids))
+    val assigned = c.crossJoin(broadcast(centroids))
       .select($"vec_id", $"v", $"nrm", $"cluster_id",
         (dot($"v", $"cv") / ($"nrm" * $"cn")).as("c_cos"))
       .withColumn("rn", row_number().over(wp))
       .filter($"rn" <= nprobe)
       .select($"vec_id", $"v", $"nrm", $"cluster_id")
+    // d04's lesson applied to vectors: a degenerate bucket (mass-
+    // duplicated embeddings, a centroid that swallowed a dense region)
+    // makes the within-bucket join quadratic in ONE key. maxBucket > 0
+    // drops oversized buckets from candidate generation — byte-exact
+    // duplicates belong to an m05-style hash pre-pass, and a persistent
+    // hot bucket means k is too small for the corpus. 0 = uncapped
+    // (the oracle-matched s08 entry, where the corpus is bounded).
+    val probes =
+      if (maxBucket <= 0L) assigned
+      else assigned
+        .withColumn("bucket_n",
+          count(lit(1)).over(Window.partitionBy($"cluster_id")))
+        .filter($"bucket_n" <= maxBucket)
+        .drop("bucket_n")
     // a pair sharing BOTH probed clusters arrives twice with bit-equal
     // cosines (same dot, same index order) — distinct collapses them
     probes.as("a").join(probes.as("b"),

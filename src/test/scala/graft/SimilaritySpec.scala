@@ -55,6 +55,25 @@ class SimilaritySpec extends SparkSpec {
     assert(viaKmeans.size.toDouble / truth.size >= 0.7)
   }
 
+  test("s08 maxBucket guard: a mass-duplicated vector cannot make one bucket quadratic") {
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // 300 copies of vector 0 under fresh ids: they all land in the same
+    // probe buckets and would alone contribute C(300,2) ≈ 45k pairs
+    val dup = e.filter($"vec_id" === 0)
+    val flood = (1 to 300).map(i => dup.select(($"vec_id" + 100000 + i).as("vec_id"), $"v"))
+      .reduce(_ unionByName _)
+    val skewed = e.unionByName(flood)
+    val cen = Similarity.seedCentroids(e, 8)
+    val uncapped = Similarity.ivfNearDupPairs(skewed, cen, 0.45).count()
+    assert(uncapped > 40000L, s"flood should dominate uncapped output, got $uncapped")
+    // capped: the flooded buckets drop out entirely; the surviving pair
+    // set is bounded by smaller-bucket work, never the quadratic clique
+    val capped = Similarity.ivfNearDupPairs(skewed, cen, 0.45, maxBucket = 250L).count()
+    assert(capped < 1000L, s"guard failed to cap candidate generation: $capped")
+  }
+
   test("s07 knn graph ≡ s01 brute-force top-k on the shared query set") {
     // s01 is the naive global-window form over vec_id < 20; the blocked
     // two-stage s07 must produce identical neighbors and ranks there
