@@ -477,6 +477,13 @@ object Curation {
     * cluster moves as one unit and no J ≥ τ pair ever straddles splits
     * (spec-asserted).
     *
+    * When is this needed? A corpus ALREADY near-dup-deduped at τ' ≤ τ
+    * has no qualifying pairs left, and t09's per-doc split is leakage-
+    * safe on it for free (the streaming admission path guarantees
+    * exactly this for its admitted set). c05 is for corpora that keep
+    * their near-dups — cluster-keep-one discards data a trainer may
+    * want — or that split at a STRICTER τ than they dedup.
+    *
     * Scale: the cluster pass is the d12 rep-level CC (the corpus-wide
     * near-dup join runs once — share it with the dedup stage in a real
     * pipeline); the split itself is one left join against the cluster

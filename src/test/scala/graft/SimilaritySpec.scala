@@ -55,6 +55,25 @@ class SimilaritySpec extends SparkSpec {
     assert(viaKmeans.size.toDouble / truth.size >= 0.7)
   }
 
+  test("s08 recall is monotone in nprobe: wider probes strictly grow the candidate set") {
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cen = Similarity.seedCentroids(e, 8)
+    val byProbe = Seq(1, 2, 4).map { np =>
+      Similarity.ivfNearDupPairs(e, cen, 0.45, nprobe = np)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    // each pair set must contain the previous: more probed clusters can
+    // only add shared-cluster candidates, never remove them, and the
+    // exact verification is probe-independent
+    byProbe.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo.subsetOf(hi), s"lost pairs widening nprobe: ${lo.diff(hi).take(3)}")
+    }
+    assert(byProbe.head.size < byProbe.last.size,
+      "fixture should show recall growth from nprobe 1 to 4")
+  }
+
   test("s08 maxBucket guard: a mass-duplicated vector cannot make one bucket quadratic") {
     import spark.implicits._
     val e = graft.Tables.embeddings(spark, sf001)
