@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Dedup, Similarity}
+
+/** The 100 TB portability property: every deterministic operator must
+  * produce IDENTICAL results regardless of input partitioning and
+  * shuffle-partition count — a job that changes answers when the
+  * cluster grows from 32 to 1000 executors is wrong, not slow. Float
+  * determinism is engineered (exact quantized sums, index-ordered dot
+  * products, total-order tie-breaks); this spec checks the claim end
+  * to end by running each operator at two very different parallelism
+  * shapes and comparing full result sets. */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private def withShuffle[T](n: Int)(f: => T): T = {
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  test("near-dup, ANN, split, and mix are partition-count invariant") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf001).select($"doc_id", $"text")
+    val langDocs = Tables.documents(spark, sf001).select($"doc_id", $"lang")
+    val e = Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cen = Similarity.seedCentroids(e, 8)
+
+    def runAll(inputParts: Int, shuffleParts: Int) = withShuffle(shuffleParts) {
+      val d = docs.repartition(inputParts)
+      val l = langDocs.repartition(inputParts)
+      val v = e.repartition(inputParts)
+      (Dedup.ngramJaccardPairs(d, 0.8).as[(Long, Long, Double)].collect().toSet,
+       Similarity.ivfNearDupPairs(v, cen, 0.45).as[(Long, Long, Double)].collect().toSet,
+       Curation.leakageSafeSplit(d, 0.8).as[(Long, Long, String)].collect().toSet,
+       Curation.trainingMix(l, Curation.c03Weights.toMap, 0.6)
+         .as[(Long, String)].collect().toSet,
+       Dedup.collapsedClusters(d, 0.8).as[(Long, Long)].collect().toSet)
+    }
+
+    val narrow = runAll(inputParts = 3, shuffleParts = 5)
+    val wide = runAll(inputParts = 17, shuffleParts = 32)
+    assert(narrow._1 === wide._1, "d03 pairs diverge across parallelism")
+    assert(narrow._2 === wide._2, "s08 ANN pairs diverge across parallelism")
+    assert(narrow._3 === wide._3, "c05 split diverges across parallelism")
+    assert(narrow._4 === wide._4, "c03 mix diverges across parallelism")
+    assert(narrow._5 === wide._5, "d12 clusters diverge across parallelism")
+  }
+
+  test("t16 top-20 and t13 top-20 are shuffle-partition invariant (tie-breaks total)") {
+    val a = withShuffle(3)(operators.TextAnalysis.t16MergePairs(spark, sf001)
+      .collect().map(_.toSeq).toSeq)
+    val b = withShuffle(29)(operators.TextAnalysis.t16MergePairs(spark, sf001)
+      .collect().map(_.toSeq).toSeq)
+    assert(a === b)
+    val c = withShuffle(3)(operators.TextAnalysis.t13TermTopk(spark, sf001)
+      .collect().map(_.toSeq).toSeq)
+    val d = withShuffle(29)(operators.TextAnalysis.t13TermTopk(spark, sf001)
+      .collect().map(_.toSeq).toSeq)
+    assert(c === d)
+  }
+}
