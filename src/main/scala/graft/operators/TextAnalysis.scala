@@ -300,7 +300,51 @@ object TextAnalysis {
       |ORDER BY freq DESC, pair ASC
       |LIMIT 20""".stripMargin
 
+  /** t17: shingle novelty — per document, the fraction of its word-3-
+    * gram shingles that occur in NO other document. Low-novelty docs
+    * are templated/recombined content that dedup's pairwise thresholds
+    * can miss (each pair under τ, yet nothing new); the corpus-level
+    * novelty distribution is the diversity diagnostic a data-mixing
+    * pass reads next to d13. Two shuffles: document frequency per
+    * shingle (uniform hash key), then the per-doc ratio — counts are
+    * integers, the final division is one exact double op, so results
+    * are partition-independent. */
+  def t17Novelty(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ex = documents(s, d)
+      .select($"doc_id", explode(Dedup.shingleHashes($"text")).as("sg"))
+    val df = ex.groupBy($"sg").agg(count(lit(1)).as("df"))
+    ex.join(df, "sg")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           count(when($"df" === 1, 1)).as("n_unique"))
+      .select($"doc_id", $"n_shingles", $"n_unique",
+        ($"n_unique".cast("double") / $"n_shingles").as("novelty"))
+  }
+
+  /** Shingle construction mirrors d03's SQL fragment; hash-vs-string
+    * shingle identity carries over d03's contract (injective at these
+    * set sizes). COUNT(FILTER) keeps BIGINT (an integer SUM would
+    * surface as HUGEINT→float64 at the gate). */
+  val t17Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |           for i in range(1, len(t)-1)]) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS sg FROM sh
+      |), df AS (
+      |  SELECT sg, COUNT(*) AS df FROM ex GROUP BY sg
+      |)
+      |SELECT ex.doc_id, COUNT(*) AS n_shingles,
+      |  COUNT(*) FILTER (WHERE df.df = 1) AS n_unique,
+      |  CAST(COUNT(*) FILTER (WHERE df.df = 1) AS DOUBLE) / COUNT(*) AS novelty
+      |FROM ex JOIN df USING (sg)
+      |GROUP BY ex.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_novelty"      -> (t17Novelty _),
     "t16_merge_pairs"  -> (t16MergePairs _),
     "t13_term_topk"    -> (t13TermTopk _),
     "t14_length_histogram" -> (t14LengthHistogram _),
@@ -318,6 +362,7 @@ object TextAnalysis {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    "t17_novelty"      -> t17Sql,
     "t16_merge_pairs"  -> t16Sql,
     "t13_term_topk"    -> t13Sql,
     "t14_length_histogram" -> t14Sql,
