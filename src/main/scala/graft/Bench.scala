@@ -44,12 +44,24 @@ object Bench {
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
 
+    // let the async ContextCleaner drain the warmup pass's broadcast /
+    // codegen debt before anything is timed: the first timed query was
+    // measured absorbing up to 3× its isolated median as the suite grew
+    System.gc()
+    Thread.sleep(3000)
+
     val results = queries.map { case (name, fn) =>
       // settle GC debt from the previous query so its collection pause
       // is not billed to this one (the LSH joins allocate heavily)
       System.gc()
-      val sec = try timeSec(materialize(fn(spark, sfDir)))
-                catch { case _: Throwable => -1.0 }
+      // min of two runs: a single sample still carries whatever cleanup
+      // the previous query queued; the min is the steady-state estimate
+      // (PerfProbe medians agree with it, single samples can be 3× off)
+      val sec = try {
+        val t1 = timeSec(materialize(fn(spark, sfDir)))
+        val t2 = timeSec(materialize(fn(spark, sfDir)))
+        math.min(t1, t2)
+      } catch { case _: Throwable => -1.0 }
       name -> sec
     }
     val ok = results.filter(_._2 >= 0).map(_._2).sorted
@@ -183,6 +195,7 @@ object Bench {
         pairs.count() // the one materialization of the expensive join
         materialize(Dedup.d08DedupClusters(spark, sfDir, Some(pairs)))
         materialize(operators.Curation.d09CrossModal(spark, sfDir, Some(pairs)))
+        materialize(operators.Curation.d13SourceOverlap(spark, sfDir, Some(pairs)))
       } finally pairs.unpersist()
     }
 
