@@ -309,24 +309,37 @@ object Curation {
   def c02CurationFunnel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val st = curationStages(s, d)
-    // counts are computed EAGERLY with the expensive shared subtrees
-    // persisted: six lazy union branches would each re-run the f1/f2
-    // lineage and two of them the near-dup prefix join (the pipeline's
-    // dominant stage). Six longs to the driver is the legitimate end
-    // of this query, not a distributed-op smell.
-    val f1 = st.f1.persist()
-    val f2 = st.f2.persist()
-    val f3 = st.f3.persist()
-    try {
-      Seq(
-        ("1_input", st.corpus0.count()),
-        ("2_lang", st.afterLang.count()),
-        ("3_quality", f1.count()),
-        ("4_exact_dedup", f2.count()),
-        ("5_near_dedup", f3.count()),
-        ("6_decontaminated", st.survivors.count()),
-      ).toDF("stage", "n")
-    } finally { f1.unpersist(); f2.unpersist(); f3.unpersist(); () }
+    // ONE job: annotate the input with a 0/1 marker per stage and sum
+    // the markers in a single aggregate. Stage frames are subsets of
+    // the input, so each marker is a left join of its id set. This
+    // replaced six eager counts over persisted full-row frames: locally
+    // the two are within noise (shared subtrees recompute here, cache
+    // reads amortized them there), but at 100 TB the persisted form
+    // bills cluster memory for three full copies of the corpus while
+    // this form shuffles only doc_ids above the stage lineages.
+    def mark(df: DataFrame, name: String) =
+      df.select($"doc_id").withColumn(name, lit(1L))
+    val r = st.corpus0.select($"doc_id")
+      .join(mark(st.afterLang, "m_lang"), Seq("doc_id"), "left_outer")
+      .join(mark(st.f1, "m_f1"), Seq("doc_id"), "left_outer")
+      .join(mark(st.f2, "m_f2"), Seq("doc_id"), "left_outer")
+      .join(mark(st.f3, "m_f3"), Seq("doc_id"), "left_outer")
+      .join(mark(st.survivors, "m_surv"), Seq("doc_id"), "left_outer")
+      .agg(count(lit(1)).as("n0"),
+        sum(coalesce($"m_lang", lit(0L))).as("n1"),
+        sum(coalesce($"m_f1", lit(0L))).as("n2"),
+        sum(coalesce($"m_f2", lit(0L))).as("n3"),
+        sum(coalesce($"m_f3", lit(0L))).as("n4"),
+        sum(coalesce($"m_surv", lit(0L))).as("n5"))
+      .head()
+    Seq(
+      ("1_input", r.getLong(0)),
+      ("2_lang", r.getLong(1)),
+      ("3_quality", r.getLong(2)),
+      ("4_exact_dedup", r.getLong(3)),
+      ("5_near_dedup", r.getLong(4)),
+      ("6_decontaminated", r.getLong(5)),
+    ).toDF("stage", "n")
   }
 
   /** The same five stages as one CTE chain, built by embedding the
