@@ -659,6 +659,10 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // the returned labels are a materialized (local)checkpoint — they
+    // never re-read edges, so release the cache now rather than letting
+    // entries pile up across calls in a long-lived session
+    edges.unpersist()
     labels.select($"id".as("doc_id"), $"label".as("cluster_rep"))
   }
 
