@@ -22,7 +22,8 @@ object PlanAudit {
         "d10_collapsed_jaccard","d11_delta_neardup","s06_delta_neardup",
         "c01_curation_pipeline","q67_recursive_cte",
         "s07_knn_graph","q68_zorder","c03_training_mix",
-        "s08_ivf_neardup","t16_merge_pairs","c05_leakage_safe_split").foreach(show)
+        "s08_ivf_neardup","t16_merge_pairs","c05_leakage_safe_split",
+        "d13_source_overlap","t17_novelty").foreach(show)
     spark.stop()
   }
 }
