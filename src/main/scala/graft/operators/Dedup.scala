@@ -397,6 +397,89 @@ object Dedup {
     s"""SELECT * FROM (${d03Sql.replace("\n", "\n  ")})
        |WHERE d1 % 10 = 0 OR d2 % 10 = 0""".stripMargin
 
+  // ---- d14: containment near-dup (quote / snippet inclusion) ----
+
+  /** d14: ordered pairs where one document's shingle set is τ-contained
+    * in another's: C(A,B) = |A∩B| / |A| ≥ τ. Jaccard is symmetric and
+    * misses exactly the corpus shape decontamination cares about — a
+    * short document (a quote, a licence block, an excerpted benchmark
+    * item) embedded verbatim inside a much longer one scores J ≈
+    * |A|/|B| ≈ 0 however perfect the inclusion. Containment is the
+    * asymmetric fix (Broder's "resemblance vs containment").
+    *
+    * EXACT, via the one-sided prefix filter: |A∩B| ≥ ceil(τ·|A|) =: α
+    * means A's first |A| − α + 1 sorted shingles must intersect B
+    * (else the intersection fits inside A's last α − 1 elements) — so
+    * only A's ~(1−τ) prefix is joined against B's full inverted index,
+    * plus the one admissible length filter |B| ≥ τ·|A| (from |A∩B| ≤
+    * |B|); there is no upper length bound, B may be arbitrarily large.
+    * All threshold arithmetic is the same exact rational p/RatQ as
+    * [[prefixJoinPairs]] (floor ⇒ recall-safe slack, removed by exact
+    * verification).
+    *
+    * Scale: the B-side index is linear in corpus shingle mass and the
+    * join is an equi-join on the shingle hash — candidates per A-prefix
+    * token cost that token's document frequency. Hash order makes the
+    * prefix a uniform random sample of each set; the classical
+    * refinement (order the universe by ascending df so prefixes hold
+    * the RAREST tokens — Bayardo et al., AllPairs) drops candidate
+    * volume further at identical recall and slots in here as a
+    * re-sort of `sh` against a df table when a corpus needs it. */
+  def d14Containment(s: SparkSession, d: String): DataFrame =
+    containmentPairs(documents(s, d), 0.9)
+
+  /** The containment join over any (doc_id, text) frame and any
+    * τ ∈ (0, 1] — see [[d14Containment]]. Emits every ORDERED pair
+    * (inner, outer): a symmetric near-identical pair appears twice,
+    * once per direction, which is the honest answer to an asymmetric
+    * predicate. */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val p = math.floor(threshold * RatQ).toLong max 1L
+    val sh = docs
+      .select($"doc_id", array_sort(shingleHashes($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+    val preA = prefixExplode(sh, p)
+    val exB = sh.select($"doc_id",
+      size($"sh").cast("long").as("n"), explode($"sh").as("sg"))
+    // length filter: |A∩B| ≤ |B| ⇒ τ·|A| ≤ |B|, cross-multiplied to
+    // stay integer-exact
+    val cand = preA.as("a").join(exB.as("b"),
+        $"a.sg" === $"b.sg" && $"a.doc_id" =!= $"b.doc_id" &&
+        $"b.n" * RatQ >= $"a.n" * p)
+      .select($"a.doc_id".as("inner_id"), $"b.doc_id".as("outer_id"))
+      .distinct()
+    val fullA = sh.select($"doc_id".as("inner_id"), $"sh".as("sha"))
+    val fullB = sh.select($"doc_id".as("outer_id"), $"sh".as("shb"))
+    val inter = size(array_intersect($"sha", $"shb"))
+    cand.join(fullA, "inner_id").join(fullB, "outer_id")
+      .select($"inner_id", $"outer_id",
+        (inter.cast("double") / size($"sha")).as("containment"))
+      .filter($"containment" >= threshold)
+  }
+
+  /** Oracle: brute-force containment over the string shingles (hash vs
+    * string identity carries over d03's contract). */
+  val d14Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |           for i in range(1, len(t)-1)]) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+      |), inter AS (
+      |  SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+      |         COUNT(*) AS i, any_value(a.n) AS n1
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT inner_id, outer_id, CAST(i AS DOUBLE) / n1 AS containment
+      |FROM inter
+      |WHERE CAST(i AS DOUBLE) / n1 >= 0.9""".stripMargin
+
   // ---- d04: MinHash + LSH banding, exact-verified ----
 
   /** 128 minhash permutations over a prime field; constants drawn from a
@@ -694,6 +777,7 @@ object Dedup {
     "d10_collapsed_jaccard" -> (d10CollapsedJaccard _),
     "d11_delta_neardup"  -> (d11DeltaNearDup _),
     "d12_collapsed_clusters" -> (d12CollapsedClusters _),
+    "d14_containment"    -> (d14Containment _),
   )
 
   // def, not val: the golden-snapshot oracle path resolves the sf tag
@@ -715,5 +799,6 @@ object Dedup {
     "d11_delta_neardup" -> d11Sql,
     // same clusters as d08 by construction (star ≡ clique components)
     "d12_collapsed_clusters" -> d08Sql,
+    "d14_containment"   -> d14Sql,
   )
 }

@@ -154,7 +154,81 @@ object Multimodal {
       |FROM documents
       |GROUP BY 1""".stripMargin
 
+  /** m06: block-level near-dup for binary payloads — the multimodal
+    * step between m05's byte-exact pass (misses any re-encode or
+    * append) and embedding-space near-dup (needs a decoder + model).
+    * The payload is cut into fixed 64-byte blocks; two payloads are
+    * near-dups when the Jaccard over their distinct block sets
+    * ≥ 0.5 — catching truncated re-uploads, metadata-stamped copies
+    * and concatenated variants of the same asset.
+    *
+    * Fixed-offset blocking is deliberately the cheap v1 (one
+    * substring pass, zero state): a single inserted byte shifts every
+    * later block, which is exactly what content-defined chunking
+    * (rolling-hash cut points, as in LBFS/restic) fixes — that drops
+    * in here by replacing the block iterator, leaving the join
+    * unchanged. Scale shape is d03's: block table linear in corpus
+    * bytes / 64, candidates from an equi-join on the block value
+    * (content-hash-uniform keys), per-pair verification by counting —
+    * never an all-pairs comparison. Payload bytes never shuffle as a
+    * whole; only 64-byte blocks + ids do. */
+  def m06ChunkNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    chunkNearDupPairs(
+      documents(s, d).select($"doc_id", encode($"text", "utf-8").as("payload")),
+      0.5)
+  }
+
+  /** The block-set join over any (doc_id, payload: binary) frame —
+    * see [[m06ChunkNearDup]]. */
+  def chunkNearDupPairs(payloads: DataFrame, threshold: Double): DataFrame = {
+    val s = payloads.sparkSession
+    import s.implicits._
+    val h = payloads
+      .select($"doc_id", hex($"payload").as("hx"))
+      .filter(length($"hx") > 0)
+    // 64 payload bytes = 128 hex chars; distinct blocks per doc
+    val nch = ceil(length($"hx") / lit(128.0)).cast("long")
+    val blocks = h
+      .select($"doc_id", $"hx", explode(sequence(lit(0L), nch - 1)).as("i"))
+      .select($"doc_id",
+        expr("substring(hx, cast(i * 128 + 1 as int), 128)").as("blk"))
+      .distinct()
+    val n = blocks.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = blocks.as("a").join(blocks.as("b"),
+        $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(n.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+      .join(n.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+      .select($"d1", $"d2",
+        ($"i".cast("double") / ($"n1" + $"n2" - $"i")).as("block_jaccard"))
+      .filter($"block_jaccard" >= threshold)
+  }
+
+  val m06Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, upper(hex(encode(text))) AS hx FROM documents
+      |  WHERE len(text) > 0
+      |), ch AS (
+      |  SELECT doc_id, list_distinct([substr(hx, 1 + 128*i, 128)
+      |           for i in range(0, CAST(ceil(len(hx) / 128.0) AS BIGINT))]) AS blks
+      |  FROM h
+      |), ex AS (
+      |  SELECT doc_id, unnest(blks) AS blk, len(blks) AS n FROM ch
+      |), inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i,
+      |         any_value(a.n) AS n1, any_value(b.n) AS n2
+      |  FROM ex a JOIN ex b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d1, d2, CAST(i AS DOUBLE) / (n1 + n2 - i) AS block_jaccard
+      |FROM inter
+      |WHERE CAST(i AS DOUBLE) / (n1 + n2 - i) >= 0.5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m06_chunk_neardup"   -> (m06ChunkNearDup _),
     "m01_multimodal_meta" -> (m01MultimodalMeta _),
     "m02_payload_bytes"   -> (m02PayloadBytes _),
     "m03_chunk_sample"    -> (m03ChunkSample _),
@@ -178,6 +252,7 @@ object Multimodal {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    "m06_chunk_neardup" -> m06Sql,
     "m05_payload_dedup" -> m05Sql,
     "m02_payload_bytes" -> m02Sql,
     "m03_chunk_sample"  -> m03Sql,

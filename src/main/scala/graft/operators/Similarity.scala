@@ -558,7 +558,75 @@ object Similarity {
       |FROM probes a JOIN probes b ON a.cid = b.cid AND a.vec_id < b.vec_id
       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45""".stripMargin
 
+  /** s09: per-label embedding cohesion — the clustering/labeling
+    * diagnostic a curation pass reads before trusting labels or
+    * cluster assignments: for each label, the MEAN PAIRWISE COSINE of
+    * its (normalized) members and the centroid norm (1 = all members
+    * identical, → 0 = isotropic spread).
+    *
+    * The point is the algebra: Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − Σ‖u‖², so a
+    * statistic that is quadratic in pairs is computed in ONE linear
+    * pass — two narrow aggregates (label×dim, then label), no pair
+    * join, no corpus² term anywhere. At 100 TB this is the difference
+    * between a diagnostic you run per ingest batch and one you can't
+    * run at all; s02/s04's pair joins answer per-PAIR questions,
+    * this answers the per-GROUP one at aggregate cost.
+    *
+    * Determinism contract: members are normalized in double (IEEE
+    * division), QUANTIZED to DECIMAL(9,6), and every sum/square after
+    * that is exact decimal arithmetic — the result is bit-identical at
+    * any parallelism and any aggregation order, and the oracle
+    * replicates it digit for digit. (A double Σu is partition-order-
+    * dependent; the quantization is what makes a float statistic
+    * hash-checkable — same move as [[graft.Det]].) */
+  def s09LabelCohesion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val en = corpus(s, d).withColumn("nrm", norm($"v"))
+    // posexplode + arithmetic on the exploded value: codegen'd, no
+    // interpreted per-element lambda
+    val ex = en
+      .select($"vec_id", $"label", $"nrm", posexplode($"v"))
+      .select($"vec_id", $"label", $"pos",
+        ($"col" / $"nrm").cast("decimal(9,6)").as("u"))
+    val spos = ex.groupBy($"label", $"pos")
+      .agg(sum($"u").cast("decimal(18,6)").as("s"))
+    val percomp = spos.groupBy($"label").agg(sum($"s" * $"s").as("ssq"))
+    val qn = ex.groupBy($"label")
+      .agg(countDistinct($"vec_id").as("n_vecs"), sum($"u" * $"u").as("usq"))
+    percomp.join(qn, "label")
+      .select($"label", $"n_vecs",
+        round(($"ssq" - $"usq").cast("double") /
+          ($"n_vecs" * ($"n_vecs" - lit(1L))), 6).as("intra_cos_r"),
+        round(sqrt($"ssq".cast("double")) / $"n_vecs", 6).as("centroid_norm_r"))
+  }
+
+  val s09Sql: String =
+    """WITH en AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings
+      |), ex AS (
+      |  SELECT vec_id, label,
+      |    unnest(range(1, len(v) + 1)) AS pos,
+      |    unnest([CAST(v[i] / nrm AS DECIMAL(9,6)) for i in range(1, len(v) + 1)]) AS u
+      |  FROM en
+      |), spos AS (
+      |  SELECT label, pos, CAST(SUM(u) AS DECIMAL(18,6)) AS s
+      |  FROM ex GROUP BY 1, 2
+      |), percomp AS (
+      |  SELECT label, SUM(s * s) AS ssq FROM spos GROUP BY 1
+      |), qn AS (
+      |  SELECT label, COUNT(DISTINCT vec_id) AS n_vecs, SUM(u * u) AS usq
+      |  FROM ex GROUP BY 1
+      |)
+      |SELECT p.label, n_vecs,
+      |  ROUND(CAST(ssq - usq AS DOUBLE) / (n_vecs * (n_vecs - 1)), 6) AS intra_cos_r,
+      |  ROUND(sqrt(CAST(ssq AS DOUBLE)) / n_vecs, 6) AS centroid_norm_r
+      |FROM percomp p JOIN qn USING (label)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s09_label_cohesion"    -> (s09LabelCohesion _),
     "s01_cosine_topk"       -> (s01CosineTopK _),
     "s02_embedding_neardup" -> (s02EmbeddingNearDup _),
     "s03_ivf_topk"          -> (s03IvfTopK _),
@@ -572,6 +640,7 @@ object Similarity {
   // def, not val: the golden-snapshot oracle resolves the sf tag at
   // dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    "s09_label_cohesion"    -> s09Sql,
     "s01_cosine_topk"       -> s01Sql,
     "s02_embedding_neardup" -> s02Sql,
     // s03 is approximate RECALL but a deterministic mechanism (probed

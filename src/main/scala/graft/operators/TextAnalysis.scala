@@ -343,7 +343,71 @@ object TextAnalysis {
       |FROM ex JOIN df USING (sg)
       |GROUP BY ex.doc_id""".stripMargin
 
+  /** t18: per-document top-3 terms by tf·idf — keyword extraction, the
+    * per-doc counterpart of t13's corpus top-k. idf is kept as the raw
+    * rational N/df (no logarithm): IEEE *, / are correctly rounded in
+    * every engine, so (tf·N)/df is bit-identical between Spark and the
+    * oracle, whereas ln() is a transcendental with no cross-engine
+    * guarantee — determinism is part of this operator's contract, and
+    * the monotone map changes no ranking.
+    *
+    * Scale: tf is a partial+final count keyed by (doc_id, token); df
+    * reuses tf's output (one extra narrow aggregate, not a second
+    * corpus pass); the df join is keyed by token — skewed for
+    * stopwords, but the tf frame has ≤ one row per (doc, token), so
+    * the hot key's fan-in is bounded by the corpus doc count, and AQE
+    * splits oversized join partitions; N is a 1-row broadcast. The
+    * per-doc top-3 is a bounded window (rank ≤ 3 prunes in the
+    * WindowGroupLimit pushdown before the sort materializes). */
+  def t18TfidfTerms(s: SparkSession, d: String): DataFrame =
+    tfidfTerms(documents(s, d), 3)
+
+  /** The tf·idf extraction over any (doc_id, text) frame — see
+    * [[t18TfidfTerms]]. */
+  def tfidfTerms(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"token".asc)
+    val tf = docs
+      .select($"doc_id", explode(toks($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      // parenthesization is part of the contract: (tf·N)/df — both
+      // factors exact in double, one correctly-rounded division
+      .withColumn("score", ($"tf".cast("double") * $"n_docs") / $"df")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"doc_id", $"rank", $"token", $"tf", $"df",
+        round($"score", 6).as("tfidf_r"))
+  }
+
+  val t18Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  WHERE len(token) > 0
+      |  GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+      |), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, rank, token, tf, df, ROUND(score, 6) AS tfidf_r
+      |FROM (
+      |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+      |    (CAST(tf.tf AS DOUBLE) * n.n_docs) / dfreq.df AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY (CAST(tf.tf AS DOUBLE) * n.n_docs) / dfreq.df DESC,
+      |               tf.token ASC) AS rank
+      |  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+      |) WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_tfidf_terms"  -> (t18TfidfTerms _),
     "t17_novelty"      -> (t17Novelty _),
     "t16_merge_pairs"  -> (t16MergePairs _),
     "t13_term_topk"    -> (t13TermTopk _),
@@ -362,6 +426,7 @@ object TextAnalysis {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    "t18_tfidf_terms"  -> t18Sql,
     "t17_novelty"      -> t17Sql,
     "t16_merge_pairs"  -> t16Sql,
     "t13_term_topk"    -> t13Sql,

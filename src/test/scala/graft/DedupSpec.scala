@@ -94,6 +94,40 @@ class DedupSpec extends SparkSpec {
       (bucket(a) < 95) != (bucket(b) < 95) })
   }
 
+  test("d14 containment: catches verbatim inclusion Jaccard misses; matches brute force") {
+    import spark.implicits._
+    // planted case: a 12-token quote embedded verbatim in an 80-token
+    // document — containment 1.0, symmetric Jaccard ≈ 0.11
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val long = quote + " " + (1 to 80).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, long), (3L, other)).toDF("doc_id", "text")
+    val planted = Dedup.containmentPairs(docs, 0.9)
+      .select($"inner_id", $"outer_id", $"containment").collect()
+    assert(planted.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(planted.head.getDouble(2) === 1.0)
+    val jac = Dedup.ngramJaccardPairs(docs, 0.05)
+      .filter($"d1" === 1L && $"d2" === 2L).select($"jaccard").collect()
+    assert(jac.nonEmpty && jac.head.getDouble(0) < 0.2,
+      "inclusion pair should score far below any usable Jaccard threshold")
+    // prefix-filtered join ≡ brute-force all-pairs containment on the
+    // real fixture (recall proof for the one-sided prefix theorem)
+    val corpus = Tables.documents(spark, sf001).select($"doc_id", $"text")
+    val sh = corpus.select($"doc_id", Dedup.shingleHashes($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val brute = sh.as("a").crossJoin(sh.as("b"))
+      .filter($"a.doc_id" =!= $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("o"),
+        (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+          size($"a.sh")).as("c"))
+      .filter($"c" >= 0.9)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    val got = Dedup.containmentPairs(corpus, 0.9)
+      .select($"inner_id", $"outer_id").as[(Long, Long)].collect().toSet
+    assert(got === brute)
+    assert(got.nonEmpty, "fixture should contain containment pairs")
+  }
+
   test("dedup is idempotent: d01 over its own survivors is identity") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001)

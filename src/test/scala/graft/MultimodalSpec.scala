@@ -39,6 +39,30 @@ class MultimodalSpec extends SparkSpec {
     assert(batched === direct)
   }
 
+  test("m06 block near-dup: append/aligned-insert detected, 1-byte shift honestly missed") {
+    import spark.implicits._
+    def bytes(s: String): Array[Byte] = s.getBytes("UTF-8")
+    val A = "a" * 64; val B = "b" * 64; val C = "c" * 64; val D = "d" * 64
+    val E = "e" * 64; val X = "x" * 64
+    val payloads = Seq(
+      1L -> bytes(A + B + C + D),       // base: blocks {A,B,C,D}
+      2L -> bytes(A + B + C + D + E),   // appended copy: j = 4/5
+      3L -> bytes(X + A + B + C + D),   // 64-aligned prefix insert: j = 4/5
+      4L -> bytes("!" + A + B + C + D), // 1-byte shift: every block differs
+      5L -> bytes(A + A + A + A)        // block-repeat degenerate: {A}, j = 1/4
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.chunkNearDupPairs(payloads, 0.5)
+      .select($"d1", $"d2", $"block_jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(math.abs(got((1L, 2L)) - 0.8) < 1e-12)
+    assert(math.abs(got((1L, 3L)) - 0.8) < 1e-12)
+    // the 1-byte shift (doc 4) shares no 64-aligned block with doc 1 —
+    // the documented fixed-offset blind spot content-defined chunking
+    // would close; if this starts matching, the blocking changed
+  }
+
   test("m03 chunking reassembles to original length") {
     import spark.implicits._
     val chunks = Multimodal.m03ChunkSample(spark, sf0001)

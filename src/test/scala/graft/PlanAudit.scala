@@ -23,7 +23,9 @@ object PlanAudit {
         "c01_curation_pipeline","q67_recursive_cte",
         "s07_knn_graph","q68_zorder","c03_training_mix",
         "s08_ivf_neardup","t16_merge_pairs","c05_leakage_safe_split",
-        "d13_source_overlap","t17_novelty").foreach(show)
+        "d13_source_overlap","t17_novelty",
+        "d14_containment","s09_label_cohesion","t18_tfidf_terms",
+        "m06_chunk_neardup").foreach(show)
     spark.stop()
   }
 }

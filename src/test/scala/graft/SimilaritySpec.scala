@@ -162,6 +162,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s09 label cohesion: linear-pass identity equals the brute-force pair average") {
+    import spark.implicits._
+    // ground truth: O(n²) mean pairwise cosine per label, computed on
+    // the driver from the same 6-decimal-quantized normalized vectors
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](2).toArray
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        val u = v.map(x => BigDecimal(x / nrm)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        (r.getInt(1), u)
+      }
+    val truth = vecs.groupBy(_._1).map { case (label, members) =>
+      val us = members.map(_._2)
+      val dots = for {
+        i <- us.indices; j <- us.indices if i != j
+      } yield us(i).zip(us(j)).map { case (a, b) => a * b }.sum
+      label -> dots.sum / dots.size
+    }
+    val got = Similarity.s09LabelCohesion(spark, sf0001)
+      .select($"label", $"intra_cos_r").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === truth.keySet)
+    truth.foreach { case (label, exp) =>
+      // the operator sums quantized values exactly; the driver-side
+      // double accumulation here is the approximate one — tolerance
+      // covers its rounding, not the operator's
+      assert(math.abs(got(label) - exp) < 1e-6,
+        s"label $label: got ${got(label)} expected $exp")
+    }
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -91,6 +91,27 @@ class TextAnalysisSpec extends SparkSpec {
     } finally { mix.unpersist(); () }
   }
 
+  test("t18 tf-idf terms: hand-computed ranks, deterministic tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry cherry date")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.tfidfTerms(docs, 3)
+      .select($"doc_id", $"rank", $"token").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // N=3; df: apple 2, banana 2, cherry 2, date 1
+    // doc1: apple tf2 → 3.0; banana tf1 → 1.5
+    assert(got((1L, 1)) === "apple"); assert(got((1L, 2)) === "banana")
+    // doc2: banana and cherry tie at 1.5 → token asc
+    assert(got((2L, 1)) === "banana"); assert(got((2L, 2)) === "cherry")
+    // doc3: cherry tf2·(3/2)=3.0 and date tf1·(3/1)=3.0 tie → token asc;
+    // apple 1.5 takes rank 3
+    assert(got((3L, 1)) === "cherry"); assert(got((3L, 2)) === "date")
+    assert(got((3L, 3)) === "apple")
+    assert(got.size === 7)
+  }
+
   test("t01 avg_token_len identity: arithmetic form equals the per-token sum") {
     import spark.implicits._
     val t01 = TextAnalysis.t01TokenStats(spark, sf0001)
