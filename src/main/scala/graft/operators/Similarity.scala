@@ -558,19 +558,24 @@ object Similarity {
       |FROM probes a JOIN probes b ON a.cid = b.cid AND a.vec_id < b.vec_id
       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45""".stripMargin
 
-  /** s09: per-label embedding cohesion — the clustering/labeling
-    * diagnostic a curation pass reads before trusting labels or
-    * cluster assignments: for each label, the MEAN PAIRWISE COSINE of
-    * its (normalized) members and the centroid norm (1 = all members
-    * identical, → 0 = isotropic spread).
+  /** s09: per-label embedding cohesion AND separation — the
+    * clustering/labeling diagnostic a curation pass reads before
+    * trusting labels or cluster assignments: for each label, the MEAN
+    * PAIRWISE COSINE of its (normalized) members (cohesion), the
+    * centroid norm (1 = all members identical, → 0 = isotropic
+    * spread), and the cosine between the label's centroid and the
+    * centroid of EVERYTHING ELSE (separation — near 0 ⇒ the label
+    * occupies its own direction, near 1 ⇒ indistinguishable from the
+    * rest).
     *
-    * The point is the algebra: Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − Σ‖u‖², so a
-    * statistic that is quadratic in pairs is computed in ONE linear
-    * pass — two narrow aggregates (label×dim, then label), no pair
-    * join, no corpus² term anywhere. At 100 TB this is the difference
-    * between a diagnostic you run per ingest batch and one you can't
-    * run at all; s02/s04's pair joins answer per-PAIR questions,
-    * this answers the per-GROUP one at aggregate cost.
+    * The point is the algebra: Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − Σ‖u‖², and the
+    * rest-centroid is just (Σ_all u − Σ_label u) — so statistics that
+    * are quadratic in pairs are computed in ONE linear pass: two
+    * narrow aggregates (label×dim, then label), no pair join, no
+    * corpus² term anywhere. At 100 TB this is the difference between
+    * a diagnostic you run per ingest batch and one you can't run at
+    * all; s02/s04's pair joins answer per-PAIR questions, this
+    * answers the per-GROUP ones at aggregate cost.
     *
     * Determinism contract: members are normalized in double (IEEE
     * division), QUANTIZED to DECIMAL(9,6), and every sum/square after
@@ -590,14 +595,23 @@ object Similarity {
         ($"col" / $"nrm").cast("decimal(9,6)").as("u"))
     val spos = ex.groupBy($"label", $"pos")
       .agg(sum($"u").cast("decimal(18,6)").as("s"))
-    val percomp = spos.groupBy($"label").agg(sum($"s" * $"s").as("ssq"))
+    val gpos = spos.groupBy($"pos").agg(sum($"s").cast("decimal(18,6)").as("g"))
+    val rest = spos.join(gpos, "pos")
+      .select($"label", $"s", ($"g" - $"s").cast("decimal(18,6)").as("o"))
+    val contrast = rest.groupBy($"label").agg(
+      sum($"s" * $"s").as("ssq"),
+      sum($"s" * $"o").as("sdoto"),
+      sum($"o" * $"o").as("osq"))
     val qn = ex.groupBy($"label")
       .agg(countDistinct($"vec_id").as("n_vecs"), sum($"u" * $"u").as("usq"))
-    percomp.join(qn, "label")
+    contrast.join(qn, "label")
       .select($"label", $"n_vecs",
         round(($"ssq" - $"usq").cast("double") /
           ($"n_vecs" * ($"n_vecs" - lit(1L))), 6).as("intra_cos_r"),
-        round(sqrt($"ssq".cast("double")) / $"n_vecs", 6).as("centroid_norm_r"))
+        round(sqrt($"ssq".cast("double")) / $"n_vecs", 6).as("centroid_norm_r"),
+        round($"sdoto".cast("double") /
+          (sqrt($"ssq".cast("double")) * sqrt($"osq".cast("double"))), 6)
+          .as("vs_rest_cos_r"))
   }
 
   val s09Sql: String =
@@ -614,16 +628,23 @@ object Similarity {
       |), spos AS (
       |  SELECT label, pos, CAST(SUM(u) AS DECIMAL(18,6)) AS s
       |  FROM ex GROUP BY 1, 2
-      |), percomp AS (
-      |  SELECT label, SUM(s * s) AS ssq FROM spos GROUP BY 1
+      |), gpos AS (
+      |  SELECT pos, CAST(SUM(s) AS DECIMAL(18,6)) AS g FROM spos GROUP BY 1
+      |), contrast AS (
+      |  SELECT label, SUM(s * s) AS ssq, SUM(s * o) AS sdoto, SUM(o * o) AS osq
+      |  FROM (SELECT label, s, CAST(g - s AS DECIMAL(18,6)) AS o
+      |        FROM spos JOIN gpos USING (pos))
+      |  GROUP BY 1
       |), qn AS (
       |  SELECT label, COUNT(DISTINCT vec_id) AS n_vecs, SUM(u * u) AS usq
       |  FROM ex GROUP BY 1
       |)
-      |SELECT p.label, n_vecs,
+      |SELECT c.label, n_vecs,
       |  ROUND(CAST(ssq - usq AS DOUBLE) / (n_vecs * (n_vecs - 1)), 6) AS intra_cos_r,
-      |  ROUND(sqrt(CAST(ssq AS DOUBLE)) / n_vecs, 6) AS centroid_norm_r
-      |FROM percomp p JOIN qn USING (label)""".stripMargin
+      |  ROUND(sqrt(CAST(ssq AS DOUBLE)) / n_vecs, 6) AS centroid_norm_r,
+      |  ROUND(CAST(sdoto AS DOUBLE) /
+      |    (sqrt(CAST(ssq AS DOUBLE)) * sqrt(CAST(osq AS DOUBLE))), 6) AS vs_rest_cos_r
+      |FROM contrast c JOIN qn USING (label)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s09_label_cohesion"    -> (s09LabelCohesion _),

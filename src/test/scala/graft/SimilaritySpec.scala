@@ -183,9 +183,9 @@ class SimilaritySpec extends SparkSpec {
       } yield us(i).zip(us(j)).map { case (a, b) => a * b }.sum
       label -> dots.sum / dots.size
     }
-    val got = Similarity.s09LabelCohesion(spark, sf0001)
-      .select($"label", $"intra_cos_r").collect()
-      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val rows = Similarity.s09LabelCohesion(spark, sf0001)
+      .select($"label", $"intra_cos_r", $"vs_rest_cos_r").collect()
+    val got = rows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
     assert(got.keySet === truth.keySet)
     truth.foreach { case (label, exp) =>
       // the operator sums quantized values exactly; the driver-side
@@ -193,6 +193,20 @@ class SimilaritySpec extends SparkSpec {
       // covers its rounding, not the operator's
       assert(math.abs(got(label) - exp) < 1e-6,
         s"label $label: got ${got(label)} expected $exp")
+    }
+    // separation: cos(Σu_label, Σu_rest) recomputed from the raw sums
+    val dim = vecs.head._2.length
+    val sums = vecs.groupBy(_._1).view.mapValues(ms =>
+      (0 until dim).map(i => ms.map(_._2(i)).sum).toArray).toMap
+    val gotSep = rows.map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    sums.foreach { case (label, sl) =>
+      val rest = (0 until dim).map(i =>
+        sums.values.map(_(i)).sum - sl(i)).toArray
+      val dotSR = sl.zip(rest).map { case (a, b) => a * b }.sum
+      val exp = dotSR / (math.sqrt(sl.map(x => x * x).sum) *
+        math.sqrt(rest.map(x => x * x).sum))
+      assert(math.abs(gotSep(label) - exp) < 1e-5,
+        s"label $label separation: got ${gotSep(label)} expected $exp")
     }
   }
 
