@@ -257,80 +257,83 @@ object Curation {
     * (doc_id, quality) of survivors. */
   def c01CurationPipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    curationStages(s, d).survivors.select($"doc_id", $"quality")
+    curationMarks(s, d).filter($"m_surv").select($"doc_id", $"quality")
   }
 
-  /** The pipeline's intermediate frames, shared by c01 (survivor rows)
-    * and c02 (per-stage counts) so the stage definitions cannot drift
-    * between the two. */
-  private case class CurationStages(corpus0: DataFrame, afterLang: DataFrame,
-      f1: DataFrame, f2: DataFrame, f3: DataFrame, survivors: DataFrame)
-
-  private def curationStages(s: SparkSession, d: String): CurationStages = {
+  /** ONE progressively-flagged corpus frame shared by c01 (survivor
+    * rows) and c02 (per-stage counts), so the stage definitions cannot
+    * drift between the two — and so each stage is computed exactly
+    * once in one plan:
+    *
+    *  - language and quality are PER-ROW EXPRESSIONS
+    *    ([[TextAnalysis.langPredCol]]/[[TextAnalysis.qualityScoreCol]]),
+    *    not joins against t03/t02 output frames — zero extra scans;
+    *  - exact keep-first dedup is one window over `text` (min doc_id
+    *    among quality survivors), not a groupBy + semi-join pair;
+    *  - the near-dup pair join and the contamination join — the two
+    *    expensive operators — each appear once, as left-joined kill
+    *    sets over the flagged frame.
+    *
+    * The previous formulation materialized each stage as its own
+    * frame; a funnel over five stage frames recomputed the shared
+    * lineage per marker (the pair join twice, the lang/quality work
+    * five times — measured 7.9 s median at sf0.1 vs 2× the pipeline
+    * cost expected). Markers also make the funnel's semantics
+    * machine-checkable: m_surv ⊆ m_f3 ⊆ m_f2 ⊆ m_f1 ⊆ m_lang by
+    * construction (each flag ANDs the previous one).
+    *
+    * Scale: no caching, no full-row persist — the only state the plan
+    * carries besides the corpus scan is doc_id-level kill sets. */
+  private def curationMarks(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val all = documents(s, d).select($"doc_id", $"text")
-    val corpus0 = all.filter($"doc_id" >= 20)
-    val en = TextAnalysis.t03LangId(s, d)
-      .filter($"lang_pred" === "en").select($"doc_id")
-    val qual = TextAnalysis.t02QualityScore(s, d)
-      .filter($"keep").select($"doc_id", $"quality")
-    val afterLang = corpus0.join(en, Seq("doc_id"), "left_semi")
-    val f1 = afterLang.join(qual, "doc_id")
-    val firstExact = f1.groupBy($"text").agg(min($"doc_id").as("doc_id"))
-    val f2 = f1.join(firstExact.select($"doc_id"), Seq("doc_id"), "left_semi")
-    // shingle the surviving corpus ONCE; the near-dup join and the
+    val score = TextAnalysis.qualityScoreCol($"text")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"text")
+    val flagged = all.filter($"doc_id" >= 20)
+      .withColumn("m_lang", TextAnalysis.langPredCol($"text") === "en")
+      .withColumn("quality", round(score, 6))
+      .withColumn("m_f1", $"m_lang" && (score >= 0.5))
+      .withColumn("m_f2",
+        $"m_f1" && $"doc_id" === min(when($"m_f1", $"doc_id")).over(w))
+    // shingle the exact-dedup survivors ONCE; the near-dup join and the
     // contamination explode both consume this frame
-    val f2sh = f2
+    val f2sh = flagged.filter($"m_f2")
       .select($"doc_id", array_sort(Dedup.shingleHashes($"text")).as("sh"))
       .filter(size($"sh") > 0)
     val nearRejected = Dedup.prefixJoinPairs(f2sh, 0.8)
       .select($"d2".as("doc_id")).distinct()
-    val f3 = f2.join(nearRejected, Seq("doc_id"), "left_anti")
     val benchEx = all.filter($"doc_id" < 20)
       .select($"doc_id".as("bench_id"),
         explode(Dedup.shingleHashes($"text")).as("sg"))
-    // f2sh ▷ nearRejected ≡ f2sh ⋉ f3 (f2sh's ids ⊆ f2's), but references
-    // the near-dup join's output once instead of pulling in f3's whole
-    // anti-join subtree a second time
+    // f2sh ▷ nearRejected ≡ the near-dup stage's survivors — references
+    // the pair join's (tiny) output, not a second copy of its subtree
     val contaminated = contaminationCounts(
         f2sh.join(nearRejected, Seq("doc_id"), "left_anti")
           .select($"doc_id", explode($"sh").as("sg")),
         benchEx)
       .select($"doc_id").distinct()
-    val survivors = f3.join(contaminated, Seq("doc_id"), "left_anti")
-    CurationStages(corpus0, afterLang, f1, f2, f3, survivors)
+    flagged
+      .join(nearRejected.withColumn("nk", lit(1)), Seq("doc_id"), "left_outer")
+      .join(contaminated.withColumn("ck", lit(1)), Seq("doc_id"), "left_outer")
+      .withColumn("m_f3", $"m_f2" && $"nk".isNull)
+      .withColumn("m_surv", $"m_f3" && $"ck".isNull)
+      .drop("nk", "ck")
   }
 
   /** c02: the funnel — row counts surviving each c01 stage, the
     * observability artifact a pipeline operator actually watches (a
     * stage suddenly eating 40% of the corpus is the first symptom of a
-    * bad filter or a dup storm). Same stage frames as c01 by
-    * construction. */
+    * bad filter or a dup storm). Same flags as c01 by construction:
+    * one aggregate over [[curationMarks]]. */
   def c02CurationFunnel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val st = curationStages(s, d)
-    // ONE job: annotate the input with a 0/1 marker per stage and sum
-    // the markers in a single aggregate. Stage frames are subsets of
-    // the input, so each marker is a left join of its id set. This
-    // replaced six eager counts over persisted full-row frames: locally
-    // the two are within noise (shared subtrees recompute here, cache
-    // reads amortized them there), but at 100 TB the persisted form
-    // bills cluster memory for three full copies of the corpus while
-    // this form shuffles only doc_ids above the stage lineages.
-    def mark(df: DataFrame, name: String) =
-      df.select($"doc_id").withColumn(name, lit(1L))
-    val r = st.corpus0.select($"doc_id")
-      .join(mark(st.afterLang, "m_lang"), Seq("doc_id"), "left_outer")
-      .join(mark(st.f1, "m_f1"), Seq("doc_id"), "left_outer")
-      .join(mark(st.f2, "m_f2"), Seq("doc_id"), "left_outer")
-      .join(mark(st.f3, "m_f3"), Seq("doc_id"), "left_outer")
-      .join(mark(st.survivors, "m_surv"), Seq("doc_id"), "left_outer")
+    val r = curationMarks(s, d)
       .agg(count(lit(1)).as("n0"),
-        sum(coalesce($"m_lang", lit(0L))).as("n1"),
-        sum(coalesce($"m_f1", lit(0L))).as("n2"),
-        sum(coalesce($"m_f2", lit(0L))).as("n3"),
-        sum(coalesce($"m_f3", lit(0L))).as("n4"),
-        sum(coalesce($"m_surv", lit(0L))).as("n5"))
+        sum($"m_lang".cast("long")).as("n1"),
+        sum($"m_f1".cast("long")).as("n2"),
+        sum($"m_f2".cast("long")).as("n3"),
+        sum($"m_f3".cast("long")).as("n4"),
+        sum($"m_surv".cast("long")).as("n5"))
       .head()
     Seq(
       ("1_input", r.getLong(0)),

@@ -60,14 +60,21 @@ object TextAnalysis {
   /** Quality score: a deterministic linear blend of length band,
     * lexical diversity, and stopword ratio — the shape of a
     * production quality filter, SQL-mirrorable for the oracle. */
-  def t02QualityScore(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val t = toks($"text")
+  /** The t02 quality score as a reusable per-row expression (unrounded
+    * — thresholds compare against this, displays round it), so pipeline
+    * consumers (c01/c02) inline it instead of joining t02's output. */
+  def qualityScoreCol(text: Column): Column = {
+    val t = toks(text)
     val nTok = size(t).cast("double")
     val diversity = size(array_distinct(t)).cast("double") / nTok
-    val stopRatio = stopHits($"text").cast("double") / nTok
+    val stopRatio = stopHits(text).cast("double") / nTok
     val lengthOk = when(nTok >= 20 && nTok <= 200, 1.0).otherwise(0.0)
-    val score = lengthOk * 0.4 + diversity * 0.4 + stopRatio * 0.2
+    lengthOk * 0.4 + diversity * 0.4 + stopRatio * 0.2
+  }
+
+  def t02QualityScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val score = qualityScoreCol($"text")
     documents(s, d).select(
       $"doc_id",
       round(score, 6).as("quality"),
@@ -90,20 +97,26 @@ object TextAnalysis {
     * marker list; ties and no-signal fall back to 'und'. (The synthetic
     * corpus is English-wordlist text, so this mostly detects 'en' — the
     * operator contract is determinism, mirrored exactly in SQL.) */
-  def t03LangId(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** The t03 language vote as a reusable per-row expression — same
+    * rationale as [[qualityScoreCol]]. */
+  def langPredCol(text: Column): Column = {
     import graft.functions.TokenSetCount
-    val en = TokenSetCount($"text", Seq("the", "a", "of", "and"))
-    val de = TokenSetCount($"text", Seq("der", "die", "das", "und"))
-    val fr = TokenSetCount($"text", Seq("le", "la", "les", "et"))
-    val es = TokenSetCount($"text", Seq("el", "los", "las", "y"))
-    val pred = when(en >= de && en >= fr && en >= es && en > 0, "en")
+    val en = TokenSetCount(text, Seq("the", "a", "of", "and"))
+    val de = TokenSetCount(text, Seq("der", "die", "das", "und"))
+    val fr = TokenSetCount(text, Seq("le", "la", "les", "et"))
+    val es = TokenSetCount(text, Seq("el", "los", "las", "y"))
+    when(en >= de && en >= fr && en >= es && en > 0, "en")
       .when(de >= fr && de >= es && de > 0, "de")
       .when(fr >= es && fr > 0, "fr")
       .when(es > 0, "es")
       .otherwise("und")
+  }
+
+  def t03LangId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     documents(s, d)
-      .select($"doc_id", $"lang".as("lang_declared"), pred.as("lang_pred"))
+      .select($"doc_id", $"lang".as("lang_declared"),
+        langPredCol($"text").as("lang_pred"))
   }
 
   val t03Sql: String =
