@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Measured scale-up evidence for SCALE.md: builds a 10× corpus from
+  * sf0.1 and times the dedup/similarity paths at both sizes, so the
+  * "this scales linearly" claims carry numbers instead of adjectives.
+  *
+  *   sbt "Test/runMain graft.ScaleProbe"        # docs + vectors
+  *   sbt "Test/runMain graft.ScaleProbe quad"   # also the quadratic s04 at 10×
+  *
+  * Corpus construction (deterministic):
+  *  - documents ×10: copy c suffixes every token with "~c", so each
+  *    copy preserves its internal near-dup structure exactly while
+  *    sharing no shingle across copies — pair count scales ×10, input
+  *    rows ×10: the LINEAR-scaling probe.
+  *  - embeddings ×10: byte-exact copies under shifted vec_ids — the
+  *    recrawl dup-storm every large corpus has; each vector gains 9
+  *    cosine-1 twins: the HOT-BUCKET probe for the ANN path (and why
+  *    k must scale with n: the scaladoc's k ∝ corpus/target-bucket).
+  */
+object ScaleProbe {
+  private def timeSec[T](f: => T): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+  /** min of two runs, matching Bench's steady-state convention */
+  private def t2(f: => Long): (Double, Long) = {
+    var rows = 0L
+    val a = timeSec { rows = f }
+    val b = timeSec { rows = f }
+    (math.min(a, b), rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val quad = args.contains("quad")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val base = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    val copies = 10
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    (0 until copies).map { c =>
+      docs.select(($"doc_id" + lit(c * 10000000L)).as("doc_id"),
+        regexp_replace($"text", "(\\S+)", "$1~" + c).as("text"),
+        $"lang", $"source", $"n_chars")
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$base/x10/documents.parquet")
+    docs.write.mode("overwrite").parquet(s"$base/x1/documents.parquet")
+
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    (0 until copies).map { c =>
+      emb.select(($"vec_id" + lit(c * 10000000L)).as("vec_id"),
+        $"embedding", $"label")
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$base/x10/embeddings.parquet")
+    emb.write.mode("overwrite").parquet(s"$base/x1/embeddings.parquet")
+
+    val nDocs1 = spark.read.parquet(s"$base/x1/documents.parquet").count()
+    val nDocs10 = spark.read.parquet(s"$base/x10/documents.parquet").count()
+    println(f"CORPUS docs x1=$nDocs1 x10=$nDocs10 at $base")
+
+    def row(name: String, d1: (Double, Long), d10: (Double, Long)): Unit = {
+      val ratio = d10._1 / d1._1
+      println(f"SCALE $name%-22s x1=${d1._1}%7.2fs (${d1._2}%9d rows)  " +
+        f"x10=${d10._1}%7.2fs (${d10._2}%9d rows)  t-ratio=${ratio}%5.1fx")
+    }
+
+    def docsAt(tag: String) = s"$base/$tag"
+    row("d01_exact_dedup",
+      t2(Dedup.d01ExactDedup(spark, docsAt("x1")).count()),
+      t2(Dedup.d01ExactDedup(spark, docsAt("x10")).count()))
+    row("d04_minhash_lsh",
+      t2(Dedup.d04MinhashLsh(spark, docsAt("x1")).count()),
+      t2(Dedup.d04MinhashLsh(spark, docsAt("x10")).count()))
+    def d03At(tag: String) = Dedup.ngramJaccardPairs(
+      spark.read.parquet(s"$base/$tag/documents.parquet")
+        .select($"doc_id", $"text"), 0.8).count()
+    row("d03_prefix_join", t2(d03At("x1")), t2(d03At("x10")))
+    def d10At(tag: String) = Dedup.ngramJaccardPairsViaCollapse(
+      spark.read.parquet(s"$base/$tag/documents.parquet")
+        .select($"doc_id", $"text"), 0.8).count()
+    row("d10_collapse_join", t2(d10At("x1")), t2(d10At("x10")))
+    def d14At(tag: String) = Dedup.containmentPairs(
+      spark.read.parquet(s"$base/$tag/documents.parquet")
+        .select($"doc_id", $"text"), 0.9).count()
+    row("d14_containment", t2(d14At("x1")), t2(d14At("x10")))
+
+    // ANN under the dup storm: k grows with n so the per-bucket compare
+    // budget stays constant (k = n/250); maxBucket guards the storm's
+    // cosine-1 twin pileups from going quadratic in one key
+    def s08At(tag: String, k: Int) = {
+      val c = spark.read.parquet(s"$base/$tag/embeddings.parquet")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      Similarity.ivfNearDupPairs(c, Similarity.seedCentroids(c, k), 0.45,
+        nprobe = 2, maxBucket = 4000L).count()
+    }
+    row("s08_ivf_neardup", t2(s08At("x1", 8)), t2(s08At("x10", 80)))
+
+    if (quad) {
+      // the exact quadratic baseline, to show WHY s08 is the scale path:
+      // s04 compares all pairs regardless of data — 100× work at 10× rows
+      def s04At(tag: String) =
+        Similarity.s04BlockedNearDup(spark, s"$base/$tag").count()
+      row("s04_exact_blocked", t2(s04At("x1")), t2(s04At("x10")))
+    }
+    spark.stop()
+  }
+}
