@@ -462,6 +462,69 @@ object Curation {
   val c03Weights: Seq[(String, Double)] = Seq(
     "en" -> 0.30, "zh" -> 0.20, "es" -> 0.20, "de" -> 0.15, "fr" -> 0.15)
 
+  /** c04: the per-source corpus datasheet — the first artifact a
+    * training-data team reads about a new source before deciding its
+    * mixing weight: volume, byte-exact uniqueness, language mix, mean
+    * quality, and near-dup exposure (how many of the source's docs
+    * participate in ANY cross-corpus J ≥ 0.8 pair — d13 says WHO the
+    * overlap is with, this says HOW MUCH of the source is implicated).
+    *
+    * Cost shape: language and quality are per-row expressions (no
+    * joins), uniqueness is a count-distinct over a content hash, and
+    * the near-dup flag reuses the same prefix pair join every other
+    * curation consumer runs — one aggregate keyed by `source` (20ish
+    * groups) over one corpus pass plus the pair join. Mean quality is
+    * an exact DECIMAL(18,6) sum (quality is 6-decimal by construction)
+    * so the report is bit-deterministic at any parallelism. */
+  def c04CorpusReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val base = docs.select($"source", $"doc_id",
+      round(TextAnalysis.qualityScoreCol($"text"), 6).as("quality"),
+      (TextAnalysis.langPredCol($"text") === "en").as("is_en"),
+      sha2($"text", 256).as("h"))
+    val nd = Dedup.ngramJaccardPairs(docs.select($"doc_id", $"text"), 0.8)
+      .select(explode(array($"d1", $"d2")).as("doc_id")).distinct()
+    base.join(nd.withColumn("is_nd", lit(1L)), Seq("doc_id"), "left_outer")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"h").as("n_unique"),
+        sum($"is_en".cast("long")).as("n_en"),
+        round(sum($"quality".cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_quality_r"),
+        sum(coalesce($"is_nd", lit(0L))).as("n_neardup"))
+  }
+
+  val c04Sql: String = {
+    val pairs = Dedup.d03Sql.replace("\n", "\n  ")
+    val t02 = TextAnalysis.t02Sql.replace("\n", "\n  ")
+    val t03 = TextAnalysis.t03Sql.replace("\n", "\n  ")
+    s"""WITH pairs AS (
+       |  $pairs
+       |), nd AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT d1 AS doc_id FROM pairs UNION SELECT d2 FROM pairs)
+       |), q AS (
+       |  SELECT doc_id, quality FROM (
+       |  $t02
+       |  )
+       |), l AS (
+       |  SELECT doc_id, lang_pred FROM (
+       |  $t03
+       |  )
+       |)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT sha256(d.text)) AS n_unique,
+       |  CAST(SUM(CASE WHEN l.lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |  ROUND(CAST(SUM(CAST(q.quality AS DECIMAL(18,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_quality_r,
+       |  CAST(SUM(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup
+       |FROM documents d
+       |JOIN q USING (doc_id) JOIN l USING (doc_id)
+       |LEFT JOIN nd USING (doc_id)
+       |GROUP BY 1""".stripMargin
+  }
+
   def c03TrainingMix(s: SparkSession, d: String): DataFrame =
     trainingMix(documents(s, d), c03Weights.toMap, 0.6)
 
@@ -594,6 +657,7 @@ object Curation {
     "c01_curation_pipeline" -> (c01CurationPipeline _),
     "c02_curation_funnel"   -> (c02CurationFunnel _),
     "c03_training_mix"      -> (c03TrainingMix _),
+    "c04_corpus_report"     -> (c04CorpusReport _),
     "d09_crossmodal"      -> (d09CrossModal _),
     "t15_column_profile"  -> (t15ColumnProfile _),
     "d07_decontamination" -> (d07Decontamination _),
@@ -608,6 +672,7 @@ object Curation {
     "c01_curation_pipeline" -> c01Sql,
     "c02_curation_funnel"   -> c02Sql,
     "c03_training_mix"      -> c03Sql,
+    "c04_corpus_report"     -> c04Sql,
     "d09_crossmodal"      -> d09Sql,
     "t15_column_profile"  -> t15Sql,
     "d07_decontamination" -> d07Sql,
