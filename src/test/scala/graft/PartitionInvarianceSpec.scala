@@ -60,4 +60,36 @@ class PartitionInvarianceSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq)
     assert(c === d)
   }
+
+  test("containment, block near-dup, tf-idf, cohesion, datasheet are parallelism invariant") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf001).select($"doc_id", $"text")
+    val payloads = Tables.documents(spark, sf001)
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+
+    def runAll(inputParts: Int, shuffleParts: Int) = withShuffle(shuffleParts) {
+      val d = docs.repartition(inputParts)
+      val p = payloads.repartition(inputParts)
+      (Dedup.containmentPairs(d, 0.9)
+         .as[(Long, Long, Double)].collect().toSet,
+       operators.Multimodal.chunkNearDupPairs(p, 0.5)
+         .as[(Long, Long, Double)].collect().toSet,
+       operators.TextAnalysis.tfidfTerms(d, 3)
+         .collect().map(_.toSeq).toSet,
+       // s09's decimal-sum determinism is the whole point of its design:
+       // a double Σu would diverge here
+       Similarity.s09LabelCohesion(spark, sf001)
+         .collect().map(_.toSeq).toSet,
+       Curation.c04CorpusReport(spark, sf001)
+         .collect().map(_.toSeq).toSet)
+    }
+
+    val narrow = runAll(inputParts = 3, shuffleParts = 5)
+    val wide = runAll(inputParts = 17, shuffleParts = 32)
+    assert(narrow._1 === wide._1, "d14 containment diverges across parallelism")
+    assert(narrow._2 === wide._2, "m06 block pairs diverge across parallelism")
+    assert(narrow._3 === wide._3, "t18 tf-idf diverges across parallelism")
+    assert(narrow._4 === wide._4, "s09 cohesion diverges across parallelism")
+    assert(narrow._5 === wide._5, "c04 datasheet diverges across parallelism")
+  }
 }
