@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -11,9 +11,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * functions (zip_with + aggregate) are CodegenFallback — one
   * interpreted lambda call per element made the 2M-pair × 64-dim
   * near-dup join 34 s at sf0.1; these run the loop in the JVM (~1 s).
-  */
+  *
+  * The two PAIR-JOIN kernels (dot product, norm) additionally
+  * implement `doGenCode`: they sit inside joins that evaluate them
+  * millions of times per task, and a CodegenFallback there both pays
+  * per-row interpreted dispatch and splits the surrounding
+  * WholeStageCodegen stage. The generated loop is the same
+  * index-ordered summation as the interpreted path (bit-identical
+  * results — the oracle gate and PartitionInvarianceSpec check this).
+  * The per-ROW kernels below (simhash, quant stats) stay fallback:
+  * they run once per document, not once per candidate pair. */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -24,13 +33,27 @@ case class DotProduct(left: Expression, right: Expression)
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
     s
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
   override def prettyName: String = "dot_product"
 }
 
 /** L2 norm of a double array. */
-case class L2Norm(child: Expression) extends UnaryExpression with CodegenFallback {
+case class L2Norm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -40,6 +63,22 @@ case class L2Norm(child: Expression) extends UnaryExpression with CodegenFallbac
     while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
     math.sqrt(s)
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $v = $a.getDouble($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): L2Norm = copy(child = c)
   override def prettyName: String = "l2_norm"
 }
