@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,14 +19,36 @@ import org.apache.spark.unsafe.types.UTF8String
   * Downstream consumers join/aggregate on the hashes — 64-bit collisions
   * are negligible at corpus scale (P[any collision among 10^6 distinct
   * shingles] < 3e-8).
+  *
+  * `doGenCode` delegates to the same static helper the interpreted path
+  * uses — one per-row call, but the surrounding WholeStageCodegen stage
+  * (scan → shingle → explode → shuffle write) stays fused instead of
+  * being split at a fallback boundary.
   */
 case class ShingleHashes(child: Expression, n: Int, p: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], n, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($c, $n, ${p}L);")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+object ShingleHashes {
+  import org.apache.spark.sql.GraftGlue
+  def apply(c: Column, n: Int, p: Long): Column =
+    GraftGlue.toCol(ShingleHashes(GraftGlue.toExpr(c), n, p))
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(input: UTF8String, n: Int, p: Long): GenericArrayData = {
+    val text = input.toString
     val toks = text.split(' ')
     if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
     val seen = new java.util.HashSet[java.lang.Long](toks.length * 2)
@@ -50,15 +72,6 @@ case class ShingleHashes(child: Expression, n: Int, p: Long)
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
-
-  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
-  override def prettyName: String = "shingle_hashes"
-}
-
-object ShingleHashes {
-  import org.apache.spark.sql.GraftGlue
-  def apply(c: Column, n: Int, p: Long): Column =
-    GraftGlue.toCol(ShingleHashes(GraftGlue.toExpr(c), n, p))
 }
 
 /** Character-level n-gram variant of [[ShingleHashes]]: slides an
@@ -66,12 +79,28 @@ object ShingleHashes {
   * each gram — the standard modality for languages without whitespace
   * segmentation and for OCR/boilerplate near-dup detection. */
 case class CharShingleHashes(child: Expression, n: Int, p: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    CharShingleHashes.compute(input.asInstanceOf[UTF8String], n, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharShingleHashes.compute($c, $n, ${p}L);")
+
+  override protected def withNewChildInternal(c: Expression): CharShingleHashes = copy(child = c)
+  override def prettyName: String = "char_shingle_hashes"
+}
+
+object CharShingleHashes {
+  import org.apache.spark.sql.GraftGlue
+  def apply(c: Column, n: Int, p: Long): Column =
+    GraftGlue.toCol(CharShingleHashes(GraftGlue.toExpr(c), n, p))
+
+  def compute(input: UTF8String, n: Int, p: Long): GenericArrayData = {
+    val text = input.toString
     if (text.length < n) return new GenericArrayData(Array.emptyLongArray)
     val seen = new java.util.HashSet[java.lang.Long](text.length * 2)
     val out = new Array[Long](text.length - n + 1)
@@ -86,15 +115,6 @@ case class CharShingleHashes(child: Expression, n: Int, p: Long)
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
-
-  override protected def withNewChildInternal(c: Expression): CharShingleHashes = copy(child = c)
-  override def prettyName: String = "char_shingle_hashes"
-}
-
-object CharShingleHashes {
-  import org.apache.spark.sql.GraftGlue
-  def apply(c: Column, n: Int, p: Long): Column =
-    GraftGlue.toCol(CharShingleHashes(GraftGlue.toExpr(c), n, p))
 }
 
 /** Keep the elements of a long array that are ≡ r (mod m) — the 0-mod-p
@@ -102,12 +122,29 @@ object CharShingleHashes {
   * instead of `filter(arr, h -> h % m == r)`'s interpreted per-element
   * lambda. Inputs are the non-negative mod-p shingle hashes. */
 case class ModFilter(child: Expression, m: Long, r: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    ModFilter.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], m, r)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ModFilter.compute($c, ${m}L, ${r}L);")
+
+  override protected def withNewChildInternal(c: Expression): ModFilter = copy(child = c)
+  override def prettyName: String = "mod_filter"
+}
+
+object ModFilter {
+  import org.apache.spark.sql.GraftGlue
+  def apply(c: Column, m: Long, r: Long): Column =
+    GraftGlue.toCol(ModFilter(GraftGlue.toExpr(c), m, r))
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+              m: Long, r: Long): GenericArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)
     var k = 0
@@ -119,15 +156,6 @@ case class ModFilter(child: Expression, m: Long, r: Long)
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, k))
   }
-
-  override protected def withNewChildInternal(c: Expression): ModFilter = copy(child = c)
-  override def prettyName: String = "mod_filter"
-}
-
-object ModFilter {
-  import org.apache.spark.sql.GraftGlue
-  def apply(c: Column, m: Long, r: Long): Column =
-    GraftGlue.toCol(ModFilter(GraftGlue.toExpr(c), m, r))
 
   /** SQL-registration arg parsing: m and r compile into the expression,
     * so they must be foldable non-null integers — fail analysis with a

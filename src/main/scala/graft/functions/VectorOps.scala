@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -12,15 +12,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * interpreted lambda call per element made the 2M-pair × 64-dim
   * near-dup join 34 s at sf0.1; these run the loop in the JVM (~1 s).
   *
-  * The two PAIR-JOIN kernels (dot product, norm) additionally
-  * implement `doGenCode`: they sit inside joins that evaluate them
-  * millions of times per task, and a CodegenFallback there both pays
-  * per-row interpreted dispatch and splits the surrounding
-  * WholeStageCodegen stage. The generated loop is the same
-  * index-ordered summation as the interpreted path (bit-identical
-  * results — the oracle gate and PartitionInvarianceSpec check this).
-  * The per-ROW kernels below (simhash, quant stats) stay fallback:
-  * they run once per document, not once per candidate pair. */
+  * Every kernel implements `doGenCode` — a CodegenFallback pays
+  * per-row interpreted dispatch AND splits the surrounding
+  * WholeStageCodegen stage at its boundary. The pair-join kernels
+  * (dot product, norm) inline their loop directly into the generated
+  * code (they run millions of times per task); the per-row kernels
+  * (simhash, quant stats) delegate to the same static helper the
+  * interpreted path uses — one call per row, stage stays fused.
+  * Generated and interpreted paths share the identical index-ordered
+  * arithmetic (bit-identical results — the oracle gate and
+  * PartitionInvarianceSpec check this). */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -87,10 +88,21 @@ case class L2Norm(child: Expression) extends UnaryExpression {
   * sign of Σ_tokens (bit i of xxhash64(token) ? +1 : −1). One JVM pass
   * per row (tokenize, hash, vote) instead of 64 × n_tokens interpreted
   * lambda calls. */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(' ')
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64.compute($c);")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(input: UTF8String): Long = {
+    val toks = input.toString.split(' ')
     val votes = new Array[Int](64)
     var t = 0
     while (t < toks.length) {
@@ -109,8 +121,6 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     while (i < 64) { if (votes(i) > 0) fp |= (1L << i); i += 1 }
     fp
   }
-  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
-  override def prettyName: String = "simhash64"
 }
 
 /** Symmetric int8 quantization statistics of a double vector, one JVM
@@ -120,15 +130,25 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   * arithmetic is elementary double ops in a fixed order so a SQL oracle
   * reproduces it bit-for-bit; floor(x+0.5) is used instead of round()
   * because round's half-case tie-breaking differs across engines. */
-case class QuantStats(child: Expression) extends UnaryExpression with CodegenFallback {
+case class QuantStats(child: Expression) extends UnaryExpression {
   import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   override def dataType: DataType = StructType(Seq(
     StructField("scale", DoubleType, nullable = false),
     StructField("qmin", IntegerType, nullable = false),
     StructField("qmax", IntegerType, nullable = false),
     StructField("max_abs_err", DoubleType, nullable = false)))
-  override def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any): Any =
+    QuantStats.compute(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.QuantStats.compute($c);")
+  override protected def withNewChildInternal(c: Expression): QuantStats = copy(child = c)
+  override def prettyName: String = "quant_stats"
+}
+
+object QuantStats {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(x: ArrayData): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
     val n = x.numElements()
     var maxabs = 0.0
     var i = 0
@@ -151,8 +171,6 @@ case class QuantStats(child: Expression) extends UnaryExpression with CodegenFal
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](scale, qmin.toInt, qmax.toInt, maxerr))
   }
-  override protected def withNewChildInternal(c: Expression): QuantStats = copy(child = c)
-  override def prettyName: String = "quant_stats"
 }
 
 object VectorOps {
