@@ -558,6 +558,97 @@ object Similarity {
       |FROM probes a JOIN probes b ON a.cid = b.cid AND a.vec_id < b.vec_id
       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45""".stripMargin
 
+  /** s10: IVF-approximate k-NN graph — s07's exact graph at near-linear
+    * cost: each vector ranks only its CO-BUCKET candidates (nprobe
+    * nearest coarse-quantizer clusters, same assignment as [[
+    * ivfNearDupPairs]]) instead of the whole corpus. Approximation is
+    * recall-only and one-sided: every emitted neighbor is a true
+    * candidate with its exact cosine, ranks are exact within the
+    * candidate set, but a true top-k neighbor sharing no probed
+    * cluster is missed (and a vector whose probed buckets are
+    * otherwise empty emits no rows).
+    *
+    * Scale: the candidate join is the same equi-join on cluster_id as
+    * s08 — within-bucket quadratic bounded by k ∝ n/target-bucket and
+    * `maxBucket` — and the per-query top-k is a window that Spark
+    * executes with WindowGroupLimit partial pruning. s07's exact
+    * triangle join does n²/2 comparisons regardless of data; at 10×
+    * rows that is 100× compares vs ~10× here (see SCALE.md's measured
+    * scale-up for the same contrast on s04 vs s08).
+    *
+    * Same oracle trick as s08: the shipped entry uses the
+    * deterministic, SQL-expressible seed quantizer, so the WHOLE
+    * mechanism (probe ranking, candidate join, exact ranking)
+    * hash-matches DuckDB; the production k-means quantizer swaps in
+    * via [[trainedCentroids]]. */
+  def s10IvfKnn(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    ivfKnnGraph(c, seedCentroids(c, 8), 3, nprobe = 2)
+  }
+
+  /** The bucketed k-NN graph over any (vec_id, v) frame — see
+    * [[s10IvfKnn]]. */
+  def ivfKnnGraph(vecs: DataFrame, centroids: DataFrame, k: Int,
+                  nprobe: Int = 2, maxBucket: Long = 0L): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val c = vecs.withColumn("nrm", norm($"v"))
+    val wp = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"cluster_id".asc)
+    val assigned = c.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"v", $"nrm", $"cluster_id",
+        (dot($"v", $"cv") / ($"nrm" * $"cn")).as("c_cos"))
+      .withColumn("rn", row_number().over(wp))
+      .filter($"rn" <= nprobe)
+      .select($"vec_id", $"v", $"nrm", $"cluster_id")
+    val probes =
+      if (maxBucket <= 0L) assigned
+      else assigned
+        .withColumn("bucket_n",
+          count(lit(1)).over(Window.partitionBy($"cluster_id")))
+        .filter($"bucket_n" <= maxBucket)
+        .drop("bucket_n")
+    // multi-probe duplicates (a pair sharing both probed clusters)
+    // carry bit-equal cosines — distinct collapses them before ranking
+    val cands = probes.as("a").join(probes.as("b"),
+        $"a.cluster_id" === $"b.cluster_id" && $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("q_id"), $"b.vec_id".as("n_id"),
+        (dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).as("cosine"))
+      .distinct()
+    val wr = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
+    cands.withColumn("rank", row_number().over(wr))
+      .filter($"rank" <= k)
+      .select($"q_id", $"n_id", $"rank", round($"cosine", 6).as("cosine_r"))
+  }
+
+  val s10Sql: String =
+    """WITH en AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings
+      |), cen AS (
+      |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM en WHERE vec_id < 8
+      |), probes AS (
+      |  SELECT vec_id, v, nrm, cid FROM (
+      |    SELECT en.vec_id, en.v, en.nrm, cen.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY en.vec_id
+      |        ORDER BY list_dot_product(en.v, cen.cv) / (en.nrm * cen.cn) DESC,
+      |                 cen.cid ASC) AS rn
+      |    FROM en CROSS JOIN cen
+      |  ) WHERE rn <= 2
+      |), cands AS (
+      |  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id,
+      |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+      |  FROM probes a JOIN probes b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      |)
+      |SELECT q_id, n_id, rank, ROUND(cosine, 6) AS cosine_r
+      |FROM (
+      |  SELECT q_id, n_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY cosine DESC, n_id ASC) AS rank
+      |  FROM cands
+      |) WHERE rank <= 3""".stripMargin
+
   /** s09: per-label embedding cohesion AND separation — the
     * clustering/labeling diagnostic a curation pass reads before
     * trusting labels or cluster assignments: for each label, the MEAN
@@ -648,6 +739,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s09_label_cohesion"    -> (s09LabelCohesion _),
+    "s10_ivf_knn"           -> (s10IvfKnn _),
     "s01_cosine_topk"       -> (s01CosineTopK _),
     "s02_embedding_neardup" -> (s02EmbeddingNearDup _),
     "s03_ivf_topk"          -> (s03IvfTopK _),
@@ -662,6 +754,9 @@ object Similarity {
   // dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
     "s09_label_cohesion"    -> s09Sql,
+    // same oracle discipline as s08: approximate RECALL, deterministic
+    // SQL-replicable mechanism
+    "s10_ivf_knn"           -> s10Sql,
     "s01_cosine_topk"       -> s01Sql,
     "s02_embedding_neardup" -> s02Sql,
     // s03 is approximate RECALL but a deterministic mechanism (probed

@@ -162,6 +162,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s10 IVF knn graph: neighbors are true candidates with exact cosines, recall floor vs s07") {
+    import spark.implicits._
+    val exact = Similarity.s07KnnGraph(spark, sf001)
+      .select($"q_id", $"n_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approxRows = Similarity.s10IvfKnn(spark, sf001)
+      .select($"q_id", $"n_id", $"rank", $"cosine_r").collect()
+    val approx = approxRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one-sided error: every emitted edge carries the exact cosine the
+    // brute-force path would compute for the same pair
+    val brute = Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    approxRows.foreach { r =>
+      val (q, n, cos) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      val (a, b) = (brute(q), brute(n))
+      val exp = a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      assert(math.abs(cos - exp) < 1e-6, s"edge ($q,$n) cosine drift")
+    }
+    // recall floor on the unclustered gaussian fixture (same caveat as
+    // s03/s08: probed fraction ≈ nprobe/k of an unclustered corpus —
+    // this pins mechanism regressions, not a clustered-data SLA)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall = $recall (${(exact & approx).size}/${exact.size})")
+    // determinism
+    val again = Similarity.s10IvfKnn(spark, sf001)
+      .select($"q_id", $"n_id", $"rank", $"cosine_r").collect()
+      .map(_.toSeq).toSet
+    assert(again === approxRows.map(_.toSeq).toSet)
+  }
+
   test("s09 label cohesion: linear-pass identity equals the brute-force pair average") {
     import spark.implicits._
     // ground truth: O(n²) mean pairwise cosine per label, computed on
