@@ -219,4 +219,78 @@ object EventStreams {
           }
       }
   }
+
+  /** Streaming trending terms: per tumbling window, the top-k tokens by
+    * frequency — t13's corpus top-k as a stream, emitted exactly once
+    * per window WHEN THE WATERMARK CLOSES IT (Spark disallows the
+    * aggregate-then-rank formulation in streaming: chained aggregations
+    * can't append; this keyed-state form can).
+    *
+    * Semantics contract: output for a window equals the batch
+    * computation `tokens in window → count → top-k (freq desc, token
+    * asc)` over exactly the rows the watermark admitted — the final
+    * counts are arrival-order-free, so the emission is deterministic
+    * (spec-checked against the batch twin).
+    *
+    * Scale: state is one token→count map per OPEN window (watermark
+    * bounds how many windows are open; the map is window-vocabulary
+    * sized). At 100 TB-stream vocabularies, cap the map with a
+    * Misra-Gries heavy-hitters sketch (same emission shape, ±εN count
+    * error) — deliberately NOT the default because MG's kept set is
+    * arrival-order-dependent and would break the determinism contract
+    * above; exactness is the default, the sketch is the documented
+    * escape hatch. */
+  final case class WindowTokens(counts: Map[String, Long])
+  final case class TrendingTerm(window_start: java.sql.Timestamp, rank: Int,
+      token: String, freq: Long)
+
+  def trendingTerms(docs: Dataset[(java.sql.Timestamp, String)],
+                    windowMs: Long = 60000L, k: Int = 3,
+                    watermark: String = "10 seconds"): Dataset[TrendingTerm] = {
+    import docs.sparkSession.implicits._
+    def topK(win: Long, counts: Map[String, Long]): Iterator[TrendingTerm] =
+      counts.toSeq.sortBy { case (t, f) => (-f, t) }.take(k).zipWithIndex.map {
+        case ((t, f), i) =>
+          TrendingTerm(new java.sql.Timestamp(win), i + 1, t, f)
+      }.iterator
+    // tokenization stays UNTYPED: a typed flatMap reserializes its
+    // output and drops the event-time attribute, and EventTimeTimeout
+    // requires the watermarked column to reach the stateful operator
+    docs.toDF("ts", "text")
+      .withWatermark("ts", watermark)
+      .select($"ts", explode(split($"text", " ")).as("token"))
+      .filter(length($"token") > 0)
+      .withColumn("win",
+        (floor(unix_millis($"ts") / windowMs) * windowMs).cast("long"))
+      .as[(java.sql.Timestamp, String, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[WindowTokens, TrendingTerm](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (win: Long, rows: Iterator[(java.sql.Timestamp, String, Long)],
+         state: GroupState[WindowTokens]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get.counts
+            state.remove()
+            topK(win, counts)
+          } else {
+            var counts = state.getOption.map(_.counts).getOrElse(Map.empty)
+            rows.foreach { r =>
+              counts = counts.updated(r._2, counts.getOrElse(r._2, 0L) + 1L)
+            }
+            val wm = state.getCurrentWatermarkMs()
+            val winEnd = win + windowMs
+            if (winEnd <= wm) {
+              // the watermark already passed this window's end inside
+              // this batch — emit now, a timeout below the watermark is
+              // rejected by Spark
+              state.remove()
+              topK(win, counts)
+            } else {
+              state.update(WindowTokens(counts))
+              state.setTimeoutTimestamp(winEnd)
+              Iterator.empty
+            }
+          }
+      }
+  }
 }

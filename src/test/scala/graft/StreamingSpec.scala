@@ -236,6 +236,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trending terms: per-window top-k emitted once on watermark close, equals batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val q = EventStreams.trendingTerms(input.toDS(), windowMs = 60000L, k = 2)
+      .writeStream.format("memory").queryName("trend").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:05"), "apple banana apple"),
+        (ts("2024-01-01 00:00:40"), "banana apple"),
+        (ts("2024-01-01 00:01:30"), "cherry cherry date"))
+      q.processAllAvailable()
+      // the 00:01:30 doc advanced the watermark to 00:01:20 — past the
+      // FIRST window's end, so exactly that window is emitted; the
+      // second (ends 00:02:00) must still be open
+      assert(spark.table("trend").count() === 2)
+      assert(spark.table("trend")
+        .select($"window_start".cast("string")).as[String].collect()
+        .forall(_ == "2024-01-01 00:00:00"))
+      // advance the watermark far past both windows
+      input.addData((ts("2024-01-01 01:00:00"), "zzz"))
+      q.processAllAvailable()
+      val rows = spark.table("trend")
+        .select($"window_start".cast("string"), $"rank", $"token", $"freq")
+        .as[(String, Int, String, Long)].collect().toSet
+      val expected = Set(
+        ("2024-01-01 00:00:00", 1, "apple", 3L),
+        ("2024-01-01 00:00:00", 2, "banana", 2L),
+        ("2024-01-01 00:01:00", 1, "cherry", 2L),
+        ("2024-01-01 00:01:00", 2, "date", 1L))
+      assert(rows === expected)
+      // batch twin over the same admitted rows produces the same table
+      val batch = Seq(
+        (ts("2024-01-01 00:00:05"), "apple banana apple"),
+        (ts("2024-01-01 00:00:40"), "banana apple"),
+        (ts("2024-01-01 00:01:30"), "cherry cherry date"))
+        .toDF("ts", "text")
+        .select(window($"ts", "1 minute").getField("start").cast("string").as("w"),
+          explode(split($"text", " ")).as("token"))
+        .groupBy($"w", $"token").agg(count(lit(1)).as("freq"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy($"w").orderBy($"freq".desc, $"token".asc)
+      val twin = batch.withColumn("rank", row_number().over(win))
+        .filter($"rank" <= 2)
+        .select($"w", $"rank", $"token", $"freq")
+        .as[(String, Int, String, Long)].collect().toSet
+      assert(rows === twin)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits sessions closed by event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
