@@ -125,12 +125,31 @@ object StreamingCuration {
       .select($"doc_id", $"text")
   }
 
+  /** Per-batch admission funnel — the streaming twin of c02's
+    * observability: docs seen / admitted / rejected per micro-batch
+    * (batch −1 = the seeded corpus, admitted by definition). A
+    * rejection-rate spike in this table is the first symptom of a dup
+    * storm or a mis-sliced upstream producer. One narrow aggregate
+    * over the partitioned history the admission loop already writes —
+    * no extra state, readable while the stream runs. */
+  def admissionStats(spark: SparkSession, historyDir: String): DataFrame = {
+    import spark.implicits._
+    readHistory(spark, historyDir, HistorySchema, excludeBatch = None,
+        keepBatch = true)
+      .groupBy($"batch".cast("long").as("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"admitted".cast("long")).as("n_admitted"),
+        (count(lit(1)) - sum($"admitted".cast("long"))).as("n_rejected"))
+      .orderBy($"batch")
+  }
+
   /** History as one frame; empty with the given (full, admitted-
     * included) schema when nothing was written yet — same contract as
     * FileDeadLetter.read: a fresh dir is not an error. */
   private[streaming] def readHistory(spark: SparkSession, dir: String,
                           emptySchema: StructType,
-                          excludeBatch: Option[Long]): DataFrame = {
+                          excludeBatch: Option[Long],
+                          keepBatch: Boolean = false): DataFrame = {
     val path = java.nio.file.Paths.get(dir)
     val hasData = java.nio.file.Files.isDirectory(path) && {
       val s = java.nio.file.Files.list(path)
@@ -142,9 +161,16 @@ object StreamingCuration {
     }
     if (hasData) {
       val all = spark.read.parquet(dir)
-      excludeBatch.fold(all)(b => all.filter(col("batch") =!= b))
-        .drop("batch")
-    } else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+      val scoped = excludeBatch.fold(all)(b => all.filter(col("batch") =!= b))
+      if (keepBatch) scoped else scoped.drop("batch")
+    } else {
+      val schema =
+        if (keepBatch)
+          StructType(emptySchema.fields :+
+            StructField("batch", org.apache.spark.sql.types.LongType))
+        else emptySchema
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 }

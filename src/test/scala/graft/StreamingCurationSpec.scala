@@ -124,6 +124,35 @@ class StreamingCurationSpec extends SparkSpec {
     assert(admitted === Set(5L, 10L, 20L))
   }
 
+  test("admissionStats: per-batch seen/admitted/rejected reconciles with admittedDocs") {
+    import spark.implicits._
+    val histDir = java.nio.file.Files.createTempDirectory("graft-admstats").toString
+    val mk = (ids: Seq[Long], text: String) => ids.map(i => (i, text + " " + i))
+    // seed 2 docs, then two batches where batch 1 contains a near-copy
+    // of a seeded doc (rejected) and a fresh doc (admitted)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    StreamingCuration.seedHistory(
+      Seq((1L, base + " one"), (2L, "totally different words here xyz abc def ghi jkl")).toDF("doc_id", "text"),
+      histDir)
+    StreamingCuration.admitBatch(
+      Seq((10L, base + " two"), (11L, "unrelated fresh content qqq www eee rrr ttt yyy uuu")).toDF("doc_id", "text"),
+      histDir, 0.8, batchId = 0L)
+    StreamingCuration.admitBatch(
+      Seq((20L, "another novel document with its own vocabulary entirely mmm nnn ooo ppp")).toDF("doc_id", "text"),
+      histDir, 0.8, batchId = 1L)
+    val stats = StreamingCuration.admissionStats(spark, histDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // seed batch is fully admitted by definition
+    assert(stats.exists { case (b, n, a, r) => b == -1L && n == 2 && a == 2 && r == 0 })
+    // totals reconcile with the curated output
+    val admittedTotal = stats.map(_._3).sum
+    assert(admittedTotal === StreamingCuration.admittedDocs(spark, histDir).count())
+    // every batch satisfies seen = admitted + rejected
+    stats.foreach { case (b, n, a, r) => assert(n === a + r, s"batch $b") }
+    // the near-copy of the seeded doc was rejected in batch 0
+    assert(stats.exists { case (b, _, _, r) => b == 0L && r >= 1 })
+  }
+
   test("admittedDocs on a fresh dir returns an empty frame, not an error") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cur-fresh").toString
