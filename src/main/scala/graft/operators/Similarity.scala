@@ -489,28 +489,7 @@ object Similarity {
                       maxBucket: Long = 0L): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
-    val c = vecs.withColumn("nrm", norm($"v"))
-    val wp = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"cluster_id".asc)
-    val assigned = c.crossJoin(broadcast(centroids))
-      .select($"vec_id", $"v", $"nrm", $"cluster_id",
-        (dot($"v", $"cv") / ($"nrm" * $"cn")).as("c_cos"))
-      .withColumn("rn", row_number().over(wp))
-      .filter($"rn" <= nprobe)
-      .select($"vec_id", $"v", $"nrm", $"cluster_id")
-    // d04's lesson applied to vectors: a degenerate bucket (mass-
-    // duplicated embeddings, a centroid that swallowed a dense region)
-    // makes the within-bucket join quadratic in ONE key. maxBucket > 0
-    // drops oversized buckets from candidate generation — byte-exact
-    // duplicates belong to an m05-style hash pre-pass, and a persistent
-    // hot bucket means k is too small for the corpus. 0 = uncapped
-    // (the oracle-matched s08 entry, where the corpus is bounded).
-    val probes =
-      if (maxBucket <= 0L) assigned
-      else assigned
-        .withColumn("bucket_n",
-          count(lit(1)).over(Window.partitionBy($"cluster_id")))
-        .filter($"bucket_n" <= maxBucket)
-        .drop("bucket_n")
+    val probes = probeAssignments(vecs, centroids, nprobe, maxBucket)
     // a pair sharing BOTH probed clusters arrives twice with bit-equal
     // cosines (same dot, same index order) — distinct collapses them
     probes.as("a").join(probes.as("b"),
@@ -520,6 +499,40 @@ object Similarity {
       .filter($"cosine" >= threshold)
       .select($"a_id", $"b_id", round($"cosine", 6).as("cosine_r"))
       .distinct()
+  }
+
+  /** The shared candidate-generation front end of the IVF family (s08
+    * pairs, s10 graph): each vector's `nprobe` nearest-centroid
+    * assignments — (vec_id, v, nrm, cluster_id), one row per probed
+    * cluster, ties broken by cluster_id for determinism — with the
+    * optional hot-bucket cap.
+    *
+    * The cap is d04's lesson applied to vectors: a degenerate bucket
+    * (mass-duplicated embeddings, a centroid that swallowed a dense
+    * region) makes the within-bucket join quadratic in ONE key.
+    * maxBucket > 0 drops oversized buckets from candidate generation —
+    * byte-exact duplicates belong to an m05-style hash pre-pass, and a
+    * persistent hot bucket means k is too small for the corpus.
+    * 0 = uncapped (the oracle-matched s08/s10 entries, where the
+    * corpus is bounded). */
+  private def probeAssignments(vecs: DataFrame, centroids: DataFrame,
+                               nprobe: Int, maxBucket: Long): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val c = vecs.withColumn("nrm", norm($"v"))
+    val wp = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"cluster_id".asc)
+    val assigned = c.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"v", $"nrm", $"cluster_id",
+        (dot($"v", $"cv") / ($"nrm" * $"cn")).as("c_cos"))
+      .withColumn("rn", row_number().over(wp))
+      .filter($"rn" <= nprobe)
+      .select($"vec_id", $"v", $"nrm", $"cluster_id")
+    if (maxBucket <= 0L) assigned
+    else assigned
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy($"cluster_id")))
+      .filter($"bucket_n" <= maxBucket)
+      .drop("bucket_n")
   }
 
   /** The deterministic seed quantizer (first k corpus vectors as
@@ -592,21 +605,7 @@ object Similarity {
                   nprobe: Int = 2, maxBucket: Long = 0L): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
-    val c = vecs.withColumn("nrm", norm($"v"))
-    val wp = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"cluster_id".asc)
-    val assigned = c.crossJoin(broadcast(centroids))
-      .select($"vec_id", $"v", $"nrm", $"cluster_id",
-        (dot($"v", $"cv") / ($"nrm" * $"cn")).as("c_cos"))
-      .withColumn("rn", row_number().over(wp))
-      .filter($"rn" <= nprobe)
-      .select($"vec_id", $"v", $"nrm", $"cluster_id")
-    val probes =
-      if (maxBucket <= 0L) assigned
-      else assigned
-        .withColumn("bucket_n",
-          count(lit(1)).over(Window.partitionBy($"cluster_id")))
-        .filter($"bucket_n" <= maxBucket)
-        .drop("bucket_n")
+    val probes = probeAssignments(vecs, centroids, nprobe, maxBucket)
     // multi-probe duplicates (a pair sharing both probed clusters)
     // carry bit-equal cosines — distinct collapses them before ranking
     val cands = probes.as("a").join(probes.as("b"),
@@ -697,8 +696,12 @@ object Similarity {
       .agg(countDistinct($"vec_id").as("n_vecs"), sum($"u" * $"u").as("usq"))
     contrast.join(qn, "label")
       .select($"label", $"n_vecs",
-        round(($"ssq" - $"usq").cast("double") /
-          ($"n_vecs" * ($"n_vecs" - lit(1L))), 6).as("intra_cos_r"),
+        // a single-member label has no pairs: NULL by explicit guard on
+        // BOTH sides (unguarded, Spark's x/0 yields NULL but DuckDB
+        // yields NaN/inf — a silent oracle divergence)
+        when($"n_vecs" > 1,
+          round(($"ssq" - $"usq").cast("double") /
+            ($"n_vecs" * ($"n_vecs" - lit(1L))), 6)).as("intra_cos_r"),
         round(sqrt($"ssq".cast("double")) / $"n_vecs", 6).as("centroid_norm_r"),
         round($"sdoto".cast("double") /
           (sqrt($"ssq".cast("double")) * sqrt($"osq".cast("double"))), 6)
@@ -731,7 +734,9 @@ object Similarity {
       |  FROM ex GROUP BY 1
       |)
       |SELECT c.label, n_vecs,
-      |  ROUND(CAST(ssq - usq AS DOUBLE) / (n_vecs * (n_vecs - 1)), 6) AS intra_cos_r,
+      |  CASE WHEN n_vecs > 1 THEN
+      |    ROUND(CAST(ssq - usq AS DOUBLE) / (n_vecs * (n_vecs - 1)), 6)
+      |  END AS intra_cos_r,
       |  ROUND(sqrt(CAST(ssq AS DOUBLE)) / n_vecs, 6) AS centroid_norm_r,
       |  ROUND(CAST(sdoto AS DOUBLE) /
       |    (sqrt(CAST(ssq AS DOUBLE)) * sqrt(CAST(osq AS DOUBLE))), 6) AS vs_rest_cos_r

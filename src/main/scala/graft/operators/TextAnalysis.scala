@@ -57,12 +57,12 @@ object TextAnalysis {
       |    / len(string_split(text, ' ')) AS type_token_ratio
       |FROM documents""".stripMargin
 
-  /** Quality score: a deterministic linear blend of length band,
-    * lexical diversity, and stopword ratio — the shape of a
-    * production quality filter, SQL-mirrorable for the oracle. */
-  /** The t02 quality score as a reusable per-row expression (unrounded
-    * — thresholds compare against this, displays round it), so pipeline
-    * consumers (c01/c02) inline it instead of joining t02's output. */
+  /** Quality score — a deterministic linear blend of length band,
+    * lexical diversity, and stopword ratio (the shape of a production
+    * quality filter, SQL-mirrorable for the oracle) — as a reusable
+    * per-row expression (unrounded: thresholds compare against this,
+    * displays round it), so pipeline consumers (c01/c02) inline it
+    * instead of joining t02's output. */
   def qualityScoreCol(text: Column): Column = {
     val t = toks(text)
     val nTok = size(t).cast("double")
@@ -93,12 +93,12 @@ object TextAnalysis {
        |)""".stripMargin
   }
 
-  /** Language-ID heuristic: marker-stopword voting over a per-language
-    * marker list; ties and no-signal fall back to 'und'. (The synthetic
-    * corpus is English-wordlist text, so this mostly detects 'en' — the
-    * operator contract is determinism, mirrored exactly in SQL.) */
-  /** The t03 language vote as a reusable per-row expression — same
-    * rationale as [[qualityScoreCol]]. */
+  /** Language-ID heuristic — marker-stopword voting over a per-language
+    * marker list, ties and no-signal falling back to 'und' (the
+    * synthetic corpus is English-wordlist text, so this mostly detects
+    * 'en'; the operator contract is determinism, mirrored exactly in
+    * SQL) — as a reusable per-row expression, same rationale as
+    * [[qualityScoreCol]]. */
   def langPredCol(text: Column): Column = {
     import graft.functions.TokenSetCount
     val en = TokenSetCount(text, Seq("the", "a", "of", "and"))
