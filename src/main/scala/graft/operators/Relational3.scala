@@ -35,6 +35,24 @@ object Relational3 {
       |  COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** q69: UNPIVOT — the inverse of q32's pivot: the wide per-status
+    * columns back to (priority, status, n) long form. Spark compiles
+    * `unpivot` to a single Expand over q32's aggregate output — one
+    * pass, no extra shuffle — the melt step every report/feature
+    * matrix needs on its way back into a long-form pipeline. */
+  def q69Unpivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    q32Pivot(s, d).unpivot(
+      Array($"o_orderpriority"), Array($"F", $"O", $"P"), "status", "n")
+  }
+
+  val q69Sql: String =
+    s"""WITH piv AS (
+       |  ${q32Sql.replace("\n", "\n  ")}
+       |)
+       |SELECT o_orderpriority, status, n FROM piv
+       |UNPIVOT (n FOR status IN ("F", "O", "P"))""".stripMargin
+
   /** RANGE window frame: for each order, count of same-customer orders
     * within ±30 days by order date (range, not rows). */
   def q33RangeFrame(s: SparkSession, d: String): DataFrame = {
@@ -195,6 +213,7 @@ object Relational3 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_pivot"           -> (q32Pivot _),
+    "q69_unpivot"         -> (q69Unpivot _),
     "q33_range_frame"     -> (q33RangeFrame _),
     "q34_rank_family"     -> (q34RankFamily _),
     "q35_regex"           -> (q35Regex _),
@@ -207,6 +226,7 @@ object Relational3 {
 
   val oracles: Map[String, String] = Map(
     "q32_pivot"           -> q32Sql,
+    "q69_unpivot"         -> q69Sql,
     "q33_range_frame"     -> q33Sql,
     "q34_rank_family"     -> q34Sql,
     "q35_regex"           -> q35Sql,
