@@ -606,13 +606,19 @@ object Similarity {
     val s = vecs.sparkSession
     import s.implicits._
     val probes = probeAssignments(vecs, centroids, nprobe, maxBucket)
-    // multi-probe duplicates (a pair sharing both probed clusters)
-    // carry bit-equal cosines — distinct collapses them before ranking
-    val cands = probes.as("a").join(probes.as("b"),
-        $"a.cluster_id" === $"b.cluster_id" && $"a.vec_id" =!= $"b.vec_id")
+    // each unordered candidate pair is scored ONCE (vec_id <) and then
+    // mirrored: the index-ordered dot product is bitwise symmetric, so
+    // this halves the join volume and the kernel work vs scoring both
+    // directions. Multi-probe duplicates (a pair sharing both probed
+    // clusters) carry bit-equal cosines — distinct collapses them
+    // before the mirror.
+    val half = probes.as("a").join(probes.as("b"),
+        $"a.cluster_id" === $"b.cluster_id" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("q_id"), $"b.vec_id".as("n_id"),
         (dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).as("cosine"))
       .distinct()
+    val cands = half.unionByName(
+      half.select($"n_id".as("q_id"), $"q_id".as("n_id"), $"cosine"))
     val wr = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
     cands.withColumn("rank", row_number().over(wr))
       .filter($"rank" <= k)
