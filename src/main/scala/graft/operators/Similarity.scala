@@ -617,6 +617,13 @@ object Similarity {
       .select($"a.vec_id".as("q_id"), $"b.vec_id".as("n_id"),
         (dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).as("cosine"))
       .distinct()
+    // mirror by self-union: the two branches share the distinct's
+    // exchange (ReuseExchange — the candidate join runs once), and each
+    // branch gets its own partial WindowGroupLimit before the ranking
+    // shuffle. The single-pass alternative (explode over a 2-struct
+    // array) avoids the reuse dependency but measured ~50% SLOWER here
+    // (3.7 s vs 2.5 s median at sf0.1): per-row array+struct allocation
+    // in Generate costs more than re-reading a reused shuffle.
     val cands = half.unionByName(
       half.select($"n_id".as("q_id"), $"q_id".as("n_id"), $"cosine"))
     val wr = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
