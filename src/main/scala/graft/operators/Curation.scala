@@ -525,6 +525,63 @@ object Curation {
        |GROUP BY 1""".stripMargin
   }
 
+  /** c06: split-leakage AUDIT — every J ≥ τ near-dup pair whose
+    * endpoints land in DIFFERENT splits of a GIVEN assignment. c05
+    * builds splits that cannot leak; this verifies splits built
+    * elsewhere (a vendor's, a legacy pipeline's, t09's naive per-doc
+    * hash) and quantifies the damage when they do. Empty output = the
+    * split is leakage-free at τ; each row is one contaminated pair
+    * with both split labels attached, ready for triage or exclusion.
+    *
+    * The shipped entry audits t09's per-doc hash split — the audit
+    * that MUST find violations (near-dup pairs don't respect a
+    * per-doc hash), exercising the non-trivial output path; the
+    * c05-over-c06 emptiness property is spec-pinned instead (an
+    * all-empty gate entry would be a vacuous hash-match).
+    *
+    * Scale: the pair join is the same prefix join every curation
+    * consumer shares (pass a precomputed pair frame in a composed
+    * pipeline); the split attachment is two broadcast-size joins on
+    * doc_id. */
+  def c06SplitAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket = pmod($"doc_id" * 2654435761L, lit(100L))
+    val split = documents(s, d).select($"doc_id",
+      when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test").as("split"))
+    splitAuditPairs(documents(s, d).select($"doc_id", $"text"), split, 0.8)
+  }
+
+  /** The audit over any (doc_id, text) corpus and any (doc_id, split)
+    * assignment — see [[c06SplitAudit]]. */
+  def splitAuditPairs(docs: DataFrame, split: DataFrame,
+                      tau: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    Dedup.ngramJaccardPairs(docs, tau)
+      .join(split.select($"doc_id".as("d1"), $"split".as("split_1")), "d1")
+      .join(split.select($"doc_id".as("d2"), $"split".as("split_2")), "d2")
+      .filter($"split_1" =!= $"split_2")
+      .select($"d1", $"d2", $"jaccard", $"split_1", $"split_2")
+  }
+
+  val c06Sql: String = {
+    val pairs = Dedup.d03Sql.replace("\n", "\n  ")
+    s"""WITH pairs AS (
+       |  $pairs
+       |), sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+       |         WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |)
+       |SELECT d1, d2, jaccard, a.split AS split_1, b.split AS split_2
+       |FROM pairs JOIN sp a ON pairs.d1 = a.doc_id
+       |           JOIN sp b ON pairs.d2 = b.doc_id
+       |WHERE a.split <> b.split""".stripMargin
+  }
+
   def c03TrainingMix(s: SparkSession, d: String): DataFrame =
     trainingMix(documents(s, d), c03Weights.toMap, 0.6)
 
@@ -658,6 +715,7 @@ object Curation {
     "c02_curation_funnel"   -> (c02CurationFunnel _),
     "c03_training_mix"      -> (c03TrainingMix _),
     "c04_corpus_report"     -> (c04CorpusReport _),
+    "c06_split_audit"       -> (c06SplitAudit _),
     "d09_crossmodal"      -> (d09CrossModal _),
     "t15_column_profile"  -> (t15ColumnProfile _),
     "d07_decontamination" -> (d07Decontamination _),
@@ -673,6 +731,7 @@ object Curation {
     "c02_curation_funnel"   -> c02Sql,
     "c03_training_mix"      -> c03Sql,
     "c04_corpus_report"     -> c04Sql,
+    "c06_split_audit"       -> c06Sql,
     "d09_crossmodal"      -> d09Sql,
     "t15_column_profile"  -> t15Sql,
     "d07_decontamination" -> d07Sql,

@@ -94,6 +94,22 @@ class DedupSpec extends SparkSpec {
       (bucket(a) < 95) != (bucket(b) < 95) })
   }
 
+  test("c06 split audit: c05's cluster split audits clean, the per-doc hash split does not") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf001).select($"doc_id", $"text")
+    // the split c05 BUILT to be leakage-free must audit empty...
+    val safe = graft.operators.Curation.c05LeakageSafeSplit(spark, sf001)
+      .select($"doc_id", $"split")
+    val safeViolations = graft.operators.Curation
+      .splitAuditPairs(docs, safe, 0.8).count()
+    assert(safeViolations === 0L)
+    // ...and the naive per-doc hash split must NOT (else the audit —
+    // and c05's reason to exist — went vacuous on this fixture)
+    val naiveViolations = graft.operators.Curation
+      .c06SplitAudit(spark, sf001).count()
+    assert(naiveViolations > 0L)
+  }
+
   test("d14 containment: catches verbatim inclusion Jaccard misses; matches brute force") {
     import spark.implicits._
     // planted case: a 12-token quote embedded verbatim in an 80-token
