@@ -25,7 +25,8 @@ object PlanAudit {
         "s08_ivf_neardup","t16_merge_pairs","c05_leakage_safe_split",
         "d13_source_overlap","t17_novelty",
         "d14_containment","s09_label_cohesion","t18_tfidf_terms",
-        "m06_chunk_neardup","c04_corpus_report","s10_ivf_knn").foreach(show)
+        "m06_chunk_neardup","c04_corpus_report","s10_ivf_knn",
+        "c06_split_audit").foreach(show)
     spark.stop()
   }
 }
