@@ -545,10 +545,8 @@ object Curation {
     * doc_id. */
   def c06SplitAudit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val bucket = pmod($"doc_id" * 2654435761L, lit(100L))
     val split = documents(s, d).select($"doc_id",
-      when(bucket < 90, "train").when(bucket < 95, "val")
-        .otherwise("test").as("split"))
+      TextAnalysis.hashSplitCol($"doc_id").as("split"))
     splitAuditPairs(documents(s, d).select($"doc_id", $"text"), split, 0.8)
   }
 
@@ -633,9 +631,8 @@ object Curation {
     val keyed = docs.select($"doc_id")
       .join(clusters, Seq("doc_id"), "left_outer")
       .select($"doc_id", coalesce($"cluster_rep", $"doc_id").as("split_key"))
-    val bucket = pmod($"split_key" * 2654435761L, lit(100L))
     keyed.select($"doc_id", $"split_key",
-      when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
+      TextAnalysis.hashSplitCol($"split_key").as("split"))
   }
 
   def c05LeakageSafeSplit(s: SparkSession, d: String): DataFrame = {

@@ -694,8 +694,13 @@ object Similarity {
     // interpreted per-element lambda
     val ex = en
       .select($"vec_id", $"label", $"nrm", posexplode($"v"))
+      // a zero vector (nrm = 0) would make col/nrm NaN, which Spark's
+      // decimal cast nulls while DuckDB's errors — define it as the
+      // zero direction instead: it counts as a member, contributes
+      // nothing to any sum, identically in both engines
       .select($"vec_id", $"label", $"pos",
-        ($"col" / $"nrm").cast("decimal(9,6)").as("u"))
+        when($"nrm" > 0, $"col" / $"nrm").otherwise(lit(0.0))
+          .cast("decimal(9,6)").as("u"))
     val spos = ex.groupBy($"label", $"pos")
       .agg(sum($"u").cast("decimal(18,6)").as("s"))
     val gpos = spos.groupBy($"pos").agg(sum($"s").cast("decimal(18,6)").as("g"))
@@ -716,8 +721,12 @@ object Similarity {
           round(($"ssq" - $"usq").cast("double") /
             ($"n_vecs" * ($"n_vecs" - lit(1L))), 6)).as("intra_cos_r"),
         round(sqrt($"ssq".cast("double")) / $"n_vecs", 6).as("centroid_norm_r"),
-        round($"sdoto".cast("double") /
-          (sqrt($"ssq".cast("double")) * sqrt($"osq".cast("double"))), 6)
+        // same divergence guard for the separation: a single-label
+        // corpus (osq = 0) or an all-zero label sum (ssq = 0) has no
+        // defined direction — NULL on both sides
+        when($"ssq" > 0 && $"osq" > 0,
+          round($"sdoto".cast("double") /
+            (sqrt($"ssq".cast("double")) * sqrt($"osq".cast("double"))), 6))
           .as("vs_rest_cos_r"))
   }
 
@@ -730,7 +739,8 @@ object Similarity {
       |), ex AS (
       |  SELECT vec_id, label,
       |    unnest(range(1, len(v) + 1)) AS pos,
-      |    unnest([CAST(v[i] / nrm AS DECIMAL(9,6)) for i in range(1, len(v) + 1)]) AS u
+      |    unnest([CAST(CASE WHEN nrm > 0 THEN v[i] / nrm ELSE 0.0 END AS DECIMAL(9,6))
+      |            for i in range(1, len(v) + 1)]) AS u
       |  FROM en
       |), spos AS (
       |  SELECT label, pos, CAST(SUM(u) AS DECIMAL(18,6)) AS s
@@ -751,8 +761,10 @@ object Similarity {
       |    ROUND(CAST(ssq - usq AS DOUBLE) / (n_vecs * (n_vecs - 1)), 6)
       |  END AS intra_cos_r,
       |  ROUND(sqrt(CAST(ssq AS DOUBLE)) / n_vecs, 6) AS centroid_norm_r,
-      |  ROUND(CAST(sdoto AS DOUBLE) /
-      |    (sqrt(CAST(ssq AS DOUBLE)) * sqrt(CAST(osq AS DOUBLE))), 6) AS vs_rest_cos_r
+      |  CASE WHEN ssq > 0 AND osq > 0 THEN
+      |    ROUND(CAST(sdoto AS DOUBLE) /
+      |      (sqrt(CAST(ssq AS DOUBLE)) * sqrt(CAST(osq AS DOUBLE))), 6)
+      |  END AS vs_rest_cos_r
       |FROM contrast c JOIN qn USING (label)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -224,12 +224,19 @@ object TextAnalysis {
     * partition-independent, engine-independent, reproducible samples —
     * Spark's sample() depends on partitioning and is neither. 90/5/5
     * train/val/test split plus a 5% sample flag, validated per split. */
+  /** The deterministic Knuth-hash 90/5/5 split assignment shared by
+    * t09 (per doc), c05 (per near-dup cluster rep) and c06 (the audit
+    * target) — one definition so the split, its leakage-safe variant,
+    * and the audit cannot drift apart. */
+  def hashSplitCol(key: Column): Column = {
+    val bucket = pmod(key * 2654435761L, lit(100L)) // Knuth multiplicative hash
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+  }
+
   def t09DeterministicSplit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val bucket = pmod($"doc_id" * 2654435761L, lit(100L)) // Knuth multiplicative hash
     documents(s, d)
-      .select($"doc_id", $"n_chars",
-        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
+      .select($"doc_id", $"n_chars", hashSplitCol($"doc_id").as("split"))
       .groupBy($"split")
       .agg(count(lit(1)).as("n_docs"), dsum($"n_chars".cast("double")).as("sum_chars"))
   }

@@ -131,11 +131,16 @@ object StreamingCuration {
     * rejection-rate spike in this table is the first symptom of a dup
     * storm or a mis-sliced upstream producer. One narrow aggregate
     * over the partitioned history the admission loop already writes —
-    * no extra state, readable while the stream runs. */
+    * no extra state, readable while the stream runs: the read
+    * tolerates files deleted mid-scan (a replayed batch's overwrite —
+    * the same race admitBatch itself avoids by excluding the in-flight
+    * batch), so a concurrent replay yields a transiently partial count
+    * for THAT batch rather than a failed job; idempotent replay
+    * converges it on the next read. */
   def admissionStats(spark: SparkSession, historyDir: String): DataFrame = {
     import spark.implicits._
     readHistory(spark, historyDir, HistorySchema, excludeBatch = None,
-        keepBatch = true)
+        keepBatch = true, tolerant = true)
       .groupBy($"batch".cast("long").as("batch"))
       .agg(count(lit(1)).as("n_docs"),
         sum($"admitted".cast("long")).as("n_admitted"),
@@ -149,7 +154,8 @@ object StreamingCuration {
   private[streaming] def readHistory(spark: SparkSession, dir: String,
                           emptySchema: StructType,
                           excludeBatch: Option[Long],
-                          keepBatch: Boolean = false): DataFrame = {
+                          keepBatch: Boolean = false,
+                          tolerant: Boolean = false): DataFrame = {
     val path = java.nio.file.Paths.get(dir)
     val hasData = java.nio.file.Files.isDirectory(path) && {
       val s = java.nio.file.Files.list(path)
@@ -160,7 +166,10 @@ object StreamingCuration {
       finally s.close()
     }
     if (hasData) {
-      val all = spark.read.parquet(dir)
+      val reader =
+        if (tolerant) spark.read.option("ignoreMissingFiles", "true")
+        else spark.read
+      val all = reader.parquet(dir)
       val scoped = excludeBatch.fold(all)(b => all.filter(col("batch") =!= b))
       if (keepBatch) scoped else scoped.drop("batch")
     } else {
