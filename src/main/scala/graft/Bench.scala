@@ -22,6 +22,24 @@ object Bench {
 
   import BenchUtil.{timeSec, rmTree}
 
+  /** Steady-state protocol for the single-shot probes (skew / composed
+    * pipeline / streaming curation): the same GC-settle + min-of-2 the
+    * per-query timings get. Round 7's skew_* rows were not comparable to
+    * round 6 (skew_graph 2.2→26.7 s on unchanged probe code) because 250
+    * query executions now precede the probes and each probe was a SINGLE
+    * sample — whatever cleaner/GC debt the suite queued was billed to the
+    * first probe that ran. Settling before each attempt and taking the
+    * min of two removes the context dependency, making skew_* rows
+    * round-over-round comparable again.
+    */
+  private def probeSec(body: => Unit): Double = {
+    def attempt(): Double = {
+      System.gc(); Thread.sleep(1000)
+      timeSec(body)
+    }
+    math.min(attempt(), attempt())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the environment provides 32 executor threads (local[32]); honor an
@@ -133,37 +151,35 @@ object Bench {
       .select($"doc_id", posexplode(Dedup.bandKeys(Dedup.minhashSignature($"sh"))))
       .toDF("doc_id", "band_id", "band_hash")
     var skewLshCands = 0L
-    val skewLshSec = timeSec { skewLshCands = Dedup.lshCandidates(skewBanded).count() }
+    val skewLshSec = probeSec { skewLshCands = Dedup.lshCandidates(skewBanded).count() }
     var skewD03Pairs = 0L
-    val skewD03Sec = timeSec { skewD03Pairs = Dedup.ngramJaccardPairs(skewDocs, 0.8).count() }
+    val skewD03Sec = probeSec { skewD03Pairs = Dedup.ngramJaccardPairs(skewDocs, 0.8).count() }
     // same corpus, d10 collapse pre-pass: identical pair count, but the
     // join sees each distinct shingle set once — the 1200-dup boilerplate
     // costs one join row, and only the O(m²) OUTPUT expansion remains
     var skewD10Pairs = 0L
-    val skewD10Sec = timeSec {
+    val skewD10Sec = probeSec {
       skewD10Pairs = Dedup.ngramJaccardPairsViaCollapse(skewDocs, 0.8).count()
     }
     // the cluster-path form a real pipeline uses: star edges instead of
     // the within-group clique — O(m) edges, no quadratic anything
     var skewGraphEdges = 0L
-    val skewGraphSec = timeSec {
+    val skewGraphSec = probeSec {
       skewGraphEdges = Dedup.collapsedPairGraph(skewDocs, 0.8).count()
     }
     // end-to-end clusters via rep-level CC: label propagation iterates
     // one node per DISTINCT shingle set — the 1200-dup boiler group is
     // a single node per round, members attach with one final join
     var skewClusterRows = 0L
-    val skewClustersSec = timeSec {
+    val skewClustersSec = probeSec {
       skewClusterRows = Dedup.collapsedClusters(skewDocs, 0.8).count()
     }
 
     // streaming near-dup admission over the sf corpus in 5 batches:
     // each batch delta-joins against the growing history (the standing-
     // corpus cost model a daily curation run pays)
-    System.gc()
     val curDocs = Tables.documents(spark, sfDir).select($"doc_id", $"text").cache()
     val curN = curDocs.count()
-    val curDir = java.nio.file.Files.createTempDirectory("bench-cur").toString
     var curAdmitted = 0L
     // slice bounds from the actual id range, not row count: sparse or
     // offset doc_ids would silently fall outside count-based bounds
@@ -171,24 +187,32 @@ object Bench {
       val r = curDocs.agg(min($"doc_id"), max($"doc_id")).head
       (r.getLong(0), r.getLong(1))
     }
-    val curSec = timeSec {
-      val bounds = (0 to 5).map(i => curLo + (curHi - curLo + 1) * i / 5)
-      (0 until 5).foreach { i =>
-        streaming.StreamingCuration.admitBatch(
-          curDocs.filter($"doc_id" >= bounds(i) && $"doc_id" < bounds(i + 1)),
-          curDir, 0.8, i.toLong)
+    // admitBatch is stateful (each batch delta-joins the history the
+    // previous ones wrote), so each steady-state attempt gets a FRESH
+    // state dir — min-of-2 over identical end-to-end runs
+    def curAttempt(): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("bench-cur").toString
+      System.gc(); Thread.sleep(1000)
+      val s = timeSec {
+        val bounds = (0 to 5).map(i => curLo + (curHi - curLo + 1) * i / 5)
+        (0 until 5).foreach { i =>
+          streaming.StreamingCuration.admitBatch(
+            curDocs.filter($"doc_id" >= bounds(i) && $"doc_id" < bounds(i + 1)),
+            dir, 0.8, i.toLong)
+        }
+        curAdmitted = streaming.StreamingCuration.admittedDocs(spark, dir).count()
       }
-      curAdmitted = streaming.StreamingCuration.admittedDocs(spark, curDir).count()
+      rmTree(dir)
+      s
     }
+    val curSec = math.min(curAttempt(), curAttempt())
     curDocs.unpersist()
-    rmTree(curDir)
 
     // composed pipeline: materialize the d03 pair join ONCE and feed
     // clusters (d08) + cross-modal QA (d09) from it — the form a real
     // curation run uses. Compare against the d08+d09 standalone query
     // timings above, each of which recomputes the join internally.
-    System.gc()
-    val pipelineSec = timeSec {
+    val pipelineSec = probeSec {
       val pairs = Dedup.ngramJaccardPairs(
         Tables.documents(spark, sfDir).select($"doc_id", $"text"), 0.8).cache()
       try {
@@ -229,7 +253,7 @@ object Bench {
     // named pipeline stages); everything is in bench_detail.json above
     val headline = Seq("d01_exact_dedup", "d03_ngram_jaccard", "d04_minhash_lsh",
       "d10_collapsed_jaccard", "s01_cosine_topk", "s03_ivf_topk",
-      "c01_curation_pipeline", "q01_agg_pushdown")
+      "c01_curation_pipeline", "q01_pricing_summary")
     val qsHead = headline.filter(byName.contains)
       .map(k => "\"" + k + "\":" + r3(byName(k))).mkString("{", ",", "}")
     val line =

@@ -22,13 +22,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * Generated and interpreted paths share the identical index-ordered
   * arithmetic (bit-identical results — the oracle gate and
   * PartitionInvarianceSpec check this). */
+/** Dot product of two equal-dimension double arrays.
+  *
+  * Contract: the inputs MUST have the same dimension — both the
+  * interpreted and generated paths throw `IllegalArgumentException` on
+  * a mismatch. The earlier behavior (silently truncating to the shorter
+  * array) turned an upstream bug that mixed embedding dims into a
+  * plausible partial cosine; failing loudly is the only safe semantic
+  * for a similarity kernel. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product: dimension mismatch ($n vs ${y.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -40,7 +51,11 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getDouble($i) * $b.getDouble($i);

@@ -453,7 +453,10 @@ object Curation {
         least(lit(1.0), $"w" * lit(budgetFrac) * $"n_total" / $"n_l"))
       .withColumn("thresh", floor($"rate" * 1000000).cast("long"))
     docs.join(broadcast(rates.select($"lang", $"thresh")), Seq("lang"))
-      .filter(pmod($"doc_id" * 2654435761L, lit(1000000L)) < $"thresh")
+      // same overflow clamp as TextAnalysis.hashSplitCol: keep the Knuth
+      // multiply below Long.MaxValue for any key, mirrored in c03Sql
+      .filter(pmod(pmod($"doc_id", lit(1000000000L)) * 2654435761L,
+        lit(1000000L)) < $"thresh")
       .select($"doc_id", $"lang")
   }
 
@@ -476,9 +479,16 @@ object Curation {
     * groups) over one corpus pass plus the pair join. Mean quality is
     * an exact DECIMAL(18,6) sum (quality is 6-decimal by construction)
     * so the report is bit-deterministic at any parallelism. */
-  def c04CorpusReport(s: SparkSession, d: String): DataFrame = {
+  def c04CorpusReport(s: SparkSession, d: String): DataFrame =
+    corpusDatasheet(documents(s, d))
+
+  /** Frame-taking form of c04: `docs` must carry (source, doc_id,
+    * text). The table-reading entry above delegates here; tests that
+    * vary input partitioning feed a repartitioned frame directly so the
+    * parallelism they set is what the operator sees. */
+  def corpusDatasheet(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val docs = documents(s, d)
     val base = docs.select($"source", $"doc_id",
       round(TextAnalysis.qualityScoreCol($"text"), 6).as("quality"),
       (TextAnalysis.langPredCol($"text") === "en").as("is_en"),
@@ -568,10 +578,7 @@ object Curation {
     s"""WITH pairs AS (
        |  $pairs
        |), sp AS (
-       |  SELECT doc_id,
-       |    CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
-       |         WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
-       |         ELSE 'test' END AS split
+       |  SELECT doc_id, ${TextAnalysis.hashSplitSql("doc_id")} AS split
        |  FROM documents
        |)
        |SELECT d1, d2, jaccard, a.split AS split_1, b.split AS split_2
@@ -597,7 +604,7 @@ object Curation {
        |)
        |SELECT d.doc_id, d.lang
        |FROM documents d JOIN r ON d.lang = r.lang
-       |WHERE (d.doc_id * 2654435761) % 1000000 < r.thresh""".stripMargin
+       |WHERE ((d.doc_id % 1000000000) * 2654435761) % 1000000 < r.thresh""".stripMargin
   }
 
   /** c05: leakage-free train/val/test split. t09's per-doc hash split
@@ -657,9 +664,7 @@ object Curation {
        |  SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id
        |)
        |SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS split_key,
-       |  CASE WHEN (COALESCE(c.rep, d.doc_id) * 2654435761) % 100 < 90 THEN 'train'
-       |       WHEN (COALESCE(c.rep, d.doc_id) * 2654435761) % 100 < 95 THEN 'val'
-       |       ELSE 'test' END AS split
+       |  ${TextAnalysis.hashSplitSql("COALESCE(c.rep, d.doc_id)")} AS split
        |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id""".stripMargin
   }
 

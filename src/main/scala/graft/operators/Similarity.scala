@@ -687,9 +687,17 @@ object Similarity {
     * replicates it digit for digit. (A double Σu is partition-order-
     * dependent; the quantization is what makes a float statistic
     * hash-checkable — same move as [[graft.Det]].) */
-  def s09LabelCohesion(s: SparkSession, d: String): DataFrame = {
+  def s09LabelCohesion(s: SparkSession, d: String): DataFrame =
+    labelCohesion(corpus(s, d))
+
+  /** Frame-taking form of s09: `vecs` must carry (vec_id, label,
+    * v: array&lt;double&gt;). The table-reading entry above delegates here;
+    * tests that vary input partitioning feed a repartitioned frame
+    * directly so the parallelism they set is what the operator sees. */
+  def labelCohesion(vecs: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
     import s.implicits._
-    val en = corpus(s, d).withColumn("nrm", norm($"v"))
+    val en = vecs.withColumn("nrm", norm($"v"))
     // posexplode + arithmetic on the exploded value: codegen'd, no
     // interpreted per-element lambda
     val ex = en

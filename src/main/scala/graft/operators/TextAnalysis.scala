@@ -229,8 +229,26 @@ object TextAnalysis {
     * target) — one definition so the split, its leakage-safe variant,
     * and the audit cannot drift apart. */
   def hashSplitCol(key: Column): Column = {
-    val bucket = pmod(key * 2654435761L, lit(100L)) // Knuth multiplicative hash
+    // clamp the key into [0, 1e9) BEFORE the Knuth multiply: the product
+    // then tops out at (1e9−1)·2654435761 ≈ 2.66e18 < Long.MaxValue, so
+    // it can never wrap. The unclamped form silently overflowed for keys
+    // above ~3.5e9 (pmod still lands in [0,100) but on wrapped values)
+    // while the DuckDB oracle's BIGINT multiply errors at the same
+    // scale — a latent split/oracle divergence. Buckets are unchanged
+    // for keys below 1e9, which covers every fixture and any practical
+    // per-source doc id; the oracle mirror in [[hashSplitSql]] applies
+    // the identical clamp.
+    val k = pmod(key, lit(1000000000L))
+    val bucket = pmod(k * 2654435761L, lit(100L)) // Knuth multiplicative hash
     when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+  }
+
+  /** SQL mirror of [[hashSplitCol]], generated from one place so the
+    * three oracles that embed it (t09, c05, c06) cannot drift from the
+    * Spark expression — same clamp, same multiply, same thresholds. */
+  def hashSplitSql(expr: String): String = {
+    def b = s"(($expr % 1000000000) * 2654435761) % 100"
+    s"CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' ELSE 'test' END"
   }
 
   def t09DeterministicSplit(s: SparkSession, d: String): DataFrame = {
@@ -244,10 +262,7 @@ object TextAnalysis {
   val t09Sql: String =
     s"""SELECT split, COUNT(*) AS n_docs, ${sqlSum("CAST(n_chars AS DOUBLE)")} AS sum_chars
        |FROM (
-       |  SELECT doc_id, n_chars,
-       |    CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
-       |         WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
-       |         ELSE 'test' END AS split
+       |  SELECT doc_id, n_chars, ${hashSplitSql("doc_id")} AS split
        |  FROM documents
        |) GROUP BY split""".stripMargin
 

@@ -273,6 +273,19 @@ object EventStreams {
             state.remove()
             topK(win, counts)
           } else {
+            // Exactly-once-per-window depends on Spark dropping late
+            // rows BEFORE they reach this function: with a watermark +
+            // EventTimeTimeout, FlatMapGroupsWithStateExec filters input
+            // rows whose event time is below the current watermark
+            // (`watermarkPredicateForData` in physical planning), so a
+            // group whose window was already emitted (state removed,
+            // winEnd <= watermark) can never be revived here by a
+            // straggler row — if it could, this branch would rebuild
+            // state from that row alone and the winEnd <= wm check below
+            // would re-emit the window with partial counts. If a future
+            // Spark version relaxes that pre-filter, add an explicit
+            // .filter($"ts" >= watermark) upstream; StreamingSpec's
+            // trendingTerms once-per-window assertion is the tripwire.
             var counts = state.getOption.map(_.counts).getOrElse(Map.empty)
             rows.foreach { r =>
               counts = counts.updated(r._2, counts.getOrElse(r._2, 0L) + 1L)

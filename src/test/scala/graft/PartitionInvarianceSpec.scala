@@ -64,8 +64,11 @@ class PartitionInvarianceSpec extends SparkSpec {
   test("containment, block near-dup, tf-idf, cohesion, datasheet are parallelism invariant") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001).select($"doc_id", $"text")
+    val srcDocs = Tables.documents(spark, sf001).select($"source", $"doc_id", $"text")
     val payloads = Tables.documents(spark, sf001)
       .select($"doc_id", encode($"text", "utf-8").as("payload"))
+    val vecs = Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"), $"label")
 
     def runAll(inputParts: Int, shuffleParts: Int) = withShuffle(shuffleParts) {
       val d = docs.repartition(inputParts)
@@ -77,10 +80,12 @@ class PartitionInvarianceSpec extends SparkSpec {
        operators.TextAnalysis.tfidfTerms(d, 3)
          .collect().map(_.toSeq).toSet,
        // s09's decimal-sum determinism is the whole point of its design:
-       // a double Σu would diverge here
-       Similarity.s09LabelCohesion(spark, sf001)
+       // a double Σu would diverge here — feed the REPARTITIONED frame
+       // so input-partition variation (not just shuffle-partition
+       // variation) is what the operator actually sees
+       Similarity.labelCohesion(vecs.repartition(inputParts))
          .collect().map(_.toSeq).toSet,
-       Curation.c04CorpusReport(spark, sf001)
+       Curation.corpusDatasheet(srcDocs.repartition(inputParts))
          .collect().map(_.toSeq).toSet)
     }
 

@@ -242,6 +242,73 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s10 recall on a CLUSTERED corpus: the regime IVF is built for") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // The fixture embeddings are unclustered gaussians, where any IVF's
+    // recall is bounded by the probed fraction (the 0.2 floor above).
+    // Real embedding corpora are clustered — build one: 8 well-separated
+    // centroid directions in 16-dim, 25 members each, deterministic
+    // small perturbations. vec_id g (g < 8) IS group g's first member,
+    // so seedCentroids picks one quantizer seed per true cluster.
+    val dim = 16
+    val groups = 8
+    val perGroup = 25
+    val rows = for {
+      g <- 0 until groups; i <- 0 until perGroup
+    } yield {
+      val v = Array.tabulate(dim) { j =>
+        val base = if (j == 2 * g || j == 2 * g + 1) 1.0 else 0.0
+        // deterministic perturbation in [-0.09, 0.09]: small enough that
+        // nearest neighbors stay within the group, nonzero so ranks vary
+        base + (((i * 31 + j * 17) % 7) - 3) * 0.03
+      }
+      (g.toLong + groups.toLong * i, v)
+    }
+    // id layout: member i of group g gets id g + 8i → ids 0..7 are one
+    // member per group, exactly what seedCentroids(_, 8) will take
+    val vecs = rows.toDF("vec_id", "v")
+    val exact = topk(Similarity.knnGraph(vecs, 3))
+    val approx = topk(Similarity.ivfKnnGraph(
+      vecs, Similarity.seedCentroids(vecs, groups), 3, nprobe = 2))
+    val exactEdges = exact.flatMap { case (q, ns) => ns.map(q -> _) }.toSet
+    val approxEdges = approx.flatMap { case (q, ns) => ns.map(q -> _) }.toSet
+    val recall = (exactEdges & approxEdges).size.toDouble / exactEdges.size
+    // clustered-regime floor: co-cluster members share probed buckets,
+    // so the true top-k is (almost) always in the candidate set
+    assert(recall >= 0.9, s"clustered recall = $recall")
+  }
+
+  test("dot_product rejects dimension-mismatched inputs in both execution paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // codegen path: through a real plan
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val thrown = intercept[Throwable] {
+      df.select(graft.functions.VectorOps.dotProduct(df("a"), df("b"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(causes(thrown).exists(_.getMessage != null) &&
+      causes(thrown).exists(c =>
+        Option(c.getMessage).exists(_.contains("dimension mismatch"))),
+      s"unexpected failure: $thrown")
+    // interpreted path: direct eval of the expression
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val a = Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType))
+    val b = Literal.create(Seq(1.0, 2.0, 3.0), ArrayType(DoubleType))
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.DotProduct(a, b).eval(null)
+    }
+    assert(ex.getMessage.contains("dimension mismatch"))
+    // equal dims still work through both paths
+    val ok = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(graft.functions.VectorOps.dotProduct(col("a"), col("b")))
+      .head.getDouble(0)
+    assert(ok === 11.0)
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
