@@ -480,6 +480,97 @@ object Dedup {
       |FROM inter
       |WHERE CAST(i AS DOUBLE) / n1 >= 0.9""".stripMargin
 
+  // ---- d15: exact duplicated-substring spans (window dedup) ----
+
+  /** d15: exact duplicated-SUBSTRING detection at k-token granularity —
+    * the one dedup modality the set/shingle family above cannot see. A
+    * 50-token licence header or boilerplate disclaimer pasted into
+    * thousands of otherwise-unique documents moves Jaccard/containment
+    * by ~nothing (the sets differ almost everywhere), yet it is exactly
+    * what "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al., 2022) removes with suffix arrays: any ≥k-token run
+    * shared verbatim across documents. The DataFrame re-expression of
+    * the suffix-array pass: hash every k-token window, keep windows
+    * occurring in MORE THAN ONE document, and merge each doc's runs of
+    * adjacent duplicated windows into maximal spans [span_start,
+    * span_start + span_len) in token coordinates — a run of m>k shared
+    * tokens shows up as m−k+1 adjacent windows and comes back out as
+    * ONE span of length m.
+    *
+    * Scale (the SCALE.md argument): window extraction is one explode,
+    * linear in corpus token mass; the cross-doc test is an AGGREGATE on
+    * the window key (map-side partial combine collapses each hot
+    * boilerplate window to one row per task before the shuffle — a
+    * window duplicated into a million docs is skew on the AGG key,
+    * which partial aggregation bounds, not a join blow-up); the island
+    * merge is a per-doc window function on doc_id, which is uniform.
+    * No pair term and no text on the shuffle for the count: cost ∝
+    * tokens + duplicated-window rows. At 100 TB the group key becomes
+    * a 128-bit window hash instead of the window text (collision
+    * probability ≪ corpus size⁻¹); the oracle entry groups on the text
+    * itself so DuckDB replicates it exactly.
+    */
+  def d15SubstringSpans(s: SparkSession, d: String): DataFrame =
+    substringSpans(documents(s, d).select(col("doc_id"), col("text")), 8)
+
+  /** Maximal cross-doc duplicated ≥k-token spans over any
+    * (doc_id, text) frame — see [[d15SubstringSpans]]. Emits
+    * (doc_id, span_start, span_len, n_windows) per maximal span,
+    * 0-based token coordinates. */
+  def substringSpans(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(k >= 2, "window length must be at least 2 tokens")
+    val toks = docs.select($"doc_id", tokens($"text").as("t"))
+      .filter(size($"t") >= k)
+    val wins = toks.select($"doc_id",
+        posexplode(transform(sequence(lit(0), size($"t") - k),
+          i => array_join(slice($"t", i + 1, lit(k)), " "))))
+      .toDF("doc_id", "pos", "w")
+    // cross-doc only: a window repeated WITHIN one document is
+    // repetition (t11's business), not duplication across documents
+    val dup = wins.groupBy($"w")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" > 1)
+      .select($"w")
+    val flagged = wins.join(dup, "w")
+    // gaps-and-islands: adjacent duplicated windows (pos, pos+1, …)
+    // overlap by k−1 tokens and belong to one maximal span; the island
+    // key pos − row_number() is constant exactly on such runs
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    flagged
+      .withColumn("grp", $"pos" - row_number().over(wn))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").cast("long").as("span_start"),
+        (max($"pos") - min($"pos") + k).cast("long").as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select($"doc_id", $"span_start", $"span_len", $"n_windows")
+  }
+
+  /** Oracle: the same window/island arithmetic in DuckDB, grouped on
+    * the window text (the Spark side groups on the text too in this
+    * entry; production swaps in a 128-bit hash key — scaladoc). */
+  val d15Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8
+      |), win AS (
+      |  SELECT doc_id, unnest(range(0, len(t) - 7)) AS pos, t FROM tok
+      |), w2 AS (
+      |  SELECT doc_id, pos, array_to_string(t[pos+1:pos+8], ' ') AS w FROM win
+      |), dup AS (
+      |  SELECT w FROM w2 GROUP BY w HAVING COUNT(DISTINCT doc_id) > 1
+      |), flagged AS (
+      |  SELECT w2.doc_id, w2.pos,
+      |    w2.pos - ROW_NUMBER() OVER (PARTITION BY w2.doc_id ORDER BY w2.pos) AS grp
+      |  FROM w2 JOIN dup USING (w)
+      |)
+      |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      |  CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len,
+      |  CAST(COUNT(*) AS BIGINT) AS n_windows
+      |FROM flagged GROUP BY doc_id, grp""".stripMargin
+
   // ---- d04: MinHash + LSH banding, exact-verified ----
 
   /** 128 minhash permutations over a prime field; constants drawn from a
@@ -778,6 +869,7 @@ object Dedup {
     "d11_delta_neardup"  -> (d11DeltaNearDup _),
     "d12_collapsed_clusters" -> (d12CollapsedClusters _),
     "d14_containment"    -> (d14Containment _),
+    "d15_substring_spans" -> (d15SubstringSpans _),
   )
 
   // def, not val: the golden-snapshot oracle path resolves the sf tag
@@ -800,5 +892,6 @@ object Dedup {
     // same clusters as d08 by construction (star ≡ clique components)
     "d12_collapsed_clusters" -> d08Sql,
     "d14_containment"   -> d14Sql,
+    "d15_substring_spans" -> d15Sql,
   )
 }

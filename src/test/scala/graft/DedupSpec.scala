@@ -144,6 +144,41 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain containment pairs")
   }
 
+  test("d15 substring spans: maximal cross-doc spans, internal repetition excluded") {
+    import spark.implicits._
+    // planted case: a 20-token boilerplate block pasted into two
+    // otherwise-unrelated documents (Jaccard far below any threshold),
+    // a third doc that repeats an 8-token phrase internally (must NOT
+    // flag: repetition, not duplication), and a clean doc
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    val phrase = (1 to 8).map(i => s"p$i").mkString(" ")
+    val docA = (1 to 30).map(i => s"a$i").mkString(" ") + " " + boiler
+    val docB = boiler + " " + (1 to 30).map(i => s"c$i").mkString(" ")
+    val docC = phrase + " x1 x2 x3 " + phrase // internal repeat only
+    val docD = (1 to 25).map(i => s"d$i").mkString(" ")
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD))
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, 8)
+      .select($"doc_id", $"span_start", $"span_len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the shared 20-token run comes back as ONE maximal span per doc:
+    // tokens 30..49 in A (after its 30 unique tokens), 0..19 in B
+    assert(spans === Set((1L, 30L, 20L), (2L, 0L, 20L)), spans.toString)
+    // verify Jaccard really is blind to this pair at dedup thresholds
+    val j = Dedup.ngramJaccardPairs(docs.filter($"doc_id" <= 2), 0.05)
+      .select($"jaccard").collect()
+    assert(j.forall(_.getDouble(0) < 0.5),
+      "planted pair must be invisible to set similarity at dedup thresholds")
+    // window count arithmetic: a 20-token run at k=8 is 13 windows
+    val nw = Dedup.substringSpans(docs, 8)
+      .select($"n_windows").collect().map(_.getLong(0)).toSet
+    assert(nw === Set(13L))
+    // fixture sanity: the real corpus has cross-doc spans (planted
+    // near-dups share long runs) and the operator finds them
+    val corpus = Tables.documents(spark, sf001).select($"doc_id", $"text")
+    assert(Dedup.substringSpans(corpus, 8).count() > 0)
+  }
+
   test("dedup is idempotent: d01 over its own survivors is identity") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001)
