@@ -441,7 +441,89 @@ object TextAnalysis {
       |  FROM tf JOIN dfreq USING (token) CROSS JOIN n
       |) WHERE rank <= 3""".stripMargin
 
+  // ---- t19: approximate quantiles via deterministic histogram sketch ----
+
+  /** t19: approximate per-group quantiles from a FIXED-WIDTH histogram
+    * sketch — the 100 TB twin of q22's exact interpolated quantiles.
+    * q22 shuffle-sorts every group (WindowExec buffers + spills the
+    * whole partition); at corpus scale an ordered-statistic over
+    * trillions of rows wants a mergeable sketch instead. The standard
+    * sketches (GK / t-digest / `percentile_approx`) are merge-ORDER
+    * dependent — their result can change with partitioning, which this
+    * engine treats as a defect (PartitionInvarianceSpec) and which no
+    * SQL oracle can hash-check. The fixed-bin histogram is the
+    * deterministic member of the family: bin = floor(x / w) is a pure
+    * per-row map, the histogram is an exact integer aggregate
+    * (mergeable, partial-combine, any order), and the p-quantile is
+    * read off the cumulative counts as the midpoint of the bin holding
+    * the rank-⌊p·(n−1)⌋ value — so the answer is bit-identical at any
+    * parallelism AND within w/2 of the exact order statistic, a bound
+    * set by construction, not by data luck (`TextAnalysisSpec` asserts
+    * it against the exact sort).
+    *
+    * Scale: two narrow aggregates (key×bin, then key over ≤ range/w
+    * bins) — same shape as s09; no global sort, no per-group buffer.
+    * w trades accuracy for state: 64 chars here ⇒ ±32 chars, ~100
+    * bins/group at fixture lengths. w is a power of two so x/w is an
+    * EXACT double operation (mantissa shift) — floor sees no rounding
+    * noise and the oracle agrees bit-for-bit. */
+  def t19ApproxQuantiles(s: SparkSession, d: String): DataFrame =
+    histQuantiles(documents(s, d).select(col("lang"), col("n_chars")),
+      "lang", "n_chars", 64.0,
+      Seq("p50_chars" -> 0.50, "p90_chars" -> 0.90, "p99_chars" -> 0.99))
+
+  /** The histogram-sketch quantile over any frame — see
+    * [[t19ApproxQuantiles]]. `w` should be a power of two. */
+  def histQuantiles(df: DataFrame, key: String, value: String, w: Double,
+                    ps: Seq[(String, Double)]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val h = df
+      .groupBy(col(key), floor(col(value) / w).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy($"bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wall = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    val cum = h
+      .withColumn("cum", sum($"c").over(wcum))
+      .withColumn("n", sum($"c").over(wall))
+    // rank of the exact lower quantile is ⌊p·(n−1)⌋ (0-based); the
+    // first bin whose cumulative count reaches rank+1 contains that
+    // order statistic, and midpoints are monotone in bin, so MIN over
+    // the conditional midpoint selects it
+    val aggs = ps.map { case (name, p) =>
+      min(when($"cum" >= floor(lit(p) * ($"n" - 1)) + 1,
+        ($"bin" + lit(0.5)) * lit(w))).as(name)
+    }
+    cum.groupBy(col(key))
+      .agg(max($"n").as("n_rows"), aggs: _*)
+  }
+
+  /** Oracle note: bare decimal literals are DECIMAL in DuckDB (Spark
+    * parses them as DOUBLE) — every literal below is e-notation so both
+    * engines run the identical IEEE double arithmetic. */
+  val t19Sql: String =
+    """WITH h AS (
+      |  SELECT lang, CAST(FLOOR(n_chars / 64e0) AS BIGINT) AS bin, COUNT(*) AS c
+      |  FROM documents GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT lang, bin, c,
+      |    SUM(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+      |    SUM(c) OVER (PARTITION BY lang) AS n
+      |  FROM h
+      |)
+      |SELECT lang, CAST(MAX(n) AS BIGINT) AS n_rows,
+      |  MIN(CASE WHEN cum >= FLOOR(5e-1 * (n - 1)) + 1
+      |        THEN (bin + 5e-1) * 64e0 END) AS p50_chars,
+      |  MIN(CASE WHEN cum >= FLOOR(9e-1 * (n - 1)) + 1
+      |        THEN (bin + 5e-1) * 64e0 END) AS p90_chars,
+      |  MIN(CASE WHEN cum >= FLOOR(99e-2 * (n - 1)) + 1
+      |        THEN (bin + 5e-1) * 64e0 END) AS p99_chars
+      |FROM cum GROUP BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_approx_quantiles" -> (t19ApproxQuantiles _),
     "t18_tfidf_terms"  -> (t18TfidfTerms _),
     "t17_novelty"      -> (t17Novelty _),
     "t16_merge_pairs"  -> (t16MergePairs _),
@@ -461,6 +543,7 @@ object TextAnalysis {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    "t19_approx_quantiles" -> t19Sql,
     "t18_tfidf_terms"  -> t18Sql,
     "t17_novelty"      -> t17Sql,
     "t16_merge_pairs"  -> t16Sql,

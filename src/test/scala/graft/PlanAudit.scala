@@ -26,7 +26,8 @@ object PlanAudit {
         "d13_source_overlap","t17_novelty",
         "d14_containment","s09_label_cohesion","t18_tfidf_terms",
         "m06_chunk_neardup","c04_corpus_report","s10_ivf_knn",
-        "c06_split_audit","d15_substring_spans").foreach(show)
+        "c06_split_audit","d15_substring_spans",
+        "t19_approx_quantiles").foreach(show)
     spark.stop()
   }
 }

@@ -132,4 +132,53 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getInt(2) >= r.getInt(1) - 1)
     }
   }
+
+  test("t19 histogram quantiles: within w/2 of the exact order statistic, per group") {
+    import spark.implicits._
+    val w = 64.0
+    // exact lower quantile per lang from a driver-side sort — the
+    // ground truth the sketch's ±w/2 bound is stated against
+    val byLang = Tables.documents(spark, sf001)
+      .select($"lang", $"n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sorted }
+    def exactQ(xs: Seq[Double], p: Double): Double =
+      xs(math.floor(p * (xs.size - 1)).toInt)
+    val got = TextAnalysis.t19ApproxQuantiles(spark, sf001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet === byLang.keySet)
+    byLang.foreach { case (lang, xs) =>
+      val (n, p50, p90, p99) = got(lang)
+      assert(n === xs.size)
+      Seq((p50, 0.50), (p90, 0.90), (p99, 0.99)).foreach { case (approx, p) =>
+        val exact = exactQ(xs, p)
+        assert(math.abs(approx - exact) <= w / 2,
+          s"$lang p$p: approx=$approx exact=$exact bound=${w / 2}")
+      }
+    }
+    // partition invariance: the sketch is an integer aggregate — the
+    // defining advantage over merge-order-dependent GK/t-digest
+    val narrow = TextAnalysis.histQuantiles(
+      Tables.documents(spark, sf001).select($"lang", $"n_chars").repartition(3),
+      "lang", "n_chars", w, Seq("p50" -> 0.5)).collect().map(_.toSeq).toSet
+    val wide = TextAnalysis.histQuantiles(
+      Tables.documents(spark, sf001).select($"lang", $"n_chars").repartition(23),
+      "lang", "n_chars", w, Seq("p50" -> 0.5)).collect().map(_.toSeq).toSet
+    assert(narrow === wide)
+    // and Spark's built-in percentile_approx honors ITS contract here
+    // (rank error ≤ n/accuracy → with accuracy ≫ n the returned value
+    // is within one rank of the target) — the engine exposes it for
+    // single-machine-scale jobs; t19 is the deterministic scale path
+    val pa = Tables.documents(spark, sf001)
+      .groupBy($"lang")
+      .agg(percentile_approx($"n_chars", lit(0.5), lit(1000000)).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    byLang.foreach { case (lang, xs) =>
+      val r = math.floor(0.5 * (xs.size - 1)).toInt
+      val window = xs.slice(math.max(0, r - 1), math.min(xs.size, r + 2))
+      assert(window.contains(pa(lang)),
+        s"$lang: percentile_approx=${pa(lang)} not within one rank of ${xs(r)}")
+    }
+  }
 }
