@@ -26,7 +26,7 @@ object GoldenGen {
       // fixed-seed k-means produce partition-count-independent results —
       // probed empirically at local[4]/p=4 vs local[32]/p=32 before
       // promotion from rows-only to golden-hashed
-      "s03_ivf_topk", "t06_approx_stats")
+      "s03_ivf_topk", "t06_approx_stats", "m07_perceptual_neardup")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

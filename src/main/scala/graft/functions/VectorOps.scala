@@ -138,6 +138,79 @@ object SimHash64 {
   }
 }
 
+/** 64-bit blockhash-style perceptual fingerprint of a binary payload —
+  * the deterministic analogue of the public blockhash algorithm
+  * (divide the image into an 8×8 grid, bit i = cell i's value above
+  * the median cell value). The stub "decode" renders the payload onto
+  * an 8×8 grid of (position-octant × intensity-band) counts: byte at
+  * index i with value v lands in cell (⌊i·8/n⌋, v mod 8), and each
+  * cell's value is its count scaled by 4096/octant-length — exact
+  * integer arithmetic, length-invariant, no float rounding anywhere.
+  * The threshold is the lower median of the 64 cell values.
+  *
+  * Why a HISTOGRAM grid and not 64 positional segment means: a
+  * perceptual hash must absorb the edits that preserve what the asset
+  * "looks like". For these byte payloads that includes insertions
+  * that SHIFT all later bytes (measured: positional segment means put
+  * fixture near-dup pairs at hamming 14–39, indistinguishable from
+  * the random-pair background at 20–32; the octant histogram puts
+  * them at 2–15 vs a random background with min 11). Within an
+  * octant the byte multiset barely changes under small edits, so the
+  * cell counts — and the bits — stay put. A real image decoder swaps
+  * in by replacing the grid fill with per-block luma means (pixels
+  * don't shift, so the positional grid comes back for free); the
+  * banding join, hamming verify and golden oracle above are
+  * unchanged either way.
+  *
+  * Properties the spec pins: byte-identical payloads hash equal;
+  * small perturbations → low hamming; different character
+  * composition → high hamming; at most 32 bits ever set (≥ 32 values
+  * are ≤ the lower median); empty payloads hash to 0. */
+case class BlockHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(input: Any): Any =
+    BlockHash64.compute(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BlockHash64.compute($c);")
+  override protected def withNewChildInternal(c: Expression): BlockHash64 = copy(child = c)
+  override def prettyName: String = "blockhash64"
+}
+
+object BlockHash64 {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val counts = new Array[Long](64)
+    val octN = new Array[Long](8)
+    var i = 0
+    while (i < n) {
+      // octant ⌊i·8/n⌋: index-scaled so every payload length maps onto
+      // the same 8 position slots; band = low 3 bits of the byte value
+      // (the stub's "intensity"; a real decoder bands actual luma)
+      val oct = ((i.toLong * 8L) / n).toInt
+      counts(oct * 8 + ((bytes(i) & 0xff) & 7)) += 1
+      octN(oct) += 1
+      i += 1
+    }
+    val vals = new Array[Long](64)
+    var j = 0
+    while (j < 64) {
+      // scaled integer share of the octant: exact, length-invariant
+      vals(j) = if (octN(j / 8) == 0L) 0L else counts(j) * 4096L / octN(j / 8)
+      j += 1
+    }
+    val sorted = vals.clone()
+    java.util.Arrays.sort(sorted)
+    val median = sorted(31) // lower median of 64 values
+    var h = 0L
+    j = 0
+    while (j < 64) { if (vals(j) > median) h |= (1L << j); j += 1 }
+    h
+  }
+}
+
 /** Symmetric int8 quantization statistics of a double vector, one JVM
   * pass: scale = max|x|/127, q_i = floor(x_i/scale + 0.5), reporting
   * (scale, qmin, qmax, max |x_i − q_i·scale|) — the storage-planning
@@ -193,5 +266,6 @@ object VectorOps {
   def dotProduct(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
   def l2Norm(a: Column): Column = toCol(L2Norm(toExpr(a)))
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
+  def blockhash64(c: Column): Column = toCol(BlockHash64(toExpr(c)))
   def quantStats(c: Column): Column = toCol(QuantStats(toExpr(c)))
 }

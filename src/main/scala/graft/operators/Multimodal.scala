@@ -227,7 +227,52 @@ object Multimodal {
       |FROM inter
       |WHERE CAST(i AS DOUBLE) / (n1 + n2 - i) >= 0.5""".stripMargin
 
+  /** m07: PERCEPTUAL near-dup for binary payloads — completes the
+    * multimodal dedup tiering: m05 byte-exact → m06 block-set (catches
+    * appended/truncated variants, breaks on any re-encode) → m07
+    * perceptual (a re-encode preserves what the asset LOOKS like, and
+    * a perceptual hash fingerprints that). The fingerprint is
+    * [[graft.functions.BlockHash64]], a blockhash-style 64-bit hash of
+    * the stub-decoded payload (64 segment means thresholded at their
+    * median — integer-exact, no transcendentals, golden-hashable);
+    * pairing is d05's 8×8-bit pigeonhole banding (hamming ≤ 7 ⇒ some
+    * byte-chunk equal ⇒ guaranteed candidate coverage at the ≤ 6
+    * filter) with the exact hamming verify on candidates.
+    *
+    * Scale shape = d05: one per-row codegen'd hash (no shuffle), 8
+    * banding rows per payload, candidates from an equi-join on
+    * (chunk_id, chunk_val), exact verify on candidates only. Payload
+    * bytes never shuffle — only the 64-bit fingerprint and id do. */
+  def m07PerceptualNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    perceptualNearDupPairs(
+      documents(s, d).select($"doc_id", encode($"text", "utf-8").as("payload")), 7)
+  }
+
+  /** The banded perceptual-hash join over any (doc_id, payload: binary)
+    * frame — see [[m07PerceptualNearDup]]. `maxHamming` must be ≤ 7
+    * for the pigeonhole coverage guarantee to hold. */
+  def perceptualNearDupPairs(payloads: DataFrame, maxHamming: Int): DataFrame = {
+    val s = payloads.sparkSession
+    import s.implicits._
+    require(maxHamming <= 7, "8-chunk pigeonhole guarantees coverage only to hamming 7")
+    val fp = payloads.select($"doc_id",
+      graft.functions.VectorOps.blockhash64($"payload").as("fp"))
+    val chunks = array((0 until 8).map(c =>
+      shiftright($"fp", c * 8).bitwiseAND(lit(255L))): _*)
+    val chunked = fp.select($"doc_id", $"fp", posexplode(chunks))
+      .toDF("doc_id", "fp", "chunk_id", "chunk_val")
+    chunked.as("x").join(chunked.as("y"),
+        $"x.chunk_id" === $"y.chunk_id" && $"x.chunk_val" === $"y.chunk_val" &&
+        $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"),
+        Dedup.hamming($"x.fp", $"y.fp").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_perceptual_neardup" -> (m07PerceptualNearDup _),
     "m06_chunk_neardup"   -> (m06ChunkNearDup _),
     "m01_multimodal_meta" -> (m01MultimodalMeta _),
     "m02_payload_bytes"   -> (m02PayloadBytes _),
@@ -252,6 +297,10 @@ object Multimodal {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // m07: engine-specific (blockhash over utf-8 payload bytes) but
+    // fully deterministic → golden-snapshot hard check + ScalaTest
+    // ground truth on planted perturbations.
+    "m07_perceptual_neardup" -> graft.GoldenGen.oracle("m07_perceptual_neardup"),
     "m06_chunk_neardup" -> m06Sql,
     "m05_payload_dedup" -> m05Sql,
     "m02_payload_bytes" -> m02Sql,

@@ -74,4 +74,46 @@ class MultimodalSpec extends SparkSpec {
       .filter($"total" =!= $"n" || $"max_len" > 100)
     assert(mismatch.count() === 0)
   }
+
+  test("m07 perceptual hash: identical=0, edits=low, different content=high hamming") {
+    import spark.implicits._
+    import graft.functions.BlockHash64
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = ("the quick brown fox jumps over the lazy dog " * 48).getBytes("UTF-8")
+    assert(BlockHash64.compute(base.clone()) === BlockHash64.compute(base))
+    // small in-place edit: a few words swapped mid-payload
+    val edited = new String(base, "UTF-8")
+      .replaceFirst("quick brown fox", "rapid brown fox").getBytes("UTF-8")
+    val hEdit = ham(BlockHash64.compute(base), BlockHash64.compute(edited))
+    assert(hEdit <= 7, s"small edit drifted $hEdit bits")
+    // INSERTION — shifts every later byte; the octant histogram must
+    // absorb it (a positional segment hash does not: measured 14-39
+    // bits on fixture near-dups, see kernel scaladoc)
+    val shifted = ("PREFIX STAMP 123 " + new String(base, "UTF-8")).getBytes("UTF-8")
+    val hShift = ham(BlockHash64.compute(base), BlockHash64.compute(shifted))
+    assert(hShift <= 7, s"insertion drifted $hShift bits")
+    // different character composition → far away
+    val other = ("zyxwvu polyphony rhythm gym xylophone quartz " * 48).getBytes("UTF-8")
+    val hOther = ham(BlockHash64.compute(base), BlockHash64.compute(other))
+    assert(hOther > 10, s"unrelated payload too close: $hOther bits")
+    // balance property: at most 32 bits set (>= 32 values <= lower median)
+    assert(java.lang.Long.bitCount(BlockHash64.compute(base)) <= 32)
+    assert(BlockHash64.compute(Array.emptyByteArray) === 0L)
+    // the banded pair join (codegen path) finds exactly the near trio
+    val payloads = Seq(
+      (1L, base), (2L, edited), (3L, shifted), (4L, other)
+    ).toDF("doc_id", "payload")
+    val pairs = operators.Multimodal.perceptualNearDupPairs(payloads, 7)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs.toString)
+    // fixture recall vs the exact-Jaccard ground truth: the perceptual
+    // tier must see most text near-dups (measured 20/25 at <= 7, random
+    // background min 11 — zero overlap on this corpus)
+    val truth = operators.Dedup.d03NgramJaccard(spark, sf001)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val got = operators.Multimodal.m07PerceptualNearDup(spark, sf001)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.7, s"recall = $recall (${(truth & got).size}/${truth.size})")
+  }
 }
