@@ -468,4 +468,57 @@ class EsSimSourceSpec extends SparkSpec {
     assert(q.awaitTermination(120000), "AvailableNow query should self-terminate")
     assert(spark.read.parquet(out).count() === 30)
   }
+
+  test("soak: repeated in-place compaction under a LIVE reader — exactly-once across 8 cycles") {
+    // The single-cycle test above stops the reader before compacting;
+    // this soak keeps a ProcessingTime query RUNNING while 8
+    // write→compact cycles race it (the list→open race the tombstone
+    // fallback exists for), restarts the reader from its checkpoint
+    // mid-soak, and asserts cursor continuity end to end: every doc
+    // delivered exactly once, store state intact, file count bounded.
+    import spark.implicits._
+    import graft.ingest.{EsSimCompact, EsSimStore}
+    val dir = Files.createTempDirectory("escomp-soak").toString
+    val out = Files.createTempDirectory("esout-soak").toString
+    val ckpt = Files.createTempDirectory("esckpt-soak").toString
+    def startQ() = spark.readStream
+      .format("graft.sources.EsSimSourceProvider")
+      .option("path", dir).option("batchSize", "9")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(50))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out)
+      }
+      .start()
+    var q = startQ()
+    var written = 0
+    (0 until 8).foreach { cycle =>
+      writeDocs(dir, written until written + 30)
+      written += 30
+      // give the live query time to be mid-flight when the compactor
+      // runs — the interleaving is the test, so don't synchronize
+      Thread.sleep(150)
+      EsSimCompact.inPlace(spark, dir, maxActions = 500, graceMs = 3600000)
+      if (cycle == 3) {
+        // mid-soak restart: the checkpointed (ts, docId) cursor must
+        // resume over a directory whose files have ALL been replaced
+        q.processAllAvailable(); q.stop()
+        q = startQ()
+      }
+    }
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.read.parquet(out)
+    assert(all.count() === written, "soak lost or duplicated rows")
+    assert(all.select($"docId").distinct().count() === written)
+    // the store's resolved state survived every fold
+    assert(EsSimStore.read(spark, dir).count() === written)
+    // and maintenance actually did its job: the live bulk-file count is
+    // bounded (240 docs in <= a handful of compacted files + the last
+    // uncompacted batch), not ~24 append files
+    val live = graft.sources.EsSimStats.list(dir).size
+    assert(live <= 5, s"compaction failed to bound file count: $live live files")
+  }
 }
