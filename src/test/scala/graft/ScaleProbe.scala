@@ -95,6 +95,12 @@ object ScaleProbe {
       spark.read.parquet(s"$base/$tag/documents.parquet")
         .select($"doc_id", $"text"), 0.9).count()
     row("d14_containment", t2(d14At("x1")), t2(d14At("x10")))
+    // window-hash substring dedup: explode + aggregate + island merge,
+    // no pair term — the t-ratio should track corpus token mass (~10×)
+    def d15At(tag: String) = Dedup.substringSpans(
+      spark.read.parquet(s"$base/$tag/documents.parquet")
+        .select($"doc_id", $"text"), 8).count()
+    row("d15_substring_spans", t2(d15At("x1")), t2(d15At("x10")))
 
     // ANN under the dup storm: k grows with n so the per-bucket compare
     // budget stays constant (k = n/250); maxBucket guards the storm's
