@@ -26,7 +26,11 @@ object GoldenGen {
       // fixed-seed k-means produce partition-count-independent results —
       // probed empirically at local[4]/p=4 vs local[32]/p=32 before
       // promotion from rows-only to golden-hashed
-      "s03_ivf_topk", "t06_approx_stats", "m07_perceptual_neardup")
+      "s03_ivf_topk", "t06_approx_stats", "m07_perceptual_neardup",
+      // fixed-seed CMS: integer cell sums are merge-order free, so the
+      // result is partition-count independent by the same argument as
+      // t19's histogram bins
+      "t20_heavy_hitters")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

@@ -710,8 +710,72 @@ object Curation {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  // ---- c07: corpus snapshot diff (incremental-ingestion manifest) ----
+
+  /** c07: what changed between two corpus snapshots — the CDC-style
+    * diff an incremental 100 TB pipeline computes per crawl so that
+    * every downstream stage (dedup delta d11/s06, re-embedding,
+    * re-indexing) processes the DELTA, not the corpus. Classification
+    * per doc_id via one full outer join of the two snapshot MANIFESTS
+    * (doc_id, content sha-256): `added` (new only), `removed` (old
+    * only), `changed` (both, hash differs); unchanged rows — the
+    * overwhelming mass at 100 TB — are not emitted.
+    *
+    * Scale: the join carries (id, 64-hex hash) only — the text column
+    * is pruned before the shuffle, so snapshot diffing moves manifest
+    * bytes, never payload bytes; one equi-shuffle on doc_id, uniform
+    * by construction. The manifests themselves are the per-crawl hash
+    * pass d01 already runs.
+    *
+    * The two snapshots are derived deterministically from the fixture
+    * (no second table exists): OLD = doc_id % 10 ≠ 0, with docs
+    * doc_id % 10 = 5 carrying a stale text revision; NEW = the table
+    * as-is minus doc_id % 10 = 1 (deleted since). So 0-mod docs are
+    * `added`, 1-mod `removed`, 5-mod `changed` — structure the oracle
+    * replicates verbatim. */
+  def c07SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val old = docs.filter($"doc_id" % 10 =!= 0)
+      .select($"doc_id", sha2(
+        when($"doc_id" % 10 === 5, concat($"text", lit(" [stale rev]")))
+          .otherwise($"text"), 256).as("h_old"))
+    val nw = docs.filter($"doc_id" % 10 =!= 1)
+      .select($"doc_id", sha2($"text", 256).as("h_new"))
+    old.join(nw, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"h_old".isNull, lit("added"))
+          .when($"h_new".isNull, lit("removed"))
+          .when($"h_old" =!= $"h_new", lit("changed")).as("status"),
+        $"h_new")
+      .filter($"status".isNotNull)
+  }
+
+  val c07Sql: String =
+    """WITH old AS (
+      |  SELECT doc_id, sha256(CASE WHEN doc_id % 10 = 5
+      |           THEN text || ' [stale rev]' ELSE text END) AS h_old
+      |  FROM documents WHERE doc_id % 10 <> 0
+      |), nw AS (
+      |  SELECT doc_id, sha256(text) AS h_new
+      |  FROM documents WHERE doc_id % 10 <> 1
+      |), j AS (
+      |  SELECT COALESCE(old.doc_id, nw.doc_id) AS doc_id, h_old, h_new
+      |  FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN h_old IS NULL THEN 'added'
+      |       WHEN h_new IS NULL THEN 'removed'
+      |       WHEN h_old <> h_new THEN 'changed' END AS status,
+      |  h_new
+      |FROM j
+      |WHERE (CASE WHEN h_old IS NULL THEN 'added'
+      |            WHEN h_new IS NULL THEN 'removed'
+      |            WHEN h_old <> h_new THEN 'changed' END) IS NOT NULL""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d13_source_overlap"    -> ((s: SparkSession, d: String) => d13SourceOverlap(s, d)),
+    "c07_snapshot_diff"     -> (c07SnapshotDiff _),
     "c05_leakage_safe_split" -> (c05LeakageSafeSplit _),
     "c01_curation_pipeline" -> (c01CurationPipeline _),
     "c02_curation_funnel"   -> (c02CurationFunnel _),
@@ -728,6 +792,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "d13_source_overlap"    -> d13Sql,
+    "c07_snapshot_diff"     -> c07Sql,
     "c05_leakage_safe_split" -> c05Sql,
     "c01_curation_pipeline" -> c01Sql,
     "c02_curation_funnel"   -> c02Sql,

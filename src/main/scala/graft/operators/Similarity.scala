@@ -775,6 +775,111 @@ object Similarity {
       |  END AS vs_rest_cos_r
       |FROM contrast c JOIN qn USING (label)""".stripMargin
 
+  // ---- s11: SemDeDup survivor selection (semantic dedup end to end) ----
+
+  /** s11: which vectors SURVIVE semantic deduplication — the decision
+    * s08's pair list feeds but does not make. SemDeDup (Abbas et al.
+    * 2023, arXiv:2303.09540) prescribes exactly this composition:
+    * cluster with a coarse quantizer, find within-cluster near-dup
+    * pairs above a cosine threshold, group them, and keep ONE member
+    * per duplicate group — the member LEAST similar to its quantizer
+    * centroid (the most atypical example carries the most marginal
+    * training signal; §3 of the paper).
+    *
+    * Mechanism: [[ivfNearDupPairs]] (the oracled s08 join) → connected
+    * components over the pair graph (Dedup.clusterPairs — min-label
+    * propagation on the sparse pair graph only) → per-component
+    * keep-min over the top-1 centroid cosine. Output is the full audit
+    * frame: every vector with its duplicate-component id, its centroid
+    * typicality, and the kept/dropped verdict — c-series pipelines
+    * filter `kept` and drop the rest.
+    *
+    * Scale: the pair join is s08's bucketed equi-join (quadratic only
+    * within capped buckets); CC iterates on the PAIR graph, not the
+    * corpus (pairs are sparse at any useful threshold); the keep rule
+    * is one window over components whose fan-in is bounded by component
+    * size. Nothing here touches corpus × corpus.
+    *
+    * Oracled end to end: with the deterministic seed quantizer the
+    * whole decision — probe ranking, candidate join, recursive-CTE
+    * components, atypicality ranking — is replicated in SQL, so the
+    * gate hash-checks the survivor SET itself, not a count. */
+  def semanticSurvivors(vecs: DataFrame, centroids: DataFrame,
+                        threshold: Double, nprobe: Int = 2,
+                        maxBucket: Long = 0L): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val pairs = ivfNearDupPairs(vecs, centroids, threshold, nprobe, maxBucket)
+      .select($"a_id".as("d1"), $"b_id".as("d2"))
+    val comps = Dedup.clusterPairs(pairs)
+      .select($"doc_id".as("mid"), $"cluster_rep".as("comp0"))
+    // top-1 centroid cosine per vector — same ranking arithmetic and
+    // tie-break as probeAssignments, keeping the cosine it ranks by
+    val vn = vecs.withColumn("nrm", norm($"v"))
+    val wp = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"cluster_id".asc)
+    val typ = vn.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"cluster_id",
+        (dot($"v", $"cv") / ($"nrm" * $"cn")).as("c_cos"))
+      .withColumn("rn", row_number().over(wp))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"c_cos")
+    val wk = Window.partitionBy($"comp").orderBy($"c_cos".asc, $"vec_id".asc)
+    vecs.select($"vec_id")
+      .join(comps, $"vec_id" === $"mid", "left")
+      // a vector in no pair is its own singleton component — trivially kept
+      .select($"vec_id", coalesce($"comp0", $"vec_id").as("comp"))
+      .join(typ, "vec_id")
+      .withColumn("kept", row_number().over(wk) === 1)
+      .select($"vec_id", $"comp", round($"c_cos", 6).as("c_cos_r"), $"kept")
+  }
+
+  def s11SemanticSurvivors(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    semanticSurvivors(c, seedCentroids(c, 8), 0.45, nprobe = 2)
+  }
+
+  val s11Sql: String =
+    """WITH RECURSIVE en AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings
+      |), cen AS (
+      |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM en WHERE vec_id < 8
+      |), ranked AS (
+      |  SELECT en.vec_id, en.v, en.nrm, cen.cid,
+      |    list_dot_product(en.v, cen.cv) / (en.nrm * cen.cn) AS c_cos,
+      |    ROW_NUMBER() OVER (PARTITION BY en.vec_id
+      |      ORDER BY list_dot_product(en.v, cen.cv) / (en.nrm * cen.cn) DESC,
+      |               cen.cid ASC) AS rn
+      |  FROM en CROSS JOIN cen
+      |), probes AS (
+      |  SELECT vec_id, v, nrm FROM ranked WHERE rn <= 2
+      |), pairs AS (
+      |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      |  FROM (SELECT r.vec_id, r.v, r.nrm, r.cid FROM ranked r WHERE r.rn <= 2) a
+      |  JOIN (SELECT r.vec_id, r.v, r.nrm, r.cid FROM ranked r WHERE r.rn <= 2) b
+      |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+      |), edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM pairs
+      |  UNION ALL SELECT d2, d1 FROM pairs
+      |), reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+      |), comp AS (
+      |  SELECT id, MIN(r) AS comp FROM reach GROUP BY id
+      |), typ AS (
+      |  SELECT vec_id, c_cos FROM ranked WHERE rn = 1
+      |)
+      |SELECT m.vec_id, m.comp, ROUND(t.c_cos, 6) AS c_cos_r,
+      |  (ROW_NUMBER() OVER (PARTITION BY m.comp
+      |     ORDER BY t.c_cos ASC, m.vec_id ASC) = 1) AS kept
+      |FROM (SELECT en.vec_id, COALESCE(comp.comp, en.vec_id) AS comp
+      |      FROM en LEFT JOIN comp ON en.vec_id = comp.id) m
+      |JOIN typ t ON m.vec_id = t.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s09_label_cohesion"    -> (s09LabelCohesion _),
     "s10_ivf_knn"           -> (s10IvfKnn _),
@@ -786,6 +891,7 @@ object Similarity {
     "s06_delta_neardup"     -> (s06DeltaNearDup _),
     "s07_knn_graph"         -> (s07KnnGraph _),
     "s08_ivf_neardup"       -> (s08IvfNearDup _),
+    "s11_semantic_survivors" -> (s11SemanticSurvivors _),
   )
 
   // def, not val: the golden-snapshot oracle resolves the sf tag at
@@ -811,5 +917,8 @@ object Similarity {
     // approximate RECALL, but deterministic mechanism: the oracle
     // replicates the seed quantizer + probe join bit-for-bit
     "s08_ivf_neardup"       -> s08Sql,
+    // the survivor DECISION oracled end to end: seed quantizer + probe
+    // join + recursive-CTE components + atypicality keep rule in SQL
+    "s11_semantic_survivors" -> s11Sql,
   )
 }

@@ -522,7 +522,74 @@ object TextAnalysis {
       |        THEN (bin + 5e-1) * 64e0 END) AS p99_chars
       |FROM cum GROUP BY lang""".stripMargin
 
+  // ---- t20: count-min-sketch heavy hitters ----
+
+  /** t20: approximate heavy hitters via a count-min sketch — the
+    * bounded-state twin of t13's exact term top-k, the same scale
+    * relationship q22→t19 has for quantiles. t13's exact count is a
+    * groupBy over the FULL vocabulary: at 100 TB the (token, count)
+    * state is itself corpus-sized (hapax mass), and in a streaming
+    * context it is unbounded. The CMS (Cormode–Muthukrishnan 2005)
+    * bounds state at d×w integer cells regardless of vocabulary:
+    * counts are folded into d=4 rows of w=512 buckets (bucket_i =
+    * h1 + i·h2 mod w — the standard two-hash construction), and a
+    * token's estimate is the MIN over its d cells — never an
+    * underestimate (every occurrence hits all d cells), over by at
+    * most the collision mass in its lightest cell (≤ 2·N/w with
+    * probability 1 − 2⁻⁴ per token; `TextAnalysisSpec` pins both
+    * bounds as hard assertions on the fixture).
+    *
+    * Scale: building the sketch is one aggregate with map-side
+    * partial combine into ≤ d·w cells per task — shuffle fan-in is
+    * 2048 rows TOTAL, not vocabulary-sized; merging sketches across
+    * partitions/batches is cell-wise integer addition (commutative,
+    * order-free — the same mergeability argument as t19's histogram).
+    * The candidate set scored against the sketch here is the fixture
+    * vocabulary; at scale candidates come from a per-partition local
+    * top-k prefilter (a true corpus-wide heavy hitter is a heavy
+    * hitter in some partition), keeping the estimate join narrow.
+    *
+    * Deterministic (fixed hash seeds, integer arithmetic) but not
+    * SQL-replicable (Spark's Murmur3/XXH64) → golden-snapshot oracle,
+    * the d05/t08 discipline. */
+  def t20HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    cmsTokenEstimates(documents(s, d))
+      .orderBy($"est".desc, $"token".asc)
+      .limit(20)
+  }
+
+  /** The full CMS estimate frame behind t20 — (token, est) for every
+    * distinct token. Frame-taking so specs (overestimate-only, error
+    * bound, parallelism invariance) and pipelines can consume estimates
+    * below the entry's top-20 cut. */
+  def cmsTokenEstimates(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val W = 512L
+    val D = 4
+    val tok = docs
+      .select(explode(toks($"text")).as("token"))
+      .filter(length($"token") > 0)
+    val cells = tok
+      // reduce each hash mod w BEFORE the row combination: the bucket
+      // (h1 + i·h2) mod w only ever needs the residues, and residues
+      // keep every intermediate < 4w — no Long overflow for ANSI mode
+      // to reject (the t09 hashSplitCol lesson)
+      .select($"token",
+        pmod(hash($"token").cast("long"), lit(W)).as("h1"),
+        pmod(xxhash64($"token"), lit(W)).as("h2"))
+      .select($"token", posexplode(array((0 until D).map(i =>
+        pmod($"h1" + lit(i.toLong) * $"h2", lit(W))): _*)))
+      .select($"token", $"pos".as("row"), $"col".as("bucket"))
+    val sketch = cells.groupBy($"row", $"bucket").agg(count(lit(1)).as("c"))
+    cells.distinct()
+      .join(sketch, Seq("row", "bucket"))
+      .groupBy($"token").agg(min($"c").as("est"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_heavy_hitters" -> (t20HeavyHitters _),
     "t19_approx_quantiles" -> (t19ApproxQuantiles _),
     "t18_tfidf_terms"  -> (t18TfidfTerms _),
     "t17_novelty"      -> (t17Novelty _),
@@ -543,6 +610,9 @@ object TextAnalysis {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // t20: deterministic fixed-seed sketch, engine-specific hashes →
+    // golden-hashed; overestimate-only + error bounds in TextAnalysisSpec.
+    "t20_heavy_hitters" -> graft.GoldenGen.oracle("t20_heavy_hitters"),
     "t19_approx_quantiles" -> t19Sql,
     "t18_tfidf_terms"  -> t18Sql,
     "t17_novelty"      -> t17Sql,

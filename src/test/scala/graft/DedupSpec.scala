@@ -188,4 +188,38 @@ class DedupSpec extends SparkSpec {
     val again = deduped.groupBy(sha2($"text", 256)).count().filter($"count" > 1)
     assert(again.count() === 0)
   }
+
+  test("c07 snapshot diff: applying the diff to the old manifest reproduces the new one") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf001)
+    // the two snapshot manifests c07 derives internally, materialized
+    // independently here as ground truth
+    val old = docs.filter($"doc_id" % 10 =!= 0)
+      .select($"doc_id", sha2(
+        when($"doc_id" % 10 === 5, concat($"text", lit(" [stale rev]")))
+          .otherwise($"text"), 256).as("h"))
+      .as[(Long, String)].collect().toMap
+    val nw = docs.filter($"doc_id" % 10 =!= 1)
+      .select($"doc_id", sha2($"text", 256).as("h"))
+      .as[(Long, String)].collect().toMap
+    val diff = operators.Curation.c07SnapshotDiff(spark, sf001)
+      .as[(Long, String, Option[String])].collect()
+    assert(diff.nonEmpty)
+    // each status is truthful against the manifests
+    diff.foreach {
+      case (id, "added", h)   => assert(!old.contains(id) && h.contains(nw(id)))
+      case (id, "removed", h) => assert(old.contains(id) && !nw.contains(id) && h.isEmpty)
+      case (id, "changed", h) => assert(old(id) != nw(id) && h.contains(nw(id)))
+      case (id, st, _)        => fail(s"doc $id: unexpected status '$st'")
+    }
+    // the CDC contract: old manifest + diff = new manifest, exactly
+    val applied = (old -- diff.collect { case (id, "removed", _) => id }) ++
+      diff.collect { case (id, st, Some(h)) if st != "removed" => id -> h }
+    assert(applied === nw)
+    // and the unchanged mass is NOT emitted — the property that makes
+    // the diff manifest-sized instead of corpus-sized
+    val emitted = diff.map(_._1).toSet
+    old.keySet.intersect(nw.keySet).filter(id => old(id) == nw(id))
+      .foreach(id => assert(!emitted(id), s"unchanged doc $id emitted"))
+  }
 }

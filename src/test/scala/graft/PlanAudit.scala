@@ -27,7 +27,8 @@ object PlanAudit {
         "d14_containment","s09_label_cohesion","t18_tfidf_terms",
         "m06_chunk_neardup","c04_corpus_report","s10_ivf_knn",
         "c06_split_audit","d15_substring_spans",
-        "t19_approx_quantiles").foreach(show)
+        "t19_approx_quantiles","t20_heavy_hitters","c07_snapshot_diff",
+        "s11_semantic_survivors").foreach(show)
     spark.stop()
   }
 }

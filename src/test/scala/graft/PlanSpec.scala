@@ -79,6 +79,37 @@ class PlanSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), "candidate join is not an equi-join")
   }
 
+  test("s11: survivor decision — candidate join equi-keyed, NLJ only vs k-row broadcasts") {
+    val p = plan("s11_semantic_survivors")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // two deliberate k-row centroid broadcasts (the s08 pair front end)
+    // plus the typicality ranking's own — everything else is equi-joined
+    val nlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj <= 3, s"$nlj nested-loop joins: ${p.take(800)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "no equi-join in the survivor plan")
+  }
+
+  test("c07: snapshot diff is one equi-join carrying hashes only — text never shuffles") {
+    val p = plan("c07_snapshot_diff")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("FullOuter"), "diff join is not a full outer equi-join")
+    // the manifests project (doc_id, sha2) before the exchange: no
+    // Exchange input may carry the text column
+    val badExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(!badExchange, "text column crosses the diff shuffle")
+  }
+
+  test("t20: CMS sketch build is partial+final — shuffle fan-in is cells, not vocabulary") {
+    val p = plan("t20_heavy_hitters")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("partial_count") || p.contains("Partial"), "no map-side combine")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 is not two-phase")
+  }
+
   test("t16: merge-pair count is partial+final with a two-phase top-k") {
     val p = plan("t16_merge_pairs")
     assert(p.contains("TakeOrderedAndProject"), p.take(600))

@@ -325,4 +325,44 @@ class SimilaritySpec extends SparkSpec {
       if (r.getBoolean(2)) assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
     }
   }
+
+  test("s11 SemDeDup survivors: one per duplicate component, the most atypical member kept") {
+    import spark.implicits._
+    val out = Similarity.s11SemanticSurvivors(spark, sf001)
+      .select($"vec_id", $"comp", $"c_cos_r", $"kept")
+      .as[(Long, Long, Double, Boolean)].collect()
+    val n = Tables.embeddings(spark, sf001).count()
+    // total: every corpus vector classified exactly once
+    assert(out.length.toLong === n)
+    assert(out.map(_._1).distinct.length.toLong === n)
+    // the duplicate relation the decision is based on — the ORACLED s08
+    // pair set: endpoints of every pair must land in one component
+    val pairs = Similarity.s08IvfNearDup(spark, sf001)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val compOf = out.map(r => r._1 -> r._2).toMap
+    pairs.foreach { case (a, b) =>
+      assert(compOf(a) === compOf(b), s"near-dup pair ($a,$b) split across components")
+    }
+    // exactly one survivor per component; a vector in no pair is its
+    // own singleton component and trivially survives
+    val byComp = out.groupBy(_._2)
+    byComp.foreach { case (c, members) =>
+      assert(members.count(_._4) === 1, s"component $c kept ${members.count(_._4)} members")
+    }
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    out.filterNot(r => inPairs(r._1)).foreach { r =>
+      assert(r._2 === r._1 && r._4, s"singleton ${r._1} not kept as its own component")
+    }
+    // the SemDeDup keep rule: the survivor is the member LEAST similar
+    // to its quantizer centroid (min c_cos, ties to min vec_id)
+    byComp.filter(_._2.length > 1).foreach { case (c, members) =>
+      val want = members.minBy(r => (r._3, r._1))._1
+      val got = members.find(_._4).get._1
+      assert(got === want, s"component $c kept $got, SemDeDup rule wants $want")
+    }
+    // and the dedup is real on this fixture: some component has > 1 member
+    assert(byComp.exists(_._2.length > 1))
+    assert(out.count(_._4) < n)
+  }
 }

@@ -181,4 +181,34 @@ class TextAnalysisSpec extends SparkSpec {
         s"$lang: percentile_approx=${pa(lang)} not within one rank of ${xs(r)}")
     }
   }
+
+  test("t20 CMS heavy hitters: overestimate-only, bounded error, true heavies surface") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf001).select($"doc_id", $"text")
+    val est = TextAnalysis.cmsTokenEstimates(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs.select(explode(split($"text", " ")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    // CMS structural guarantee: every occurrence increments all d cells,
+    // so min-over-cells can never undercount
+    exact.foreach { case (t, f) =>
+      assert(est(t) >= f, s"CMS UNDERestimates '$t': ${est(t)} < $f")
+    }
+    // error bound: overestimate = collision mass in the lightest of the
+    // d=4 cells; E ≤ N/w per cell, Markov per row, independent-ish rows
+    // → 2N/w holds on the fixture with wide margin (assert it hard)
+    val n = exact.values.sum
+    val bound = 2L * n / 512L
+    val worst = exact.map { case (t, f) => est(t) - f }.max
+    assert(worst <= bound, s"CMS max overestimate $worst > 2N/w = $bound")
+    // and the thing the sketch exists for: the true top-10 all appear
+    // in the estimated top-20 cut the t20 entry emits
+    val trueTop = exact.toSeq.sortBy { case (t, f) => (-f, t) }.take(10).map(_._1).toSet
+    val estTop = est.toSeq.sortBy { case (t, f) => (-f, t) }.take(20).map(_._1).toSet
+    assert(trueTop.subsetOf(estTop),
+      s"true heavy hitters missing from CMS top-20: ${trueTop -- estTop}")
+  }
 }
