@@ -97,4 +97,27 @@ class PartitionInvarianceSpec extends SparkSpec {
     assert(narrow._4 === wide._4, "s09 cohesion diverges across parallelism")
     assert(narrow._5 === wide._5, "c04 datasheet diverges across parallelism")
   }
+
+  test("t20 CMS estimates and s11 survivor set are parallelism invariant") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf001).select($"doc_id", $"text")
+    val vecs = Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cen = Similarity.seedCentroids(vecs, 8)
+
+    def runAll(inputParts: Int, shuffleParts: Int) = withShuffle(shuffleParts) {
+      // CMS cell sums are integer adds (merge-order free); the survivor
+      // decision composes the oracled s08 join + CC + a total-order
+      // window — both must be bit-stable as the cluster reshapes
+      (operators.TextAnalysis.cmsTokenEstimates(docs.repartition(inputParts))
+         .as[(String, Long)].collect().toSet,
+       Similarity.semanticSurvivors(vecs.repartition(inputParts), cen, 0.45)
+         .as[(Long, Long, Double, Boolean)].collect().toSet)
+    }
+
+    val narrow = runAll(inputParts = 3, shuffleParts = 5)
+    val wide = runAll(inputParts = 17, shuffleParts = 32)
+    assert(narrow._1 === wide._1, "t20 CMS estimates diverge across parallelism")
+    assert(narrow._2 === wide._2, "s11 survivors diverge across parallelism")
+  }
 }
