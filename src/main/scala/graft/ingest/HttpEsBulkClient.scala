@@ -53,9 +53,29 @@ final class HttpEsBulkClient(
     * — and bucket failures into transient (429/5xx → retry) vs
     * permanent (mapping conflict etc. → dead-letter). Envelope-level
     * failures (transport error, non-2xx) still throw = whole batch
-    * retryable. */
-  override def bulkOutcome(actions: Seq[BulkAction]): BulkOutcome = {
-    val body = send(actions)
+    * retryable — with ONE exception: HTTP 413 (the node's
+    * `http.max_content_length` cap, 100 MB default on a real cluster).
+    * A 413 is deterministic — re-sending the same body is guaranteed to
+    * 413 again, so routing it through the backoff loop burns the whole
+    * retry budget and then fails the task on a batch the cluster was
+    * never going to accept. Instead the batch is bisected and each half
+    * re-sent (recursively), isolating the oversized mass; a SINGLE
+    * action that alone exceeds the cap is a permanent per-item reject
+    * (status 413 → dead-letter), not a job failure. */
+  override def bulkOutcome(actions: Seq[BulkAction]): BulkOutcome =
+    try outcomeOf(actions, send(actions))
+    catch {
+      case e: HttpEsBulkClient.EnvelopeStatusException if e.status == 413 =>
+        if (actions.size > 1) {
+          val (l, r) = actions.splitAt(actions.size / 2)
+          val a = bulkOutcome(l); val b = bulkOutcome(r)
+          BulkOutcome(a.retryable ++ b.retryable, a.rejected ++ b.rejected)
+        } else
+          BulkOutcome(Nil, Seq(BulkItemFailure(actions.head, 413,
+            "single action exceeds the node's http.max_content_length")))
+    }
+
+  private def outcomeOf(actions: Seq[BulkAction], body: String): BulkOutcome = {
     if (body == null || !body.contains("\"errors\":true")) return BulkOutcome.Ok
     val items = HttpEsBulkClient.mapper.readTree(body).path("items")
     if (!items.isArray || items.size() != actions.size)
@@ -102,12 +122,20 @@ final class HttpEsBulkClient(
     val resp = http.send(builder.build(), HttpResponse.BodyHandlers.ofString(UTF_8))
     val code = resp.statusCode()
     if (code < 200 || code >= 300)
-      throw new java.io.IOException(s"bulk request failed: HTTP $code ${resp.body().take(200)}")
+      throw new HttpEsBulkClient.EnvelopeStatusException(code,
+        s"bulk request failed: HTTP $code ${resp.body().take(200)}")
     resp.body()
   }
 }
 
 object HttpEsBulkClient {
+  /** A non-2xx bulk envelope, status preserved so the outcome layer can
+    * special-case deterministic statuses (413) from retryable ones. An
+    * IOException subclass: any caller that catches the old type still
+    * sees the whole-batch-retryable signal unchanged. */
+  final class EnvelopeStatusException(val status: Int, msg: String)
+    extends java.io.IOException(msg)
+
   /** Thread-safe for reads; one per JVM (same pattern as BulkStats). */
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 

@@ -267,6 +267,73 @@ class HttpIngestSpec extends AnyFunSuite {
     } finally stub.stop()
   }
 
+  /** Stub enforcing a byte cap like a real node's http.max_content_length:
+    * any request whose body exceeds `limit` bytes is refused with 413
+    * before parsing; accepted requests index all items (201). */
+  private class SizeCappedStub(limit: Int) {
+    val requests = mutable.ArrayBuffer.empty[(Int, Seq[String])] // (bytes, doc ids)
+    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val ids = body.linesIterator.filter(_.startsWith("{\"index\""))
+        .map(l => l.split("\"_id\":\"")(1).takeWhile(_ != '"')).toSeq
+      synchronized { requests += ((body.getBytes(UTF_8).length, ids)) }
+      val (code, resp) =
+        if (body.getBytes(UTF_8).length > limit)
+          (413, """{"error":"Request Entity Too Large"}""")
+        else {
+          val items = ids.map(id => s"""{"index":{"_id":"$id","status":201}}""").mkString(",")
+          (200, s"""{"took":1,"errors":false,"items":[$items]}""")
+        }
+      val bytes = resp.getBytes(UTF_8)
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    val base: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("413: oversized batch is bisected until accepted — no retry budget burned, every doc indexed once") {
+    // 16 modest docs whose combined body exceeds the cap; any half fits
+    val stub = new SizeCappedStub(limit = 1200)
+    try {
+      val client = new HttpEsBulkClient(Seq(stub.base), Map.empty)
+      val slept = mutable.ArrayBuffer.empty[Long]
+      val dead = mutable.ArrayBuffer.empty[BulkItemFailure]
+      val buffer = new BulkBuffer(client, maxActions = 64,
+        sleeper = (d: Long) => slept += d, deadLetter = (f: BulkItemFailure) => dead += f)
+      (1 to 16).foreach(i => buffer.add(BulkAction("idx", i.toString, s"""{"v":$i,"pad":"${"x" * 64}"}""")))
+      buffer.flush()
+      // deterministic failure handled by splitting, not backoff
+      assert(slept.isEmpty, "413 must not enter the exponential-backoff loop")
+      assert(dead.isEmpty)
+      val accepted = stub.requests.filter(_._1 <= 1200).flatMap(_._2)
+      assert(accepted.sorted === (1 to 16).map(_.toString).sorted, "every doc indexed exactly once")
+    } finally stub.stop()
+  }
+
+  test("413: a single action bigger than the cap dead-letters; its neighbors still index") {
+    val stub = new SizeCappedStub(limit = 2000)
+    try {
+      val client = new HttpEsBulkClient(Seq(stub.base), Map.empty)
+      val slept = mutable.ArrayBuffer.empty[Long]
+      val dead = mutable.ArrayBuffer.empty[BulkItemFailure]
+      val buffer = new BulkBuffer(client, maxActions = 64,
+        sleeper = (d: Long) => slept += d, deadLetter = (f: BulkItemFailure) => dead += f)
+      (1 to 9).foreach(i => buffer.add(BulkAction("idx", i.toString, s"""{"v":$i}""")))
+      buffer.add(BulkAction("idx", "giant", s"""{"v":0,"blob":"${"x" * 4000}"}"""))
+      buffer.flush()
+      assert(slept.isEmpty)
+      // the uncappable doc is a permanent per-item reject with status 413
+      assert(dead.map(f => (f.action.docId, f.status)).toSeq === Seq(("giant", 413)))
+      assert(dead.head.reason.contains("http.max_content_length"))
+      val accepted = stub.requests.filter(_._1 <= 2000).flatMap(_._2)
+      assert(accepted.sorted === (1 to 9).map(_.toString).sorted)
+    } finally stub.stop()
+  }
+
   test("config-only swap: client built from IngestionConfig carries the configured auth") {
     val stub = new BulkStub()
     try {
