@@ -36,6 +36,62 @@ object Curation {
         .select($"doc_id".as("bench_id"), explode($"sh").as("sg")))
   }
 
+  /** d16: Bloom-prefiltered decontamination — d07's exact semantics on
+    * the 100 TB plan. d07 explodes EVERY corpus doc's shingles into the
+    * broadcast join: fine per-row, but the exploded row mass is the
+    * corpus's total shingle count, and virtually all of it matches
+    * nothing (real corpora are overwhelmingly clean). d16 inserts the
+    * classic two-phase membership structure: the benchmark's shingle
+    * hashes — small by the same premise that lets d07 broadcast them —
+    * are folded into a Bloom filter on the driver (bit-OR build,
+    * order-free ⇒ deterministic), shipped in the task binary, and each
+    * corpus doc is tested with ONE native per-row call over its whole
+    * shingle array ([[graft.functions.BloomHitsAtLeast]] — no explode,
+    * no shuffle, stays inside WholeStageCodegen, early-exit at the
+    * 3rd hit). The ≥ 3-shared-shingles rule implies ≥ 3 distinct
+    * hashes in the union Bloom set, so filtering at minHits = 3 admits
+    * every doc the exact rule can flag — NO false negatives — while
+    * pruning docs sharing only a stray boilerplate shingle. Flagged
+    * docs proceed to d07's exact explode + broadcast join, which
+    * discards the false positives, so the composition is EXACTLY d07 — same oracle —
+    * while the exploded/joined row mass shrinks from "all shingles in
+    * the corpus" to "shingles of flagged docs".
+    *
+    * The driver-side collect is of BENCHMARK shingle hashes (the d07
+    * broadcast-side smallness premise, ~8 B/shingle); at larger bench
+    * sets the same bits can be built distributed (per-partition OR,
+    * then OR the partials) — the build is an order-free fold either
+    * way. */
+  def d16BloomDecontamination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"text")
+    bloomContaminationCounts(docs.filter($"doc_id" >= 20), docs.filter($"doc_id" < 20))
+  }
+
+  /** Frame-taking core of d16: corpus and benchmark as (doc_id, text)
+    * frames, so specs can measure the prefilter's pruning power on a
+    * controlled corpus (the shared-fixture vocabulary is deliberately
+    * dense — most docs share boilerplate trigrams — which bounds what
+    * any membership prefilter can prune THERE; on a disjoint-vocabulary
+    * corpus, the realistic shape, pruning is near-total). */
+  private[graft] def bloomContaminationCounts(corpus: DataFrame, bench: DataFrame,
+                                              minShared: Int = 3): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    def shingled(df: DataFrame) = df
+      .select($"doc_id", Dedup.shingleHashes($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val benchSh = shingled(bench)
+    val bits = graft.functions.BloomBits.build(
+      benchSh.select(explode($"sh").as("sg")).distinct().as[Long].collect())
+    val flagged = shingled(corpus)
+      .filter(graft.functions.BloomHitsAtLeast($"sh", bits, 4, minShared))
+    contaminationCounts(
+      flagged.select($"doc_id", explode($"sh").as("sg")),
+      benchSh.select($"doc_id".as("bench_id"), explode($"sh").as("sg")),
+      minShared)
+  }
+
   /** The contamination rule both d07 and c01 apply: corpus docs sharing
     * ≥ `minShared` shingles with any benchmark doc. Inputs are exploded
     * (doc_id, sg) / (bench_id, sg) frames; bench side broadcast. */
@@ -785,6 +841,7 @@ object Curation {
     "d09_crossmodal"      -> (d09CrossModal _),
     "t15_column_profile"  -> (t15ColumnProfile _),
     "d07_decontamination" -> (d07Decontamination _),
+    "d16_bloom_decontamination" -> (d16BloomDecontamination _),
     "t10_pii_redaction"   -> (t10PiiRedaction _),
     "t11_repetition"      -> (t11RepetitionRatio _),
     "t12_token_packing"   -> (t12TokenPacking _),
@@ -802,6 +859,10 @@ object Curation {
     "d09_crossmodal"      -> d09Sql,
     "t15_column_profile"  -> t15Sql,
     "d07_decontamination" -> d07Sql,
+    // d16 ≡ d07 exactly (the Bloom prefilter is false-negative-free and
+    // the exact verify join discards false positives) — same oracle,
+    // the s02/s04 "same predicate, scale plan" precedent
+    "d16_bloom_decontamination" -> d07Sql,
     "t10_pii_redaction"   -> t10Sql,
     "t11_repetition"      -> t11Sql,
     "t12_token_packing"   -> t12Sql,

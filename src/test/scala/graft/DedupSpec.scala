@@ -189,6 +189,67 @@ class DedupSpec extends SparkSpec {
     assert(again.count() === 0)
   }
 
+  test("d16 bloom decontamination: identical to d07 on the fixture (no false negatives)") {
+    import spark.implicits._
+    val exact = operators.Curation.d07Decontamination(spark, sf001)
+      .as[(Long, Long, Long)].collect().toSet
+    val bloom = operators.Curation.d16BloomDecontamination(spark, sf001)
+      .as[(Long, Long, Long)].collect().toSet
+    // no false negatives (≥3 shared with one bench doc ⇒ ≥3 distinct
+    // hashes in the union bloom) and the exact verify join discards
+    // false positives → set equality, not ⊆
+    assert(bloom === exact)
+    assert(exact.nonEmpty, "fixture must contain contamination for this test to bite")
+  }
+
+  test("d16 prefilter pruning power: a clean disjoint-vocab corpus barely reaches the join") {
+    import spark.implicits._
+    // the realistic corpus shape: each doc has its own vocabulary, a
+    // handful embed a benchmark passage verbatim (the contamination),
+    // everything else shares nothing with the bench set
+    val benchDocs = (0 until 5).map(b =>
+      (b.toLong, (1 to 30).map(j => s"bench${b}tok$j").mkString(" ")))
+    val passage = benchDocs(2)._2.split(" ").take(10).mkString(" ") // 8 shared trigrams
+    val corpusDocs = (0 until 500).map { i =>
+      val own = (1 to 40).map(j => s"doc${i}w$j").mkString(" ")
+      (100L + i, if (i % 100 == 7) own + " " + passage else own)
+    }
+    val bench = benchDocs.toDF("doc_id", "text")
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val got = operators.Curation.bloomContaminationCounts(corpus, bench)
+      .as[(Long, Long, Long)].collect().toSet
+    // ground truth via the d07 (no-prefilter) rule on the same frames
+    def shingled(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", operators.Dedup.shingleHashes($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val want = operators.Curation.contaminationCounts(
+        shingled(corpus).select($"doc_id", explode($"sh").as("sg")),
+        shingled(bench).select($"doc_id".as("bench_id"), explode($"sh").as("sg")))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(want.map(_._1) === corpusDocs.collect { case (id, t) if t.contains("bench") => id }.toSet)
+    // the scale claim: only the planted docs (+ possible rare bloom FPs)
+    // pass the prefilter — the clean 99% never explode into the join
+    val bits = functions.BloomBits.build(
+      shingled(bench).select(explode($"sh")).distinct().as[Long].collect())
+    val flagged = shingled(corpus)
+      .filter(functions.BloomHitsAtLeast($"sh", bits, 4, 3)).count()
+    assert(flagged <= want.map(_._1).size + 5,
+      s"prefilter kept $flagged docs; expected ≈ ${want.map(_._1).size} planted contaminations")
+  }
+
+  test("BloomBits: inserted members always hit; false-positive rate within sizing bound") {
+    val rnd = new scala.util.Random(7)
+    val members = Array.fill(5000)(rnd.nextLong())
+    val bits = functions.BloomBits.build(members)
+    members.foreach(h => assert(functions.BloomBits.mightContain(bits, 4, h)))
+    val memberSet = members.toSet
+    val probes = Array.fill(100000)(rnd.nextLong()).filterNot(memberSet)
+    val fp = probes.count(h => functions.BloomBits.mightContain(bits, 4, h))
+    // sizing: 16 bits/member, k=4 → theoretical ~0.24%; assert a lenient 1%
+    assert(fp.toDouble / probes.length < 0.01, s"FP rate ${fp.toDouble / probes.length}")
+  }
+
   test("c07 snapshot diff: applying the diff to the old manifest reproduces the new one") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001)

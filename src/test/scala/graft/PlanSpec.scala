@@ -110,6 +110,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-20 is not two-phase")
   }
 
+  test("d16: bloom prefilter runs as a codegen'd scan filter BEFORE any explode or join") {
+    val p = plan("d16_bloom_decontamination")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("bloom_hits_at_least"), "native prefilter missing from the plan")
+    // the prefilter must sit under a Filter, not after the Generate:
+    // flagged-doc selection happens before row multiplication
+    val lines = p.linesIterator.toVector
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("bloom_hits_at_least"))
+    assert(filterIdx >= 0, "bloom filter not fused into a Filter node")
+    assert(p.contains("BroadcastHashJoin"), "exact verify join should broadcast the bench side")
+  }
+
   test("t16: merge-pair count is partial+final with a two-phase top-k") {
     val p = plan("t16_merge_pairs")
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
