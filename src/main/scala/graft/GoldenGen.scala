@@ -30,7 +30,12 @@ object GoldenGen {
       // fixed-seed CMS: integer cell sums are merge-order free, so the
       // result is partition-count independent by the same argument as
       // t19's histogram bins
-      "t20_heavy_hitters")
+      "t20_heavy_hitters",
+      // per-term log2 values are pure per-value functions of integer
+      // counts; the per-doc sum goes through Det.dsum (exact decimal) —
+      // the only order-varying reduction is exact, so the snapshot is
+      // parallelism-independent (probed in PartitionInvarianceSpec)
+      "t21_lm_quality")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

@@ -522,6 +522,70 @@ object TextAnalysis {
       |        THEN (bin + 5e-1) * 64e0 END) AS p99_chars
       |FROM cum GROUP BY lang""".stripMargin
 
+  // ---- t21: bigram-LM quality scoring (CCNet-style) ----
+
+  /** t21: per-document cross-entropy under a bigram language model
+    * trained on the corpus itself — the LM-based quality filter of the
+    * CCNet pipeline (Wenzek et al. 2020, arXiv:1911.00359, which scores
+    * with a KenLM n-gram model; a corpus-trained bigram model is the
+    * distributed, self-contained form). Low cross-entropy = fluent,
+    * typical text; high = noise, boilerplate soup, wrong-language
+    * fragments. The t02/t11 surface heuristics see FORM (lengths,
+    * ratios); this is the engine's only FLUENCY signal, the standard
+    * public technique between heuristics and a neural scorer.
+    *
+    * Model: add-one-smoothed bigram probabilities P(w2|w1) =
+    * (c(w1,w2)+1)/(c(w1•)+V) — all integer aggregates. Score:
+    * xent = (1/n)·Σ −log₂P over the doc's n bigrams.
+    *
+    * Determinism: counts and V are integer aggregates (order-free);
+    * each −log₂P is a pure per-value function (deterministic on a
+    * machine, but log IS transcendental → cross-engine unsafe → golden
+    * oracle, the t20 discipline); each term is quantized to 6 dp and
+    * summed via [[graft.Det.dsum]] (exact decimal) so the per-doc sum —
+    * the one float reduction whose ORDER varies with partitioning — is
+    * bit-stable at any parallelism.
+    *
+    * Scale: training = two narrow integer aggregates over the bigram
+    * explode (map-side partial combine; c(w1•) derives from the bigram
+    * frame — one corpus pass total); scoring = the same exploded frame
+    * equi-joined to the model on (w1, w2) with fan-out exactly 1 per
+    * occurrence (stopword-prefix skew is an AQE-splittable join key,
+    * bounded by ≤ 1 model row per key); per-doc reduction is one
+    * partial+final agg on doc_id. No pair term, nothing quadratic,
+    * model state ∝ distinct bigrams (the same vocabulary-mass scaling
+    * argument as t13 — and at 100 TB the model frame prunes to bigrams
+    * above a count floor exactly like any LM does). V comes off a 1-row
+    * aggregate (the c04 `.head()` precedent — a scalar, not a dataset,
+    * crosses the driver). */
+  def t21LmQuality(s: SparkSession, d: String): DataFrame =
+    lmQualityScores(documents(s, d).select("doc_id", "text"))
+
+  /** Frame-taking core of t21 (specs feed planted corpora). */
+  private[graft] def lmQualityScores(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val t = toks($"text")
+    val n1 = greatest(size(t) - 1, lit(0))
+    val zipped = arrays_zip(slice(t, lit(1), n1), slice(t, lit(2), n1))
+    val big = docs.filter(size(t) >= 2)
+      .select($"doc_id", explode(zipped).as("p"))
+      .select($"doc_id", $"p.0".as("w1"), $"p.1".as("w2"))
+    val c12 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val v = docs.select(explode(t).as("w")).filter(length($"w") > 0)
+      .agg(countDistinct($"w")).head().getLong(0)
+    big
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .withColumn("nll", round(-log(2.0,
+        ($"c12" + 1).cast("double") / ($"c1" + lit(v)).cast("double")), 6))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), dsum($"nll").as("nll_sum"))
+      .select($"doc_id", $"n_bigrams",
+        round($"nll_sum" / $"n_bigrams", 6).as("xent_r"))
+  }
+
   // ---- t20: count-min-sketch heavy hitters ----
 
   /** t20: approximate heavy hitters via a count-min sketch — the
@@ -589,6 +653,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_lm_quality"    -> (t21LmQuality _),
     "t20_heavy_hitters" -> (t20HeavyHitters _),
     "t19_approx_quantiles" -> (t19ApproxQuantiles _),
     "t18_tfidf_terms"  -> (t18TfidfTerms _),
@@ -610,6 +675,9 @@ object TextAnalysis {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // t21: log2 is transcendental (cross-engine unsafe) → golden-hashed;
+    // partition invariance engineered via quantized decimal term sums.
+    "t21_lm_quality"    -> graft.GoldenGen.oracle("t21_lm_quality"),
     // t20: deterministic fixed-seed sketch, engine-specific hashes →
     // golden-hashed; overestimate-only + error bounds in TextAnalysisSpec.
     "t20_heavy_hitters" -> graft.GoldenGen.oracle("t20_heavy_hitters"),

@@ -98,7 +98,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     assert(narrow._5 === wide._5, "c04 datasheet diverges across parallelism")
   }
 
-  test("t20 CMS estimates and s11 survivor set are parallelism invariant") {
+  test("t20 CMS estimates, s11 survivor set, t21 LM scores are parallelism invariant") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001).select($"doc_id", $"text")
     val vecs = Tables.embeddings(spark, sf001)
@@ -108,16 +108,20 @@ class PartitionInvarianceSpec extends SparkSpec {
     def runAll(inputParts: Int, shuffleParts: Int) = withShuffle(shuffleParts) {
       // CMS cell sums are integer adds (merge-order free); the survivor
       // decision composes the oracled s08 join + CC + a total-order
-      // window — both must be bit-stable as the cluster reshapes
+      // window; t21's only order-varying reduction is the quantized
+      // decimal term sum — all must be bit-stable as the cluster reshapes
       (operators.TextAnalysis.cmsTokenEstimates(docs.repartition(inputParts))
          .as[(String, Long)].collect().toSet,
        Similarity.semanticSurvivors(vecs.repartition(inputParts), cen, 0.45)
-         .as[(Long, Long, Double, Boolean)].collect().toSet)
+         .as[(Long, Long, Double, Boolean)].collect().toSet,
+       operators.TextAnalysis.lmQualityScores(docs.repartition(inputParts))
+         .as[(Long, Long, Double)].collect().toSet)
     }
 
     val narrow = runAll(inputParts = 3, shuffleParts = 5)
     val wide = runAll(inputParts = 17, shuffleParts = 32)
     assert(narrow._1 === wide._1, "t20 CMS estimates diverge across parallelism")
     assert(narrow._2 === wide._2, "s11 survivors diverge across parallelism")
+    assert(narrow._3 === wide._3, "t21 LM scores diverge across parallelism")
   }
 }

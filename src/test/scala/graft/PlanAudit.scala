@@ -28,7 +28,8 @@ object PlanAudit {
         "m06_chunk_neardup","c04_corpus_report","s10_ivf_knn",
         "c06_split_audit","d15_substring_spans",
         "t19_approx_quantiles","t20_heavy_hitters","c07_snapshot_diff",
-        "s11_semantic_survivors","d16_bloom_decontamination").foreach(show)
+        "s11_semantic_survivors","d16_bloom_decontamination",
+        "t21_lm_quality").foreach(show)
     spark.stop()
   }
 }

@@ -182,6 +182,41 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t21 LM quality: matches a hand-computed bigram cross-entropy on a planted corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the cat"),
+      (3L, "zq xv qj wk pz vb"))
+    val docs = corpus.toDF("doc_id", "text")
+    val got = TextAnalysis.lmQualityScores(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // hand model: add-one-smoothed bigram probs over THIS corpus,
+    // per-term -log2 rounded to 6dp, exact-summed, /n, rounded to 6dp —
+    // mirroring the operator's quantization exactly
+    val bigrams = corpus.flatMap { case (id, t) =>
+      val w = t.split(" "); w.sliding(2).map(p => (id, p(0), p(1))) }
+    val c12 = bigrams.groupBy(b => (b._2, b._3)).map { case (k, v) => k -> v.size.toLong }
+    val c1 = bigrams.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val v = corpus.flatMap(_._2.split(" ")).distinct.size.toLong
+    def nll(w1: String, w2: String): BigDecimal =
+      BigDecimal(-math.log((c12((w1, w2)) + 1).toDouble / (c1(w1) + v).toDouble) / math.log(2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    corpus.foreach { case (id, t) =>
+      val w = t.split(" ")
+      val terms = w.sliding(2).map(p => nll(p(0), p(1))).toSeq
+      val want = BigDecimal(terms.sum.toDouble / terms.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (n, xent) = got(id)
+      assert(n === terms.size.toLong, s"doc $id bigram count")
+      assert(xent === want, s"doc $id: got $xent, hand-computed $want")
+    }
+    // the signal the operator exists for: repeated fluent anchors score
+    // lower cross-entropy than the all-hapax noise doc
+    assert(got(1L)._2 < got(3L)._2)
+    assert(got(2L)._2 < got(3L)._2)
+  }
+
   test("t20 CMS heavy hitters: overestimate-only, bounded error, true heavies surface") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001).select($"doc_id", $"text")
