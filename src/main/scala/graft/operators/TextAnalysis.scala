@@ -522,6 +522,114 @@ object TextAnalysis {
       |        THEN (bin + 5e-1) * 64e0 END) AS p99_chars
       |FROM cum GROUP BY lang""".stripMargin
 
+  // ---- t22: Gopher repetition rules ----
+
+  /** t22: the Gopher repetition filters (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1) — the published rule set between t11's
+    * single trigram ratio and t21's LM score. Two signals per document,
+    * both char-weighted (a repeated LONG phrase is worse than a repeated
+    * short one, which token-level ratios can't see):
+    *
+    *  - `top2_frac`: fraction of characters covered by occurrences of
+    *    the single most frequent word 2-gram (ties broken by the
+    *    lexicographically smallest gram — deterministic cross-engine).
+    *  - `dup5_frac`: fraction of characters covered by occurrences of
+    *    word 5-grams that appear ≥ 2 times. (Gopher de-overlaps
+    *    characters counted by overlapping duplicate n-grams; this keeps
+    *    the simpler occurrence-mass form so the number is a pure
+    *    aggregate — the deviation is documented and threshold-
+    *    equivalent on non-pathological text.)
+    *
+    * `gopher_keep` applies the paper's thresholds (top-2-gram ≤ 0.20,
+    * dup-5-gram ≤ 0.15) to the 6-dp-rounded fractions, so the flag is
+    * exactly reproducible from the emitted columns.
+    *
+    * Determinism: numerators and denominators are integer aggregates
+    * (order-free); the only float op is one final division of integers
+    * rounded to 6 dp — the t11 discipline, full DuckDB oracle.
+    *
+    * Scale: two linear explode→partial-agg passes keyed (doc_id, gram)
+    * then doc_id — gram state is per-document, not corpus-global, so
+    * nothing grows with corpus size except rows. The top-1 window is
+    * per-doc rank ≤ 1: WindowGroupLimit prunes to one row per doc
+    * per partition before the sort materializes (the t18 plan shape). */
+  def t22GopherRules(s: SparkSession, d: String): DataFrame =
+    gopherRules(documents(s, d).select("doc_id", "text"))
+
+  /** Frame-taking core of t22 (specs feed planted boilerplate docs). */
+  private[graft] def gopherRules(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val t = toks($"text")
+    val nTok = size(t)
+
+    // per-doc (gram, count) frame for word n-grams, via the same
+    // slice+arrays_zip construction as t21's bigrams (codegen'd array
+    // ops, one explode — no interpreted per-token lambda)
+    def gramCounts(n: Int): DataFrame = {
+      val len = nTok - (n - 1)
+      val zipped = arrays_zip((1 to n).map(i => slice(t, lit(i), len)): _*)
+      docs.filter(nTok >= n)
+        .select($"doc_id", length($"text").as("n_chars"), explode(zipped).as("p"))
+        .select($"doc_id", $"n_chars",
+          concat_ws(" ", (0 until n).map(i => col(s"p.$i")): _*).as("g"))
+        .groupBy($"doc_id", $"n_chars", $"g")
+        .agg(count(lit(1)).as("c"))
+    }
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"c".desc, $"g".asc)
+    val top2 = gramCounts(2)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"n_chars", $"g".as("top2gram"),
+        round(($"c" * length($"g")).cast("double") / $"n_chars", 6).as("top2_frac"))
+
+    val dup5 = gramCounts(5)
+      .filter($"c" >= 2)
+      .groupBy($"doc_id")
+      .agg(sum($"c" * length($"g")).as("dupmass"))
+
+    top2.join(dup5, Seq("doc_id"), "left")
+      .withColumn("dup5_frac",
+        round(coalesce($"dupmass", lit(0L)).cast("double") / $"n_chars", 6))
+      .select($"doc_id", $"top2gram", $"top2_frac", $"dup5_frac",
+        ($"top2_frac" <= 0.20 && $"dup5_frac" <= 0.15).as("gopher_keep"))
+  }
+
+  val t22Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, LENGTH(text) AS n_chars, string_split(text, ' ') AS t
+      |  FROM documents
+      |), g2 AS (
+      |  SELECT doc_id, n_chars, g, COUNT(*) AS c
+      |  FROM (SELECT doc_id, n_chars,
+      |          unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+      |        FROM tok WHERE len(t) >= 2)
+      |  GROUP BY 1, 2, 3
+      |), top2 AS (
+      |  SELECT doc_id, n_chars, g AS top2gram,
+      |    ROUND(CAST(c * LENGTH(g) AS DOUBLE) / n_chars, 6) AS top2_frac
+      |  FROM (SELECT *, row_number() OVER
+      |          (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM g2)
+      |  WHERE rn = 1
+      |), dup5 AS (
+      |  SELECT doc_id, SUM(c * LENGTH(g)) AS dupmass
+      |  FROM (SELECT doc_id, g, COUNT(*) AS c
+      |        FROM (SELECT doc_id,
+      |                unnest([t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+      |                        for i in range(1, len(t) - 3)]) AS g
+      |              FROM tok WHERE len(t) >= 5)
+      |        GROUP BY 1, 2)
+      |  WHERE c >= 2 GROUP BY 1
+      |)
+      |SELECT t.doc_id, t.top2gram, t.top2_frac,
+      |  ROUND(CAST(COALESCE(d.dupmass, 0) AS DOUBLE) / t.n_chars, 6) AS dup5_frac,
+      |  (t.top2_frac <= 0.20 AND
+      |   ROUND(CAST(COALESCE(d.dupmass, 0) AS DOUBLE) / t.n_chars, 6) <= 0.15)
+      |    AS gopher_keep
+      |FROM top2 t LEFT JOIN dup5 d USING (doc_id)""".stripMargin
+
   // ---- t21: bigram-LM quality scoring (CCNet-style) ----
 
   /** t21: per-document cross-entropy under a bigram language model
@@ -653,6 +761,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_gopher_rules"  -> (t22GopherRules _),
     "t21_lm_quality"    -> (t21LmQuality _),
     "t20_heavy_hitters" -> (t20HeavyHitters _),
     "t19_approx_quantiles" -> (t19ApproxQuantiles _),
@@ -675,6 +784,7 @@ object TextAnalysis {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    "t22_gopher_rules"  -> t22Sql,
     // t21: log2 is transcendental (cross-engine unsafe) → golden-hashed;
     // partition invariance engineered via quantized decimal term sums.
     "t21_lm_quality"    -> graft.GoldenGen.oracle("t21_lm_quality"),

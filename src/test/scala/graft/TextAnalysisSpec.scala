@@ -217,6 +217,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L)._2 < got(3L)._2)
   }
 
+  test("t22 Gopher rules: hand-computed fractions and thresholds on planted docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // pure boilerplate loop: top 2-gram "buy now" ×4 of 7 bigrams;
+      // every 5-gram duplicated → fails both thresholds
+      (1L, "buy now buy now buy now buy now"),
+      // diverse: all bigrams unique → top2 = tie-break winner at c=1,
+      // no duplicate 5-grams → keeps
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      // 2 tokens: the whole text IS the top bigram (frac = 1.0 → fail);
+      // exercises the no-5-gram left-join path
+      (3L, "hello world"),
+      // 1 token: no bigram — excluded from the frame entirely
+      (4L, "solo"))
+    val got = operators.TextAnalysis.gopherRules(docs.toDF("doc_id", "text"))
+      .as[(Long, String, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+
+    assert(!got.contains(4L), "single-token doc should have no bigram row")
+    // doc 1: len 31; top2 mass 4*7=28; dup5 mass: "buy now buy now buy"×2
+    // + "now buy now buy now"×2, each len 19 → 76 (occurrence mass, can
+    // exceed 1.0 by construction — documented)
+    assert(got(1L) === ((1L, "buy now", 0.903226, 2.451613, false)))
+    // doc 2: len 51; all bigrams c=1, lexicographic winner "brown fox"
+    // (len 9) → 9/51; no dup 5-grams
+    assert(got(2L) === ((2L, "brown fox", 0.176471, 0.0, true)))
+    // doc 3: len 11, bigram "hello world" covers everything
+    assert(got(3L) === ((3L, "hello world", 1.0, 0.0, false)))
+  }
+
   test("t20 CMS heavy hitters: overestimate-only, bounded error, true heavies surface") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001).select($"doc_id", $"text")
