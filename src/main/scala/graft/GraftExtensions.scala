@@ -46,6 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => functions.DotProduct(es(0), es(1))),
       fn("l2_norm", "L2 norm of a double array", 1,
         es => functions.L2Norm(es.head)),
+      fn("nfc_normalize", "Unicode NFC canonical composition of a string", 1,
+        es => functions.NfcNormalize(es.head)),
       fn("token_set_count", "count of space-delimited tokens in the literal comma-joined word set", 2,
         es => functions.TokenSetCount(es.head,
           functions.TokenSetCount.parseWordList(es(1)))),

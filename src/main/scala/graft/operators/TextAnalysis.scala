@@ -522,6 +522,51 @@ object TextAnalysis {
       |        THEN (bin + 5e-1) * 64e0 END) AS p99_chars
       |FROM cum GROUP BY lang""".stripMargin
 
+  // ---- t23: text normalization (NFC + control/whitespace cleanup) ----
+
+  /** t23: canonical text normal form — Unicode NFC composition, control
+    * characters (incl. tab/newline: single-line normal form) → space,
+    * space runs collapsed, ends trimmed — plus the cleaned text's sha256
+    * as the canonical content key. This is the cleanup pass that runs
+    * BEFORE d01 exact dedup and d03 shingling at scale: NFC-equal texts
+    * differing in combining-mark order, or byte-identical texts differing
+    * only in whitespace, must converge to one hash or the whole dedup
+    * tier undercounts.
+    *
+    * NFC is a native codegen'd expression ([[graft.functions.NfcNormalize]],
+    * ASCII fast path = one byte scan); the rest is built-in
+    * `regexp_replace`/`trim` — all row-local, shuffle-free, fused into
+    * whole-stage codegen with the scan. DuckDB's independent
+    * `nfc_normalize` implementation is the oracle (NFC is a Unicode
+    * standard, so two implementations agree on assigned codepoints);
+    * planted Unicode/control fixtures are spec-pinned since the benign
+    * fixture corpus normalizes to itself. */
+  def t23Normalize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .withColumn("cleaned", normalizeTextCol($"text"))
+      .select($"doc_id",
+        ($"cleaned" =!= $"text").as("changed"),
+        length($"cleaned").as("n_chars_norm"),
+        sha2($"cleaned", 256).as("norm_sha"))
+  }
+
+  /** The reusable normal-form column behind t23. */
+  def normalizeTextCol(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.NfcNormalize(text), "[\\p{Cntrl}]", " "),
+      " +", " "))
+
+  val t23Sql: String =
+    """SELECT doc_id,
+      |  cleaned <> text AS changed,
+      |  LENGTH(cleaned) AS n_chars_norm,
+      |  sha256(cleaned) AS norm_sha
+      |FROM (SELECT doc_id, text,
+      |        trim(regexp_replace(regexp_replace(nfc_normalize(text),
+      |             '[[:cntrl:]]', ' ', 'g'), ' +', ' ', 'g')) AS cleaned
+      |      FROM documents)""".stripMargin
+
   // ---- t22: Gopher repetition rules ----
 
   /** t22: the Gopher repetition filters (Rae et al. 2021,
@@ -761,6 +806,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_normalize"     -> (t23Normalize _),
     "t22_gopher_rules"  -> (t22GopherRules _),
     "t21_lm_quality"    -> (t21LmQuality _),
     "t20_heavy_hitters" -> (t20HeavyHitters _),
@@ -784,6 +830,7 @@ object TextAnalysis {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    "t23_normalize"     -> t23Sql,
     "t22_gopher_rules"  -> t22Sql,
     // t21: log2 is transcendental (cross-engine unsafe) → golden-hashed;
     // partition invariance engineered via quantized decimal term sums.

@@ -75,6 +75,10 @@ class ExtensionsSpec extends AnyFunSuite {
           |FROM VALUES (1.0, 10), (5.0, 50), (3.0, 30) AS x(v, t)
           |""".stripMargin).collect().head.getSeq[Long](0)
       assert(tk === Seq(50L, 30L))
+      // NFC through the config-only path: decomposed e+U+0301 composes
+      val nfc = s.sql("SELECT nfc_normalize('cafe\u0301') AS n")
+        .collect().head.getString(0)
+      assert(nfc === "caf\u00e9")
       // z-curve interleave through the config-only path: 5=101b on odd
       // positions (2+32) + 3=11b on even positions (1+4) = 39
       val mi = s.sql("SELECT morton_interleave(5L, 3L) AS z")
@@ -83,7 +87,7 @@ class ExtensionsSpec extends AnyFunSuite {
       val perSession = Seq("shingle_hashes", "char_shingle_hashes",
         "minhash_sig", "minhash_band_keys", "simhash64", "dot_product",
         "l2_norm", "exact_qsum", "token_set_count", "mod_filter", "topk",
-        "morton_interleave")
+        "morton_interleave", "nfc_normalize")
       perSession.foreach { name =>
         assert(s.sessionState.functionRegistry.functionExists(
           org.apache.spark.sql.catalyst.FunctionIdentifier(name)),

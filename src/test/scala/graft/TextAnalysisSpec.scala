@@ -217,6 +217,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L)._2 < got(3L)._2)
   }
 
+  test("t23 normalize: NFC composition, control/whitespace cleanup, ASCII identity") {
+    import spark.implicits._
+    val decomposed = "cafe\u0301 menu"   // e + combining acute accent
+    val composed = "caf\u00e9 menu"       // precomposed \u00e9
+    val docs = Seq(
+      (1L, decomposed),
+      (2L, composed),
+      (3L, "a\u0007b\tc\nd"),            // bell/tab/newline -> spaces
+      (4L, "  spaced   out  "),          // runs collapse, ends trim
+      (5L, "already clean ascii"))
+      .toDF("doc_id", "text")
+    val got = docs.withColumn("cleaned", operators.TextAnalysis.normalizeTextCol($"text"))
+      .select($"doc_id", $"cleaned").as[(Long, String)].collect().toMap
+    // NFC converges the two spellings to ONE canonical string, so
+    // downstream d01's content sha sees one key, not two
+    assert(got(1L) === composed)
+    assert(got(2L) === composed)
+    assert(got(3L) === "a b c d")
+    assert(got(4L) === "spaced out")
+    assert(got(5L) === "already clean ascii", "ASCII fast path must be the identity")
+    // idempotence: the normal form is a fixed point
+    val again = docs.withColumn("c1", operators.TextAnalysis.normalizeTextCol($"text"))
+      .withColumn("c2", operators.TextAnalysis.normalizeTextCol($"c1"))
+      .filter($"c1" =!= $"c2").count()
+    assert(again === 0L)
+  }
+
   test("t22 Gopher rules: hand-computed fractions and thresholds on planted docs") {
     import spark.implicits._
     val docs = Seq(
