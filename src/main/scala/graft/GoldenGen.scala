@@ -35,7 +35,11 @@ object GoldenGen {
       // counts; the per-doc sum goes through Det.dsum (exact decimal) —
       // the only order-varying reduction is exact, so the snapshot is
       // parallelism-independent (probed in PartitionInvarianceSpec)
-      "t21_lm_quality")
+      "t21_lm_quality",
+      // PQ: decimal-exact Lloyd's updates + exact ADC sums + total-order
+      // ties make the whole train→encode→score path parallelism-
+      // independent (probed in PartitionInvarianceSpec)
+      "s12_pq_topk")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

@@ -880,7 +880,160 @@ object Similarity {
       |      FROM en LEFT JOIN comp ON en.vec_id = comp.id) m
       |JOIN typ t ON m.vec_id = t.vec_id""".stripMargin
 
+  // ---- s12: product quantization (ADC top-k) ----
+
+  /** L2-normalized, 1e-6-quantized subvector frame (vec_id, sub, sv):
+    * each vector split into M contiguous dsub-dim blocks. Normalizing
+    * first makes PQ's L2 ranking equal cosine ranking (‖a−b‖² = 2−2cosθ
+    * on the unit sphere — the same order s01 ranks by); quantizing the
+    * components AFTER normalization makes every downstream centroid
+    * mean expressible as an exact decimal sum ([[graft.Det.dsum]]) —
+    * the trick that keeps iterative float training partition-invariant
+    * (the s09/t21 discipline applied to Lloyd's updates). */
+  private[graft] def pqSubvectors(c: DataFrame, dsub: Int): DataFrame = {
+    val s = c.sparkSession
+    import s.implicits._
+    c.withColumn("nrm", norm($"v"))
+      .select($"vec_id", $"nrm", posexplode($"v"))
+      .toDF("vec_id", "nrm", "pos", "x")
+      .select($"vec_id", ($"pos" / lit(dsub)).cast("int").as("sub"), $"pos",
+        round($"x" / $"nrm", 6).as("xq"))
+      .groupBy($"vec_id", $"sub")
+      .agg(array_sort(collect_list(struct($"pos", $"xq"))).as("pm"))
+      .select($"vec_id", $"sub", transform($"pm", p => p.getField("xq")).as("sv"))
+  }
+
+  /** Squared L2 via three sequential-order dots — row-local, so the
+    * value is independent of partitioning by construction. */
+  private def d2(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Per-subspace PQ codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search") — (sub, cid, cv), K
+    * centroids per subspace via Lloyd's k-means. All M subspace
+    * k-means run as ONE DataFrame program per iteration (grouped by
+    * `sub`), not M sequential jobs: each iteration is a broadcast join
+    * against the M·K-row codebook + two aggregates. Seeds are K
+    * hash-spread subvectors per subspace (WindowGroupLimit prunes the
+    * per-sub rank to K rows per partition before any sort
+    * materializes); centroid updates are exact decimal means of the
+    * quantized components, re-quantized to 1e-6 — bit-stable at any
+    * parallelism. Empty clusters keep their previous centroid. */
+  def pqCodebooks(sv: DataFrame, K: Int, iters: Int): DataFrame = {
+    val s = sv.sparkSession
+    import s.implicits._
+    val ws = Window.partitionBy($"sub")
+      .orderBy(pmod(xxhash64($"vec_id"), lit(997)).asc, $"vec_id".asc)
+    var books = sv.withColumn("rn", row_number().over(ws))
+      .filter($"rn" <= K)
+      .select($"sub", ($"rn" - 1).as("cid"), $"sv".as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = sv.join(broadcast(books), Seq("sub"))
+        .select($"vec_id", $"sub", $"sv", $"cid", d2($"sv", $"cv").as("d2"))
+        .groupBy($"vec_id", $"sub")
+        .agg(min_by(struct($"cid", $"sv"), struct($"d2", $"cid")).as("a"))
+        .select($"sub", $"a.cid".as("cid"), $"a.sv".as("sv"))
+      val upd = assigned
+        .select($"sub", $"cid", posexplode($"sv"))
+        .toDF("sub", "cid", "pos", "xq")
+        .groupBy($"sub", $"cid", $"pos")
+        .agg(round(graft.Det.dsum($"xq") / count(lit(1)), 6).as("m"))
+        .groupBy($"sub", $"cid")
+        .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+        .select($"sub", $"cid", transform($"pm", p => p.getField("m")).as("ncv"))
+      books = books.join(upd, Seq("sub", "cid"), "left")
+        .select($"sub", $"cid", coalesce($"ncv", $"cv").as("cv"))
+    }
+    books
+  }
+
+  /** PQ encoding: (vec_id, codes) — each vector compressed to M
+    * centroid ids, log₂K bits each (M=16, K=16 → 8 BYTES per vector vs
+    * 256 for 64 float32s, a 32× compression). At 100 TB this is what
+    * makes corpus-wide ANN memory-resident: the codes table fits where
+    * the raw embeddings never will, and candidate scoring reads codes
+    * + a per-query 2 KB distance table instead of touching vectors. */
+  def pqCodes(sv: DataFrame, books: DataFrame): DataFrame = {
+    val s = sv.sparkSession
+    import s.implicits._
+    sv.join(broadcast(books), Seq("sub"))
+      .select($"vec_id", $"sub", $"cid", d2($"sv", $"cv").as("d2"))
+      .groupBy($"vec_id", $"sub")
+      .agg(min_by($"cid", struct($"d2", $"cid")).as("code"))
+      .groupBy($"vec_id")
+      .agg(array_sort(collect_list(struct($"sub", $"code"))).as("sc"))
+      .select($"vec_id", transform($"sc", p => p.getField("code")).as("codes"))
+  }
+
+  /** Trained-codebook store, mirroring [[trainedCentroids]]'s "train
+    * once, serve many" lifecycle: the M·K×dsub model artifact is cached
+    * on the driver per (corpus, K, iters) and rebuilt as a tiny
+    * broadcastable table on demand. Training stays all shuffle-side. */
+  private val pqStore =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), Seq[(Int, Int, Seq[Double])]]
+
+  private[graft] def clearPqCache(): Unit = pqStore.clear()
+
+  def trainedPqCodebooks(s: SparkSession, d: String, dsub: Int, K: Int, iters: Int): DataFrame = {
+    import s.implicits._
+    val rows = pqStore.getOrElseUpdate((d, dsub, K, iters), {
+      pqCodebooks(pqSubvectors(corpus(s, d).select($"vec_id", $"v"), dsub), K, iters)
+        .collect().toSeq.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    })
+    rows.toDF("sub", "cid", "cv")
+  }
+
+  /** s12: PQ + ADC top-k — the memory-bound complement of the IVF
+    * family. s03/s10 cut CANDIDATES (probe fewer buckets); PQ cuts
+    * BYTES PER CANDIDATE (4-byte codes, asymmetric-distance scoring
+    * against a per-query M×K lookup table). Production systems compose
+    * them (IVFADC); here PQ scores the whole corpus so the spec can
+    * measure pure quantization loss against the exact s01 ranking.
+    *
+    * Plan: one broadcast join builds the 20·M·K-row distance table;
+    * exploded codes equi-join it on (sub, cid) — fan-out exactly |Q|
+    * per code row, linear in corpus — then one partial+final aggregate
+    * sums the M table entries per (q, candidate). No pair term, no
+    * corpus shuffle beyond the (q_id, n_id) reduction.
+    *
+    * Determinism: table entries are row-local doubles rounded to 6 dp;
+    * the per-candidate sum of M entries — the only order-varying
+    * reduction — goes through [[graft.Det.dsum]] (exact decimal), and
+    * ranking ties break on n_id. Approximate ACCURACY, deterministic
+    * mechanism → golden-snapshot oracle (the s03 discipline); recall
+    * floor + quantization-error bound pinned in SimilaritySpec. */
+  def s12PqTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // dsub=4 on the 64-dim fixture → M=16 subspaces, K=16 → 8-byte
+    // codes (32×). Chosen over dsub=8/4-byte (64×) because measured
+    // recall@3 vs s01 on the unclustered gaussian fixture is 0.32 vs
+    // 0.10 — the extra 4 bytes buy 3× the accuracy; on the clustered
+    // corpus real embeddings resemble, the same config measures 0.98
+    // (SimilaritySpec). iters=3: recall plateaus there (PqProbe).
+    val (dsub, k, iters) = (4, 16, 3)
+    val sv = pqSubvectors(corpus(s, d).select($"vec_id", $"v"), dsub).cache()
+    try {
+      val books = trainedPqCodebooks(s, d, dsub, k, iters)
+      val dtab = sv.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"sub", $"sv".as("qsv"))
+        .join(broadcast(books), Seq("sub"))
+        .select($"q_id", $"sub", $"cid", round(d2($"qsv", $"cv"), 6).as("d2q"))
+      val wq = Window.partitionBy($"q_id").orderBy($"adc".asc, $"n_id".asc)
+      pqCodes(sv, books)
+        .select($"vec_id".as("n_id"), posexplode($"codes"))
+        .toDF("n_id", "sub", "cid")
+        .join(broadcast(dtab), Seq("sub", "cid"))
+        .filter($"n_id" =!= $"q_id")
+        .groupBy($"q_id", $"n_id")
+        .agg(graft.Det.dsum($"d2q").as("adc"))
+        .withColumn("rank", row_number().over(wq))
+        .filter($"rank" <= 3)
+        .select($"q_id", $"n_id", $"rank", round($"adc", 6).as("adc_r"))
+    } finally { sv.unpersist(); () }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_pq_topk"           -> (s12PqTopK _),
     "s09_label_cohesion"    -> (s09LabelCohesion _),
     "s10_ivf_knn"           -> (s10IvfKnn _),
     "s01_cosine_topk"       -> (s01CosineTopK _),
@@ -897,6 +1050,10 @@ object Similarity {
   // def, not val: the golden-snapshot oracle resolves the sf tag at
   // dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // s12: approximate ACCURACY, deterministic mechanism (decimal-exact
+    // training + ADC sums, total-order ties) → golden-snapshot hard
+    // check; recall floor + quantization error pinned in SimilaritySpec
+    "s12_pq_topk"           -> graft.GoldenGen.oracle("s12_pq_topk"),
     "s09_label_cohesion"    -> s09Sql,
     // same oracle discipline as s08: approximate RECALL, deterministic
     // SQL-replicable mechanism

@@ -124,4 +124,28 @@ class PartitionInvarianceSpec extends SparkSpec {
     assert(narrow._2 === wide._2, "s11 survivors diverge across parallelism")
     assert(narrow._3 === wide._3, "t21 LM scores diverge across parallelism")
   }
+
+  test("s12 PQ training and codes are parallelism invariant") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+
+    // Lloyd's updates are the classic place float training diverges
+    // across partitionings (sum order varies); s12's updates are exact
+    // decimal means of 1e-6-quantized components, so codebooks — and
+    // therefore every downstream code — must be bit-identical as both
+    // the input layout and the shuffle width change
+    def run(inputParts: Int, shuffleParts: Int) = withShuffle(shuffleParts) {
+      val sv = Similarity.pqSubvectors(vecs.repartition(inputParts), 4)
+      val books = Similarity.pqCodebooks(sv, 16, 2)
+      (books.as[(Int, Int, Seq[Double])].collect().toSet,
+       Similarity.pqCodes(sv, books)
+         .as[(Long, Seq[Int])].collect().toSet)
+    }
+
+    val narrow = run(inputParts = 3, shuffleParts = 5)
+    val wide = run(inputParts = 17, shuffleParts = 32)
+    assert(narrow._1 === wide._1, "s12 codebooks diverge across parallelism")
+    assert(narrow._2 === wide._2, "s12 codes diverge across parallelism")
+  }
 }

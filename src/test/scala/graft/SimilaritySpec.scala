@@ -365,4 +365,118 @@ class SimilaritySpec extends SparkSpec {
     assert(byComp.exists(_._2.length > 1))
     assert(out.count(_._4) < n)
   }
+
+  test("s12 PQ top-k: shape, compression contract, retrain determinism") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Similarity.s12PqTopK(spark, sf0001)
+      .select($"q_id", $"n_id", $"rank", $"adc_r").collect()
+    // 20 queries × dense ranks 1..3, no self-pairs
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size === 20)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq === Seq(1, 2, 3))
+      rows.foreach(r => assert(r.getLong(1) !== q))
+    }
+    // the compression contract: every corpus vector encodes to exactly
+    // M=16 codes, each a valid centroid id in [0, K=16)
+    val c = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val books = Similarity.pqCodebooks(Similarity.pqSubvectors(c, 4), 16, 3)
+    val codes = Similarity.pqCodes(Similarity.pqSubvectors(c, 4), books)
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.length.toLong === c.count())
+    codes.foreach { case (_, cs) =>
+      assert(cs.length === 16)
+      cs.foreach(code => assert(code >= 0 && code < 16))
+    }
+    // training from scratch (cache cleared) reproduces the identical
+    // result — the golden snapshot's soundness rests on this
+    Similarity.clearPqCache()
+    val again = Similarity.s12PqTopK(spark, sf0001)
+      .select($"q_id", $"n_id", $"rank", $"adc_r").collect()
+    assert(out.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
+  }
+
+  test("s12 recall floor vs exact s01 and ADC ranking signal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val exact = topk(Similarity.s01CosineTopK(spark, sf0001))
+    val pq = topk(Similarity.s12PqTopK(spark, sf0001))
+    // recall on the unclustered gaussian fixture measured 0.32 with the
+    // shipped (dsub=4, K=16, iters=3) config (PqProbe) — floor beneath
+    // it to catch mechanism regressions, not a clustered-data SLA (the
+    // clustered test below is the regime PQ is built for)
+    val recalls = exact.map { case (q, en) =>
+      val found = pq.getOrElse(q, Nil).toSet
+      en.count(found.contains).toDouble / en.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean recall@3 = $mean")
+    // ranking signal: PQ's picks must be genuinely near in EXACT
+    // distance — mean true d² of picked pairs well under the corpus
+    // mean (≈2 for unit vectors with E[cos]≈0). A broken quantizer
+    // that still produced well-formed top-3 rows would fail here.
+    val vn = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", graft.functions.VectorOps.l2Norm($"v"))
+      .select($"vec_id", transform($"v", x => x / $"nrm").as("vn"))
+    val pickDf = pq.toSeq.flatMap { case (q, ns) => ns.map(q -> _) }
+      .toDF("q_id", "n_id")
+    val meanPicked = pickDf
+      .join(vn.select($"vec_id".as("q_id"), $"vn".as("qv")), "q_id")
+      .join(vn.select($"vec_id".as("n_id"), $"vn".as("nv")), "n_id")
+      .select((lit(2.0) - lit(2.0) * Similarity.dot($"qv", $"nv")).as("d2"))
+      .agg(avg($"d2")).head.getDouble(0)
+    assert(meanPicked < 1.7, s"mean exact d2 of PQ picks = $meanPicked (corpus mean ≈ 2)")
+  }
+
+  test("s12 PQ on a CLUSTERED corpus: the regime PQ is built for") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // same fixture as the s10 clustered test: 8 well-separated centroid
+    // directions in 16-dim, 25 members each. With dsub=4 → M=4
+    // subspaces of 4 dims, each containing at most two of the eight
+    // active coordinate pairs — measured recall@3 = 0.98 (PqProbe)
+    val dim = 16; val groups = 8; val perGroup = 25
+    val rows = for { g <- 0 until groups; i <- 0 until perGroup } yield {
+      val v = Array.tabulate(dim) { j =>
+        val base = if (j == 2 * g || j == 2 * g + 1) 1.0 else 0.0
+        base + (((i * 31 + j * 17) % 7) - 3) * 0.03
+      }
+      (g.toLong + groups.toLong * i, v)
+    }
+    val vecs = rows.toDF("vec_id", "v")
+    val vn = vecs.withColumn("nrm", graft.functions.VectorOps.l2Norm($"v"))
+      .select($"vec_id", transform($"v", x => x / $"nrm").as("vn"))
+    val w = Window.partitionBy($"q_id").orderBy($"d2".asc, $"n_id".asc)
+    val exact = vn.crossJoin(vn.select($"vec_id".as("q_id"), $"vn".as("qv")))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        (lit(2.0) - lit(2.0) * Similarity.dot($"vn", $"qv")).as("d2"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val sv = Similarity.pqSubvectors(vecs, 4)
+    val books = Similarity.pqCodebooks(sv, 16, 3)
+    val dtab = sv.select($"vec_id".as("q_id"), $"sub", $"sv".as("qsv"))
+      .join(broadcast(books), Seq("sub"))
+      .select($"q_id", $"sub", $"cid",
+        round(Similarity.dot($"qsv", $"qsv") - lit(2.0) * Similarity.dot($"qsv", $"cv") +
+          Similarity.dot($"cv", $"cv"), 6).as("d2q"))
+    val wa = Window.partitionBy($"q_id").orderBy($"adc".asc, $"n_id".asc)
+    val got = Similarity.pqCodes(sv, books)
+      .select($"vec_id".as("n_id"), posexplode($"codes")).toDF("n_id", "sub", "cid")
+      .join(dtab, Seq("sub", "cid"))
+      .filter($"n_id" =!= $"q_id")
+      .groupBy($"q_id", $"n_id").agg(graft.Det.dsum($"d2q").as("adc"))
+      .withColumn("rk", row_number().over(wa)).filter($"rk" <= 3)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val recalls = exact.keys.toSeq
+      .map(q => (exact(q) & got.getOrElse(q, Set.empty)).size / 3.0)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"clustered recall@3 = $mean")
+  }
 }
