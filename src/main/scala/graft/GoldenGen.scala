@@ -39,7 +39,10 @@ object GoldenGen {
       // PQ: decimal-exact Lloyd's updates + exact ADC sums + total-order
       // ties make the whole train→encode→score path parallelism-
       // independent (probed in PartitionInvarianceSpec)
-      "s12_pq_topk")
+      "s12_pq_topk",
+      // IVFADC composes the same decimal-exact stages (coarse Lloyd's,
+      // residual Lloyd's, ADC sums) — deterministic end to end
+      "s13_ivfadc_topk")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

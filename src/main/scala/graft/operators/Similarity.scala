@@ -894,18 +894,22 @@ object Similarity {
     val s = c.sparkSession
     import s.implicits._
     c.withColumn("nrm", norm($"v"))
-      .select($"vec_id", $"nrm", posexplode($"v"))
-      .toDF("vec_id", "nrm", "pos", "x")
-      .select($"vec_id", ($"pos" / lit(dsub)).cast("int").as("sub"), $"pos",
-        round($"x" / $"nrm", 6).as("xq"))
-      .groupBy($"vec_id", $"sub")
-      .agg(array_sort(collect_list(struct($"pos", $"xq"))).as("pm"))
-      .select($"vec_id", $"sub", transform($"pm", p => p.getField("xq")).as("sv"))
+      .select($"vec_id", transform($"v", x => round(x / $"nrm", 6)).as("vq"))
+      .select($"vec_id", posexplode(subSplit($"vq", dsub)))
+      .toDF("vec_id", "sub", "sv")
   }
+
+  /** Contiguous dsub-dim blocks of an (already quantized) vector —
+    * row-local transform+slice, no explode/group round-trip, so the
+    * split costs zero shuffles. Shared by the normalized path above and
+    * s13's residual split. */
+  private[graft] def subSplit(vq: Column, dsub: Int): Column =
+    transform(sequence(lit(0), (size(vq) / dsub).cast("int") - 1),
+      m => slice(vq, m * dsub + 1, lit(dsub)))
 
   /** Squared L2 via three sequential-order dots — row-local, so the
     * value is independent of partitioning by construction. */
-  private def d2(a: Column, b: Column): Column =
+  private[graft] def d2(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 
   /** Per-subspace PQ codebooks (Jégou et al. 2011, "Product
@@ -1032,7 +1036,118 @@ object Similarity {
     } finally { sv.unpersist(); () }
   }
 
+  // ---- s13: IVFADC (IVF coarse quantizer + PQ residual codes) ----
+
+  /** Residual-PQ codebook store for s13, the [[pqStore]] lifecycle for
+    * the second-stage model: keyed by (corpus, kc, dsub, kpq, iters)
+    * because residuals — and therefore their codebooks — depend on the
+    * coarse quantizer they are taken against. */
+  private val ivfadcStore =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int, Int), Seq[(Int, Int, Seq[Double])]]
+
+  private[graft] def clearIvfAdcCache(): Unit = ivfadcStore.clear()
+
+  /** Nearest coarse centroid + 6dp-quantized residual for every vector
+    * of a full-vector (sub=0) frame. The residual subtraction is the
+    * IVFADC trick: PQ then quantizes the DISPLACEMENT from the coarse
+    * centroid, whose spread is far smaller than the corpus's, so the
+    * same code budget buys much finer resolution. Re-rounding to 1e-6
+    * keeps every downstream mean/sum exactly representable in decimal. */
+  private[graft] def coarseResiduals(vq64: DataFrame, coarse: DataFrame): DataFrame = {
+    val s = vq64.sparkSession
+    import s.implicits._
+    vq64.join(broadcast(coarse), Seq("sub"))
+      .select($"vec_id", $"cid", $"sv", $"cv", d2($"sv", $"cv").as("d2"))
+      .groupBy($"vec_id")
+      .agg(min_by(struct($"cid", $"sv", $"cv"), struct($"d2", $"cid")).as("a"))
+      .select($"vec_id", $"a.cid".as("cluster_id"),
+        zip_with($"a.sv", $"a.cv", (x, c) => round(x - c, 6)).as("r"))
+  }
+
+  /** s13: IVFADC top-k (Jégou et al. 2011 §IV) — the composition the
+    * s12 scaladoc promises: s03's IVF idea cuts CANDIDATES (only
+    * nprobe=2 of kc coarse buckets are scored per query) and s12's PQ
+    * cuts BYTES PER CANDIDATE (candidates are scored from 16 4-bit
+    * residual codes against a per-(query, probed-bucket) distance
+    * table, never from raw vectors). This is the production ANN stack:
+    * at 100 TB the corpus ships as (cluster_id, codes) — ~3 TB,
+    * partitioned by cluster_id so probes are partition-pruned scans —
+    * while training and the two model artifacts (kc×dim coarse, M·K×dsub
+    * residual codebook) stay tiny and broadcast.
+    *
+    * Both training stages reuse the SAME decimal-exact Lloyd's machinery
+    * ([[pqCodebooks]]): the coarse quantizer is simply PQ with one
+    * subspace spanning the whole vector (M=1, K=kc), so every quantity
+    * in train→assign→residual→encode→score is 6dp-quantized with exact
+    * decimal reductions — bit-identical at any parallelism, hence
+    * golden-snapshot oracled like s03/s12. Residuals are scored with
+    * L2 ADC; on unit vectors that ranking equals cosine ranking.
+    *
+    * Plan shape: three broadcast joins (coarse assign, probe tables,
+    * code scoring) + two aggregates; the only corpus-sized shuffles are
+    * the per-vector argmin groupBys and the final (q_id, n_id) sum —
+    * no pair term, nothing quadratic. The distance-table join's
+    * equi-keys include the probed cluster_id, so a candidate row fans
+    * out only to queries actually probing its bucket. */
+  def s13IvfAdcTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // kc=5 matches s03's coarse granularity on the 500-vector fixture
+    // (~100/bucket); dsub=4, kpq=16 are s12's measured accuracy point;
+    // iters=2: both quantizers plateau there on this corpus (PqProbe).
+    val (kc, dsub, kpq, iters, nprobe) = (5, 4, 16, 2, 2)
+    // M=1 "subvectors" = whole normalized quantized vectors
+    val vq64 = pqSubvectors(corpus(s, d).select($"vec_id", $"v"), 64).cache()
+    try {
+      val coarse = trainedPqCodebooks(s, d, 64, kc, iters)
+      val books = {
+        val rows = ivfadcStore.getOrElseUpdate((d, kc, dsub, kpq, iters), {
+          val rsv = coarseResiduals(vq64, coarse)
+            .select($"vec_id", posexplode(subSplit($"r", dsub)))
+            .toDF("vec_id", "sub", "sv")
+          pqCodebooks(rsv, kpq, iters)
+            .collect().toSeq.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        })
+        rows.toDF("sub", "cid", "cv")
+      }
+      val assigned = coarseResiduals(vq64, coarse)
+      val rsv = assigned.select($"vec_id", posexplode(subSplit($"r", dsub)))
+        .toDF("vec_id", "sub", "sv")
+      // corpus as the IVFADC serving layout: (cluster_id, vec_id, codes)
+      val codes = pqCodes(rsv, books)
+        .join(assigned.select($"vec_id", $"cluster_id"), "vec_id")
+      // query side: nprobe nearest coarse buckets, one residual — and
+      // therefore one ADC distance table — PER PROBED BUCKET
+      val wp = Window.partitionBy($"q_id").orderBy($"d2".asc, $"cid".asc)
+      val probes = vq64.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"sv".as("qsv"), $"sub")
+        .join(broadcast(coarse), Seq("sub"))
+        .select($"q_id", $"cid", $"qsv", $"cv", d2($"qsv", $"cv").as("d2"))
+        .withColumn("c_rank", row_number().over(wp))
+        .filter($"c_rank" <= nprobe)
+        .select($"q_id", $"cid".as("cluster_id"),
+          zip_with($"qsv", $"cv", (x, c) => round(x - c, 6)).as("qr"))
+      val dtab = probes
+        .select($"q_id", $"cluster_id", posexplode(subSplit($"qr", dsub)))
+        .toDF("q_id", "cluster_id", "sub", "qsv")
+        .join(broadcast(books), Seq("sub"))
+        .select($"q_id", $"cluster_id", $"sub", $"cid",
+          round(d2($"qsv", $"cv"), 6).as("d2q"))
+      val wq = Window.partitionBy($"q_id").orderBy($"adc".asc, $"n_id".asc)
+      codes
+        .select($"vec_id".as("n_id"), $"cluster_id", posexplode($"codes"))
+        .toDF("n_id", "cluster_id", "sub", "cid")
+        .join(broadcast(dtab), Seq("cluster_id", "sub", "cid"))
+        .filter($"n_id" =!= $"q_id")
+        .groupBy($"q_id", $"n_id")
+        .agg(graft.Det.dsum($"d2q").as("adc"))
+        .withColumn("rank", row_number().over(wq))
+        .filter($"rank" <= 3)
+        .select($"q_id", $"n_id", $"rank", round($"adc", 6).as("adc_r"))
+    } finally { vq64.unpersist(); () }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_ivfadc_topk"       -> (s13IvfAdcTopK _),
     "s12_pq_topk"           -> (s12PqTopK _),
     "s09_label_cohesion"    -> (s09LabelCohesion _),
     "s10_ivf_knn"           -> (s10IvfKnn _),
@@ -1054,6 +1169,10 @@ object Similarity {
     // training + ADC sums, total-order ties) → golden-snapshot hard
     // check; recall floor + quantization error pinned in SimilaritySpec
     "s12_pq_topk"           -> graft.GoldenGen.oracle("s12_pq_topk"),
+    // s13: same discipline — both quantizer stages are the decimal-exact
+    // Lloyd's machinery, so the full IVFADC path is bit-deterministic;
+    // probed-bucket containment + clustered recall pinned in spec
+    "s13_ivfadc_topk"       -> graft.GoldenGen.oracle("s13_ivfadc_topk"),
     "s09_label_cohesion"    -> s09Sql,
     // same oracle discipline as s08: approximate RECALL, deterministic
     // SQL-replicable mechanism

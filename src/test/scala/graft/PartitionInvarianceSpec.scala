@@ -148,4 +148,24 @@ class PartitionInvarianceSpec extends SparkSpec {
     assert(narrow._1 === wide._1, "s12 codebooks diverge across parallelism")
     assert(narrow._2 === wide._2, "s12 codes diverge across parallelism")
   }
+
+  test("s13 coarse assignment and residuals are parallelism invariant") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+
+    // the IVFADC-specific stage on top of the s12 machinery: the
+    // argmin coarse assignment (min_by with a total-order key) and the
+    // 6dp residual subtraction must be bit-identical however the input
+    // is laid out and however wide the shuffle is
+    def run(inputParts: Int, shuffleParts: Int) = withShuffle(shuffleParts) {
+      val vq64 = Similarity.pqSubvectors(vecs.repartition(inputParts), 64)
+      val coarse = Similarity.pqCodebooks(vq64, 5, 2)
+      Similarity.coarseResiduals(vq64, coarse)
+        .as[(Long, Int, Seq[Double])].collect().toSet
+    }
+
+    assert(run(inputParts = 3, shuffleParts = 5) === run(inputParts = 17, shuffleParts = 32),
+      "s13 coarse assignment/residuals diverge across parallelism")
+  }
 }

@@ -479,4 +479,110 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.9, s"clustered recall@3 = $mean")
   }
+
+  test("s13 IVFADC: shape, probed-bucket containment, retrain determinism") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val out = Similarity.s13IvfAdcTopK(spark, sf0001)
+      .select($"q_id", $"n_id", $"rank", $"adc_r").collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size === 20)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq === Seq(1, 2, 3))
+      rows.foreach(r => assert(r.getLong(1) !== q))
+    }
+    // the IVF half of the contract: every returned neighbor must live
+    // in one of its query's nprobe=2 probed coarse buckets — s13 never
+    // scores (never even reads) a vector outside them
+    val c = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val vq64 = Similarity.pqSubvectors(c, 64)
+    val coarse = Similarity.trainedPqCodebooks(spark, sf0001, 64, 5, 2)
+    val clusterOf = Similarity.coarseResiduals(vq64, coarse)
+      .select($"vec_id", $"cluster_id").as[(Long, Int)].collect().toMap
+    val wp = Window.partitionBy($"q_id").orderBy($"d2".asc, $"cid".asc)
+    val probesOf = vq64.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"sub", $"sv".as("qsv"))
+      .join(broadcast(coarse), Seq("sub"))
+      .select($"q_id", $"cid", Similarity.d2($"qsv", $"cv").as("d2"))
+      .withColumn("c_rank", row_number().over(wp)).filter($"c_rank" <= 2)
+      .select($"q_id", $"cid").as[(Long, Int)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    out.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert(probesOf(q).contains(clusterOf(n)),
+        s"neighbor $n of query $q is outside the probed buckets")
+    }
+    // both model caches cleared → full retrain reproduces bit-identical
+    // results (what the golden snapshot rests on)
+    Similarity.clearPqCache()
+    Similarity.clearIvfAdcCache()
+    val again = Similarity.s13IvfAdcTopK(spark, sf0001)
+      .select($"q_id", $"n_id", $"rank", $"adc_r").collect()
+    assert(out.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
+  }
+
+  test("s13 IVFADC on a CLUSTERED corpus: coarse buckets + residual PQ recover exact ranking") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // the s10/s12 clustered fixture: 8 separated groups in 16-dim.
+    // Coarse K=8 (M=1 over the full vector) should rediscover the
+    // groups; residual PQ (dsub=4 → M=4, K=16) then ranks WITHIN them.
+    val dim = 16; val groups = 8; val perGroup = 25
+    val rows = for { g <- 0 until groups; i <- 0 until perGroup } yield {
+      val v = Array.tabulate(dim) { j =>
+        val base = if (j == 2 * g || j == 2 * g + 1) 1.0 else 0.0
+        base + (((i * 31 + j * 17) % 7) - 3) * 0.03
+      }
+      (g.toLong + groups.toLong * i, v)
+    }
+    val vecs = rows.toDF("vec_id", "v")
+    val vn = vecs.withColumn("nrm", graft.functions.VectorOps.l2Norm($"v"))
+      .select($"vec_id", transform($"v", x => x / $"nrm").as("vn"))
+    val w = Window.partitionBy($"q_id").orderBy($"d2".asc, $"n_id".asc)
+    val exact = vn.crossJoin(vn.select($"vec_id".as("q_id"), $"vn".as("qv")))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        (lit(2.0) - lit(2.0) * Similarity.dot($"vn", $"qv")).as("d2"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val vq16 = Similarity.pqSubvectors(vecs, 16)
+    val coarse = Similarity.pqCodebooks(vq16, 8, 3)
+    val assigned = Similarity.coarseResiduals(vq16, coarse)
+    val rsv = assigned.select($"vec_id", posexplode(Similarity.subSplit($"r", 4)))
+      .toDF("vec_id", "sub", "sv")
+    val books = Similarity.pqCodebooks(rsv, 16, 3)
+    val codes = Similarity.pqCodes(rsv, books)
+      .join(assigned.select($"vec_id", $"cluster_id"), "vec_id")
+    val wp = Window.partitionBy($"q_id").orderBy($"d2".asc, $"cid".asc)
+    val probes = vq16.select($"vec_id".as("q_id"), $"sub", $"sv".as("qsv"))
+      .join(broadcast(coarse), Seq("sub"))
+      .select($"q_id", $"cid", $"qsv", $"cv", Similarity.d2($"qsv", $"cv").as("d2"))
+      .withColumn("c_rank", row_number().over(wp)).filter($"c_rank" <= 2)
+      .select($"q_id", $"cid".as("cluster_id"),
+        zip_with($"qsv", $"cv", (x, c) => round(x - c, 6)).as("qr"))
+    val dtab = probes
+      .select($"q_id", $"cluster_id", posexplode(Similarity.subSplit($"qr", 4)))
+      .toDF("q_id", "cluster_id", "sub", "qsv")
+      .join(broadcast(books), Seq("sub"))
+      .select($"q_id", $"cluster_id", $"sub", $"cid",
+        round(Similarity.d2($"qsv", $"cv"), 6).as("d2q"))
+    val wa = Window.partitionBy($"q_id").orderBy($"adc".asc, $"n_id".asc)
+    val got = codes
+      .select($"vec_id".as("n_id"), $"cluster_id", posexplode($"codes"))
+      .toDF("n_id", "cluster_id", "sub", "cid")
+      .join(broadcast(dtab), Seq("cluster_id", "sub", "cid"))
+      .filter($"n_id" =!= $"q_id")
+      .groupBy($"q_id", $"n_id").agg(graft.Det.dsum($"d2q").as("adc"))
+      .withColumn("rk", row_number().over(wa)).filter($"rk" <= 3)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val recalls = exact.keys.toSeq
+      .map(q => (exact(q) & got.getOrElse(q, Set.empty)).size / 3.0)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"clustered IVFADC recall@3 = $mean")
+  }
 }
