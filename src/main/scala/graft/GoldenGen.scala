@@ -42,7 +42,10 @@ object GoldenGen {
       "s12_pq_topk",
       // IVFADC composes the same decimal-exact stages (coarse Lloyd's,
       // residual Lloyd's, ADC sums) — deterministic end to end
-      "s13_ivfadc_topk")
+      "s13_ivfadc_topk",
+      // hashed-feature weights derive from xxhash64 (engine-specific,
+      // deterministic); the per-doc sum is exact decimal
+      "t24_hash_classifier")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

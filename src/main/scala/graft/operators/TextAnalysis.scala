@@ -598,6 +598,56 @@ object TextAnalysis {
     * nothing grows with corpus size except rows. The top-1 window is
     * per-doc rank ≤ 1: WindowGroupLimit prunes to one row per doc
     * per partition before the sort materializes (the t18 plan shape). */
+  // ---- t24: hashed-feature linear quality classifier ----
+
+  /** t24: model-based quality scoring via the hashing trick — the
+    * third rung of the quality ladder after rule-based (t02/t22) and
+    * self-trained-LM (t21): score every document with a LINEAR
+    * CLASSIFIER over hashed bag-of-words features, the fastText-shaped
+    * filter the strongest public curation pipelines use for model-based
+    * selection (DCLM, FineWeb-Edu). Features are token hash buckets
+    * (Weinberger et al. 2009: bucket = h(token) mod D, D = 4096 — the
+    * vocabulary never needs enumerating, new tokens cost nothing), the
+    * score is the mean bucket weight, and keep = score > 0.
+    *
+    * The model artifact: production loads a trained D-dim weight vector
+    * as a broadcast array (`element_at` on a lit array, or a broadcast
+    * join on bucket for large D). No trained artifact can exist in this
+    * sandbox, so the weights stand in deterministically — w(bucket) =
+    * (Knuth-hash(bucket) mod 2001 − 1000)/1000 ∈ [−1, 1] — the m04
+    * stub discipline: the REAL parts (feature hashing, explode→partial
+    * agg plan, exact-decimal mean, keep rule) are fully built and
+    * tested; only the learned numbers are fake, swappable row-for-row.
+    *
+    * Scale: one explode + one partial+final aggregate on doc_id — no
+    * corpus-global state at all (unlike t21, which carries a bigram
+    * model): per-token work is pure codegen'd hash arithmetic, so this
+    * is the cheapest model-based filter a 100 TB pass can run.
+    * Determinism: weights have 3 decimals, the per-doc sum is an exact
+    * decimal ([[graft.Det.dsum]]); the one float op is a single
+    * correctly-rounded division → golden-snapshot oracle (xxhash64 is
+    * engine-specific, the t08 precedent), independent arithmetic
+    * re-derived in the spec. */
+  def t24HashClassifier(s: SparkSession, d: String): DataFrame =
+    hashClassifierScores(documents(s, d).select("doc_id", "text"))
+
+  /** Frame-taking core of t24 (specs feed planted corpora). */
+  private[graft] def hashClassifierScores(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", explode(toks($"text")).as("w"))
+      .filter(length($"w") > 0)
+      .withColumn("bucket", pmod(xxhash64($"w"), lit(4096L)))
+      // bucket < 4096 keeps the Knuth multiply far below Long overflow
+      .withColumn("wgt",
+        (pmod($"bucket" * 2654435761L, lit(2001L)) - 1000L).cast("double") / 1000.0)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"), dsum($"wgt").as("wsum"))
+      .select($"doc_id", $"n_terms",
+        round($"wsum".cast("double") / $"n_terms", 6).as("score_r"),
+        ($"wsum" > 0).as("keep"))
+  }
+
   def t22GopherRules(s: SparkSession, d: String): DataFrame =
     gopherRules(documents(s, d).select("doc_id", "text"))
 
@@ -806,6 +856,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_hash_classifier" -> (t24HashClassifier _),
     "t23_normalize"     -> (t23Normalize _),
     "t22_gopher_rules"  -> (t22GopherRules _),
     "t21_lm_quality"    -> (t21LmQuality _),
@@ -830,6 +881,10 @@ object TextAnalysis {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // t24: weights derive from xxhash64 buckets (engine-specific,
+    // deterministic — the t08 precedent) → golden snapshot; arithmetic
+    // re-derived independently in TextAnalysisSpec
+    "t24_hash_classifier" -> graft.GoldenGen.oracle("t24_hash_classifier"),
     "t23_normalize"     -> t23Sql,
     "t22_gopher_rules"  -> t22Sql,
     // t21: log2 is transcendental (cross-engine unsafe) → golden-hashed;

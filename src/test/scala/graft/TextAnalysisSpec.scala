@@ -91,6 +91,41 @@ class TextAnalysisSpec extends SparkSpec {
     } finally { mix.unpersist(); () }
   }
 
+  test("c08 temperature mix: sqrt-law flattens shares toward the tail, deterministic") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val docs = graft.Tables.documents(spark, sf001)
+    val n = docs.count().toDouble
+    val raw = docs.groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> (r.getLong(1) / n)).toMap
+    val mix = Curation.c08TemperatureMix(spark, sf001).cache()
+    try {
+      val kept = mix.groupBy($"lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = kept.values.sum.toDouble
+      // α = 0.5 contracts shares toward q_l ∝ √p_l: every language's
+      // sampled share must land closer to its √-law target than its raw
+      // share is (heavy head down, tail up), and every language survives
+      val sqrtSum = raw.values.map(math.sqrt).sum
+      raw.foreach { case (lang, p) =>
+        assert(kept.contains(lang), s"language $lang vanished from the mix")
+        val target = math.sqrt(p) / sqrtSum
+        val achieved = kept(lang) / total
+        assert(math.abs(achieved - target) <= math.abs(p - target) + 0.02,
+          s"$lang: achieved $achieved vs sqrt-law $target (raw $p)")
+      }
+      // head/tail direction: the most common language is downsampled
+      // more aggressively than the rarest one
+      val head = raw.maxBy(_._2)._1; val tail = raw.minBy(_._2)._1
+      val keepRate = (l: String) => kept(l) / (raw(l) * n)
+      assert(keepRate(head) < keepRate(tail),
+        s"sqrt-law must keep rarer languages at higher rates")
+      // determinism: identical kept set on a re-run
+      val again = Curation.c08TemperatureMix(spark, sf001)
+      assert(mix.exceptAll(again).isEmpty && again.exceptAll(mix).isEmpty)
+    } finally { mix.unpersist(); () }
+  }
+
   test("t18 tf-idf terms: hand-computed ranks, deterministic tie-break") {
     import spark.implicits._
     val docs = Seq(
@@ -242,6 +277,53 @@ class TextAnalysisSpec extends SparkSpec {
       .withColumn("c2", operators.TextAnalysis.normalizeTextCol($"c1"))
       .filter($"c1" =!= $"c2").count()
     assert(again === 0L)
+  }
+
+  test("t24 hash classifier: matches independently re-derived weights and means") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "delta"),
+      (3L, "alpha alpha alpha")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashClassifierScores(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // re-derive from scratch: xxhash64 read straight off the engine for
+    // each DISTINCT token, then bucketing, weights, and means in plain
+    // Scala — any drift in the operator's arithmetic breaks the match
+    val hashes = Seq("alpha", "beta", "gamma", "delta").toDF("w")
+      .select($"w", xxhash64($"w").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def wgt(tok: String): Double = {
+      val bucket = ((hashes(tok) % 4096L) + 4096L) % 4096L
+      (((bucket * 2654435761L) % 2001L + 2001L) % 2001L - 1000L) / 1000.0
+    }
+    val expected = Map(
+      1L -> Seq("alpha", "beta", "gamma", "alpha"),
+      2L -> Seq("delta"),
+      3L -> Seq("alpha", "alpha", "alpha"))
+    expected.foreach { case (id, toks) =>
+      val (n, score, keep) = out(id)
+      assert(n === toks.size.toLong)
+      // weights have 3 decimals: sum in exact cents-of-mills to mirror
+      // the operator's decimal sum, then one double division
+      val sumMilli = toks.map(t => math.round(wgt(t) * 1000)).sum
+      val exp = BigDecimal(sumMilli / 1000.0 / toks.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(score === exp, s"doc $id: $score vs $exp")
+      assert(keep === (sumMilli > 0))
+    }
+    // every token maps into [0, 4096) and weights into [-1, 1]
+    Seq("alpha", "beta", "gamma", "delta").foreach { t =>
+      assert(math.abs(wgt(t)) <= 1.0)
+    }
+    // fixture smoke: scores exist for every doc, keep is not degenerate
+    val full = TextAnalysis.t24HashClassifier(spark, sf001)
+    val total = full.count(); val keptN = full.filter($"keep").count()
+    assert(total === graft.Tables.documents(spark, sf001).count())
+    assert(keptN > 0 && keptN < total)
   }
 
   test("t22 Gopher rules: hand-computed fractions and thresholds on planted docs") {
