@@ -829,7 +829,66 @@ object Curation {
       |            WHEN h_new IS NULL THEN 'removed'
       |            WHEN h_old <> h_new THEN 'changed' END) IS NOT NULL""".stripMargin
 
+  /** c08: temperature-scaled mixture sampling — c03 with the weights
+    * DERIVED from the data instead of hand-set. The standard
+    * multilingual/multi-source rebalancing rule (Lample & Conneau 2019
+    * §3.1; the α-sampling every multilingual LM uses): sample language
+    * l with probability q_l ∝ p_l^α, α ∈ (0,1), so heavy languages are
+    * downsampled and tails upsampled relative to natural frequency.
+    * α = 0.5 makes q_l ∝ √n_l — and √ is CORRECTLY ROUNDED in IEEE 754
+    * (unlike pow/exp/ln), so the whole rate computation stays
+    * bit-identical across engines and the entry takes a full DuckDB
+    * oracle where a general-α pow() never could.
+    *
+    * Determinism detail: the one order-varying reduction — Σ_l √n_l —
+    * runs over 6dp-quantized values in exact decimal ([[graft.Det]]
+    * discipline); each remaining step is a single correctly-rounded
+    * double op with parenthesization mirrored in the SQL. Per-doc
+    * admission reuses c03's Knuth-hash threshold, so the sample is
+    * reproducible row-by-row, not just in expectation.
+    *
+    * Scale: two broadcast-size aggregates (per-lang counts) + one
+    * broadcast join + row-local hash arithmetic — one corpus scan, no
+    * corpus shuffle at all. */
+  def temperatureMix(docs: DataFrame, budgetFrac: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+    val sq = counts.withColumn("rt", round(sqrt($"n_l"), 6))
+    val tot = sq.agg(graft.Det.dsum($"rt").cast("double").as("s_rt"),
+      sum($"n_l").as("n_total"))
+    val rates = sq.crossJoin(broadcast(tot))
+      .withColumn("q", $"rt" / $"s_rt")
+      .withColumn("rate",
+        least(lit(1.0), $"q" * lit(budgetFrac) * $"n_total" / $"n_l"))
+      .withColumn("thresh", floor($"rate" * 1000000).cast("long"))
+    docs.join(broadcast(rates.select($"lang", $"thresh")), Seq("lang"))
+      .filter(pmod(pmod($"doc_id", lit(1000000000L)) * 2654435761L,
+        lit(1000000L)) < $"thresh")
+      .select($"doc_id", $"lang")
+  }
+
+  def c08TemperatureMix(s: SparkSession, d: String): DataFrame =
+    temperatureMix(documents(s, d), 0.6)
+
+  val c08Sql: String =
+    """WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY 1),
+      |sq AS (SELECT lang, n_l, ROUND(SQRT(n_l), 6) AS rt FROM c),
+      |t AS (SELECT CAST(SUM(CAST(rt AS DECIMAL(18,6))) AS DOUBLE) AS s_rt,
+      |             CAST(SUM(n_l) AS BIGINT) AS n_total FROM sq),
+      |r AS (
+      |  SELECT sq.lang,
+      |    CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+      |      sq.rt / t.s_rt * 0.6 * t.n_total / sq.n_l) * 1000000) AS BIGINT)
+      |      AS thresh
+      |  FROM sq CROSS JOIN t
+      |)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN r ON d.lang = r.lang
+      |WHERE ((d.doc_id % 1000000000) * 2654435761) % 1000000 < r.thresh""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c08_temperature_mix"   -> (c08TemperatureMix _),
     "d13_source_overlap"    -> ((s: SparkSession, d: String) => d13SourceOverlap(s, d)),
     "c07_snapshot_diff"     -> (c07SnapshotDiff _),
     "c05_leakage_safe_split" -> (c05LeakageSafeSplit _),
@@ -848,6 +907,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "c08_temperature_mix"   -> c08Sql,
     "d13_source_overlap"    -> d13Sql,
     "c07_snapshot_diff"     -> c07Sql,
     "c05_leakage_safe_split" -> c05Sql,

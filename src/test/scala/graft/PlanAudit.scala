@@ -30,7 +30,7 @@ object PlanAudit {
         "t19_approx_quantiles","t20_heavy_hitters","c07_snapshot_diff",
         "s11_semantic_survivors","d16_bloom_decontamination",
         "t21_lm_quality", "t22_gopher_rules", "t23_normalize",
-        "s12_pq_topk", "s13_ivfadc_topk",
+        "s12_pq_topk", "s13_ivfadc_topk", "c08_temperature_mix",
         "t24_hash_classifier").foreach(show)
     spark.stop()
   }
