@@ -261,6 +261,48 @@ object QuantStats {
   }
 }
 
+/** Symmetric int8 quantization of a double vector — the CODES to
+  * [[QuantStats]]'s planning numbers: scale = max|x|/127, q_i =
+  * floor(x_i/scale + 0.5) (same convention, same floor(x+0.5) rounding
+  * so the two kernels agree element-for-element). Codes are returned
+  * as doubles in [−127, 127] so the integer-exact approximate dot
+  * product runs through the same [[DotProduct]] kernel: |q|≤127 and
+  * dim ≤ 2^44 keep every partial sum exactly representable, so the
+  * quantized dot is EXACT integer arithmetic in disguise and a SQL
+  * oracle reproduces it bit-for-bit. An all-zero vector (scale 0)
+  * quantizes to all-zeros, mirroring QuantStats's special case. */
+case class Int8Quantize(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    Int8Quantize.compute(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Int8Quantize.compute($c);")
+  override protected def withNewChildInternal(c: Expression): Int8Quantize = copy(child = c)
+  override def prettyName: String = "int8_quantize"
+}
+
+object Int8Quantize {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(x: ArrayData): GenericArrayData = {
+    val n = x.numElements()
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) { val v = math.abs(x.getDouble(i)); if (v > maxabs) maxabs = v; i += 1 }
+    val scale = maxabs / 127.0
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val v = x.getDouble(i)
+      out(i) = if (scale == 0.0) 0.0 else math.floor(v / scale + 0.5)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object VectorOps {
   import org.apache.spark.sql.GraftGlue._
   def dotProduct(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
@@ -268,4 +310,5 @@ object VectorOps {
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
   def blockhash64(c: Column): Column = toCol(BlockHash64(toExpr(c)))
   def quantStats(c: Column): Column = toCol(QuantStats(toExpr(c)))
+  def int8Quantize(c: Column): Column = toCol(Int8Quantize(toExpr(c)))
 }
