@@ -257,7 +257,11 @@ object EsSimCompact {
     *     so in replay order they sort after every input they fold and
     *     before anything written after the snapshot (the sink's
     *     monotonic wall clock guarantees later files get later micros;
-    *     cross-writer clock skew is the store's pre-existing caveat);
+    *     cross-writer clock skew is the store's pre-existing caveat),
+    *     then publish the fold MANIFEST ([[graft.sources.EsSimManifest]])
+    *     that atomically flips planner visibility from the inputs to
+    *     the compacted outputs — a planner never sees both sides of the
+    *     fold, so a live reader cannot double-deliver the overlap;
     *  4. retire inputs by ATOMIC_MOVE to `<file>.gone` — immediately
     *     invisible to new plans, but a reader that planned the old name
     *     falls back to the tombstone ([[EsSimSource.parseBulkFile]]),
@@ -315,13 +319,26 @@ object EsSimCompact {
           // ran (writer crashed mid-publish) — without this, crashed
           // tasks accumulate debris forever in exactly the directory
           // whose file count this maintenance exists to bound
-          n.endsWith(".ndjson.tmp") ||
+          n.endsWith(".ndjson.tmp") || n.endsWith(".manifest.json.tmp") ||
           (n.endsWith(".stats.json") &&
             !Files.exists(p.resolveSibling(n.stripSuffix(".stats.json"))))
       }
       .filter(pastGrace)
       .foreach(p => Files.deleteIfExists(p))
     finally listing.close()
+    // 1b. sweep inert fold manifests: a manifest matters only while one
+    // of the names it mentions is still a live bulk file — while folds
+    // live it hides them (crash-before-retire protection), while
+    // outputs live it proves them published (unmanifested 'z' files are
+    // invisible to planners). Once a LATER generation folded its
+    // outputs and everything it names is retired, it is inert debris.
+    val liveNow = graft.sources.EsSimStats.list(dir)
+      .map(_.getFileName.toString).toSet
+    graft.sources.EsSimManifest.list(dir).foreach { m =>
+      if (pastGrace(m.file) &&
+          !m.outputs.exists(liveNow.contains) && !m.folds.exists(liveNow.contains))
+        Files.deleteIfExists(m.file)
+    }
     // 2. snapshot + resolve
     val inputs = graft.sources.EsSimStats.list(dir)
     if (inputs.size <= 1) return // nothing to fold
@@ -334,6 +351,23 @@ object EsSimCompact {
     EsBulkSink.writeWith(resolved,
       () => new FileEsBulkClient(dir, tsField, fixedMicros = Some(micros)),
       maxActions = maxActions)
+    // 3b. publish the fold manifest (atomic): readers gate visibility on
+    // it — a compacted ('z') file with no manifest is IGNORED by
+    // planners, and once the manifest lands the folded inputs are
+    // dropped from planning even while still on disk. Without this
+    // gate, a live reader planning a micro-batch between this publish
+    // and step 4's retire sees BOTH the compacted file and its inputs —
+    // both cover the same (ts, docId) range — and delivers every row in
+    // the batch's range twice (the within-batch duplication the
+    // exactly-once soak caught ~1-in-20 runs). Crash windows are safe
+    // on both sides: manifest-before-retire means folds are only ever
+    // hidden when their replacement is fully published; crash before
+    // the manifest leaves the z-files inert (next run folds them as
+    // ordinary inputs, replay-resolving their duplicate content).
+    val outputs = graft.sources.EsSimStats
+      .listCompactedAt(dir, micros).map(_.getFileName.toString)
+    graft.sources.EsSimManifest.write(root, micros,
+      outputs, inputs.map(_.getFileName.toString))
     // 4. retire the inputs (bulk file first, then its sidecar: stats
     // must never outlive a body that new plans can still admit)
     // rename preserves mtime, so a tombstone of an OLD file would be

@@ -687,15 +687,34 @@ object Curation {
     * map plus row-local hash arithmetic — partition-independent,
     * reproducible, and stable per document as the corpus grows (a doc's
     * split flips only if its cluster gains a lower-id member). */
-  def leakageSafeSplit(docs: DataFrame, threshold: Double): DataFrame = {
+  def leakageSafeSplit(docs: DataFrame, threshold: Double): DataFrame =
+    splitFromClusters(docs, Dedup.collapsedClusters(docs, threshold))
+
+  /** Pipeline form: a curation run that already materialized a near-dup
+    * pair frame (d03/d10 — or any (d1, d2) graph whose connected
+    * components are the leakage units, e.g. [[Dedup.collapsedPairGraph]])
+    * passes it here, and the corpus-wide shingle join runs ONCE per
+    * pipeline instead of once per consumer. At 100 TB the pair join is
+    * the expensive stage; everything downstream of it — the CC rounds
+    * over the (collapsed) pair graph and one left join — is cheap by
+    * comparison. Same economics as [[Dedup.d08DedupClusters]]'s and
+    * [[d13SourceOverlap]]'s pairs overloads. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val clusters = Dedup.collapsedClusters(docs, threshold)
-    val keyed = docs.select($"doc_id")
+    splitFromClusters(docs, Dedup.clusterPairs(pairs.select($"d1", $"d2")))
+  }
+
+  /** The split itself, given any (doc_id, cluster_rep) cluster map:
+    * docs absent from the map are their own singleton cluster. */
+  private def splitFromClusters(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id")
       .join(clusters, Seq("doc_id"), "left_outer")
       .select($"doc_id", coalesce($"cluster_rep", $"doc_id").as("split_key"))
-    keyed.select($"doc_id", $"split_key",
-      TextAnalysis.hashSplitCol($"split_key").as("split"))
+      .select($"doc_id", $"split_key",
+        TextAnalysis.hashSplitCol($"split_key").as("split"))
   }
 
   def c05LeakageSafeSplit(s: SparkSession, d: String): DataFrame = {

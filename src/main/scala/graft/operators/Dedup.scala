@@ -791,6 +791,27 @@ object Dedup {
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }
+    // Checkpoint lifecycle: each round's ckpt() materializes blocks (or
+    // files) that the NEXT round reads once and never needs again. Left
+    // to the async ContextCleaner, superseded blocks pile up in the
+    // block manager across calls in a long-lived session — repeated
+    // invocations (a bench loop, a 100 TB driver running many curation
+    // stages) accumulate storage debt until runs stall. So the loop
+    // releases each superseded round deterministically the moment its
+    // successor is materialized and probed: unpersist the local-
+    // checkpoint blocks (blocking, so the release is synchronous), or
+    // delete the reliable checkpoint's files. Only the FINAL labels
+    // frame is left alive — the caller consumes it.
+    def release(df: DataFrame): Unit = df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile match {
+          case Some(f) =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          case None => l.rdd.unpersist(blocking = true)
+        }
+      case _ => ()
+    }
     val edges = pairs.union(pairs.select($"d2", $"d1")).toDF("src", "dst").cache()
     var labels = ckpt(edges.select($"src".as("id")).distinct()
       .withColumn("label", $"id"))
@@ -830,6 +851,7 @@ object Dedup {
         changed = next.join(labels.withColumnRenamed("label", "old"), "id")
           .filter($"label" < $"old").count()
       }
+      release(labels) // superseded: next is materialized and probed
       labels = next
       rounds += 1
     }

@@ -153,6 +153,91 @@ object EsSimSource {
   * legacy files with no sidecar fall back to parsing the bulk body, and
   * those parse concurrently on the common pool instead of serially
   * under a lock. */
+/** Fold manifests — the visibility gate that makes in-place compaction
+  * duplicate-free for CONCURRENT planners. [[graft.ingest.EsSimCompact]]
+  * publishes its compacted ('z'-client) files, then atomically writes
+  * `compact-<micros>.manifest.json` naming the outputs and the folded
+  * inputs, then retires the inputs. Planners apply two rules off the
+  * manifest set:
+  *
+  *  1. a file named in any manifest's `folds` is dropped from planning
+  *     (its resolved content is fully covered by that manifest's
+  *     published outputs — even while the input is still on disk);
+  *  2. a compacted ('z') file whose micros has NO manifest is dropped
+  *     (a crashed publish: its inputs are still live and cover it; the
+  *     next compaction run folds it as an ordinary input).
+  *
+  * Together they guarantee every (ts, docId) row has exactly ONE
+  * visible covering file at every instant of the publish→retire
+  * sequence — without the gate, a micro-batch planned in that window
+  * read both the compacted file and its inputs and delivered the
+  * batch's whole range twice. Manifests are swept by compaction's
+  * step 1 only once none of their outputs or folds is a live bulk file
+  * (i.e. a later generation folded the outputs and grace passed).
+  * Concurrent same-slot compactors remain the store's pre-existing
+  * caveat (identical content, last manifest wins). */
+object EsSimManifest {
+  import java.nio.file.StandardCopyOption
+  private val mapper = new ObjectMapper()
+
+  def name(micros: Long): String = f"compact-$micros%020d.manifest.json"
+
+  def isManifest(n: String): Boolean =
+    n.startsWith("compact-") && n.endsWith(".manifest.json")
+
+  /** Compacted publishes lead the client id with 'z' (EsBulkClient);
+    * real client ids are hex UUID prefixes, so the marker is unambiguous.
+    * Name layout: bulk-<micros %020d>-<client>-<counter>.ndjson. */
+  def isCompacted(n: String): Boolean =
+    n.length > 26 && n.startsWith("bulk-") && n.charAt(26) == 'z'
+
+  def microsOf(n: String): Long = n.stripPrefix("bulk-").take(20).toLong
+
+  def write(dir: Path, micros: Long, outputs: Seq[String], folds: Seq[String]): Unit = {
+    val node = mapper.createObjectNode()
+    val oa = node.putArray("outputs"); outputs.foreach(oa.add)
+    val fa = node.putArray("folds"); folds.foreach(fa.add)
+    val p = dir.resolve(name(micros))
+    val tmp = dir.resolve(name(micros) + ".tmp")
+    Files.write(tmp, mapper.writeValueAsBytes(node))
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  final case class Manifest(file: Path, micros: Long, outputs: Seq[String], folds: Seq[String])
+
+  /** All readable manifests in `path`. Tolerant: a vanished or torn
+    * manifest (they are published atomically, so torn means external
+    * interference) reads as absent rather than failing the trigger. */
+  def list(path: String): Seq[Manifest] = {
+    val dir = Paths.get(path)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    val files = try s.iterator().asScala
+      .filter(p => isManifest(p.getFileName.toString)).toSeq
+      finally s.close()
+    files.flatMap { p =>
+      try {
+        val n = mapper.readTree(Files.readAllBytes(p))
+        Some(Manifest(p,
+          p.getFileName.toString.stripPrefix("compact-").take(20).toLong,
+          n.path("outputs").elements().asScala.map(_.asText()).toSeq,
+          n.path("folds").elements().asScala.map(_.asText()).toSeq))
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** The planner filter: file names hidden by rules 1 and 2 above,
+    * computed against one directory listing. */
+  def hiddenNames(path: String, bulkNames: Seq[String]): Set[String] = {
+    val manifests = list(path)
+    val folded = manifests.iterator.flatMap(_.folds).toSet
+    val manifested = manifests.iterator.map(_.micros).toSet
+    bulkNames.iterator.filter { n =>
+      folded.contains(n) || (isCompacted(n) && !manifested.contains(microsOf(n)))
+    }.toSet
+  }
+}
+
 object EsSimStats {
   /** min/max are over the composite (tsMicros, docId) cursor ordering,
     * with null ts mapped to [[EsSimSource.NullTs]]. */
@@ -180,6 +265,32 @@ object EsSimStats {
       finally s.close()
     }
   }
+
+  /** [[list]] minus the names [[EsSimManifest]] hides — what PLANNERS
+    * must read so an in-flight compaction's double coverage (published
+    * outputs + not-yet-retired inputs) is never planned twice. */
+  def visibleList(path: String): Seq[Path] = {
+    val all = list(path)
+    val hidden = EsSimManifest.hiddenNames(path, all.map(_.getFileName.toString))
+    if (hidden.isEmpty) all
+    else all.filterNot(p => hidden.contains(p.getFileName.toString))
+  }
+
+  /** [[forPath]] restricted to the manifest-visible files (see
+    * [[visibleList]]); same exactly-one-covering-file guarantee. */
+  def forVisible(path: String, tsField: String): Seq[FileStat] = {
+    val all = forPath(path, tsField)
+    val hidden = EsSimManifest.hiddenNames(path,
+      all.map(st => Paths.get(st.file).getFileName.toString))
+    if (hidden.isEmpty) all
+    else all.filterNot(st => hidden.contains(Paths.get(st.file).getFileName.toString))
+  }
+
+  def listCompactedAt(path: String, micros: Long): Seq[Path] =
+    list(path).filter { p =>
+      val n = p.getFileName.toString
+      EsSimManifest.isCompacted(n) && EsSimManifest.microsOf(n) == micros
+    }
 
   /** Stats for every bulk file currently in `path`; stats only files
     * not seen before (bulk files are write-once). Lock-free: concurrent
@@ -332,8 +443,8 @@ class EsSimBatch(path: String, tsField: String, columns: Seq[String],
     preds: EsSimPredicates) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val files: Seq[String] =
-      if (preds.isEmpty) EsSimStats.list(path).map(_.toString)
-      else EsSimStats.forPath(path, tsField).iterator.filter { st =>
+      if (preds.isEmpty) EsSimStats.visibleList(path).map(_.toString)
+      else EsSimStats.forVisible(path, tsField).iterator.filter { st =>
         val tsOk = !preds.hasTs || (st.count > 0 && st.minTs <= preds.tsHi && st.maxTs >= preds.tsLo)
         val idxOk = (preds.indexIds, st.indexIds) match {
           case (Some(want), Some(have)) => want.exists(have.contains)
@@ -385,7 +496,10 @@ class EsSimMicroBatchStream(path: String, tsField: String, batchSize: Int,
   private var availableNowFiles: Option[Set[String]] = None
 
   private def stats(): Seq[FileStat] = {
-    val all = EsSimStats.forPath(path, tsField)
+    // manifest-visible only: during an in-flight compaction exactly one
+    // of {inputs, published outputs} is planned, never both (the
+    // within-batch duplication the exactly-once soak caught)
+    val all = EsSimStats.forVisible(path, tsField)
     availableNowFiles match {
       case Some(snap) => all.filter(f => snap.contains(f.file))
       case None => all
@@ -432,7 +546,7 @@ class EsSimMicroBatchStream(path: String, tsField: String, batchSize: Int,
   }
 
   override def prepareForTriggerAvailableNow(): Unit = {
-    availableNowFiles = Some(EsSimStats.forPath(path, tsField).map(_.file).toSet)
+    availableNowFiles = Some(EsSimStats.forVisible(path, tsField).map(_.file).toSet)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

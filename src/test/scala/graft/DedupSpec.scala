@@ -94,6 +94,27 @@ class DedupSpec extends SparkSpec {
       (bucket(a) < 95) != (bucket(b) < 95) })
   }
 
+  test("c05 pairs overload: a shared pair frame yields the identical split") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf001).select($"doc_id", $"text")
+    val alone = graft.operators.Curation.leakageSafeSplit(docs, 0.8)
+      .as[(Long, Long, String)].collect().toSet
+    // a pipeline shares the materialized collapsed pair graph (the d10
+    // economics: corpus shingle join runs once) ...
+    val graph = Dedup.collapsedPairGraph(docs, 0.8).cache()
+    try {
+      val viaGraph = graft.operators.Curation.leakageSafeSplit(docs, graph)
+        .as[(Long, Long, String)].collect().toSet
+      assert(viaGraph === alone)
+      // ... and the fully-expanded d03 pair frame works identically
+      // (same connected components, more edges)
+      val expanded = Dedup.ngramJaccardPairs(docs, 0.8)
+      val viaPairs = graft.operators.Curation.leakageSafeSplit(docs, expanded)
+        .as[(Long, Long, String)].collect().toSet
+      assert(viaPairs === alone)
+    } finally graph.unpersist()
+  }
+
   test("c06 split audit: c05's cluster split audits clean, the per-doc hash split does not") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001).select($"doc_id", $"text")

@@ -469,13 +469,61 @@ class EsSimSourceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 30)
   }
 
-  test("soak: repeated in-place compaction under a LIVE reader — exactly-once across 8 cycles") {
+  test("fold manifest: mid-compaction double coverage is planned exactly once") {
+    // Freeze the compactor at its two race/crash windows and assert a
+    // planner sees each row exactly once in both:
+    //  (b) outputs published, NO manifest (crashed publish) → the 'z'
+    //      outputs are invisible, the live inputs carry the rows;
+    //  (a) manifest present, inputs NOT yet retired → visibility flips
+    //      atomically to the outputs while the inputs still sit on disk.
+    // Without the gate, window (a) planned BOTH sides and a live
+    // micro-batch delivered its whole range twice (the soak's
+    // 10-duplicated-rows flake).
+    import graft.ingest.{BulkAction, FileEsBulkClient}
+    import graft.sources.{EsSimManifest, EsSimStats}
+    val dir = Files.createTempDirectory("esfold").toString
+    writeDocs(dir, 0 until 30) // 3 input files
+    val inputs = EsSimStats.list(dir).map(_.getFileName.toString)
+    val micros = inputs.max.stripPrefix("bulk-").take(20).toLong
+    // hand-publish the compacted output pinned at the newest input slot
+    val z = new FileEsBulkClient(dir, fixedMicros = Some(micros))
+    z.bulk((0 until 30).map { i =>
+      val ts = f"2024-01-01 ${i / 3600}%02d:${(i / 60) % 60}%02d:${i % 60}%02d.000000"
+      BulkAction("idx", i.toString, s"""{"id":$i,"ts":"$ts","v":${i * 2}}""")
+    })
+    def batchCount() = spark.read.format("graft.sources.EsSimSourceProvider")
+      .option("path", dir).load().count()
+    // (b): z published but unmanifested — invisible, inputs still carry
+    assert(EsSimStats.visibleList(dir).map(_.getFileName.toString).toSet
+      === inputs.toSet)
+    assert(batchCount() === 30)
+    // (a): manifest flips visibility to the outputs in one atomic step
+    val outputs = EsSimStats.listCompactedAt(dir, micros).map(_.getFileName.toString)
+    assert(outputs.nonEmpty)
+    EsSimManifest.write(java.nio.file.Paths.get(dir), micros, outputs, inputs)
+    assert(EsSimStats.visibleList(dir).map(_.getFileName.toString).toSet
+      === outputs.toSet)
+    assert(batchCount() === 30)
+  }
+
+  test("soak: repeated in-place compaction under a LIVE reader — effectively-once across 8 cycles") {
     // The single-cycle test above stops the reader before compacting;
     // this soak keeps a ProcessingTime query RUNNING while 8
     // write→compact cycles race it (the list→open race the tombstone
     // fallback exists for), restarts the reader from its checkpoint
     // mid-soak, and asserts cursor continuity end to end: every doc
-    // delivered exactly once, store state intact, file count bounded.
+    // delivered effectively once, store state intact, file count bounded.
+    //
+    // Delivery contract (the reference's own design, core.clj:133-139):
+    // the source is at-least-once across a restart — Structured
+    // Streaming may legally re-run the last micro-batch if the stop
+    // landed between the sink write and the commit-log write — and the
+    // SINK makes that idempotent. A real pipeline upserts by docId
+    // (EsBulkSink); here the sink is idempotent by batchId: each batch
+    // overwrites out/batch=<id>, so a replayed batch (same id, same
+    // (start,end] offsets from the WAL, hence identical rows) lands in
+    // the same place instead of appending a duplicate copy. A blind
+    // append sink would over-claim exactly-once and flake ~1-in-10 runs.
     import spark.implicits._
     import graft.ingest.{EsSimCompact, EsSimStore}
     val dir = Files.createTempDirectory("escomp-soak").toString
@@ -488,8 +536,8 @@ class EsSimSourceSpec extends SparkSpec {
       .writeStream
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.ProcessingTime(50))
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        b.write.mode("append").parquet(out)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out/batch=$id")
       }
       .start()
     var q = startQ()

@@ -319,6 +319,29 @@ class PropertySpec extends SparkSpec {
       10.125 -> 10.125, 10.25 -> 10.125))
   }
 
+  test("clusterPairs releases superseded per-round checkpoint blocks deterministically") {
+    import spark.implicits._
+    // A 12-node chain forces ~12 min-label propagation rounds, i.e.
+    // ~12 per-round localCheckpoints per call. Before the lifecycle fix
+    // each survived until the async ContextCleaner got to it, so
+    // repeated calls in one long-lived session accumulated block-manager
+    // debt (the r8 bench instability: c05 92.5 s worst case, s11's
+    // monotone 4.3→18 s climb). Now each superseded round is unpersisted
+    // (blocking) the moment its successor materializes: after k calls
+    // only the k final label frames (plus at most the async-released
+    // edge caches) may still hold blocks.
+    def cachedNow() = spark.sparkContext.getRDDStorageInfo.length
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val base = cachedNow()
+    val calls = 3
+    (0 until calls).foreach { _ =>
+      assert(Dedup.clusterPairs(pairs).count() === 13)
+    }
+    val leaked = cachedNow() - base
+    assert(leaked <= 2 * calls,
+      s"clusterPairs left $leaked cached RDDs after $calls calls — per-round checkpoints not released")
+  }
+
   test("from_json ∘ to_json = identity on generated nested records") {
     import spark.implicits._
     val gen = for {
