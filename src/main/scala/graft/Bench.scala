@@ -68,10 +68,29 @@ object Bench {
     System.gc()
     Thread.sleep(3000)
 
+    // context-health telemetry (the r8 lesson: a whole bench run
+    // executed in a degraded environment — copy −2.5×, streaming +7× on
+    // unchanged code — and nothing in the artifact showed it). Record
+    // JVM GC time per query and block-manager storage so a degraded run
+    // is visible IN the numbers: healthy steady state is gc_ms a few %
+    // of wall and storage flat; climbing storage or gc >> wall says the
+    // timings are context, not code.
+    def gcMsNow(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def storageNow(): (Int, Long) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.length, infos.map(_.memSize).sum)
+    }
+    val gcStart = gcMsNow()
+
     val results = queries.map { case (name, fn) =>
       // settle GC debt from the previous query so its collection pause
       // is not billed to this one (the LSH joins allocate heavily)
       System.gc()
+      val gc0 = gcMsNow()
       // min of two runs: a single sample still carries whatever cleanup
       // the previous query queued; the min is the steady-state estimate
       // (PerfProbe medians agree with it, single samples can be 3× off)
@@ -80,8 +99,12 @@ object Bench {
         val t2 = timeSec(materialize(fn(spark, sfDir)))
         math.min(t1, t2)
       } catch { case _: Throwable => -1.0 }
-      name -> sec
+      // GC across both timed runs (not the settle): the per-query share
+      // of collector time — attribution for any inflated sample
+      (name, sec, gcMsNow() - gc0)
     }
+    val gcQueriesMs = gcMsNow() - gcStart
+    val (storageRdds, storageMem) = storageNow()
     val ok = results.filter(_._2 >= 0).map(_._2).sorted
     val medianS = if (ok.nonEmpty) ok(ok.size / 2) else -1.0
     val p100S = if (ok.nonEmpty) ok.last else -1.0
@@ -233,22 +256,25 @@ object Bench {
     // harness that collects this output keeps only the last ~2000 chars of
     // stdout — the final line must fit that window to be machine-parsed
     def r3(d: Double): String = "%.3f".format(d)
-    val byName = results.toMap
+    val byName = results.map { case (k, v, _) => k -> v }.toMap
     def named(q: String): Double = byName.getOrElse(q, -1.0)
     // full per-query map: on its OWN line (and file) — at 100+ queries it
     // no longer fits the collector's tail window, so it must not be part
     // of the final summary line
-    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val qsFull = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val gcFull = results.map { case (k, _, g) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     println(s"""{"detail":"per_query_s","queries":$qsFull}""")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"sf":"$sfDir","per_query_s":$qsFull}\n""".getBytes("UTF-8"))
+      s"""{"sf":"$sfDir","per_query_s":$qsFull,"per_query_gc_ms":$gcFull}\n""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // name the tail: the p100 was anonymous for two rounds while it
     // drifted — attribution is the first step of any perf fix
     val slowest5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
-      .map { case (k, v) => s"""{"name":"$k","sec":${r3(v)}}""" }.mkString("[", ",", "]")
+      .map { case (k, v, g) => s"""{"name":"$k","sec":${r3(v)},"gc_ms":$g}""" }
+      .mkString("[", ",", "]")
     // headline queries only in the summary line (BASELINE.md rows + the
     // named pipeline stages); everything is in bench_detail.json above
     val headline = Seq("d01_exact_dedup", "d03_ngram_jaccard", "d04_minhash_lsh",
@@ -261,6 +287,12 @@ object Bench {
       s""","n_queries":${results.size},"sf":"$sfDir"""" +
       s""","query_median_s":${r3(medianS)},"query_p100_s":${r3(p100S)}""" +
       s""","slowest5":$slowest5""" +
+      // context health: collector time across the timed query section
+      // (healthy: a few % of total wall) and block-manager residue after
+      // it (healthy: near zero — superseded CC checkpoints are released
+      // inline, final frames drain via the async cleaner)
+      s""","gc_queries_ms":$gcQueriesMs""" +
+      s""","storage_rdds":$storageRdds,"storage_mem_mb":${storageMem / (1024 * 1024)}""" +
       s""","copy_docs":$nDocs,"copy_sec":${r3(copySec)},"copy_docs_per_s":${r3(copyDocsPerS)}""" +
       s""","streaming_batch_ms":$streamingBatchMs""" +
       s""","stream_files_parsed":$streamFilesParsed""" +

@@ -266,8 +266,9 @@ object QuantStats {
   * floor(x_i/scale + 0.5) (same convention, same floor(x+0.5) rounding
   * so the two kernels agree element-for-element). Codes are returned
   * as doubles in [−127, 127] so the integer-exact approximate dot
-  * product runs through the same [[DotProduct]] kernel: |q|≤127 and
-  * dim ≤ 2^44 keep every partial sum exactly representable, so the
+  * product runs through the same [[DotProduct]] kernel: per-element
+  * products are ≤ 127² = 16129 < 2^14, so partial sums stay exactly
+  * representable up to dim ≤ 2^53/127² ≈ 2^39, so the
   * quantized dot is EXACT integer arithmetic in disguise and a SQL
   * oracle reproduces it bit-for-bit. An all-zero vector (scale 0)
   * quantizes to all-zeros, mirroring QuantStats's special case. */

@@ -1146,7 +1146,74 @@ object Similarity {
     } finally { vq64.unpersist(); () }
   }
 
+  // ---- s14: int8-quantized cosine top-k ----
+
+  /** s14: cosine top-3 over int8-QUANTIZED embeddings — the 4×-smaller
+    * storage path ([[graft.functions.Int8Quantize]]) exercised end to
+    * end as a retrieval operator, with the accuracy cost made visible
+    * against s01's exact ranking (recall floor pinned in
+    * SimilaritySpec). Per-vector symmetric quantization means cosine
+    * needs NO dequantization at all: cos(q_a·s_a, q_b·s_b) — the
+    * scalar scales cancel — so candidates are scored directly on the
+    * integer-valued codes. Code dots are exact integer arithmetic in
+    * doubles (|q| ≤ 127, dim 64 ≪ 2^39), norms are IEEE sqrt of exact
+    * integers: every engine computes bit-identical cosines, which is
+    * what makes a full SQL oracle possible for a quantized ANN ranking.
+    *
+    * Scale shape = s01's (broadcast query side, corpus scan, per-query
+    * top-k): the point at 100 TB is the operand — codes are int8, so
+    * the scan reads 4× less and the same plan holds 4× more corpus per
+    * executor; swap the scan into s03/s13's IVF pruning for the
+    * composed production stack. */
+  def s14Int8TopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qz = corpus(s, d)
+      .select($"vec_id", graft.functions.VectorOps.int8Quantize($"v").as("qv"))
+      .withColumn("qn", norm($"qv"))
+    val q = qz.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"qv".as("qqv"), $"qn".as("qqn"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
+    qz.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        (dot($"qv", $"qqv") / ($"qn" * $"qqn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"n_id", $"rank", round($"cosine", 6).as("cosine_r"))
+  }
+
+  /** Oracle: the identical quantize→cosine→rank pipeline in SQL; the
+    * lambda reproduces Int8Quantize's scale = max|x|/127 and
+    * floor(x/scale + 0.5) convention exactly (floor(x+0.5), not
+    * round(), because round's tie-breaking differs across engines). */
+  val s14Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), sc AS (
+      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+      |  FROM e
+      |), q AS (
+      |  SELECT vec_id, CASE WHEN scale = 0
+      |    THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+      |    ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS qv
+      |  FROM sc
+      |), sims AS (
+      |  SELECT a.vec_id AS q_id, c.vec_id AS n_id,
+      |    list_dot_product(a.qv, c.qv) /
+      |      (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(c.qv, c.qv))) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_dot_product(a.qv, c.qv) /
+      |        (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(c.qv, c.qv))) DESC,
+      |        c.vec_id ASC) AS rank
+      |  FROM q a JOIN q c ON c.vec_id <> a.vec_id
+      |  WHERE a.vec_id < 20
+      |)
+      |SELECT q_id, n_id, rank, ROUND(cosine, 6) AS cosine_r
+      |FROM sims WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_int8_topk"         -> (s14Int8TopK _),
     "s13_ivfadc_topk"       -> (s13IvfAdcTopK _),
     "s12_pq_topk"           -> (s12PqTopK _),
     "s09_label_cohesion"    -> (s09LabelCohesion _),
@@ -1165,6 +1232,9 @@ object Similarity {
   // def, not val: the golden-snapshot oracle resolves the sf tag at
   // dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // s14: quantized cosine is bit-deterministic (integer code dots,
+    // IEEE sqrt) → full SQL oracle despite being an approximate ranking
+    "s14_int8_topk"         -> s14Sql,
     // s12: approximate ACCURACY, deterministic mechanism (decimal-exact
     // training + ADC sums, total-order ties) → golden-snapshot hard
     // check; recall floor + quantization error pinned in SimilaritySpec

@@ -431,6 +431,48 @@ class SimilaritySpec extends SparkSpec {
     assert(meanPicked < 1.7, s"mean exact d2 of PQ picks = $meanPicked (corpus mean ≈ 2)")
   }
 
+  test("s14 int8_quantize round-trips against quant_stats; quantized top-k tracks exact s01") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // codes vs planning stats, element for element: same scale
+    // convention, same floor(x+0.5) rounding — the ADVICE-flagged
+    // agreement, now pinned (both execution paths route through the one
+    // static kernel, so this also covers codegen==interpreted)
+    val rows = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .select($"vec_id", $"v",
+        graft.functions.VectorOps.int8Quantize($"v").as("qv"),
+        graft.functions.VectorOps.quantStats($"v").as("st"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1); val qv = r.getSeq[Double](2)
+      val st = r.getStruct(3)
+      val (scale, qmin, qmax, maxerr) =
+        (st.getDouble(0), st.getInt(1), st.getInt(2), st.getDouble(3))
+      assert(qv.size === v.size)
+      assert(qv.forall(q => q >= -127 && q <= 127 && q == math.floor(q)))
+      assert(qv.min.toInt === qmin && qv.max.toInt === qmax)
+      // reconstruction error: identical arithmetic order ⇒ exact match
+      assert(v.zip(qv).map { case (x, q) => math.abs(x - q * scale) }.max === maxerr)
+      // DataFrame (codegen) result == direct interpreted kernel call
+      val direct = graft.functions.Int8Quantize.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v.toArray))
+      assert(qv === direct.toDoubleArray().toSeq)
+    }
+    // retrieval accuracy: int8 codes quantize each coordinate to ~1/254
+    // of the vector's range, so the quantized ranking should nearly
+    // reproduce the exact one — far tighter than the PQ floors
+    val exact = topk(Similarity.s01CosineTopK(spark, sf0001))
+    val got = topk(Similarity.s14Int8TopK(spark, sf0001))
+    val recalls = exact.map { case (q, en) =>
+      val found = got.getOrElse(q, Nil).toSet
+      en.count(found.contains).toDouble / en.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@3 of int8 ranking = $mean")
+  }
+
   test("s12 PQ on a CLUSTERED corpus: the regime PQ is built for") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

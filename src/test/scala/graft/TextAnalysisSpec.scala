@@ -5,6 +5,42 @@ import graft.operators.{Dedup, TextAnalysis}
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("hashSplitCol survives doc_ids beyond 2^32: clamp matches exact BigInt arithmetic") {
+    import spark.implicits._
+    // The 100 TB regime: multi-billion doc_ids. The unclamped Knuth
+    // multiply wraps Long for keys above ~3.5e9 (Spark's pmod still
+    // lands in [0,100) but on the wrapped product, while a BIGINT
+    // oracle errors or diverges at the same scale). The shipped clamp
+    // (key mod 1e9 BEFORE the multiply) keeps the product < 2^63 — so
+    // Spark, the SQL mirror, and exact integer arithmetic must agree
+    // at ANY id. Ground truth via BigInt (cannot overflow).
+    val ids = Seq(0L, 7L, 999999999L, 1000000000L, (1L << 32) + 12345L,
+      3500000001L, 4999999999L, 123456789012345L, Long.MaxValue - 1,
+      // wraps Long AND flips the label (93 'val' exact vs 97 'test'
+      // wrapped) — keeps the non-vacuity check below honest
+      5249979070416269813L)
+    def exact(id: Long): String = {
+      val b = ((BigInt(id) mod BigInt(1000000000)) * BigInt(2654435761L))
+        .mod(BigInt(100)).toLong
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    }
+    val got = ids.toDF("doc_id")
+      .select($"doc_id", TextAnalysis.hashSplitCol($"doc_id").as("split"))
+      .as[(Long, String)].collect().toMap
+    ids.foreach { id => assert(got(id) === exact(id), s"id=$id") }
+    // non-vacuity: the UNCLAMPED form really does diverge up there —
+    // if this stops holding the test above proves nothing
+    assert(ids.exists { id =>
+      val wrapped = (((id * 2654435761L) % 100) + 100) % 100
+      val w = if (wrapped < 90) "train" else if (wrapped < 95) "val" else "test"
+      w != exact(id)
+    })
+    // and the SQL mirror embeds the same clamp, so the DuckDB oracle
+    // (driver-side) computes the identical unwrapped product
+    assert(TextAnalysis.hashSplitSql("doc_id")
+      .contains("(doc_id % 1000000000) * 2654435761"))
+  }
+
   test("mod-p fingerprints: near-dup pairs share most elements, random pairs don't") {
     import spark.implicits._
     val fp = TextAnalysis.t08ModpFingerprint(spark, sf001)
