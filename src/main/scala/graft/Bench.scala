@@ -109,7 +109,20 @@ object Bench {
     val medianS = if (ok.nonEmpty) ok(ok.size / 2) else -1.0
     val p100S = if (ok.nonEmpty) ok.last else -1.0
 
-    // batch copy throughput: events ∪ lineitem → IngestRecord → bulk sink
+    // batch copy throughput: events ∪ lineitem → IngestRecord → bulk sink.
+    // Every doc carries the cursor field (events' ts, lineitem's
+    // l_shipdate) and the store is written CURSOR-CLUSTERED
+    // (range-partition + sort on ts) — the layout a real incremental
+    // store has by construction (files arrive in time order under the
+    // sink's monotonic wall-clock naming). The previous unsorted bulk
+    // copy produced files whose ts ranges all overlapped and 600k docs
+    // with NO ts at all; the streaming drain below then degenerated —
+    // one 597k-row first batch (every null-ts doc shares one cursor
+    // position) and each later micro-batch re-parsing ~the whole
+    // corpus (its (start,end] range intersected every file). That
+    // measured file-layout pathology, not micro-batch latency; the
+    // stream_files_opened telemetry keeps read amplification
+    // observable so the pathology can never hide again.
     val copyDir = java.nio.file.Files.createTempDirectory("graft-bench-sink").toString
     import spark.implicits._
     val events = ingest.Emit.ing01EmitEvents(spark, sfDir)
@@ -117,9 +130,14 @@ object Bench {
       lit("lineitem").as("index_id"),
       concat_ws("-", $"l_orderkey", $"l_linenumber").as("doc_id"),
       to_json(struct($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_linenumber",
-        $"l_quantity", $"l_extendedprice")).as("source"))
+        $"l_quantity", $"l_extendedprice",
+        $"l_shipdate".cast("string").as("ts"))).as("source"))
     val copyRecords = events.unionByName(lines)
+      .withColumn("sort_ts", get_json_object($"source", "$.ts"))
+      .repartitionByRange(cpus.toInt, $"sort_ts")
+      .sortWithinPartitions($"sort_ts")
       .withColumnRenamed("index_id", "indexId").withColumnRenamed("doc_id", "docId")
+      .select($"indexId", $"docId", $"source")
       .as[ingest.IngestRecord]
     val nDocs = copyRecords.count()
     val copySec = timeSec(ingest.EsBulkSink.write(copyRecords, copyDir))
@@ -134,6 +152,12 @@ object Bench {
     // the sink above wrote stats sidecars; the source's planning index
     // must be a pure metadata read — any body parse here is a regression
     val parsedBefore = sources.EsSimStats.filesParsed.get()
+    // read amplification: bulk-file opens across the whole drain vs the
+    // store's file count — a cursor-clustered store drains at ~1× (each
+    // file read about once, plus boundary straddlers); overlapping
+    // ranges would send this toward batches × files
+    val bulkFilesInStore = sources.EsSimStats.list(copyDir).size
+    sources.EsSimSource.filesOpened.set(0)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
     val q = spark.readStream
       .format("graft.sources.EsSimSourceProvider")
@@ -155,6 +179,7 @@ object Bench {
     val streamingBatchMs =
       if (trigMs.nonEmpty) trigMs.sorted.apply(trigMs.length / 2) else -1.0
     val streamFilesParsed = sources.EsSimStats.filesParsed.get() - parsedBefore
+    val streamFilesOpened = sources.EsSimSource.filesOpened.get()
 
     // skew stress (round-5 carried item): 1200 copies of one boilerplate
     // doc on top of the sf corpus — the d04 maxBucket guard must keep
@@ -296,6 +321,7 @@ object Bench {
       s""","copy_docs":$nDocs,"copy_sec":${r3(copySec)},"copy_docs_per_s":${r3(copyDocsPerS)}""" +
       s""","streaming_batch_ms":$streamingBatchMs""" +
       s""","stream_files_parsed":$streamFilesParsed""" +
+      s""","stream_files_opened":$streamFilesOpened,"stream_files_in_store":$bulkFilesInStore""" +
       s""","skew_lsh_s":${r3(skewLshSec)},"skew_lsh_candidates":$skewLshCands""" +
       s""","skew_d03_s":${r3(skewD03Sec)},"skew_d03_pairs":$skewD03Pairs""" +
       s""","skew_d10_collapsed_s":${r3(skewD10Sec)},"skew_d10_pairs":$skewD10Pairs""" +

@@ -198,4 +198,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(600))
   }
+
+  test("s14: quantized retrieval keeps s01's shape — query side broadcast") {
+    val p = plan("s14_int8_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(600))
+  }
 }
