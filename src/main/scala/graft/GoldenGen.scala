@@ -45,7 +45,11 @@ object GoldenGen {
       "s13_ivfadc_topk",
       // hashed-feature weights derive from xxhash64 (engine-specific,
       // deterministic); the per-doc sum is exact decimal
-      "t24_hash_classifier")
+      "t24_hash_classifier",
+      // BM25: per-term ln(idf) is a pure per-value function of integer
+      // counts (transcendental → cross-engine unsafe, golden-hashed);
+      // term scores 6dp-rounded, per-(q,doc) sum exact decimal
+      "t25_bm25")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */
@@ -59,6 +63,9 @@ object GoldenGen {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // optional 2nd arg: comma-separated subset — regenerate only new /
+    // intentionally-changed snapshots instead of churning identical ones
+    val only = args.drop(1).headOption.map(_.split(",").toSet)
     setSfTag(sfDir)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -68,7 +75,7 @@ object GoldenGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(goldenDir)
-    goldenQueries.foreach { name =>
+    goldenQueries.filter(n => only.forall(_.contains(n))).foreach { name =>
       val tmp = Files.createTempDirectory(s"golden-$name").resolve("out")
       SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)

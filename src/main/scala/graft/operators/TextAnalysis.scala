@@ -855,7 +855,82 @@ object TextAnalysis {
       .groupBy($"token").agg(min($"c").as("est"))
   }
 
+  /** t25: BM25 ranked lexical retrieval (Robertson-Spärck Jones;
+    * k1 = 1.2, b = 0.75, the +1 idf so scores stay positive) — the
+    * LEXICAL twin of s01's embedding top-k, and the scored complement
+    * of d07/d16's exact-overlap decontamination: given query documents,
+    * rank the corpus by term relevance. A curation pipeline uses it to
+    * mine near-matches of a benchmark that exact shingle overlap
+    * misses (paraphrases sharing vocabulary) and to pull targeted
+    * subsets for RAG/eval set construction.
+    *
+    * Determinism (the t21 discipline): idf is a pure per-token function
+    * of two integer counts; each (query, doc, token) term score is
+    * computed in one pinned parenthesization and 6dp-rounded; the ONLY
+    * order-varying reduction — the per-(query, doc) term sum — goes
+    * through [[graft.Det.dsum]] (exact decimal); ranking ties break on
+    * doc_id. Parallelism-invariant end to end (probed in
+    * PartitionInvarianceSpec) but ln() is transcendental with no
+    * cross-engine guarantee → golden-snapshot oracle, the t21/t08
+    * precedent.
+    *
+    * Scale: classic inverted-index economics. tf is one partial+final
+    * aggregate over the corpus; df/dlen reuse tf's output (narrow
+    * re-aggregates, not extra corpus passes); the scoring join is keyed
+    * by token with the QUERY side tiny, so only postings of query terms
+    * ever move — cost ∝ Σ_t∈queries df(t), not N; corpus-wide constants
+    * (N, avgdl) are a 1-row broadcast. Stopword-skewed postings are the
+    * t18 argument: ≤ one tf row per (doc, token), AQE splits hot join
+    * partitions. At 100 TB the tf/df/dlen frames are the materialized
+    * index a real deployment stores bucketed by token. */
+  def t25Bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bm25TopK(documents(s, d).select($"doc_id", $"text"),
+      documents(s, d).filter($"doc_id" < 20).select($"doc_id", $"text"), 3)
+  }
+
+  /** BM25 top-k over any (doc_id, text) corpus for any (doc_id, text)
+    * query frame — see [[t25Bm25]]. Output: (q_id, doc_id, rank,
+    * bm25_r), self-matches excluded. */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val tf = corpus
+      .select($"doc_id", explode(toks($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dlen = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    // avg of longs = exact long sum / count: one correctly-rounded
+    // division, parallelism-independent
+    val stats = dlen.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val qt = queries
+      .select($"doc_id".as("q_id"), explode(toks($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"score".desc, $"doc_id".asc)
+    qt.join(tf, "token")
+      .filter($"doc_id" =!= $"q_id")
+      .join(dfreq, "token")
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(stats))
+      // parenthesization is part of the contract (the t18 rule): each
+      // factor computed once, rounded per term BEFORE the exact sum
+      .withColumn("idf",
+        log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)))
+      .withColumn("term_score", round(
+        $"idf" * ($"tf" * lit(k1 + 1.0)) /
+          ($"tf" + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" / $"avgdl")), 6))
+      .groupBy($"q_id", $"doc_id").agg(graft.Det.dsum($"term_score").as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"q_id", $"doc_id", $"rank", round($"score", 6).as("bm25_r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_bm25"          -> (t25Bm25 _),
     "t24_hash_classifier" -> (t24HashClassifier _),
     "t23_normalize"     -> (t23Normalize _),
     "t22_gopher_rules"  -> (t22GopherRules _),
@@ -881,6 +956,10 @@ object TextAnalysis {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // t25: ln() is transcendental (cross-engine unsafe) → golden-hashed,
+    // the t21 discipline; per-term 6dp rounding + exact decimal sums
+    // make the snapshot parallelism-independent, relevance pinned in spec
+    "t25_bm25"          -> graft.GoldenGen.oracle("t25_bm25"),
     // t24: weights derive from xxhash64 buckets (engine-specific,
     // deterministic — the t08 precedent) → golden snapshot; arithmetic
     // re-derived independently in TextAnalysisSpec

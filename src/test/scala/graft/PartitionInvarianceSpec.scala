@@ -108,14 +108,18 @@ class PartitionInvarianceSpec extends SparkSpec {
     def runAll(inputParts: Int, shuffleParts: Int) = withShuffle(shuffleParts) {
       // CMS cell sums are integer adds (merge-order free); the survivor
       // decision composes the oracled s08 join + CC + a total-order
-      // window; t21's only order-varying reduction is the quantized
-      // decimal term sum — all must be bit-stable as the cluster reshapes
-      (operators.TextAnalysis.cmsTokenEstimates(docs.repartition(inputParts))
+      // window; t21's and t25's only order-varying reduction is the
+      // quantized decimal term sum — all must be bit-stable as the
+      // cluster reshapes
+      val d = docs.repartition(inputParts)
+      (operators.TextAnalysis.cmsTokenEstimates(d)
          .as[(String, Long)].collect().toSet,
        Similarity.semanticSurvivors(vecs.repartition(inputParts), cen, 0.45)
          .as[(Long, Long, Double, Boolean)].collect().toSet,
-       operators.TextAnalysis.lmQualityScores(docs.repartition(inputParts))
-         .as[(Long, Long, Double)].collect().toSet)
+       operators.TextAnalysis.lmQualityScores(d)
+         .as[(Long, Long, Double)].collect().toSet,
+       operators.TextAnalysis.bm25TopK(d, d.filter($"doc_id" < 20), 3)
+         .as[(Long, Long, Int, Double)].collect().toSet)
     }
 
     val narrow = runAll(inputParts = 3, shuffleParts = 5)
@@ -123,6 +127,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     assert(narrow._1 === wide._1, "t20 CMS estimates diverge across parallelism")
     assert(narrow._2 === wide._2, "s11 survivors diverge across parallelism")
     assert(narrow._3 === wide._3, "t21 LM scores diverge across parallelism")
+    assert(narrow._4 === wide._4, "t25 BM25 ranking diverges across parallelism")
   }
 
   test("s12 PQ training and codes are parallelism invariant") {

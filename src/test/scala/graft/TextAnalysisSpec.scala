@@ -41,6 +41,34 @@ class TextAnalysisSpec extends SparkSpec {
       .contains("(doc_id % 1000000000) * 2654435761"))
   }
 
+  test("t25 BM25: planted relevance ordering, idf discrimination, self-exclusion") {
+    import spark.implicits._
+    // corpus engineered so ranking is decidable by eye: doc 100 repeats
+    // the query's rare terms, doc 101 mentions one once, doc 102 shares
+    // only the stopword-ish term every doc has, doc 103 is disjoint.
+    // BM25 must rank 100 > 101 > 102 and never return the query itself.
+    val corpus = Seq(
+      (10L, "zebra quagga common"),                         // the query doc
+      (100L, "zebra quagga zebra quagga zebra common"),     // high tf, rare terms
+      (101L, "zebra common filler filler filler filler"),   // one rare hit, longer
+      (102L, "common filler filler"),                       // stopword only
+      (103L, "disjoint words entirely")                     // no overlap
+    ).toDF("doc_id", "text")
+    val queries = corpus.filter($"doc_id" === 10L)
+    val got = TextAnalysis.bm25TopK(corpus, queries, 4)
+      .select($"doc_id", $"rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(!got.map(_._1).contains(10L), "self-match must be excluded")
+    assert(got.map(_._1).take(3).toSeq === Seq(100L, 101L, 102L),
+      s"relevance order violated: ${got.mkString(",")}")
+    assert(!got.map(_._1).contains(103L), "disjoint doc must not be scored")
+    // registered entry: 20 query docs × top-3, no self-matches
+    val entry = TextAnalysis.t25Bm25(spark, sf001)
+      .select($"q_id", $"doc_id", $"rank").as[(Long, Long, Int)].collect()
+    assert(entry.map(_._1).distinct.length === 20)
+    assert(entry.forall { case (q, d, r) => q != d && r >= 1 && r <= 3 })
+    assert(entry.groupBy(_._1).forall(_._2.map(_._3).sorted.sameElements(1 to 3)))
+  }
+
   test("mod-p fingerprints: near-dup pairs share most elements, random pairs don't") {
     import spark.implicits._
     val fp = TextAnalysis.t08ModpFingerprint(spark, sf001)
