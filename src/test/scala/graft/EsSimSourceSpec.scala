@@ -506,6 +506,40 @@ class EsSimSourceSpec extends SparkSpec {
     assert(batchCount() === 30)
   }
 
+  test("fold manifest lifecycle: survives while its names are live, swept only when inert") {
+    import graft.ingest.EsSimCompact
+    import graft.sources.{EsSimManifest, EsSimStats}
+    val dir = Files.createTempDirectory("esmanifest-life").toString
+    def manifests() = EsSimManifest.list(dir).map(_.file.getFileName.toString).sorted
+    def visibleDocs() = spark.read.format("graft.sources.EsSimSourceProvider")
+      .option("path", dir).load().count()
+    writeDocs(dir, 0 until 30)
+    // gen 1: long grace — folds retired to .gone, manifest1 protects them
+    EsSimCompact.inPlace(spark, dir, maxActions = 500, graceMs = 3600000)
+    val m1 = manifests()
+    assert(m1.size === 1)
+    assert(visibleDocs() === 30)
+    // sweep with grace 0: manifest1's OUTPUTS are live compacted files —
+    // it must survive, or rule 2 would hide a legitimate z-file and rows
+    // would vanish from planning
+    EsSimCompact.inPlace(spark, dir, maxActions = 500, graceMs = 0)
+    assert(manifests() === m1, "manifest swept while its outputs are live")
+    assert(visibleDocs() === 30)
+    // gen 2: new docs arrive, everything (z1 + new) folds into z2 under
+    // manifest2; z1 retires. manifest1 is now inert (outputs tombstoned,
+    // folds long gone) and dies at the next grace-0 sweep — manifest2
+    // must persist while z2 lives
+    writeDocs(dir, 30 until 60)
+    EsSimCompact.inPlace(spark, dir, maxActions = 500, graceMs = 0)
+    assert(visibleDocs() === 60)
+    EsSimCompact.inPlace(spark, dir, maxActions = 500, graceMs = 0)
+    val after = manifests()
+    assert(!after.exists(m1.contains), s"inert gen-1 manifest not swept: $after")
+    assert(after.nonEmpty, "live generation's manifest must persist")
+    assert(visibleDocs() === 60)
+    assert(EsSimStats.visibleList(dir).nonEmpty)
+  }
+
   test("soak: repeated in-place compaction under a LIVE reader — effectively-once across 8 cycles") {
     // The single-cycle test above stops the reader before compacting;
     // this soak keeps a ProcessingTime query RUNNING while 8
