@@ -900,7 +900,13 @@ object TextAnalysis {
       .select($"doc_id", explode(toks($"text")).as("token"))
       .filter(length($"token") > 0)
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-    val dlen = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    // doc length = token count: computed NARROWLY from the text (one
+    // codegen'd map, no shuffle) rather than re-aggregating tf — same
+    // value (dl ≡ Σ tf per doc), one fewer execution of the corpus
+    // explode→aggregate lineage
+    val dlen = corpus.select($"doc_id",
+      size(filter(toks($"text"), t => length(t) > 0)).cast("long").as("dl"))
+      .filter($"dl" > 0)
     // avg of longs = exact long sum / count: one correctly-rounded
     // division, parallelism-independent
     val stats = dlen.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
