@@ -59,7 +59,13 @@ final class FileEsBulkClient(dir: String, tsField: String = "ts",
     // this micros instead of the wall clock, so compacted output sorts
     // AT the newest input it replaces in upsert-replay order — after
     // everything it folded, before anything written since
-    private[graft] val fixedMicros: Option[Long] = None) extends EsBulkClient {
+    private[graft] val fixedMicros: Option[Long] = None,
+    // called with each file name AFTER its atomic publish — compaction
+    // threads the names it actually wrote back to the driver (via an
+    // accumulator) so the fold manifest's `outputs` is exactly this
+    // run's publishes, never a directory re-listing that could pick up
+    // a concurrent same-slot compactor's files or a prior generation's
+    private[graft] val onPublish: String => Unit = _ => ()) extends EsBulkClient {
   private val counter = new AtomicLong()
   // compaction clients lead with 'z' (> any hex char): at EQUAL micros
   // a compacted file must sort after the real client files it replaces
@@ -118,6 +124,7 @@ final class FileEsBulkClient(dir: String, tsField: String = "ts",
       Files.write(bulkPath, sb.toString.getBytes(UTF_8),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     }
+    onPublish(name)
   }
 }
 

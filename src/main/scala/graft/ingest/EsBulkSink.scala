@@ -347,9 +347,21 @@ object EsSimCompact {
     val micros = maxName.stripPrefix("bulk-").take(20).toLong
     val resolved = EsSimStore.readOf(spark, inputs.map(_.toString))
       .select($"indexId", $"docId", $"source").as[IngestRecord]
-    // 3. publish compacted files pinned to the snapshot's replay slot
+    // 3. publish compacted files pinned to the snapshot's replay slot.
+    // The published names come back via an accumulator (only SUCCESSFUL
+    // task attempts contribute — foreachPartition is an action, so a
+    // failed attempt's partial publishes stay orphaned AND, because the
+    // manifest's outputs won't name them, invisible to planners until
+    // the next compaction folds them as ordinary inputs). Re-listing
+    // the directory here instead (the old listCompactedAt) could pick
+    // up a concurrent same-slot compactor's files or, after a
+    // crash-before-retire refold at the same micros, the previous
+    // generation's z-files — outputs must be exactly what THIS run
+    // published.
+    val outputsAcc = spark.sparkContext.collectionAccumulator[String]("graft.compact.outputs")
     EsBulkSink.writeWith(resolved,
-      () => new FileEsBulkClient(dir, tsField, fixedMicros = Some(micros)),
+      () => new FileEsBulkClient(dir, tsField, fixedMicros = Some(micros),
+        onPublish = n => outputsAcc.add(n)),
       maxActions = maxActions)
     // 3b. publish the fold manifest (atomic): readers gate visibility on
     // it — a compacted ('z') file with no manifest is IGNORED by
@@ -364,10 +376,19 @@ object EsSimCompact {
     // hidden when their replacement is fully published; crash before
     // the manifest leaves the z-files inert (next run folds them as
     // ordinary inputs, replay-resolving their duplicate content).
-    val outputs = graft.sources.EsSimStats
-      .listCompactedAt(dir, micros).map(_.getFileName.toString)
-    graft.sources.EsSimManifest.write(root, micros,
-      outputs, inputs.map(_.getFileName.toString))
+    val outputs = outputsAcc.value.asScala.toSeq.distinct.sorted
+    val foldNames = inputs.map(_.getFileName.toString)
+    // publish-time invariant: a name in both buckets would make the
+    // manifest self-contradictory (fold precedence would hide a file
+    // the same manifest claims as coverage). Client UUIDs make overlap
+    // impossible by construction; fail loudly if that ever breaks.
+    require(!outputs.exists(foldNames.toSet.contains),
+      s"compaction outputs overlap folds at micros=$micros")
+    // ≥2 inputs each holding ≥1 action means the resolved state is
+    // never empty — an empty outputs list here signals a broken publish
+    // path, and retiring the inputs on its say-so would lose every row
+    require(outputs.nonEmpty, s"compaction published no outputs at micros=$micros")
+    graft.sources.EsSimManifest.write(root, micros, outputs, foldNames)
     // 4. retire the inputs (bulk file first, then its sidecar: stats
     // must never outlive a body that new plans can still admit)
     // rename preserves mtime, so a tombstone of an OLD file would be

@@ -205,6 +205,18 @@ object EsSimManifest {
 
   final case class Manifest(file: Path, micros: Long, outputs: Seq[String], folds: Seq[String])
 
+  /** Parsed-manifest cache keyed by (mtime, size): manifests are
+    * immutable once published except the rare same-micros overwrite
+    * (which changes mtime/size — new content, new UUID-named outputs),
+    * so a matching key means the cached parse is current. Without this,
+    * [[hiddenNames]] re-read and JSON-parsed every manifest body on
+    * every planning call — at least twice per trigger via stats() — on
+    * a path the store otherwise keeps as pure cached metadata
+    * ([[EsSimStats]] sidecar cache). Entries for swept manifests are
+    * dropped on the next [[list]], bounding the map at the live set. */
+  private val parseCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.nio.file.attribute.FileTime, Long, Option[Manifest])]()
+
   /** All readable manifests in `path`. Tolerant: a vanished or torn
     * manifest (they are published atomically, so torn means external
     * interference) reads as absent rather than failing the trigger. */
@@ -215,25 +227,59 @@ object EsSimManifest {
     val files = try s.iterator().asScala
       .filter(p => isManifest(p.getFileName.toString)).toSeq
       finally s.close()
+    val liveKeys = files.map(_.toString).toSet
+    parseCache.keySet.removeIf(k => !liveKeys.contains(k))
     files.flatMap { p =>
       try {
-        val n = mapper.readTree(Files.readAllBytes(p))
-        Some(Manifest(p,
-          p.getFileName.toString.stripPrefix("compact-").take(20).toLong,
-          n.path("outputs").elements().asScala.map(_.asText()).toSeq,
-          n.path("folds").elements().asScala.map(_.asText()).toSeq))
+        val key = p.toString
+        val (mtime, size) = (Files.getLastModifiedTime(p), Files.size(p))
+        val cached = parseCache.get(key)
+        if (cached != null && cached._1 == mtime && cached._2 == size) cached._3
+        else {
+          val n = mapper.readTree(Files.readAllBytes(p))
+          val m = Some(Manifest(p,
+            p.getFileName.toString.stripPrefix("compact-").take(20).toLong,
+            n.path("outputs").elements().asScala.map(_.asText()).toSeq,
+            n.path("folds").elements().asScala.map(_.asText()).toSeq))
+          parseCache.put(key, (mtime, size, m))
+          m
+        }
       } catch { case _: Exception => None }
     }
   }
 
   /** The planner filter: file names hidden by rules 1 and 2 above,
-    * computed against one directory listing. */
+    * computed against one directory listing.
+    *
+    * A manifest is EFFECTIVE only when every output it names is present
+    * in `bulkNames` — the very listing being filtered. The bulk listing
+    * is taken BEFORE the manifest listing, so a compactor that
+    * publishes its outputs and manifest between the two would otherwise
+    * hide the folded inputs (rule 1) while its outputs are absent from
+    * the earlier snapshot: zero covering files for an already-committed
+    * offset range, i.e. silent row loss as the cursor advances past
+    * them. Gating on effectiveness keeps the inputs visible until the
+    * outputs are provably listable, closing the two-listing TOCTOU
+    * while preserving both crash-window guarantees.
+    *
+    * Rule 2 is name-level, not micros-level: a 'z' file is visible only
+    * when an effective manifest names it as an output. This also hides
+    * (a) orphan z-files from a task attempt that published some files
+    * then failed (the retry re-published under a fresh client UUID and
+    * only the successful attempt's names reach the manifest), and (b)
+    * the loser of a concurrent same-slot refold (same micros, last
+    * manifest wins) — previously BOTH compactors' outputs were visible
+    * at once and a streaming planner delivered the range twice. Hidden
+    * orphans are folded as ordinary inputs by the next compaction. */
   def hiddenNames(path: String, bulkNames: Seq[String]): Set[String] = {
+    val bulkSet = bulkNames.toSet
     val manifests = list(path)
-    val folded = manifests.iterator.flatMap(_.folds).toSet
-    val manifested = manifests.iterator.map(_.micros).toSet
+    val effective = manifests.filter(m =>
+      m.outputs.nonEmpty && m.outputs.forall(bulkSet.contains))
+    val folded = effective.iterator.flatMap(_.folds).toSet
+    val outputNames = effective.iterator.flatMap(_.outputs).toSet
     bulkNames.iterator.filter { n =>
-      folded.contains(n) || (isCompacted(n) && !manifested.contains(microsOf(n)))
+      folded.contains(n) || (isCompacted(n) && !outputNames.contains(n))
     }.toSet
   }
 }

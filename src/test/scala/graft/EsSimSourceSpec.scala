@@ -506,6 +506,49 @@ class EsSimSourceSpec extends SparkSpec {
     assert(batchCount() === 30)
   }
 
+  test("fold manifest: TOCTOU — a manifest is effective only when its outputs are in the bulk listing") {
+    // visibleList/forVisible take the BULK listing before the MANIFEST
+    // listing. A compactor publishing z-outputs + manifest between the
+    // two listings must not hide the folded inputs (the outputs are
+    // absent from the earlier snapshot — hiding the inputs would leave
+    // ZERO covering files and silently drop committed rows as the
+    // cursor advances). hiddenNames models this directly: it filters a
+    // caller-supplied bulkNames snapshot against the manifests on disk.
+    import graft.ingest.{BulkAction, FileEsBulkClient}
+    import graft.sources.{EsSimManifest, EsSimStats}
+    val dir = Files.createTempDirectory("estoctou").toString
+    writeDocs(dir, 0 until 30) // 3 input files
+    val inputs = EsSimStats.list(dir).map(_.getFileName.toString)
+    val micros = inputs.max.stripPrefix("bulk-").take(20).toLong
+    val z = new FileEsBulkClient(dir, fixedMicros = Some(micros))
+    z.bulk((0 until 30).map { i =>
+      val ts = f"2024-01-01 ${i / 3600}%02d:${(i / 60) % 60}%02d:${i % 60}%02d.000000"
+      BulkAction("idx", i.toString, s"""{"id":$i,"ts":"$ts","v":${i * 2}}""")
+    })
+    val outputs = EsSimStats.list(dir).map(_.getFileName.toString)
+      .filter(EsSimManifest.isCompacted)
+    assert(outputs.nonEmpty)
+    EsSimManifest.write(java.nio.file.Paths.get(dir), micros, outputs, inputs)
+    // stale snapshot taken BEFORE the publish: inputs only. The manifest
+    // is on disk but not effective against this listing — nothing hidden.
+    assert(EsSimManifest.hiddenNames(dir, inputs) === Set.empty,
+      "folds hidden while outputs are absent from the snapshot → row loss")
+    // fresh snapshot (inputs + outputs): manifest effective — folds and
+    // nothing else hidden.
+    assert(EsSimManifest.hiddenNames(dir, inputs ++ outputs) === inputs.toSet)
+    // orphan z-file at the SAME micros from a failed/concurrent attempt:
+    // hidden by name-level rule 2 even though its micros has a manifest
+    // (the old micros-level rule made it visible → double coverage).
+    val orphanClient = new FileEsBulkClient(dir, fixedMicros = Some(micros))
+    orphanClient.bulk(Seq(BulkAction("idx", "0",
+      """{"id":0,"ts":"2024-01-01 00:00:00.000000","v":0}""")))
+    val orphan = EsSimStats.list(dir).map(_.getFileName.toString)
+      .filter(n => EsSimManifest.isCompacted(n) && !outputs.contains(n))
+    assert(orphan.size === 1)
+    assert(EsSimManifest.hiddenNames(dir, inputs ++ outputs ++ orphan)
+      === inputs.toSet ++ orphan)
+  }
+
   test("fold manifest lifecycle: survives while its names are live, swept only when inert") {
     import graft.ingest.EsSimCompact
     import graft.sources.{EsSimManifest, EsSimStats}
