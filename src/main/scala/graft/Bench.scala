@@ -123,24 +123,55 @@ object Bench {
     // measured file-layout pathology, not micro-batch latency; the
     // stream_files_opened telemetry keeps read amplification
     // observable so the pathology can never hide again.
-    val copyDir = java.nio.file.Files.createTempDirectory("graft-bench-sink").toString
+    // Measurement protocol (round-10 fix — BENCH_r09 reported 4.3k
+    // docs/s on code that does 52k in isolation):
+    //  - SETTLE first: this section runs immediately after 141 queries
+    //    (~58 s of queued GC debt in r9); the streaming section below
+    //    already settles, the copy section did not — its one sample was
+    //    billed the whole suite's cleanup.
+    //  - MEDIAN-OF-3, each attempt on a FRESH lineage (the Dataset is
+    //    rebuilt per attempt): r9's single timed write reused the
+    //    shuffle map output of the nDocs count() on the same Dataset,
+    //    so copy_sec measured sort+write, not the full copy. Each
+    //    attempt here pays scan + range-shuffle + sort + write.
+    //  - the cursor rides as a TYPED column selected before to_json
+    //    (events' ts, lineitem's l_shipdate) and is dropped at the sink
+    //    boundary — not re-parsed per row out of the serialized body.
     import spark.implicits._
-    val events = ingest.Emit.ing01EmitEvents(spark, sfDir)
-    val lines = Tables.lineitem(spark, sfDir).select(
-      lit("lineitem").as("index_id"),
-      concat_ws("-", $"l_orderkey", $"l_linenumber").as("doc_id"),
-      to_json(struct($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_linenumber",
-        $"l_quantity", $"l_extendedprice",
-        $"l_shipdate".cast("string").as("ts"))).as("source"))
-    val copyRecords = events.unionByName(lines)
-      .withColumn("sort_ts", get_json_object($"source", "$.ts"))
-      .repartitionByRange(cpus.toInt, $"sort_ts")
-      .sortWithinPartitions($"sort_ts")
-      .withColumnRenamed("index_id", "indexId").withColumnRenamed("doc_id", "docId")
-      .select($"indexId", $"docId", $"source")
-      .as[ingest.IngestRecord]
-    val nDocs = copyRecords.count()
-    val copySec = timeSec(ingest.EsBulkSink.write(copyRecords, copyDir))
+    def mkCopyRecords() = {
+      // same emitted body as Emit.ing01EmitEvents / the r9 lineitem lane
+      val ev = Tables.events(spark, sfDir).select(
+        lit("events").as("indexId"),
+        $"event_id".cast("string").as("docId"),
+        to_json(struct($"event_id", $"event_type", $"value",
+          $"ts".cast("string").as("ts"),
+          get_json_object($"props", "$.k").cast("int").as("k"))).as("source"),
+        $"ts".cast("string").as("sort_ts"))
+      val li = Tables.lineitem(spark, sfDir).select(
+        lit("lineitem").as("indexId"),
+        concat_ws("-", $"l_orderkey", $"l_linenumber").as("docId"),
+        to_json(struct($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_linenumber",
+          $"l_quantity", $"l_extendedprice",
+          $"l_shipdate".cast("string").as("ts"))).as("source"),
+        $"l_shipdate".cast("string").as("sort_ts"))
+      ev.unionByName(li)
+        .repartitionByRange(cpus.toInt, $"sort_ts")
+        .sortWithinPartitions($"sort_ts")
+        .select($"indexId", $"docId", $"source")
+        .as[ingest.IngestRecord]
+    }
+    // row count from metadata-only scans — does NOT warm the copy shuffle
+    val nDocs = Tables.events(spark, sfDir).count() +
+      Tables.lineitem(spark, sfDir).count()
+    val copyAttempts = (1 to 3).map { i =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-sink$i").toString
+      System.gc(); Thread.sleep(2000)
+      dir -> timeSec(ingest.EsBulkSink.write(mkCopyRecords(), dir))
+    }
+    val copySec = copyAttempts.map(_._2).sorted.apply(1)
+    // the streaming drain below reads the LAST attempt's store
+    val copyDir = copyAttempts.last._1
+    copyAttempts.dropRight(1).foreach { case (d, _) => rmTree(d) }
     val copyDocsPerS = nDocs / copySec
 
     // streaming micro-batch latency: drain the docs just written through
@@ -271,6 +302,22 @@ object Bench {
       } finally pairs.unpersist()
     }
 
+    // c05 shared-frame form (r9 carried item): once the pipeline has
+    // materialized the pair frame, the leakage-safe split costs CC over
+    // the pairs + one left join — the economics a real curation run
+    // gets, vs the registered c05 which must stay self-contained for
+    // its DuckDB oracle and so recomputes the corpus pair join.
+    val c05SharedSec = {
+      val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      val pairs = Dedup.ngramJaccardPairs(docs, 0.8).cache()
+      try {
+        pairs.count() // the pipeline's materialization, not this probe's
+        probeSec {
+          materialize(operators.Curation.leakageSafeSplit(docs, pairs))
+        }
+      } finally pairs.unpersist()
+    }
+
     // clean up the ~700 bulk files + checkpoint this run created —
     // the driver benches every round and /tmp accumulates otherwise
     rmTree(copyDir)
@@ -319,6 +366,10 @@ object Bench {
       s""","gc_queries_ms":$gcQueriesMs""" +
       s""","storage_rdds":$storageRdds,"storage_mem_mb":${storageMem / (1024 * 1024)}""" +
       s""","copy_docs":$nDocs,"copy_sec":${r3(copySec)},"copy_docs_per_s":${r3(copyDocsPerS)}""" +
+      // cold = first attempt (fresh JVM paths), all three are full
+      // fresh-lineage runs (scan+shuffle+sort+write); copy_sec = median
+      s""","copy_sec_attempts":[${copyAttempts.map(a => r3(a._2)).mkString(",")}]""" +
+      s""","copy_timing":"settled; median-of-3; fresh lineage per attempt"""" +
       s""","streaming_batch_ms":$streamingBatchMs""" +
       s""","stream_files_parsed":$streamFilesParsed""" +
       s""","stream_files_opened":$streamFilesOpened,"stream_files_in_store":$bulkFilesInStore""" +
@@ -330,6 +381,7 @@ object Bench {
       s""","curation_stream_docs":$curN,"curation_stream_s":${r3(curSec)}""" +
       s""","curation_stream_admitted":$curAdmitted""" +
       s""","pipeline_pairs_clusters_crossmodal_s":${r3(pipelineSec)}""" +
+      s""","c05_shared_split_s":${r3(c05SharedSec)}""" +
       // BASELINE.md row mapping (explicit so the grader needn't infer)
       s""","dedup_exact_s":${r3(named("d01_exact_dedup"))}""" +
       s""","minhash_lsh_s":${r3(named("d04_minhash_lsh"))}""" +

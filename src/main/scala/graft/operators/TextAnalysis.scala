@@ -910,16 +910,27 @@ object TextAnalysis {
     // avg of longs = exact long sum / count: one correctly-rounded
     // division, parallelism-independent
     val stats = dlen.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
-    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val qt = queries
       .select($"doc_id".as("q_id"), explode(toks($"text")).as("token"))
       .filter(length($"token") > 0)
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"q_id").orderBy($"score".desc, $"doc_id".asc)
+    // df computed ON the joined postings, not via a second consumer of
+    // tf: `tf.groupBy(token)` and the scoring join canonicalize to
+    // DIFFERENT subtrees (the join pushes isnotnull(token) into its
+    // copy), so ReuseExchange cannot dedupe them and the corpus
+    // explode→aggregate — the expensive stage — executed twice (r9's
+    // #2 bench cost). After the inner join on token, the rows for one
+    // (q_id, token) are exactly the tf postings of that token, so a
+    // windowed count over (q_id, token) IS df — counted BEFORE the
+    // self-match exclusion so excluding the query doc itself cannot
+    // deflate it. Only query-term postings reach the window's shuffle;
+    // tf now has exactly one consumer and executes once.
+    val dfw = org.apache.spark.sql.expressions.Window.partitionBy($"q_id", $"token")
     qt.join(tf, "token")
+      .withColumn("df", count(lit(1)).over(dfw))
       .filter($"doc_id" =!= $"q_id")
-      .join(dfreq, "token")
       .join(dlen, "doc_id")
       .crossJoin(broadcast(stats))
       // parenthesization is part of the contract (the t18 rule): each

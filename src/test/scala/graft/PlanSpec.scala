@@ -128,6 +128,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("Partial"), "no map-side combine")
   }
 
+  test("t25: corpus explode runs once — df rides the postings window, not a second tf consumer") {
+    // tf.groupBy(token) and the scoring join canonicalize differently
+    // (pushed isnotnull), so a dfreq built FROM tf forced the corpus
+    // explode→aggregate to execute twice. df now comes from a windowed
+    // count over the joined postings; the only explodes left are the
+    // corpus tf build and the (tiny) query-term side.
+    val p = plan("t25_bm25")
+    val generates = p.linesIterator.count(_.contains("Generate explode"))
+    assert(generates === 2,
+      s"expected 2 explodes (corpus tf + query terms), got $generates\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("c05: leakage-safe split is equi-joins only — no cartesian/NLJ") {
     val p = plan("c05_leakage_safe_split")
     assert(!p.contains("CartesianProduct") &&

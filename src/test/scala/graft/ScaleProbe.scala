@@ -113,6 +113,28 @@ object ScaleProbe {
     }
     row("s08_ivf_neardup", t2(s08At("x1", 8)), t2(s08At("x10", 80)))
 
+    // ANN compression stack + BM25 (r9 carried item): their 100 TB
+    // claims were argument-only. Query side stays FIXED (vec_id/doc_id
+    // < 20 — the id shift keeps copies > 10^7), corpus grows 10×, so
+    // the t-ratio isolates the corpus-proportional work: quantizer
+    // training + code assignment for s12/s13, the quantize+scan for
+    // s14, the tf/dlen index build for t25 (its scoring join moves only
+    // postings of the 20 queries' terms — the ~c token suffix keeps
+    // those x1-sized by construction, exactly the inverted-index
+    // economics the scaladoc claims).
+    row("s12_pq_topk",
+      t2(Similarity.s12PqTopK(spark, docsAt("x1")).count()),
+      t2(Similarity.s12PqTopK(spark, docsAt("x10")).count()))
+    row("s13_ivfadc_topk",
+      t2(Similarity.s13IvfAdcTopK(spark, docsAt("x1")).count()),
+      t2(Similarity.s13IvfAdcTopK(spark, docsAt("x10")).count()))
+    row("s14_int8_topk",
+      t2(Similarity.s14Int8TopK(spark, docsAt("x1")).count()),
+      t2(Similarity.s14Int8TopK(spark, docsAt("x10")).count()))
+    row("t25_bm25",
+      t2(operators.TextAnalysis.t25Bm25(spark, docsAt("x1")).count()),
+      t2(operators.TextAnalysis.t25Bm25(spark, docsAt("x10")).count()))
+
     if (quad) {
       // the exact quadratic baseline, to show WHY s08 is the scale path:
       // s04 compares all pairs regardless of data — 100× work at 10× rows
