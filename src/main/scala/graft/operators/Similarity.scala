@@ -1212,7 +1212,166 @@ object Similarity {
       |SELECT q_id, n_id, rank, ROUND(cosine, 6) AS cosine_r
       |FROM sims WHERE rank <= 3""".stripMargin
 
+  // ---- s15: MMR diversity re-rank ----
+
+  /** s15: maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * 1998) — retrieval that trades relevance against redundancy. A
+    * plain top-k over a corpus with near-duplicates returns k copies of
+    * the same thing (exactly the corpora the d/s-series exist for); MMR
+    * picks greedily by `λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s)`, so each
+    * pick is penalized by its similarity to what was ALREADY picked.
+    * The training-data use is diverse few-shot / hard-negative
+    * selection: k exemplars per anchor that are relevant but not
+    * mutually redundant.
+    *
+    * Scale shape: the heavy, corpus-sized stage is CANDIDATE
+    * GENERATION, and it is s01's broadcast-query scan here (swap in
+    * s03/s13/s14's IVF/ADC/int8 scan at 100 TB — any (q_id, n_id, rel)
+    * frame works). The greedy selection is inherently sequential PER
+    * QUERY but touches only the m retained candidates: grouped local
+    * compute over m rows per query — one narrow shuffle of Q·m rows,
+    * O(k·m) arithmetic per query, no corpus term, embarrassingly
+    * parallel across queries. MMR over the corpus would be quadratic;
+    * MMR over a bounded candidate pool is the textbook deployment.
+    *
+    * Oracled end to end: rel and pairwise sims come from the same
+    * sequential-order dot kernel DuckDB's list_dot_product uses, so
+    * scores are bit-identical and the greedy argmax (ties → lower
+    * vec_id) unrolls into exact SQL — the selection SET is
+    * hash-checked, not just counted. */
+  def mmrRerank(cands: DataFrame, k: Int, lambda: Double): DataFrame = {
+    val s = cands.sparkSession
+    import s.implicits._
+    // deterministic local arithmetic, same order as the column kernels
+    def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    cands.select($"q_id", $"n_id", $"rel", $"v", $"nrm")
+      .as[(Long, Long, Double, Seq[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Seq[Double], Double)]) =>
+        val cs = it.toArray.sortBy(_._2) // n_id order → tie-break = first strict max
+        val n = cs.length
+        val used = new Array[Boolean](n)
+        // max sim to selected so far — the TRUE max, which can be
+        // negative (an anti-similar candidate earns a diversity bonus,
+        // the textbook formula); a 0.0 init would clamp it. Step 1
+        // never reads it and step ≥ 2 has updated every entry.
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
+        val out = Seq.newBuilder[(Long, Int, Long, Double)]
+        var step = 1
+        val kk = math.min(k, n)
+        while (step <= kk) {
+          var best = -1; var bestScore = 0.0
+          var i = 0
+          while (i < n) {
+            if (!used(i)) {
+              // step 1 has an empty selected set: no redundancy term
+              val sc = if (step == 1) lambda * cs(i)._3
+                       else lambda * cs(i)._3 - (1.0 - lambda) * maxSim(i)
+              if (best < 0 || sc > bestScore) { best = i; bestScore = sc }
+            }
+            i += 1
+          }
+          used(best) = true
+          out += ((qid, step, cs(best)._2, bestScore))
+          var j = 0
+          while (j < n) {
+            if (!used(j)) {
+              val sim = dotSeq(cs(j)._4, cs(best)._4) / (cs(j)._5 * cs(best)._5)
+              if (sim > maxSim(j)) maxSim(j) = sim
+            }
+            j += 1
+          }
+          step += 1
+        }
+        out.result().iterator
+      }
+      .toDF("q_id", "rank", "n_id", "mmr")
+      .select($"q_id", $"rank", $"n_id", round($"mmr", 6).as("mmr_r"))
+  }
+
+  /** The shipped entry: s01's exact scan keeps the top-20 pool per
+    * query (vec_id < 20), MMR keeps 5 at λ = 0.7. */
+  def s15MmrTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d).withColumn("nrm", norm($"v"))
+    val q = c.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val wc = Window.partitionBy($"q_id").orderBy($"rel".desc, $"n_id".asc)
+    val cands = c.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        (dot($"v", $"qv") / ($"nrm" * $"qn")).as("rel"), $"v", $"nrm")
+      .withColumn("rn", row_number().over(wc))
+      .filter($"rn" <= 20)
+      .select($"q_id", $"n_id", $"rel", $"v", $"nrm")
+    mmrRerank(cands, 5, 0.7)
+  }
+
+  /** Oracle: candidate pool + pairwise sims once, then the greedy
+    * selection unrolled into 5 pick CTEs — each step's score is
+    * `0.7·rel − 0.3·MAX(sim to picked)` over the not-yet-picked pool,
+    * argmax by (score DESC, n_id ASC), exactly the Scala loop. */
+  val s15Sql: String = {
+    // step t ≥ 2: score the unpicked pool against picks 1..t-1
+    def step(t: Int): String =
+      s"""st$t AS (
+         |  SELECT c.q_id, c.n_id,
+         |    0.7 * MAX(c.rel) - 0.3 * MAX(s.sim) AS score
+         |  FROM cand c
+         |  JOIN pk${t - 1} p ON p.q_id = c.q_id
+         |  JOIN sims s ON s.q_id = c.q_id AND s.i = c.n_id AND s.j = p.n_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM pk${t - 1} x
+         |                    WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
+         |  GROUP BY c.q_id, c.n_id
+         |), p$t AS (
+         |  SELECT q_id, n_id, score FROM (
+         |    SELECT q_id, n_id, score, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, n_id ASC) AS rn FROM st$t) WHERE rn = 1
+         |), pk$t AS (
+         |  SELECT q_id, n_id FROM pk${t - 1}
+         |  UNION ALL SELECT q_id, n_id FROM p$t
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), nv AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+       |), cand AS (
+       |  SELECT q_id, n_id, rel FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |      list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS rel,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+       |                 c.vec_id ASC) AS rn
+       |    FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 20
+       |  ) WHERE rn <= 20
+       |), sims AS (
+       |  SELECT a.q_id, a.n_id AS i, b.n_id AS j,
+       |    list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS sim
+       |  FROM cand a
+       |  JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+       |  JOIN nv x ON x.vec_id = a.n_id
+       |  JOIN nv y ON y.vec_id = b.n_id
+       |), p1 AS (
+       |  SELECT q_id, n_id, 0.7 * rel AS score FROM (
+       |    SELECT q_id, n_id, rel, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rel DESC, n_id ASC) AS rn FROM cand) WHERE rn = 1
+       |), pk1 AS (
+       |  SELECT q_id, n_id FROM p1
+       |), ${(2 to 5).map(step).mkString(", ")}
+       |SELECT q_id, 1 AS rank, n_id, ROUND(score, 6) AS mmr_r FROM p1
+       |${(2 to 5).map(t =>
+           s"UNION ALL SELECT q_id, $t AS rank, n_id, ROUND(score, 6) AS mmr_r FROM p$t")
+           .mkString("\n")}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_mmr_topk"          -> (s15MmrTopK _),
     "s14_int8_topk"         -> (s14Int8TopK _),
     "s13_ivfadc_topk"       -> (s13IvfAdcTopK _),
     "s12_pq_topk"           -> (s12PqTopK _),
@@ -1232,6 +1391,9 @@ object Similarity {
   // def, not val: the golden-snapshot oracle resolves the sf tag at
   // dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // s15: greedy selection over bit-identical scores (sequential-order
+    // dot kernel both engines) → the pick set unrolls into exact SQL
+    "s15_mmr_topk"          -> s15Sql,
     // s14: quantized cosine is bit-deterministic (integer code dots,
     // IEEE sqrt) → full SQL oracle despite being an approximate ranking
     "s14_int8_topk"         -> s14Sql,

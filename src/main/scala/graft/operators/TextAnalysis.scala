@@ -946,7 +946,66 @@ object TextAnalysis {
       .select($"q_id", $"doc_id", $"rank", round($"score", 6).as("bm25_r"))
   }
 
+  /** t26: sliding token-window chunking — the step between a cleaned
+    * corpus and anything embedding-shaped (RAG indexing, long-doc
+    * embedding, context-window packing): split each document into
+    * fixed-size token windows with overlap, so no boundary-straddling
+    * content is lost to a hard cut. Window w, stride s < w ⇒ adjacent
+    * chunks share w − s tokens; chunk count per doc is
+    * 1 + ⌈max(n − w, 0) / s⌉ (every token is covered, the final chunk
+    * may be short). Output carries (chunk_id, start_tok, n_tok, chunk)
+    * so downstream joins can address a chunk or reconstruct provenance.
+    *
+    * Scale: entirely per-row — tokenize, one arithmetic chunk count, one
+    * generator explode, slices of the already-split array. No shuffle,
+    * no state, no corpus term; output mass ≈ input token mass × w/s
+    * (~1.33× here), and the explode preserves the scan's partitioning
+    * so a downstream embedding stage starts from healthy partitions.
+    * Complements t12, which packs variable-length docs INTO fixed
+    * windows; t26 cuts long docs DOWN to them. */
+  def chunkWindows(docs: DataFrame, w: Int, stride: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(stride > 0 && stride <= w, "need 0 < stride <= window")
+    // integer chunk count; doc token counts keep the division exact in
+    // doubles (n ≪ 2^52), floor matches the DuckDB twin's `//`
+    val nChunks = when($"n" <= w, lit(1))
+      .otherwise(lit(1) + floor(($"n" - w + stride - 1) / stride).cast("int"))
+    docs
+      .select($"doc_id", toks($"text").as("tk"))
+      .withColumn("n", size($"tk"))
+      .select($"doc_id", $"tk", posexplode(sequence(lit(0), nChunks - 1)))
+      .select($"doc_id", $"pos".cast("int").as("chunk_id"),
+        ($"pos" * stride).cast("int").as("start_tok"),
+        slice($"tk", $"pos" * stride + 1, lit(w)).as("chunk"))
+      .select($"doc_id", $"chunk_id", $"start_tok",
+        size($"chunk").as("n_tok"), array_join($"chunk", " ").as("chunk"))
+  }
+
+  def t26ChunkWindows(s: SparkSession, d: String): DataFrame =
+    chunkWindows(documents(s, d), 64, 48)
+
+  val t26Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, tk, n,
+      |    CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 47) // 48 END AS nc
+      |  FROM t
+      |), ex AS (
+      |  SELECT doc_id, tk, n, unnest(generate_series(0, nc - 1)) AS chunk_id
+      |  FROM c
+      |)
+      |SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+      |  len(list_slice(tk, chunk_id * 48 + 1, least(chunk_id * 48 + 64, n))) AS n_tok,
+      |  array_to_string(list_slice(tk, chunk_id * 48 + 1,
+      |                             least(chunk_id * 48 + 64, n)), ' ') AS chunk
+      |FROM ex""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_chunk_windows" -> (t26ChunkWindows _),
     "t25_bm25"          -> (t25Bm25 _),
     "t24_hash_classifier" -> (t24HashClassifier _),
     "t23_normalize"     -> (t23Normalize _),
@@ -973,6 +1032,8 @@ object TextAnalysis {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // t26: pure integer arithmetic + list slicing → full SQL oracle
+    "t26_chunk_windows" -> t26Sql,
     // t25: ln() is transcendental (cross-engine unsafe) → golden-hashed,
     // the t21 discipline; per-term 6dp rounding + exact decimal sums
     // make the snapshot parallelism-independent, relevance pinned in spec

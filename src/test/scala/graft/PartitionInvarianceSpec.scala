@@ -173,4 +173,40 @@ class PartitionInvarianceSpec extends SparkSpec {
     assert(run(inputParts = 3, shuffleParts = 5) === run(inputParts = 17, shuffleParts = 32),
       "s13 coarse assignment/residuals diverge across parallelism")
   }
+
+  test("s15 MMR picks and t26 chunks are parallelism invariant") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf001).select($"doc_id", $"text")
+    val vecs = Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+
+    // MMR's greedy loop runs per-group over a pool the candidate window
+    // cut with total-order ties; the group's iterator order is
+    // partition-dependent, so the in-group n_id sort is load-bearing —
+    // this is the test that fails if someone removes it. t26 is a pure
+    // narrow map; invariance should be trivial and stay that way.
+    def run(inputParts: Int, shuffleParts: Int) = withShuffle(shuffleParts) {
+      val v = vecs.repartition(inputParts)
+      val c = v.withColumn("nrm", Similarity.norm($"v"))
+      val q = c.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"rel".desc, $"n_id".asc)
+      val cands = c.crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("n_id"),
+          (Similarity.dot($"v", $"qv") / ($"nrm" * $"qn")).as("rel"), $"v", $"nrm")
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 20)
+        .select($"q_id", $"n_id", $"rel", $"v", $"nrm")
+      (Similarity.mmrRerank(cands, 5, 0.7)
+         .as[(Long, Int, Long, Double)].collect().toSet,
+       operators.TextAnalysis.chunkWindows(docs.repartition(inputParts), 64, 48)
+         .as[(Long, Int, Int, Int, String)].collect().toSet)
+    }
+
+    val narrow = run(inputParts = 3, shuffleParts = 5)
+    val wide = run(inputParts = 17, shuffleParts = 32)
+    assert(narrow._1 === wide._1, "s15 MMR picks diverge across parallelism")
+    assert(narrow._2 === wide._2, "t26 chunks diverge across parallelism")
+  }
 }

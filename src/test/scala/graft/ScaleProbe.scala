@@ -142,6 +142,7 @@ object ScaleProbe {
         Similarity.s04BlockedNearDup(spark, s"$base/$tag").count()
       row("s04_exact_blocked", t2(s04At("x1")), t2(s04At("x10")))
     }
+    BenchUtil.rmTree(base) // ~120 MB of probe corpus per run otherwise
     spark.stop()
   }
 }

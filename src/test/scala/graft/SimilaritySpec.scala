@@ -627,4 +627,57 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.9, s"clustered IVFADC recall@3 = $mean")
   }
+
+  test("s15 MMR: 5 distinct picks per query from the top-20 pool, rank-1 = argmax rel, scores non-increasing") {
+    import spark.implicits._
+    val got = Similarity.s15MmrTopK(spark, sf001)
+      .as[(Long, Int, Long, Double)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.size === 20)
+    val exact = topk(Similarity.s01CosineTopK(spark, sf001))
+    byQ.foreach { case (q, rows) =>
+      val ordered = rows.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq === (1 to 5), s"q=$q ranks")
+      assert(ordered.map(_._3).distinct.length === 5, s"q=$q repeated pick")
+      // the first MMR pick has no redundancy penalty: it must be the
+      // plain most-relevant neighbor (s01's rank 1)
+      assert(ordered.head._3 === exact(q).head, s"q=$q rank-1")
+      // greedy max over a shrinking pool with growing penalties: from
+      // rank 2 on, the achieved score can never increase (each
+      // candidate's max-sim only grows, the pool only shrinks). Rank
+      // 1→2 is exempt: rank 1 has no redundancy term, and an
+      // ANTI-similar rank-2 candidate's negative max-sim is a bonus
+      // that can top it (observed on the fixture: q=6).
+      ordered.drop(1).sliding(2).foreach { case Array(a, b) =>
+        assert(b._4 <= a._4 + 1e-9, s"q=$q score rose ${a._4} -> ${b._4}")
+      }
+    }
+    // determinism
+    val again = Similarity.s15MmrTopK(spark, sf001)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.toSet === again.toSet)
+  }
+
+  test("s15 MMR: redundancy penalty demotes a near-duplicate that plain relevance would keep") {
+    import spark.implicits._
+    // planted pool: a and a' are identical vectors (sim 1) with the two
+    // best rels; b is slightly less relevant but orthogonal-ish. Plain
+    // top-2 by relevance = {a, a'}; MMR must pick b second because a'
+    // pays the full 0.3·sim(a,a') = 0.3 penalty.
+    val va = Seq(0.95, 0.31225, 0.0)
+    val vb = Seq(0.9, 0.0, 0.43589)
+    val cands = Seq(
+      (1L, 10L, 0.95, va, 1.0),   // a
+      (1L, 11L, 0.9499, va, 1.0), // a' (same vector as a)
+      (1L, 12L, 0.9, vb, 1.0)     // b: sim(a,b) = 0.855
+    ).toDF("q_id", "n_id", "rel", "v", "nrm")
+    val picks = Similarity.mmrRerank(cands, 3, 0.7)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(picks.map(_._3).toSeq === Seq(10L, 12L, 11L),
+      s"expected a, b, a' — got ${picks.toSeq}")
+    // and the scores are the hand arithmetic: 0.7·0.95; 0.7·0.9 − 0.3·0.855
+    assert(math.abs(picks(0)._4 - 0.665) < 1e-6)
+    assert(math.abs(picks(1)._4 - (0.63 - 0.3 * 0.855)) < 1e-6)
+    assert(math.abs(picks(2)._4 - (0.7 * 0.9499 - 0.3)) < 1e-6)
+  }
 }

@@ -449,4 +449,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(trueTop.subsetOf(estTop),
       s"true heavy hitters missing from CMS top-20: ${trueTop -- estTop}")
   }
+
+  test("t26 chunking: hand-computed counts/boundaries on planted lengths, full coverage") {
+    import spark.implicits._
+    // w=64, stride=48: n ≤ 64 → 1 chunk; 65..112 → 2; 113..160 → 3
+    val docs = Seq(
+      (1L, (1 to 1).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 64).map(i => s"w$i").mkString(" ")),
+      (3L, (1 to 65).map(i => s"w$i").mkString(" ")),
+      (4L, (1 to 112).map(i => s"w$i").mkString(" ")),
+      (5L, (1 to 113).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWindows(docs, 64, 48)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4))).toSeq
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.view.mapValues(_.size).toMap ===
+      Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 3))
+    // chunk 0 of doc 3 is tokens 1..64; chunk 1 starts at token 49 and
+    // runs to the end (17 tokens) — the 16-token overlap is real
+    val d3 = byDoc(3L).sortBy(_._2)
+    assert(d3(0)._3 === 0 && d3(0)._4 === 64)
+    assert(d3(1)._3 === 48 && d3(1)._4 === 17)
+    assert(d3(1)._5 === (49 to 65).map(i => s"w$i").mkString(" "))
+    // coverage: every token of every doc appears in some chunk, and the
+    // last chunk ends exactly at n
+    Seq(1 -> 1, 2 -> 64, 3 -> 65, 4 -> 112, 5 -> 113).foreach { case (id, n) =>
+      val last = byDoc(id.toLong).maxBy(_._2)
+      assert(last._3 + last._4 === n, s"doc $id: coverage ends at ${last._3 + last._4}, n=$n")
+    }
+    // all non-final chunks are exactly w tokens
+    got.foreach { case (id, cid, _, ntok, _) =>
+      val isLast = cid === byDoc(id).map(_._2).max
+      if (!isLast) assert(ntok === 64, s"doc $id chunk $cid: $ntok tokens")
+    }
+  }
+
+  test("t26 chunking is a narrow map: no shuffle in the plan") {
+    // the scale claim IS the plan shape: tokenize + generator explode +
+    // slices, all per-row — an Exchange here would mean the chunker
+    // re-partitions the corpus for no reason
+    val p = operators.TextAnalysis.t26ChunkWindows(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(600))
+  }
 }
