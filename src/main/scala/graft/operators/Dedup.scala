@@ -647,6 +647,29 @@ object Dedup {
   /** Oracle: exact-verified LSH output ≡ exhaustive Jaccard pairs. */
   val d04Sql: String = d03Sql
 
+  /** d17: dedup clusters THROUGH LSH — the composition an actual 100 TB
+    * run executes, shipped as its own entry. d08/d12 cluster from the
+    * exact d03 pair join, which is the small-data oracle path; at scale
+    * the pair frame comes from d04 (signatures per-row, candidates only
+    * from whole-band collisions, exact verification) and CC runs on
+    * that. Because d04's exact-verified output equals d03's pair set
+    * whenever LSH recall holds (P[miss] < 1e-12 at 16×8), the cluster
+    * assignment is identical too — so the full scale path is checked
+    * against the same recursive-CTE oracle as d08, the s04-vs-s02
+    * precedent (same answer, scalable plan).
+    *
+    * Per-stage costs at 100 TB: signature+banding is one narrow pass
+    * (native expressions), candidates one equi-shuffle on band keys
+    * (bucket-capped against boilerplate storms), verification touches
+    * candidates only, and CC iterates on the sparse verified-pair graph
+    * — never corpus × corpus anywhere. For mass-duplicated corpora
+    * compose with the d10 collapse first (d12's path); d17 is the
+    * variant for corpora where even materializing d03 is infeasible. */
+  def d17LshClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    clusterPairs(d04MinhashLsh(s, d).select($"d1", $"d2"))
+  }
+
   // ---- d05: SimHash near-dup ----
 
   /** 64-bit SimHash over the token multiset: bit i of the fingerprint is
@@ -892,6 +915,7 @@ object Dedup {
     "d12_collapsed_clusters" -> (d12CollapsedClusters _),
     "d14_containment"    -> (d14Containment _),
     "d15_substring_spans" -> (d15SubstringSpans _),
+    "d17_lsh_clusters"   -> (d17LshClusters _),
   )
 
   // def, not val: the golden-snapshot oracle path resolves the sf tag
@@ -915,5 +939,9 @@ object Dedup {
     "d12_collapsed_clusters" -> d08Sql,
     "d14_containment"   -> d14Sql,
     "d15_substring_spans" -> d15Sql,
+    // same clusters as d08 through the LSH candidate path: exact
+    // verification restores the d03 pair set (recall pinned by the
+    // driver's d04-vs-d03 hash match), CC is pair-set-determined
+    "d17_lsh_clusters"  -> d08Sql,
   )
 }

@@ -79,6 +79,47 @@ class BucketingSpec extends SparkSpec {
     assert(clusters === Set(0, 2))
   }
 
+  test("t25 materialized postings index bucketed by token: query join drops the postings shuffle") {
+    import spark.implicits._
+    // SCALE.md's claim for BM25 at 100 TB: tf/df/dlen are the
+    // materialized index, "stored bucketed by token" — so the recurring
+    // query-time join re-shuffles only the (tiny) query-term side, never
+    // the corpus postings. Proof: the same join against a bucketed vs a
+    // plain copy of the postings has exactly one fewer Exchange, and the
+    // bucketed scan is bucket-aware.
+    spark.sql("DROP TABLE IF EXISTS tf_b")
+    spark.sql("DROP TABLE IF EXISTS tf_plain")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+      val tf = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+        .filter(length($"token") > 0)
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      tf.write.bucketBy(8, "token").sortBy("token")
+        .mode("overwrite").saveAsTable("tf_b")
+      tf.write.mode("overwrite").saveAsTable("tf_plain")
+      val qt = docs.filter($"doc_id" < 20)
+        .select($"doc_id".as("q_id"), explode(split($"text", " ")).as("token"))
+        .filter(length($"token") > 0).distinct()
+      def joined(t: String) = spark.table(t).join(qt, "token")
+      val bPlan = joined("tf_b").queryExecution.executedPlan.toString
+      val pPlan = joined("tf_plain").queryExecution.executedPlan.toString
+      def exchanges(p: String) = "Exchange".r.findAllIn(p).size
+      assert(bPlan.contains("SelectedBucketsCount"), bPlan.take(600))
+      assert(exchanges(bPlan) === exchanges(pPlan) - 1,
+        s"bucketed join should drop exactly the postings shuffle:\n$bPlan")
+      // and the answers agree
+      val a = joined("tf_b").collect().map(_.toSeq).toSet
+      val b = joined("tf_plain").collect().map(_.toSeq).toSet
+      assert(a === b && a.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.sql("DROP TABLE IF EXISTS tf_b")
+      spark.sql("DROP TABLE IF EXISTS tf_plain")
+    }
+  }
+
   test("basic auth header (A5/A6): RFC 7617 token, absent when unconfigured") {
     import graft.ingest._
     assert(EsRestAuth.basicAuthHeader("", "x") === None)

@@ -304,4 +304,20 @@ class DedupSpec extends SparkSpec {
     old.keySet.intersect(nw.keySet).filter(id => old(id) == nw(id))
       .foreach(id => assert(!emitted(id), s"unchanged doc $id emitted"))
   }
+
+  test("d17 LSH clusters = d12 collapse clusters = d08 exact clusters (three routes, one answer)") {
+    import spark.implicits._
+    // the three cluster paths differ only in HOW pairs are produced
+    // (exact join / collapse / LSH+verify) — the assignment must be
+    // identical whenever LSH recall holds, which the fixture satisfies
+    val d08 = Dedup.d08DedupClusters(spark, sf001)
+      .as[(Long, Long)].collect().toSet
+    val d12 = Dedup.d12CollapsedClusters(spark, sf001)
+      .as[(Long, Long)].collect().toSet
+    val d17 = Dedup.d17LshClusters(spark, sf001)
+      .as[(Long, Long)].collect().toSet
+    assert(d17 === d08, "LSH route diverged from exact clusters")
+    assert(d12 === d08, "collapse route diverged from exact clusters")
+    assert(d17.nonEmpty)
+  }
 }

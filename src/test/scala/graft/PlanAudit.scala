@@ -31,7 +31,8 @@ object PlanAudit {
         "s11_semantic_survivors","d16_bloom_decontamination",
         "t21_lm_quality", "t22_gopher_rules", "t23_normalize",
         "s12_pq_topk", "s13_ivfadc_topk", "c08_temperature_mix",
-        "t24_hash_classifier", "s14_int8_topk", "t25_bm25").foreach(show)
+        "t24_hash_classifier", "s14_int8_topk", "t25_bm25",
+        "s15_mmr_topk", "t26_chunk_windows", "d17_lsh_clusters").foreach(show)
     spark.stop()
   }
 }
