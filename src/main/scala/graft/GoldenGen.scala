@@ -49,7 +49,10 @@ object GoldenGen {
       // BM25: per-term ln(idf) is a pure per-value function of integer
       // counts (transcendental → cross-engine unsafe, golden-hashed);
       // term scores 6dp-rounded, per-(q,doc) sum exact decimal
-      "t25_bm25")
+      "t25_bm25",
+      // RRF fusion: deterministic fusion arithmetic (integer ranks, 6dp
+      // reciprocal terms, exact sum) over t25's golden-safe BM25 ranks
+      "t27_rrf_fusion")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

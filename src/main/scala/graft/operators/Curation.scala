@@ -906,7 +906,109 @@ object Curation {
       |FROM documents d JOIN r ON d.lang = r.lang
       |WHERE ((d.doc_id % 1000000000) * 2654435761) % 1000000 < r.thresh""".stripMargin
 
+  /** c09: per-source document cap — keep the top `cap` documents of
+    * every source by quality, the per-domain cap every web-scale
+    * curation recipe applies (C4 and Gopher cap pages per domain;
+    * Dolma caps per-source contributions) so no single crawl seed,
+    * mirror farm, or SEO domain dominates the mixture. Ranking is the
+    * t02 quality score (6dp-rounded BEFORE ranking, so the sort key is
+    * cross-engine bit-identical — the c08 discipline), ties by doc_id.
+    *
+    * Scale: the rank-≤-cap window is exactly the shape Catalyst
+    * rewrites into WindowGroupLimit — a PARTIAL top-cap runs map-side
+    * before the shuffle, so each task ships at most `cap` rows per
+    * source it sees, never a source's full posting (plan-pinned in
+    * PlanSpec). One shuffle on source; a 100 TB corpus with millions
+    * of domains shards evenly, and a pathologically hot domain still
+    * only ships cap rows per upstream task. */
+  def sourceCap(docs: DataFrame, cap: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy($"quality".desc, $"doc_id".asc)
+    docs
+      .select($"doc_id", $"source",
+        round(TextAnalysis.qualityScoreCol($"text"), 6).as("quality"))
+      .withColumn("src_rank", row_number().over(w))
+      .filter($"src_rank" <= cap)
+  }
+
+  def c09SourceCap(s: SparkSession, d: String): DataFrame =
+    sourceCap(documents(s, d), 15)
+
+  val c09Sql: String = {
+    val q = TextAnalysis.qualitySqlExpr
+    s"""WITH q AS (
+       |  SELECT doc_id, source, ROUND($q, 6) AS quality
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)
+       |)
+       |SELECT doc_id, source, quality, src_rank FROM (
+       |  SELECT doc_id, source, quality,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id ASC) AS src_rank
+       |  FROM q)
+       |WHERE src_rank <= 15""".stripMargin
+  }
+
+  /** c10: per-source token-budget admission — fill each source's token
+    * quota with its best documents: walk the source's docs in
+    * (quality DESC, doc_id ASC) order and admit while the RUNNING token
+    * total stays within budget. This is the quota form the mixture ops
+    * don't cover: c03/c08 admit a per-source *fraction* of documents
+    * (rate-based, token-blind), c09 caps the *count* — but training
+    * mixtures are specified in TOKENS (the FineWeb/Dolma per-dump
+    * quotas), and docs vary 10× in length, so a token quota needs the
+    * prefix-sum form. Determinism: the running sum is over INTEGER
+    * token counts under a total order (rounded quality, then doc_id) —
+    * exact in both engines, no float reduction anywhere → full SQL
+    * oracle.
+    *
+    * Scale: one window shuffle on source (the running sum is inherently
+    * sequential per source — no partial-aggregate shortcut exists for a
+    * prefix sum that must stop mid-stream). A source far larger than
+    * its budget pays for sorting rows that can never be admitted; the
+    * production refinement is a t19-style quantile pre-estimate of the
+    * admission quality threshold from a sample, then one exact pass
+    * over docs above it — same answer whenever the estimate is
+    * conservative, and the sorted mass shrinks to ~the budget. */
+  def tokenBudgetAdmission(docs: DataFrame, budget: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy($"quality".desc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select($"doc_id", $"source",
+        round(TextAnalysis.qualityScoreCol($"text"), 6).as("quality"),
+        size(filter(split($"text", " "), t => length(t) > 0))
+          .cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum($"n_tok").over(w))
+      .filter($"cum_tok" <= budget)
+      .select($"doc_id", $"source", $"n_tok", $"cum_tok")
+  }
+
+  def c10TokenBudget(s: SparkSession, d: String): DataFrame =
+    tokenBudgetAdmission(documents(s, d), 400L)
+
+  val c10Sql: String = {
+    val q = TextAnalysis.qualitySqlExpr
+    s"""WITH q AS (
+       |  SELECT doc_id, source, ROUND($q, 6) AS quality,
+       |    len(list_filter(t, x -> len(x) > 0)) AS n_tok
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)
+       |)
+       |SELECT doc_id, source, n_tok, cum_tok FROM (
+       |  SELECT doc_id, source, n_tok,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id ASC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+       |  FROM q)
+       |WHERE cum_tok <= 400""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c09_source_cap"        -> (c09SourceCap _),
+    "c10_token_budget"      -> (c10TokenBudget _),
     "c08_temperature_mix"   -> (c08TemperatureMix _),
     "d13_source_overlap"    -> ((s: SparkSession, d: String) => d13SourceOverlap(s, d)),
     "c07_snapshot_diff"     -> (c07SnapshotDiff _),
@@ -926,6 +1028,10 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // c09/c10: integer ranks / integer running sums over a 6dp-rounded
+    // sort key → cross-engine total order, full SQL oracles
+    "c09_source_cap"        -> c09Sql,
+    "c10_token_budget"      -> c10Sql,
     "c08_temperature_mix"   -> c08Sql,
     "d13_source_overlap"    -> d13Sql,
     "c07_snapshot_diff"     -> c07Sql,

@@ -1239,7 +1239,7 @@ object Similarity {
     * scores are bit-identical and the greedy argmax (ties → lower
     * vec_id) unrolls into exact SQL — the selection SET is
     * hash-checked, not just counted. */
-  def mmrRerank(cands: DataFrame, k: Int, lambda: Double): DataFrame = {
+  def mmrRerank(cands: DataFrame, k: Int, lambda: Double, mu: Double): DataFrame = {
     val s = cands.sparkSession
     import s.implicits._
     // deterministic local arithmetic, same order as the column kernels
@@ -1270,7 +1270,7 @@ object Similarity {
             if (!used(i)) {
               // step 1 has an empty selected set: no redundancy term
               val sc = if (step == 1) lambda * cs(i)._3
-                       else lambda * cs(i)._3 - (1.0 - lambda) * maxSim(i)
+                       else lambda * cs(i)._3 - mu * maxSim(i)
               if (best < 0 || sc > bestScore) { best = i; bestScore = sc }
             }
             i += 1
@@ -1294,7 +1294,12 @@ object Similarity {
   }
 
   /** The shipped entry: s01's exact scan keeps the top-20 pool per
-    * query (vec_id < 20), MMR keeps 5 at λ = 0.7. */
+    * query (vec_id < 20), MMR keeps 5 at λ = 0.7. The diversity weight
+    * is passed as the LITERAL 0.3, not computed as `1.0 − λ`: those
+    * differ by one ulp in doubles (1.0−0.7 = 0.30000000000000004) while
+    * the SQL oracle's `0.3` converts to the 0.3 literal's double — the
+    * explicit weight keeps both engines' scores bit-identical, which is
+    * what lets the greedy argmax be hash-checked at all. */
   def s15MmrTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val c = corpus(s, d).withColumn("nrm", norm($"v"))
@@ -1308,7 +1313,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wc))
       .filter($"rn" <= 20)
       .select($"q_id", $"n_id", $"rel", $"v", $"nrm")
-    mmrRerank(cands, 5, 0.7)
+    mmrRerank(cands, 5, 0.7, 0.3)
   }
 
   /** Oracle: candidate pool + pairwise sims once, then the greedy

@@ -81,17 +81,22 @@ object TextAnalysis {
       (score >= 0.5).as("keep"))
   }
 
-  val t02Sql: String = {
+  /** [[qualityScoreCol]]'s DuckDB twin over a token-list column `t`
+    * (= `string_split(text, ' ')`) — shared by t02 and the curation
+    * consumers (c09/c10) so the two engines' quality definitions can
+    * never drift apart per call site. */
+  val qualitySqlExpr: String = {
     val stopList = enStop.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""SELECT doc_id, ROUND(q, 6) AS quality, q >= 0.5 AS keep FROM (
-       |  SELECT doc_id,
-       |    (CASE WHEN len(t) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END) * 0.4
+    s"""(CASE WHEN len(t) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END) * 0.4
        |    + (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 0.4
-       |    + (CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS DOUBLE) / len(t)) * 0.2
-       |    AS q
+       |    + (CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS DOUBLE) / len(t)) * 0.2""".stripMargin
+  }
+
+  val t02Sql: String =
+    s"""SELECT doc_id, ROUND(q, 6) AS quality, q >= 0.5 AS keep FROM (
+       |  SELECT doc_id, $qualitySqlExpr AS q
        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
        |)""".stripMargin
-  }
 
   /** Language-ID heuristic — marker-stopword voting over a per-language
     * marker list, ties and no-signal falling back to 'und' (the
@@ -1004,7 +1009,76 @@ object TextAnalysis {
       |                             least(chunk_id * 48 + 64, n)), ' ') AS chunk
       |FROM ex""".stripMargin
 
+  /** t27: reciprocal-rank-fusion hybrid retrieval (Cormack, Clarke &
+    * Buettcher 2009) — fuse a LEXICAL ranking (t25's BM25) with a DENSE
+    * ranking (s01's cosine kNN over the aligned embeddings; vec_id ≡
+    * doc_id in this corpus) into one list:
+    * `rrf(q,d) = Σ_systems 1/(60 + rank_sys(q,d))`. This is the
+    * standard production hybrid-search combiner (Elasticsearch ships it
+    * as the default `rank.rrf`; Vespa/OpenSearch likewise) precisely
+    * because it needs only RANKS — BM25 scores and cosines live on
+    * incomparable scales, and RRF sidesteps score normalization
+    * entirely. A curation pipeline uses it to mine benchmark
+    * contamination and RAG candidates that BOTH surface forms miss
+    * alone: paraphrases rank high dense-only, vocabulary matches
+    * lexical-only.
+    *
+    * Determinism: each input rank is deterministic under its own
+    * entry's discipline (t25: 6dp term scores + exact sum; s01: pinned
+    * dot kernel); the RRF term 1/(60+rank) is one correctly-rounded
+    * division of exact integers, 6dp-rounded per system, and the
+    * per-(q,doc) sum of ≤ 2 terms goes through [[graft.Det.dsum]] —
+    * order-free end to end, so the fused list is parallelism-invariant.
+    * BM25's ln() makes the upstream ranks cross-engine unsafe → golden
+    * oracle, the t25 precedent.
+    *
+    * Scale: both input rankings arrive already top-k'd (k rows per
+    * query, query count ≪ corpus), so fusion itself — one union, one
+    * (q_id, doc_id) aggregate, one window over ≤ 2k rows per query —
+    * is query-mass work, independent of corpus size. The corpus-scale
+    * stages are the two retrievals, each already shipped with its own
+    * 100 TB path (t25's inverted index; s13/s14 swap in for the dense
+    * scan). */
+  def rrfFuse(ranked: DataFrame, k: Int, kRrf: Int = 60): DataFrame = {
+    val s = ranked.sparkSession
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"rrf".desc, $"doc_id".asc)
+    ranked
+      .select($"q_id", $"doc_id",
+        round(lit(1.0) / (lit(kRrf) + $"rank"), 6).as("term"))
+      .groupBy($"q_id", $"doc_id").agg(graft.Det.dsum($"term").as("rrf"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"q_id", $"doc_id", $"rank", $"rrf".cast("double").as("rrf_r"))
+  }
+
+  /** The shipped entry: BM25 top-10 ∪ dense cosine top-10 for the
+    * shared query set (ids < 20), RRF keeps 5. */
+  def t27RrfFusion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"text")
+    val lex = bm25TopK(docs, docs.filter($"doc_id" < 20), 10)
+      .select($"q_id", $"doc_id", $"rank")
+    val c = embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm($"v"))
+    val q = c.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
+    val den = c.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        (Similarity.dot($"v", $"qv") / ($"nrm" * $"qn")).as("cosine"))
+      .withColumn("rank", row_number().over(wd))
+      .filter($"rank" <= 10)
+      .select($"q_id", $"n_id".as("doc_id"), $"rank")
+    rrfFuse(lex.unionByName(den), 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_rrf_fusion"    -> (t27RrfFusion _),
     "t26_chunk_windows" -> (t26ChunkWindows _),
     "t25_bm25"          -> (t25Bm25 _),
     "t24_hash_classifier" -> (t24HashClassifier _),
@@ -1038,6 +1112,10 @@ object TextAnalysis {
     // the t21 discipline; per-term 6dp rounding + exact decimal sums
     // make the snapshot parallelism-independent, relevance pinned in spec
     "t25_bm25"          -> graft.GoldenGen.oracle("t25_bm25"),
+    // t27: fuses t25's ranks → inherits the ln() cross-engine caveat;
+    // fusion arithmetic itself is exact (integer ranks, 6dp terms,
+    // Det.dsum) and parallelism-invariance is probed
+    "t27_rrf_fusion"    -> graft.GoldenGen.oracle("t27_rrf_fusion"),
     // t24: weights derive from xxhash64 buckets (engine-specific,
     // deterministic — the t08 precedent) → golden snapshot; arithmetic
     // re-derived independently in TextAnalysisSpec

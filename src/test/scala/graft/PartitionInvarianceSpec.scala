@@ -198,7 +198,7 @@ class PartitionInvarianceSpec extends SparkSpec {
           (Similarity.dot($"v", $"qv") / ($"nrm" * $"qn")).as("rel"), $"v", $"nrm")
         .withColumn("rn", row_number().over(w)).filter($"rn" <= 20)
         .select($"q_id", $"n_id", $"rel", $"v", $"nrm")
-      (Similarity.mmrRerank(cands, 5, 0.7)
+      (Similarity.mmrRerank(cands, 5, 0.7, 0.3)
          .as[(Long, Int, Long, Double)].collect().toSet,
        operators.TextAnalysis.chunkWindows(docs.repartition(inputParts), 64, 48)
          .as[(Long, Int, Int, Int, String)].collect().toSet)
@@ -208,5 +208,31 @@ class PartitionInvarianceSpec extends SparkSpec {
     val wide = run(inputParts = 17, shuffleParts = 32)
     assert(narrow._1 === wide._1, "s15 MMR picks diverge across parallelism")
     assert(narrow._2 === wide._2, "t26 chunks diverge across parallelism")
+  }
+
+  test("t27 fusion, c09 cap, c10 budget are parallelism invariant") {
+    import spark.implicits._
+    val srcDocs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"source", $"text")
+
+    // c09/c10 rank on a 6dp-rounded float with doc_id tie-break and
+    // c10 adds an order-dependent (but integer-exact) running sum —
+    // the total order is what makes both partition-independent. t27
+    // stacks two retrievals' determinism plus the fusion window.
+    def run(inputParts: Int, shuffleParts: Int) = withShuffle(shuffleParts) {
+      val d = srcDocs.repartition(inputParts)
+      (Curation.sourceCap(d, 15)
+         .as[(Long, String, Double, Int)].collect().toSet,
+       Curation.tokenBudgetAdmission(d, 400L)
+         .as[(Long, String, Long, Long)].collect().toSet,
+       operators.TextAnalysis.t27RrfFusion(spark, sf001)
+         .as[(Long, Long, Int, Double)].collect().toSet)
+    }
+
+    val narrow = run(inputParts = 3, shuffleParts = 5)
+    val wide = run(inputParts = 17, shuffleParts = 32)
+    assert(narrow._1 === wide._1, "c09 cap diverges across parallelism")
+    assert(narrow._2 === wide._2, "c10 admission diverges across parallelism")
+    assert(narrow._3 === wide._3, "t27 fusion diverges across parallelism")
   }
 }

@@ -147,6 +147,41 @@ class PlanSpec extends SparkSpec {
            !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("c09: per-source cap prunes map-side — partial WindowGroupLimit below the source exchange") {
+    val p = plan("c09_source_cap")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // the 100 TB claim: each upstream task ships ≤ cap rows per source,
+    // never a hot domain's full posting — same shape as the s07 pin
+    val lines = p.linesIterator.toVector
+    val partial = lines.indexWhere(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
+    val fin = lines.indexWhere(l =>
+      l.contains("WindowGroupLimit") && l.contains("Final"))
+    val exch = lines.indexWhere(l =>
+      l.contains("Exchange") && l.contains("source"))
+    assert(partial >= 0 && fin >= 0 && exch >= 0,
+      s"expected partial+final WindowGroupLimit and a source exchange:\n${p.take(1500)}")
+    assert(fin < exch && exch < partial,
+      s"partial pruning must sit below the exchange:\n${lines.slice(fin, partial + 1).mkString("\n")}")
+  }
+
+  test("c10: running sum windows on source, never a single partition; no cartesian") {
+    val p = plan("c10_token_budget")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("Window"), p.take(600))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      "prefix sum must stay partitioned by source")
+  }
+
+  test("t27: fusion stage windows per q_id, no cartesian anywhere") {
+    val p = plan("t27_rrf_fusion")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      "fused ranking must stay partitioned by q_id")
+  }
+
   test("s07: knn graph — no NLJ, partial top-k pruned before the shuffle") {
     val p = plan("s07_knn_graph")
     assert(!p.contains("CartesianProduct") &&

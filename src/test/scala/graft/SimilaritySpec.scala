@@ -671,7 +671,7 @@ class SimilaritySpec extends SparkSpec {
       (1L, 11L, 0.9499, va, 1.0), // a' (same vector as a)
       (1L, 12L, 0.9, vb, 1.0)     // b: sim(a,b) = 0.855
     ).toDF("q_id", "n_id", "rel", "v", "nrm")
-    val picks = Similarity.mmrRerank(cands, 3, 0.7)
+    val picks = Similarity.mmrRerank(cands, 3, 0.7, 0.3)
       .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
     assert(picks.map(_._3).toSeq === Seq(10L, 12L, 11L),
       s"expected a, b, a' — got ${picks.toSeq}")

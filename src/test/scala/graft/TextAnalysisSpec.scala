@@ -493,4 +493,111 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p.take(600))
   }
+
+  test("c09 source cap: kept set IS the per-source top-15 by (quality desc, doc_id)") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"source", $"text")
+    val got = Curation.sourceCap(docs, 15).cache()
+    try {
+      // sf0.01 has exactly 25 docs per source → the cap binds everywhere
+      val perSrc = got.groupBy($"source").count().collect()
+      assert(perSrc.nonEmpty && perSrc.forall(_.getLong(1) === 15L),
+        perSrc.mkString(", "))
+      // the kept set equals a driver-side recompute of the same total
+      // order — catches both a wrong sort key and a wrong tie-break
+      val scored = docs
+        .select($"doc_id", $"source",
+          round(TextAnalysis.qualityScoreCol($"text"), 6).as("q"))
+        .as[(Long, String, Double)].collect()
+      val want = scored.groupBy(_._2).iterator.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._1)).take(15).map(_._1)
+      }.toSet
+      assert(got.select($"doc_id").as[Long].collect().toSet === want)
+      // ranks are 1..15 within each source
+      val ranks = got.groupBy($"source")
+        .agg(min($"src_rank").as("lo"), max($"src_rank").as("hi")).collect()
+      assert(ranks.forall(r => r.getInt(1) === 1 && r.getInt(2) === 15))
+    } finally { got.unpersist(); () }
+  }
+
+  test("c10 token budget: within budget, maximal prefix, correct token counts") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"source", $"text")
+    val budget = 400L
+    val got = Curation.tokenBudgetAdmission(docs, budget)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.nonEmpty && got.forall(_._4 <= budget))
+    // driver-side recompute of the admission order and prefix sums
+    val scored = docs.select($"doc_id", $"source",
+        round(TextAnalysis.qualityScoreCol($"text"), 6).as("q"),
+        size(filter(split($"text", " "), t => length(t) > 0))
+          .cast("long").as("n_tok"))
+      .as[(Long, String, Double, Long)].collect()
+    val wantRows = scored.groupBy(_._2).iterator.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (-r._3, r._1))
+      val cums = ordered.scanLeft(0L)(_ + _._4).tail
+      ordered.zip(cums).takeWhile(_._2 <= budget)
+        .map { case (r, c) => (r._1, r._2, r._4, c) }
+    }.toSet
+    assert(got.toSet === wantRows)
+    // the prefix is MAXIMAL: for every source the next doc in order
+    // (if any) would blow the budget — implied by set equality with
+    // takeWhile above, asserted separately for a readable failure
+    scored.groupBy(_._2).foreach { case (src, rows) =>
+      val ordered = rows.sortBy(r => (-r._3, r._1))
+      val admitted = got.filter(_._2 == src).map(_._1).toSet
+      val firstOut = ordered.find(r => !admitted.contains(r._1))
+      firstOut.foreach { r =>
+        val cumBefore = got.filter(_._2 == src).map(_._3).sum
+        assert(cumBefore + r._4 > budget,
+          s"$src: doc ${r._1} was droppable but fits the budget")
+      }
+    }
+  }
+
+  test("t27 RRF: hand-checked fusion arithmetic and tie order") {
+    import spark.implicits._
+    // q1: lexical ranks doc10=1, doc11=2; dense ranks doc11=1, doc12=2.
+    // rrf(11) = r(61)+r(62) > rrf(10) = r(61) > rrf(12) = r(62)
+    val ranked = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 11L, 1), (1L, 12L, 2))
+      .toDF("q_id", "doc_id", "rank")
+    def r(d: Int): Double =
+      BigDecimal(1.0 / d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = operators.TextAnalysis.rrfFuse(ranked, 3)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    assert(got.map(x => (x._3, x._2)).toSeq === Seq((1, 11L), (2, 10L), (3, 12L)))
+    assert(math.abs(got(0)._4 - (r(61) + r(62))) < 1e-9)
+    assert(math.abs(got(1)._4 - r(61)) < 1e-9)
+    assert(math.abs(got(2)._4 - r(62)) < 1e-9)
+  }
+
+  test("t27 entry: 5 fused rows per query, scores are sums of reciprocal terms") {
+    import spark.implicits._
+    val got = operators.TextAnalysis.t27RrfFusion(spark, sf001)
+      .as[(Long, Long, Int, Double)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.size === 20)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to 5), s"q$q ranks")
+      // fused score decreases with rank (ties broken by doc_id keep
+      // scores non-increasing)
+      val byRank = rows.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"q$q order")
+    }
+    // every score is a single reciprocal term or a sum of two — i.e.
+    // membership in one or both of the k=10 input lists, nothing else
+    def r(d: Int): Double =
+      BigDecimal(1.0 / d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val singles = (1 to 10).map(k => r(60 + k))
+    val allowed = (singles ++
+      (for (a <- singles; b <- singles) yield a + b)).toSet
+    got.foreach { case (q, d, _, s) =>
+      assert(allowed.exists(v => math.abs(v - s) < 1e-9),
+        s"q$q doc$d score $s is not a sum of rrf terms")
+    }
+  }
 }
