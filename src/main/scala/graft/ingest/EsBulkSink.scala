@@ -301,6 +301,17 @@ object EsSimCompact {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     import spark.implicits._
+    // The manifest's outputs come from an accumulator that collects the
+    // file names SUCCESSFUL task attempts published. Speculative
+    // execution breaks that contract: two attempts of one partition can
+    // BOTH commit, each having published the same rows under a fresh
+    // client UUID — both names reach the manifest, both files become
+    // visible, and planners deliver the partition's rows twice. Refuse
+    // up front rather than corrupt the store (default is off; a 100 TB
+    // deployment that wants speculation must exclude the compactor job).
+    require(!spark.conf.get("spark.speculation", "false").toBoolean,
+      "compaction requires spark.speculation=false: speculative duplicate " +
+        "attempts would double-publish outputs into the fold manifest")
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) return
     // 1. sweep expired tombstones (previous run's inputs, past grace)

@@ -1006,9 +1006,67 @@ object Curation {
        |WHERE cum_tok <= 400""".stripMargin
   }
 
+  /** c11: c10's admission at 100 TB — prune with a histogram sketch,
+    * then run the exact prefix sum over the survivors. c10's window
+    * must SORT each source's full posting even though everything below
+    * the admission cutoff can never be admitted; for a source 100× its
+    * budget that is 100× wasted sort mass. The two-pass form every
+    * quota system uses at scale: (1) one partial+final aggregate of
+    * token mass per (source, quality bin) — the t19 fixed-bin sketch
+    * discipline — and a per-source running mass over ≤ W bin rows picks
+    * the lowest bin whose top-down cumulative mass reaches the budget;
+    * (2) the exact c10 window runs only over docs in bins ≥ that cut.
+    *
+    * Same answer as c10 BY CONSTRUCTION, not approximately: the cut
+    * bin's cumulative mass ≥ budget means every doc below the cut has
+    * the full budget's worth of strictly-better tokens ahead of it, so
+    * it could never be admitted; and because IEEE multiply is monotone,
+    * bin order can never invert quality order — a pruned-in doc's
+    * predecessors (in the admission order) are all pruned in, so the
+    * surviving prefix sums are bit-identical. Hash-checked against the
+    * SAME DuckDB oracle as c10 (the d17/s04 same-answer-scalable-plan
+    * precedent) and spec-asserted equal to c10 under a source 50× its
+    * budget where the pruning is load-bearing.
+    *
+    * Scale: pass 1 is map-side-combined into ≤ W rows per source (no
+    * row-level shuffle); the threshold window runs on the tiny bin
+    * frame; the bin cuts broadcast back; pass 2's sort shrinks from the
+    * corpus to ~the budget mass per source. */
+  def tokenBudgetAdmissionPruned(docs: DataFrame, budget: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val W = 64 // quality ∈ [0,1] → 1/64 bins; /64 is exact in doubles
+    val scored = docs.select($"doc_id", $"source",
+      round(TextAnalysis.qualityScoreCol($"text"), 6).as("quality"),
+      size(filter(split($"text", " "), t => length(t) > 0))
+        .cast("long").as("n_tok"))
+      .withColumn("bin", floor($"quality" * W).cast("int"))
+    val wTop = Window.partitionBy($"source").orderBy($"bin".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // lowest bin whose top-down cumulative mass first covers the
+    // budget; a source whose whole mass fits keeps everything (cut 0 —
+    // quality is never negative, so bin ≥ 0 always)
+    val cuts = scored.groupBy($"source", $"bin").agg(sum($"n_tok").as("mass"))
+      .withColumn("cum", sum($"mass").over(wTop))
+      .groupBy($"source")
+      .agg(coalesce(min(when($"cum" >= budget, $"bin")), lit(0)).as("cut"))
+    val w = Window.partitionBy($"source")
+      .orderBy($"quality".desc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.join(broadcast(cuts), "source")
+      .filter($"bin" >= $"cut")
+      .withColumn("cum_tok", sum($"n_tok").over(w))
+      .filter($"cum_tok" <= budget)
+      .select($"doc_id", $"source", $"n_tok", $"cum_tok")
+  }
+
+  def c11TokenBudgetPruned(s: SparkSession, d: String): DataFrame =
+    tokenBudgetAdmissionPruned(documents(s, d), 400L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c09_source_cap"        -> (c09SourceCap _),
     "c10_token_budget"      -> (c10TokenBudget _),
+    "c11_token_budget_pruned" -> (c11TokenBudgetPruned _),
     "c08_temperature_mix"   -> (c08TemperatureMix _),
     "d13_source_overlap"    -> ((s: SparkSession, d: String) => d13SourceOverlap(s, d)),
     "c07_snapshot_diff"     -> (c07SnapshotDiff _),
@@ -1032,6 +1090,9 @@ object Curation {
     // sort key → cross-engine total order, full SQL oracles
     "c09_source_cap"        -> c09Sql,
     "c10_token_budget"      -> c10Sql,
+    // c11 ≡ c10 by construction (conservative sketch cut + exact pass)
+    // → same oracle, independently hash-checking the pruning proof
+    "c11_token_budget_pruned" -> c10Sql,
     "c08_temperature_mix"   -> c08Sql,
     "d13_source_overlap"    -> d13Sql,
     "c07_snapshot_diff"     -> c07Sql,

@@ -225,6 +225,8 @@ class PartitionInvarianceSpec extends SparkSpec {
          .as[(Long, String, Double, Int)].collect().toSet,
        Curation.tokenBudgetAdmission(d, 400L)
          .as[(Long, String, Long, Long)].collect().toSet,
+       Curation.tokenBudgetAdmissionPruned(d, 400L)
+         .as[(Long, String, Long, Long)].collect().toSet,
        operators.TextAnalysis.t27RrfFusion(spark, sf001)
          .as[(Long, Long, Int, Double)].collect().toSet)
     }
@@ -233,6 +235,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     val wide = run(inputParts = 17, shuffleParts = 32)
     assert(narrow._1 === wide._1, "c09 cap diverges across parallelism")
     assert(narrow._2 === wide._2, "c10 admission diverges across parallelism")
-    assert(narrow._3 === wide._3, "t27 fusion diverges across parallelism")
+    assert(narrow._3 === wide._3, "c11 pruned admission diverges across parallelism")
+    assert(narrow._4 === wide._4, "t27 fusion diverges across parallelism")
   }
 }

@@ -174,6 +174,15 @@ class PlanSpec extends SparkSpec {
       "prefix sum must stay partitioned by source")
   }
 
+  test("c11: bin cuts broadcast back, admission window stays per-source") {
+    val p = plan("c11_token_budget_pruned")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("BroadcastHashJoin"), "cut frame must broadcast")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      "both windows must stay partitioned by source")
+  }
+
   test("t27: fusion stage windows per q_id, no cartesian anywhere") {
     val p = plan("t27_rrf_fusion")
     assert(!p.contains("CartesianProduct"), p.take(800))

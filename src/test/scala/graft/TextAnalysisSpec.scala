@@ -559,6 +559,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("c11 pruned admission ≡ c10 exact admission, incl. a source 50× its budget") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"source", $"text")
+    val a = Curation.tokenBudgetAdmission(docs, 400L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val b = Curation.tokenBudgetAdmissionPruned(docs, 400L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(a === b, "pruned form diverges from exact on the sf corpus")
+    // skewed synthetic: one source with 120k tokens against a 2k budget
+    // (~60× oversubscribed) across 10 quality levels — the sketch cut
+    // excludes ~90% of the mass and the exact pass over survivors must
+    // still reproduce the full admission bit-for-bit
+    val synth = (0L until 5000L).map { i =>
+      val distinct = (i % 10 + 1).toInt
+      (i, "big", (0 until 24).map(j => s"w${j % distinct}").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val ea = Curation.tokenBudgetAdmission(synth, 2000L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val eb = Curation.tokenBudgetAdmissionPruned(synth, 2000L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(ea.nonEmpty && ea.forall(_._4 <= 2000L))
+    assert(ea === eb, "pruned form diverges under a load-bearing cut")
+  }
+
   test("t27 RRF: hand-checked fusion arithmetic and tie order") {
     import spark.implicits._
     // q1: lexical ranks doc10=1, doc11=2; dense ranks doc11=1, doc12=2.
