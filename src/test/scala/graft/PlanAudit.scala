@@ -32,7 +32,9 @@ object PlanAudit {
         "t21_lm_quality", "t22_gopher_rules", "t23_normalize",
         "s12_pq_topk", "s13_ivfadc_topk", "c08_temperature_mix",
         "t24_hash_classifier", "s14_int8_topk", "t25_bm25",
-        "s15_mmr_topk", "t26_chunk_windows", "d17_lsh_clusters").foreach(show)
+        "s15_mmr_topk", "t26_chunk_windows", "d17_lsh_clusters",
+        "c09_source_cap", "c10_token_budget", "c11_token_budget_pruned",
+        "t27_rrf_fusion").foreach(show)
     spark.stop()
   }
 }
