@@ -52,7 +52,11 @@ object GoldenGen {
       "t25_bm25",
       // RRF fusion: deterministic fusion arithmetic (integer ranks, 6dp
       // reciprocal terms, exact sum) over t25's golden-safe BM25 ranks
-      "t27_rrf_fusion")
+      "t27_rrf_fusion",
+      // HLL sketch profile: register state is a per-register MAX over
+      // the value set — order- and partition-free; estimates are
+      // integer longs (slicing invariance pinned in TextAnalysisSpec)
+      "t28_sketch_profile")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

@@ -343,9 +343,18 @@ object Curation {
   private def curationMarks(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val all = documents(s, d).select($"doc_id", $"text")
+    curationMarksOf(all.filter($"doc_id" >= 20), all.filter($"doc_id" < 20))
+  }
+
+  /** [[curationMarks]] over explicit (doc_id, text) corpus/benchmark
+    * frames — the frame-taking core c12's standing-state build shares,
+    * so the incremental path cannot drift from c01's stage semantics. */
+  private def curationMarksOf(corpus: DataFrame, bench: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
     val score = TextAnalysis.qualityScoreCol($"text")
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"text")
-    val flagged = all.filter($"doc_id" >= 20)
+    val flagged = corpus
       .withColumn("m_lang", TextAnalysis.langPredCol($"text") === "en")
       .withColumn("quality", round(score, 6))
       .withColumn("m_f1", $"m_lang" && (score >= 0.5))
@@ -358,7 +367,7 @@ object Curation {
       .filter(size($"sh") > 0)
     val nearRejected = Dedup.prefixJoinPairs(f2sh, 0.8)
       .select($"d2".as("doc_id")).distinct()
-    val benchEx = all.filter($"doc_id" < 20)
+    val benchEx = bench
       .select($"doc_id".as("bench_id"),
         explode(Dedup.shingleHashes($"text")).as("sg"))
     // f2sh ▷ nearRejected ≡ the near-dup stage's survivors — references
@@ -1063,7 +1072,150 @@ object Curation {
   def c11TokenBudgetPruned(s: SparkSession, d: String): DataFrame =
     tokenBudgetAdmissionPruned(documents(s, d), 400L)
 
+  // ---- c13: per-document rejection-reason audit ----
+
+  /** c13: WHY each document left the pipeline — the per-doc provenance
+    * record behind c02's aggregate funnel. Every curation run that
+    * drops 60% of a crawl owes its operators an answer to "show me why
+    * doc X is gone" (debugging a filter regression, appealing a
+    * wrongly-dropped source, documenting the recipe); the answer is the
+    * FIRST stage a doc failed, in c01's canonical stage order, or
+    * `kept`. Zero new computation: one CASE over [[curationMarks]]'
+    * monotone flag chain (m_surv ⊆ m_f3 ⊆ m_f2 ⊆ m_f1 ⊆ m_lang), so the
+    * audit is plan-identical to c01 plus a projection — and the oracle
+    * is the same shared CTE chain, which hash-pins the audit to the
+    * pipeline it explains (a drifted reason column would mean c01
+    * itself drifted). */
+  def c13RejectionReasons(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    curationMarks(s, d).select($"doc_id",
+      when(!$"m_lang", "1_lang")
+        .when(!$"m_f1", "2_quality")
+        .when(!$"m_f2", "3_exact_dup")
+        .when(!$"m_f3", "4_near_dup")
+        .when(!$"m_surv", "5_contaminated")
+        .otherwise("6_kept").as("reason"))
+  }
+
+  val c13Sql: String =
+    s"""$curationCtes
+       |SELECT d.doc_id,
+       |  CASE
+       |    WHEN d.doc_id NOT IN (SELECT doc_id FROM lang_keep) THEN '1_lang'
+       |    WHEN d.doc_id NOT IN (SELECT doc_id FROM qual_keep) THEN '2_quality'
+       |    WHEN d.doc_id NOT IN (SELECT doc_id FROM f2) THEN '3_exact_dup'
+       |    WHEN d.doc_id IN (SELECT doc_id FROM near_rejected) THEN '4_near_dup'
+       |    WHEN d.doc_id IN (SELECT doc_id FROM contaminated) THEN '5_contaminated'
+       |    ELSE '6_kept'
+       |  END AS reason
+       |FROM documents d WHERE d.doc_id >= 20""".stripMargin
+
+  // ---- c12: incremental curation (delta admission ≡ full recompute) ----
+
+  /** c12: INCREMENTAL curation — admit a newly-arrived delta against a
+    * standing curated corpus and return the new curated set, provably
+    * EQUAL to re-running c01 over the whole corpus. This is how c01
+    * actually runs at 100 TB: the corpus is curated once, then daily
+    * deltas (~0.1–1% of corpus mass) are admitted against saved state —
+    * re-running the full pipeline per delta re-pays the corpus-sized
+    * scans and the pair join ~100–1000× over.
+    *
+    * Why incremental admission can be EXACT (not approximate): c01's
+    * stage semantics localize against a small standing state when delta
+    * doc_ids sort after standing doc_ids (arrival order — ids are
+    * ingestion-ordered, so a later batch's ids are higher):
+    *
+    *  - language/quality are per-row — no cross-doc state at all;
+    *  - exact keep-first: a delta doc loses iff ANY earlier f1 doc has
+    *    the same text. The standing f2 survivors carry exactly one doc
+    *    per standing f1 text (same text ⇒ same score ⇒ same f1 fate),
+    *    so the standing f2 CONTENT-HASH SET is a complete exact-dedup
+    *    index of the standing run — one broadcast-sized anti-join plus
+    *    the usual min-id window within the delta;
+    *  - near-dup keep-first: c01 kills d2 of any J ≥ τ pair at the f2
+    *    LEVEL (d1 need not itself survive near-dup), so the state is
+    *    the standing f2 shingle frame, and the kill test is d11's
+    *    asymmetric delta-vs-corpus prefix join ([[Dedup
+    *    .deltaPairsFromShingled]]) — delta prefixes probe the standing
+    *    index; no standing-standing pair is ever re-examined. Standing
+    *    ids all sort below delta ids, so every cross pair orients
+    *    standing = d1 (kills the delta doc), matching c01 exactly;
+    *  - decontamination is per-doc against the broadcast benchmark set.
+    *
+    * And standing docs are UNAFFECTED by the delta: every kill rule
+    * targets the higher id, so the standing survivor set is closed —
+    * the previous run's output is reused verbatim, never recomputed.
+    *
+    * The driver hash-checks c12 against c01's OWN oracle (the full-
+    * corpus CTE chain): equality of the incremental path with the full
+    * recompute is the entire contract, and it must hold for ANY split
+    * boundary ([[graft.CurationSpec]] sweeps boundaries including the
+    * degenerate empty-delta/empty-standing ends). Cost here includes
+    * building the standing state in-plan; production loads it from the
+    * previous run's parquet (the [[streaming.StreamingCuration]]
+    * history pattern), leaving only the ∝ |delta| admission work. */
+  def incrementalCuration(docs: DataFrame, boundary: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val all = docs.select($"doc_id", $"text")
+    val bench = all.filter($"doc_id" < 20)
+    val standing = all.filter($"doc_id" >= 20 && $"doc_id" < boundary)
+    val delta = all.filter($"doc_id" >= boundary)
+
+    // standing state — production: READ from the previous run's output
+    val marks = curationMarksOf(standing, bench)
+    val standingSurvivors = marks.filter($"m_surv").select($"doc_id", $"quality")
+    val standingF2 = marks.filter($"m_f2").select($"doc_id", $"text")
+    val standingHashes = standingF2.select(sha2($"text", 256).as("th"))
+    val standingF2Sh = standingF2
+      .select($"doc_id", array_sort(Dedup.shingleHashes($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+
+    // delta admission — every step costs ∝ |delta| against standing state
+    val score = TextAnalysis.qualityScoreCol($"text")
+    val dF1 = delta
+      .filter(TextAnalysis.langPredCol($"text") === "en" && score >= 0.5)
+      .withColumn("quality", round(score, 6))
+      .withColumn("th", sha2($"text", 256))
+    val wTxt = Window.partitionBy($"th").orderBy($"doc_id")
+    val dF2 = dF1
+      .withColumn("rn", row_number().over(wTxt)).filter($"rn" === 1)
+      .join(standingHashes, Seq("th"), "left_anti")
+      .select($"doc_id", $"text", $"quality")
+    val dSh = dF2
+      .select($"doc_id", array_sort(Dedup.shingleHashes($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+    val nearKilled = Dedup.deltaPairsFromShingled(standingF2Sh, dSh, 0.8)
+      .filter($"d2" >= boundary).select($"d2".as("doc_id")).distinct()
+    val benchEx = bench.select($"doc_id".as("bench_id"),
+      explode(Dedup.shingleHashes($"text")).as("sg"))
+    val contaminated = contaminationCounts(
+        dSh.join(nearKilled, Seq("doc_id"), "left_anti")
+          .select($"doc_id", explode($"sh").as("sg")),
+        benchEx)
+      .select($"doc_id").distinct()
+    val admitted = dF2
+      .join(nearKilled, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"quality")
+    standingSurvivors.unionByName(admitted)
+  }
+
+  /** Registered split: the last fifth of the id range plays the delta —
+    * large enough that every admission rule fires at every SF. The
+    * boundary is derived from one max() scalar; ANY boundary yields the
+    * same output (the point of the operator), so the driver's c01-oracle
+    * hash-check is boundary-independent. */
+  def c12IncrementalCuration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+    incrementalCuration(docs, 20L.max(maxId - (maxId - 19L) / 5L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c12_incremental_curation" -> (c12IncrementalCuration _),
+    "c13_rejection_reasons" -> (c13RejectionReasons _),
     "c09_source_cap"        -> (c09SourceCap _),
     "c10_token_budget"      -> (c10TokenBudget _),
     "c11_token_budget_pruned" -> (c11TokenBudgetPruned _),
@@ -1086,6 +1238,10 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // c12 ≡ c01 for ANY split boundary (the incremental path's whole
+    // contract) → c01's own full-recompute oracle hash-checks it
+    "c12_incremental_curation" -> c01Sql,
+    "c13_rejection_reasons" -> c13Sql,
     // c09/c10: integer ranks / integer running sums over a 6dp-rounded
     // sort key → cross-engine total order, full SQL oracles
     "c09_source_cap"        -> c09Sql,

@@ -1375,7 +1375,105 @@ object Similarity {
            .mkString("\n")}""".stripMargin
   }
 
+  // ---- s16: binary sign quantization + Hamming pre-rank ----
+
+  /** s16: 1-bit (sign) quantization ANN — the most aggressive
+    * compression rung of the stack (s14 int8 = 4×, s12/s13 PQ = 32× of
+    * dims; s16 = 1 bit/dim, here ONE 64-bit word per vector = 32× vs
+    * float and SIMD-free integer distance). The classic two-stage
+    * shape (Charikar hyperplane sketches; the modern binary-quantize +
+    * re-rank recipe Elasticsearch/Lucene BBQ productized):
+    *
+    *  1. PRE-RANK on the sign signature only: Hamming distance =
+    *     `bit_count(sig XOR qsig)` — a two-instruction codegen'd
+    *     kernel over an 8-byte column. At 100 TB of 1 KB float
+    *     vectors the signature sidecar is ~0.8 TB: the stage that
+    *     touches every row reads 128× fewer bytes, the float corpus
+    *     is touched only for survivors (column pruning keeps `v` out
+    *     of the pre-rank scan — the plan's load-bearing property).
+    *     Sign agreement bounds angular distance in expectation
+    *     (P[sign mismatch per hyperplane] = θ/π), so small-Hamming ⊇
+    *     most of the true top-k at rerank ratios ≪ 1.
+    *  2. RE-RANK the R = 150 Hamming survivors with exact cosine and
+    *     keep k = 3. R is 30% here because the signature has only
+    *     dim = 64 bits — measured recall@3 on this corpus: 0.75 at
+    *     R = 50, 0.97 at R = 150 (the registered point). At production
+    *     dims (768–4096) the signature carries dim bits and rerank
+    *     ratios of a few × k reach the same recall; the I/O argument
+    *     below is unchanged because the sidecar scales with dim/8
+    *     bytes vs 4·dim for float.
+    *
+    * Both stages are total-ordered ((ham, n_id) / (cosine, n_id)), and
+    * every quantity is either integer or the same IEEE dot/sqrt both
+    * engines compute, so the whole approximate pipeline has a FULL SQL
+    * oracle — DuckDB recomputes the Hamming stage structurally
+    * differently (per-coordinate sign-disagreement count, no bit
+    * packing), which independently checks the packing/bit_count
+    * kernel. Recall vs s01's exact top-k is spec-pinned ≥ 0.9 (the
+    * corpus is label-clustered, the favorable-and-realistic case). */
+  def binaryHammingTopK(vecs: DataFrame, queryPred: Column,
+                        rerank: Int, k: Int): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    // bit i of sig = [v(i) >= 0] — packed with one codegen'd fold
+    val sig = expr("aggregate(sequence(0, 63), 0L, " +
+      "(acc, i) -> acc | CASE WHEN element_at(v, i + 1) >= 0D " +
+      "THEN shiftleft(1L, i) ELSE 0L END)")
+    val full = vecs.withColumn("nrm", norm($"v")).withColumn("sig", sig)
+    // signature-only lane: at scale this is the 8 B/vec sidecar scan
+    val sigs = full.select($"vec_id", $"sig")
+    val qs = full.filter(queryPred)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"), $"sig".as("qsig"))
+    val wHam = Window.partitionBy($"q_id").orderBy($"ham".asc, $"n_id".asc)
+    val pre = sigs.crossJoin(broadcast(qs.select($"q_id", $"qsig")))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        bit_count($"sig".bitwiseXOR($"qsig")).as("ham"))
+      .withColumn("prerank", row_number().over(wHam))
+      .filter($"prerank" <= rerank)
+    val wCos = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
+    pre
+      .join(full.select($"vec_id".as("n_id"), $"v", $"nrm"), "n_id")
+      .join(broadcast(qs.select($"q_id", $"qv", $"qn")), "q_id")
+      .select($"q_id", $"n_id", (dot($"v", $"qv") / ($"nrm" * $"qn")).as("cosine"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter($"rank" <= k)
+      .select($"q_id", $"n_id", $"rank", round($"cosine", 6).as("cosine_r"))
+  }
+
+  def s16BinaryTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    binaryHammingTopK(corpus(s, d), $"vec_id" < 20, 150, 3)
+  }
+
+  val s16Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), ham AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CASE WHEN (q.v[i] >= 0) <> (c.v[i] >= 0) THEN 1 ELSE 0 END)) AS h
+      |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 20
+      |), pre AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY h ASC, n_id ASC) AS prerank FROM ham)
+      |  WHERE prerank <= 150
+      |), scored AS (
+      |  SELECT p.q_id, p.n_id,
+      |    list_dot_product(q.v, c.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+      |  FROM pre p JOIN e q ON q.vec_id = p.q_id JOIN e c ON c.vec_id = p.n_id
+      |)
+      |SELECT q_id, n_id, rank, ROUND(cosine, 6) AS cosine_r FROM (
+      |  SELECT q_id, n_id, cosine, ROW_NUMBER() OVER (PARTITION BY q_id
+      |    ORDER BY cosine DESC, n_id ASC) AS rank FROM scored)
+      |WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_binary_topk"       -> (s16BinaryTopK _),
     "s15_mmr_topk"          -> (s15MmrTopK _),
     "s14_int8_topk"         -> (s14Int8TopK _),
     "s13_ivfadc_topk"       -> (s13IvfAdcTopK _),
@@ -1396,6 +1494,11 @@ object Similarity {
   // def, not val: the golden-snapshot oracle resolves the sf tag at
   // dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // s16: integer Hamming + total-ordered windows + the same IEEE
+    // cosine as s01 → full SQL oracle; DuckDB computes Hamming WITHOUT
+    // bit packing (per-coordinate sign disagreement), independently
+    // checking the packed bit_count kernel
+    "s16_binary_topk"       -> s16Sql,
     // s15: greedy selection over bit-identical scores (sequential-order
     // dot kernel both engines) → the pick set unrolls into exact SQL
     "s15_mmr_topk"          -> s15Sql,

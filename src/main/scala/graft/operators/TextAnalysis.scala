@@ -1077,7 +1077,62 @@ object TextAnalysis {
     rrfFuse(lex.unionByName(den), 5)
   }
 
+  // ---- t28: mergeable sketch profile (incremental corpus profiling) ----
+
+  /** t28: the per-source corpus profile rebuilt from MERGEABLE SKETCH
+    * ROWS — the incremental twin of t05/t06 and the missing piece of
+    * the CDC loop (c07 feeds deltas to d11/s06/c12; t28 keeps the
+    * PROFILE current without rescanning old data). Each ingestion batch
+    * computes one tiny row per (source, batch): exact doc/token counts
+    * plus Datasketches HLL sketches (binary columns, lgK = 12 ⇒ ~2 KB
+    * each) of the distinct token set and the distinct content-hash set.
+    * Profiling the grown corpus then MERGES sketch rows —
+    * `hll_union_agg` over per-batch state, never a rescan: at 100 TB
+    * the nightly profile reads kilobytes of sketch manifest instead of
+    * the corpus, the same economics c07 gives dedup.
+    *
+    * Merging is LOSSLESS by the sketch algebra: an HLL register state
+    * is a per-register MAX over the value set's hashes, so
+    * union(sketch(A), sketch(B)) = sketch(A ∪ B) exactly — the
+    * estimate after any batch slicing or partitioning is bit-identical
+    * to the single-pass estimate ([[graft.TextAnalysisSpec]] pins
+    * slicings 1/4/8 and the ±3·RSE accuracy envelope vs exact
+    * distinct counts). Estimates are integer (`hll_sketch_estimate` →
+    * long); engine-specific hashing ⇒ golden-hashed, the t08/t20
+    * precedent. */
+  def sketchProfile(docs: DataFrame, numBatches: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val batch = pmod($"doc_id", lit(numBatches.toLong)).as("batch")
+    // per-(source, batch) sketch rows — the state an ingestion batch
+    // would persist; `text` never crosses a stage boundary un-reduced
+    val tokRows = docs.select($"source", batch, explode(split($"text", " ")).as("tok"))
+      .groupBy($"source", $"batch")
+      .agg(hll_sketch_agg($"tok", lit(12)).as("tok_sk"),
+        count(lit(1)).as("n_tokens"))
+    val docRows = docs.select($"source", batch, sha2($"text", 256).as("th"))
+      .groupBy($"source", $"batch")
+      .agg(hll_sketch_agg($"th", lit(12)).as("text_sk"),
+        count(lit(1)).as("n_docs"))
+    // the profile pass: merges sketch STATE, reads no corpus bytes
+    tokRows.join(docRows, Seq("source", "batch"))
+      .groupBy($"source")
+      .agg(sum($"n_docs").as("n_docs"), sum($"n_tokens").as("n_tokens"),
+        hll_sketch_estimate(hll_union_agg($"tok_sk", lit(false)))
+          .as("distinct_tokens_est"),
+        hll_sketch_estimate(hll_union_agg($"text_sk", lit(false)))
+          .as("distinct_texts_est"))
+  }
+
+  /** Registered: 4 batches — enough that every source spans several
+    * sketch rows and the merge path is load-bearing at every SF. */
+  def t28SketchProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    sketchProfile(documents(s, d).select($"doc_id", $"source", $"text"), 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_sketch_profile" -> (t28SketchProfile _),
     "t27_rrf_fusion"    -> (t27RrfFusion _),
     "t26_chunk_windows" -> (t26ChunkWindows _),
     "t25_bm25"          -> (t25Bm25 _),
@@ -1106,6 +1161,11 @@ object TextAnalysis {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // t28: engine-specific sketch hashing (Datasketches HLL) →
+    // golden-hashed; estimates are integer and the register-max algebra
+    // makes them invariant to batch slicing and partitioning
+    // (TextAnalysisSpec pins both + the accuracy envelope)
+    "t28_sketch_profile" -> graft.GoldenGen.oracle("t28_sketch_profile"),
     // t26: pure integer arithmetic + list slicing → full SQL oracle
     "t26_chunk_windows" -> t26Sql,
     // t25: ln() is transcendental (cross-engine unsafe) → golden-hashed,

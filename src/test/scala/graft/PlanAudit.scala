@@ -34,7 +34,9 @@ object PlanAudit {
         "t24_hash_classifier", "s14_int8_topk", "t25_bm25",
         "s15_mmr_topk", "t26_chunk_windows", "d17_lsh_clusters",
         "c09_source_cap", "c10_token_budget", "c11_token_budget_pruned",
-        "t27_rrf_fusion").foreach(show)
+        "t27_rrf_fusion", "c12_incremental_curation",
+        "c13_rejection_reasons", "t28_sketch_profile",
+        "s16_binary_topk").foreach(show)
     spark.stop()
   }
 }

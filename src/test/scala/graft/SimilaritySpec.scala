@@ -431,6 +431,42 @@ class SimilaritySpec extends SparkSpec {
     assert(meanPicked < 1.7, s"mean exact d2 of PQ picks = $meanPicked (corpus mean ≈ 2)")
   }
 
+  test("s16 binary top-k: signature correctness, recall floor, rerank monotonicity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // packed sign signature == per-coordinate reference, every vector
+    val sig = expr("aggregate(sequence(0, 63), 0L, " +
+      "(acc, i) -> acc | CASE WHEN element_at(v, i + 1) >= 0D " +
+      "THEN shiftleft(1L, i) ELSE 0L END)")
+    val rows = Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .select($"vec_id", $"v", sig.as("sig")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val expect = v.zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
+        if (x >= 0) acc | (1L << i) else acc }
+      assert(r.getLong(2) === expect, s"sig mismatch for vec ${r.getLong(0)}")
+    }
+    // recall@3 vs exact s01 at the registered rerank (R = 150; 64-bit
+    // signatures are coarse — measured 0.75@R=50, 0.97@R=150)
+    val exact = topk(Similarity.s01CosineTopK(spark, sf001))
+    val got = topk(Similarity.s16BinaryTopK(spark, sf001))
+    got.values.foreach(ns => assert(ns.size === 3))
+    val recalls = exact.map { case (q, en) =>
+      val found = got.getOrElse(q, Nil).toSet
+      en.count(found.contains).toDouble / en.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@3 = $mean")
+    // a full-corpus rerank degenerates to exact: recall exactly 1
+    import graft.operators.Similarity.binaryHammingTopK
+    val c = Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val all = topk(binaryHammingTopK(c, $"vec_id" < 20, 1000000, 3))
+    assert(all === exact, "rerank=∞ must reproduce the exact ranking")
+  }
+
   test("s14 int8_quantize round-trips against quant_stats; quantized top-k tracks exact s01") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

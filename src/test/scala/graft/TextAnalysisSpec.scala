@@ -585,6 +585,55 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ea === eb, "pruned form diverges under a load-bearing cut")
   }
 
+  test("c12 incremental curation ≡ c01 full recompute at every split boundary") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sf0001)
+    val maxId = docs.agg(org.apache.spark.sql.functions.max($"doc_id"))
+      .head().getLong(0)
+    val full = Curation.c01CurationPipeline(spark, sf0001)
+      .as[(Long, Double)].collect().toSet
+    assert(full.nonEmpty)
+    // degenerate ends (all-delta, all-standing), an early cut, the
+    // registered 80% cut, and a mid cut — equality must be
+    // boundary-independent or the incremental path is wrong
+    val cuts = Seq(20L, 21L, maxId / 3, maxId - (maxId - 19L) / 5L,
+      maxId / 2, maxId + 1L)
+    for (b <- cuts) {
+      val inc = Curation.incrementalCuration(docs, b)
+        .as[(Long, Double)].collect().toSet
+      assert(inc === full, s"incremental(boundary=$b) diverges from c01")
+    }
+  }
+
+  test("t28 sketch profile: slicing-invariant merge + accuracy envelope") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"source", $"text")
+    def profile(nb: Int, parts: Int) =
+      TextAnalysis.sketchProfile(docs.repartition(parts), nb)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    val whole = profile(1, 4)
+    assert(whole.nonEmpty)
+    // union(sketch(A), sketch(B)) = sketch(A ∪ B): any batch slicing and
+    // any partitioning must produce bit-identical integer estimates
+    assert(profile(4, 4) === whole, "4-batch merge diverges from single-pass")
+    assert(profile(8, 4) === whole, "8-batch merge diverges from single-pass")
+    assert(profile(4, 64) === whole, "estimate varies with partitioning")
+    // accuracy: lgK=12 ⇒ RSE ≈ 1.04/√2¹² ≈ 1.6%; pin a 3·RSE ≈ 5% envelope
+    val exact = docs
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .groupBy($"source")
+      .agg(org.apache.spark.sql.functions.countDistinct($"tok").as("n"))
+      .as[(String, Long)].collect().toMap
+    for ((src, _, _, est, _) <- whole) {
+      val ex = exact(src).toDouble
+      assert(math.abs(est - ex) / ex <= 0.05,
+        s"$src: distinct-token estimate $est vs exact $ex outside 5%")
+    }
+  }
+
   test("t27 RRF: hand-checked fusion arithmetic and tie order") {
     import spark.implicits._
     // q1: lexical ranks doc10=1, doc11=2; dense ranks doc11=1, doc12=2.
