@@ -1161,17 +1161,33 @@ object Curation {
     val bench = all.filter($"doc_id" < 20)
     val standing = all.filter($"doc_id" >= 20 && $"doc_id" < boundary)
     val delta = all.filter($"doc_id" >= boundary)
+    admitDelta(curationState(standing, bench), delta, bench)
+  }
 
-    // standing state — production: READ from the previous run's output
-    val marks = curationMarksOf(standing, bench)
-    val standingSurvivors = marks.filter($"m_surv").select($"doc_id", $"quality")
-    val standingF2 = marks.filter($"m_f2").select($"doc_id", $"text")
-    val standingHashes = standingF2.select(sha2($"text", 256).as("th"))
-    val standingF2Sh = standingF2
-      .select($"doc_id", array_sort(Dedup.shingleHashes($"text")).as("sh"))
-      .filter(size($"sh") > 0)
+  /** The saved artifact a production run persists alongside its output:
+    * ONE narrow frame over the standing f2 (exact-dedup survivor) set —
+    * (doc_id, quality, th = content hash, sh = sorted shingles,
+    * m_surv) — everything [[admitDelta]] ever reads. ~100 B/doc of the
+    * KEPT corpus; the raw text never needs re-reading. */
+  private[graft] def curationState(standing: DataFrame, bench: DataFrame): DataFrame = {
+    val s = standing.sparkSession
+    import s.implicits._
+    curationMarksOf(standing, bench)
+      .filter($"m_f2")
+      .select($"doc_id", $"quality", sha2($"text", 256).as("th"),
+        array_sort(Dedup.shingleHashes($"text")).as("sh"), $"m_surv")
+  }
 
-    // delta admission — every step costs ∝ |delta| against standing state
+  /** Delta admission against a loaded [[curationState]] — the part a
+    * production delta run actually executes; every step costs
+    * ∝ |delta| against the state's inverted index. */
+  private[graft] def admitDelta(state: DataFrame, delta: DataFrame,
+                                bench: DataFrame): DataFrame = {
+    val s = delta.sparkSession
+    import s.implicits._
+    val standingSurvivors = state.filter($"m_surv").select($"doc_id", $"quality")
+    val standingHashes = state.select($"th")
+    val standingF2Sh = state.select($"doc_id", $"sh").filter(size($"sh") > 0)
     val score = TextAnalysis.qualityScoreCol($"text")
     val dF1 = delta
       .filter(TextAnalysis.langPredCol($"text") === "en" && score >= 0.5)
@@ -1185,8 +1201,11 @@ object Curation {
     val dSh = dF2
       .select($"doc_id", array_sort(Dedup.shingleHashes($"text")).as("sh"))
       .filter(size($"sh") > 0)
+    // every delta-touching pair's GREATER endpoint is a delta doc (the
+    // ids-sort-after-state contract), so d2 is the doc to kill — no
+    // boundary filter needed
     val nearKilled = Dedup.deltaPairsFromShingled(standingF2Sh, dSh, 0.8)
-      .filter($"d2" >= boundary).select($"d2".as("doc_id")).distinct()
+      .select($"d2".as("doc_id")).distinct()
     val benchEx = bench.select($"doc_id".as("bench_id"),
       explode(Dedup.shingleHashes($"text")).as("sg"))
     val contaminated = contaminationCounts(

@@ -1389,8 +1389,12 @@ object Similarity {
     *     kernel over an 8-byte column. At 100 TB of 1 KB float
     *     vectors the signature sidecar is ~0.8 TB: the stage that
     *     touches every row reads 128× fewer bytes, the float corpus
-    *     is touched only for survivors (column pruning keeps `v` out
-    *     of the pre-rank scan — the plan's load-bearing property).
+    *     is touched only for survivors. The registered entry derives
+    *     `sig` in-plan (entries are self-contained), so ITS scan still
+    *     reads `v`; with the signature PERSISTED as a column — the
+    *     production shape — the pre-rank scan prunes to
+    *     (vec_id, sig), pinned in `SimilaritySpec` over a real parquet
+    *     corpus carrying both columns.
     *     Sign agreement bounds angular distance in expectation
     *     (P[sign mismatch per hyperplane] = θ/π), so small-Hamming ⊇
     *     most of the true top-k at rerank ratios ≪ 1.
@@ -1411,26 +1415,39 @@ object Similarity {
     * packing), which independently checks the packing/bit_count
     * kernel. Recall vs s01's exact top-k is spec-pinned ≥ 0.9 (the
     * corpus is label-clustered, the favorable-and-realistic case). */
-  def binaryHammingTopK(vecs: DataFrame, queryPred: Column,
-                        rerank: Int, k: Int): DataFrame = {
-    val s = vecs.sparkSession
+  /** bit i of sig = [v(i) >= 0] — packed with one codegen'd fold over
+    * the `v` column. In production this is computed once at ingest and
+    * PERSISTED as a long column; pre-rank scans then never touch `v`
+    * (column pruning — pinned in `SimilaritySpec`). */
+  private[graft] val signatureCol: Column = expr(
+    "aggregate(sequence(0, 63), 0L, " +
+    "(acc, i) -> acc | CASE WHEN element_at(v, i + 1) >= 0D " +
+    "THEN shiftleft(1L, i) ELSE 0L END)")
+
+  /** Stage 1 alone, over any (vec_id, sig) frame — the lane that runs
+    * against the persisted signature column at scale. */
+  private[graft] def hammingPreRank(sigs: DataFrame, qsigs: DataFrame,
+                                    rerank: Int): DataFrame = {
+    val s = sigs.sparkSession
     import s.implicits._
-    // bit i of sig = [v(i) >= 0] — packed with one codegen'd fold
-    val sig = expr("aggregate(sequence(0, 63), 0L, " +
-      "(acc, i) -> acc | CASE WHEN element_at(v, i + 1) >= 0D " +
-      "THEN shiftleft(1L, i) ELSE 0L END)")
-    val full = vecs.withColumn("nrm", norm($"v")).withColumn("sig", sig)
-    // signature-only lane: at scale this is the 8 B/vec sidecar scan
-    val sigs = full.select($"vec_id", $"sig")
-    val qs = full.filter(queryPred)
-      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"), $"sig".as("qsig"))
     val wHam = Window.partitionBy($"q_id").orderBy($"ham".asc, $"n_id".asc)
-    val pre = sigs.crossJoin(broadcast(qs.select($"q_id", $"qsig")))
+    sigs.crossJoin(broadcast(qsigs))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("n_id"),
         bit_count($"sig".bitwiseXOR($"qsig")).as("ham"))
       .withColumn("prerank", row_number().over(wHam))
       .filter($"prerank" <= rerank)
+  }
+
+  def binaryHammingTopK(vecs: DataFrame, queryPred: Column,
+                        rerank: Int, k: Int): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val full = vecs.withColumn("nrm", norm($"v")).withColumn("sig", signatureCol)
+    val qs = full.filter(queryPred)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"), $"sig".as("qsig"))
+    val pre = hammingPreRank(full.select($"vec_id", $"sig"),
+      qs.select($"q_id", $"qsig"), rerank)
     val wCos = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
     pre
       .join(full.select($"vec_id".as("n_id"), $"v", $"nrm"), "n_id")

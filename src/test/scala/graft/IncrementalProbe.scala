@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the c12 claim: admitting a delta against SAVED curation
+  * state costs a fraction of re-running c01 over the grown corpus —
+  * the economics that make curation operable at 100 TB. The probe
+  * mirrors production: the standing 80% of the corpus is curated once
+  * and its [[graft.operators.Curation.curationState]] written to
+  * parquet; the timed comparison is then
+  *
+  *   full    = c01 over the whole corpus (what a naive pipeline re-runs)
+  *   delta   = admitDelta(state-from-parquet, last 20%)  [c12's steady state]
+  *
+  * with output equality asserted (same contract the oracle checks).
+  * The registered c12 entry instead builds state in-plan — the oracle
+  * rule is that entries are self-contained — so the bench time for c12
+  * is state-build + admission; THIS probe is the steady-state number.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "Test/runMain graft.IncrementalProbe"
+  */
+object IncrementalProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.operators.Curation
+
+    // optional arg: the delta's reciprocal corpus share (default 5 →
+    // last 20%, the registered c12 split; 50 → last 2%, the realistic
+    // daily-delta shape where the ratio approaches its asymptote)
+    val denom = args.headOption.map(_.toLong).getOrElse(5L)
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+    val boundary = 20L.max(maxId - (maxId - 19L) / denom)
+    val bench = docs.filter($"doc_id" < 20)
+    val standing = docs.filter($"doc_id" >= 20 && $"doc_id" < boundary)
+    val delta = docs.filter($"doc_id" >= boundary)
+
+    // the previous run: curate standing, persist its state (untimed)
+    val stateDir = Files.createTempDirectory("c12-state").toString
+    Curation.curationState(standing, bench)
+      .write.mode("overwrite").parquet(stateDir)
+
+    def time(f: => Long): (Double, Long) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    def med3(f: => Long): (Double, Long) = {
+      val rs = (1 to 3).map(_ => time(f))
+      (rs.map(_._1).sorted.apply(1), rs.head._2)
+    }
+
+    // warmup both lineages
+    Curation.c01CurationPipeline(spark, sfDir).queryExecution.toRdd.count()
+    val (fullS, nFull) = med3(
+      Curation.c01CurationPipeline(spark, sfDir).queryExecution.toRdd.count())
+    val state = spark.read.parquet(stateDir)
+    Curation.admitDelta(state, delta, bench).queryExecution.toRdd.count()
+    val (deltaS, nDelta) = med3(
+      Curation.admitDelta(state, delta, bench).queryExecution.toRdd.count())
+
+    // equality: the steady-state path must reproduce the full recompute
+    val a = Curation.c01CurationPipeline(spark, sfDir)
+      .as[(Long, Double)].collect().toSet
+    val b = Curation.admitDelta(state, delta, bench)
+      .as[(Long, Double)].collect().toSet
+    require(a == b, s"admitDelta(state) diverges from c01: ${a.size} vs ${b.size}")
+
+    println(f"C12PROBE sf=$sfDir boundary=$boundary " +
+      f"full_recompute=$fullS%.3f s ($nFull rows) " +
+      f"delta_admission=$deltaS%.3f s ($nDelta rows) " +
+      f"ratio=${fullS / deltaS}%.2f x (delta = 1/$denom of corpus)")
+    spark.stop()
+  }
+}

@@ -467,6 +467,27 @@ class SimilaritySpec extends SparkSpec {
     assert(all === exact, "rerank=∞ must reproduce the exact ranking")
   }
 
+  test("s16 pre-rank over a persisted signature column prunes the float vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // materialize the production corpus shape: floats AND signature in
+    // one parquet — pre-rank must scan only (vec_id, sig)
+    val dir = java.nio.file.Files.createTempDirectory("s16-sidecar").toString
+    Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("sig", Similarity.signatureCol)
+      .write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val qsigs = corpus.filter($"vec_id" < 5).select($"vec_id".as("q_id"), $"sig".as("qsig"))
+    val pre = Similarity.hammingPreRank(corpus.select($"vec_id", $"sig"), qsigs, 10)
+    val plan = pre.queryExecution.executedPlan.toString
+    val reads = "ReadSchema: ([^\\n]*)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(reads.nonEmpty)
+    reads.foreach(rs => assert(!rs.contains("v:"),
+      s"pre-rank scan reads the float column: $rs"))
+    assert(pre.groupBy($"q_id").count().collect().forall(_.getLong(1) === 10))
+  }
+
   test("s14 int8_quantize round-trips against quant_stats; quantized top-k tracks exact s01") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
