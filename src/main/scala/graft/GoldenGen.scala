@@ -56,7 +56,10 @@ object GoldenGen {
       // HLL sketch profile: register state is a per-register MAX over
       // the value set — order- and partition-free; estimates are
       // integer longs (slicing invariance pinned in TextAnalysisSpec)
-      "t28_sketch_profile")
+      "t28_sketch_profile",
+      // BPE training: integer pair counts over the word histogram with
+      // total-order argmax tie-breaks — bit-deterministic end to end
+      "t29_bpe_train")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

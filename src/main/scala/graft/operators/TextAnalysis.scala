@@ -1077,6 +1077,82 @@ object TextAnalysis {
     rrfFuse(lex.unionByName(den), 5)
   }
 
+  // ---- t29: BPE tokenizer training (word-histogram reduction) ----
+
+  /** t29: train a byte-pair-encoding merge table FROM the corpus — the
+    * tokenizer-training step of an LLM data pipeline (t16 computes one
+    * argmax's pair frequencies; this runs the full Sennrich et al. 2016
+    * training loop). The scalable design is the WORD-HISTOGRAM
+    * reduction every production trainer uses (HF tokenizers, SentencePiece
+    * BPE mode): pair statistics depend on the corpus only through the
+    * word→count table, so
+    *
+    *  1. ONE distributed pass aggregates the histogram (hash agg on
+    *     word — the same shuffle shape as t13), capped at `maxVocab`
+    *     most-frequent types (Zipf: the tail it drops carries
+    *     vanishing mass; cap = deterministic (count DESC, word ASC)
+    *     prefix, so the result stays reproducible);
+    *  2. the merge loop runs DRIVER-LOCAL over the histogram — the
+    *     collect is of the aggregated vocabulary (the Bloom-build /
+    *     centroid precedent: small by construction, ~10⁷ types for a
+    *     100 TB English corpus vs 10¹¹ documents), never the corpus.
+    *
+    * Pure integer counts with a total-order tie-break
+    * (−count, left, right) make training bit-deterministic at any
+    * parallelism → golden-hashed; the classic low/lower/newest/widest
+    * worked example is hand-pinned in `TextAnalysisSpec`. Output: the
+    * ranked merge table (rank, left, right) — the artifact a tokenizer
+    * ships. */
+  def bpeTrain(docs: DataFrame, numMerges: Int,
+               maxVocab: Int = 1 << 20): Seq[(Int, String, String)] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val hist = docs.select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w".asc).limit(maxVocab)
+      .as[(String, Long)].collect()
+    var words: Array[(Array[String], Long)] =
+      hist.map { case (w, n) => (w.map(_.toString).toArray :+ "</w>", n) }
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
+    var r = 1
+    while (r <= numMerges) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((syms, n) <- words; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + n
+      }
+      if (counts.isEmpty) r = numMerges + 1
+      else {
+        val (l, rt) = counts.keysIterator.reduceLeft { (a, b) =>
+          val (ca, cb) = (counts(a), counts(b))
+          if (cb > ca || (cb == ca &&
+              (b._1 < a._1 || (b._1 == a._1 && b._2 < a._2)))) b else a
+        }
+        merges += ((r, l, rt))
+        words = words.map { case (syms, n) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rt) {
+              out += l + rt; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, n)
+        }
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Registered: 40 merges over the document corpus. */
+  def t29BpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeTrain(documents(s, d).select($"doc_id", $"text"), 40)
+      .toDF("rank", "left", "right")
+  }
+
   // ---- t28: mergeable sketch profile (incremental corpus profiling) ----
 
   /** t28: the per-source corpus profile rebuilt from MERGEABLE SKETCH
@@ -1132,6 +1208,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_bpe_train"      -> (t29BpeTrain _),
     "t28_sketch_profile" -> (t28SketchProfile _),
     "t27_rrf_fusion"    -> (t27RrfFusion _),
     "t26_chunk_windows" -> (t26ChunkWindows _),
@@ -1161,6 +1238,11 @@ object TextAnalysis {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // t29: pure integer counts + total-order tie-breaks make training
+    // bit-deterministic (probed at two parallelisms before promotion);
+    // the loop itself is engine-side → golden snapshot, hand-pinned
+    // worked example in the spec
+    "t29_bpe_train"      -> graft.GoldenGen.oracle("t29_bpe_train"),
     // t28: engine-specific sketch hashing (Datasketches HLL) →
     // golden-hashed; estimates are integer and the register-max algebra
     // makes them invariant to batch slicing and partitioning

@@ -606,6 +606,33 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t29 BPE training: the classic worked example, hand-computed") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // Sennrich et al.'s canonical corpus: low×5, lower×2, newest×6,
+    // widest×3. Pair counts by hand:
+    //   (e,s)=9 (s,t)=9 (t,</w>)=9 (w,e)=8 (l,o)=7 (o,w)=7 ...
+    // tie at 9 → (left,right) lexicographic → merge1 = (e,s); then
+    // (es,t)=9 beats (t,</w>) → merge2; then (est,</w>)=9 → merge3;
+    // then max 7 tie (l,o)/(o,w) → merge4 = (l,o)
+    val docs = Seq(
+      (1L, Array.fill(5)("low").mkString(" ")),
+      (2L, Array.fill(2)("lower").mkString(" ")),
+      (3L, Array.fill(6)("newest").mkString(" ")),
+      (4L, Array.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, 4)
+    assert(got === Seq((1, "e", "s"), (2, "es", "t"), (3, "est", "</w>"),
+      (4, "l", "o")))
+    // determinism across parallelism: the histogram agg is the only
+    // distributed stage; its collect order must not leak into training
+    val wide = TextAnalysis.bpeTrain(docs.repartition(7), 4)
+    assert(wide === got)
+    // merge exhaustion: more merges than pairs terminates cleanly
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val all = TextAnalysis.bpeTrain(tiny, 100)
+    assert(all === Seq((1, "a", "b"), (2, "ab", "</w>")))
+  }
+
   test("t28 sketch profile: slicing-invariant merge + accuracy envelope") {
     import spark.implicits._
     import graft.operators.TextAnalysis
