@@ -318,6 +318,29 @@ object Bench {
       } finally pairs.unpersist()
     }
 
+    // c12 steady state: admission against SAVED state (what production
+    // re-runs per delta) — the registered c12 entry instead builds the
+    // state in-plan to stay oracle-self-contained, so its per-query time
+    // is state-build + admission; this probe is the operating cost
+    val c12AdmitSec = {
+      val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+      val boundary = 20L.max(maxId - (maxId - 19L) / 5L)
+      val bench = docs.filter($"doc_id" < 20)
+      val stateDir =
+        java.nio.file.Files.createTempDirectory("graft-bench-c12-state").toString
+      operators.Curation.curationState(
+          docs.filter($"doc_id" >= 20 && $"doc_id" < boundary), bench)
+        .write.mode("overwrite").parquet(stateDir)
+      val state = spark.read.parquet(stateDir)
+      val sec = probeSec {
+        materialize(operators.Curation.admitDelta(
+          state, docs.filter($"doc_id" >= boundary), bench))
+      }
+      rmTree(stateDir)
+      sec
+    }
+
     // clean up the ~700 bulk files + checkpoint this run created —
     // the driver benches every round and /tmp accumulates otherwise
     rmTree(copyDir)
@@ -382,6 +405,7 @@ object Bench {
       s""","curation_stream_admitted":$curAdmitted""" +
       s""","pipeline_pairs_clusters_crossmodal_s":${r3(pipelineSec)}""" +
       s""","c05_shared_split_s":${r3(c05SharedSec)}""" +
+      s""","c12_admission_s":${r3(c12AdmitSec)}""" +
       // BASELINE.md row mapping (explicit so the grader needn't infer)
       s""","dedup_exact_s":${r3(named("d01_exact_dedup"))}""" +
       s""","minhash_lsh_s":${r3(named("d04_minhash_lsh"))}""" +

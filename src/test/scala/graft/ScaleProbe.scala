@@ -134,6 +134,22 @@ object ScaleProbe {
     row("t25_bm25",
       t2(operators.TextAnalysis.t25Bm25(spark, docsAt("x1")).count()),
       t2(operators.TextAnalysis.t25Bm25(spark, docsAt("x10")).count()))
+    // s16: pre-rank is one broadcast pass over the signature lane —
+    // fixed query side, corpus ×10 ⇒ t-ratio ~linear; the dup storm
+    // costs nothing extra (Hamming ties broken by id, no bucket term)
+    row("s16_binary_topk",
+      t2(Similarity.s16BinaryTopK(spark, docsAt("x1")).count()),
+      t2(Similarity.s16BinaryTopK(spark, docsAt("x10")).count()))
+    // t28: two hash aggs over token/hash mass — the linear floor
+    row("t28_sketch_profile",
+      t2(operators.TextAnalysis.t28SketchProfile(spark, docsAt("x1")).count()),
+      t2(operators.TextAnalysis.t28SketchProfile(spark, docsAt("x10")).count()))
+    // t29: the ~c suffixing grows the VOCABULARY 10× too (worst case
+    // for the histogram reduction — real corpora grow vocab ≪ mass),
+    // so both the agg and the driver loop scale ~10×
+    row("t29_bpe_train",
+      t2(operators.TextAnalysis.t29BpeTrain(spark, docsAt("x1")).count()),
+      t2(operators.TextAnalysis.t29BpeTrain(spark, docsAt("x10")).count()))
 
     if (quad) {
       // the exact quadratic baseline, to show WHY s08 is the scale path:
