@@ -254,7 +254,48 @@ object Relational5 {
       |SELECT depth_to_root, CAST(COUNT(*) AS BIGINT) AS n
       |FROM depths GROUP BY depth_to_root""".stripMargin
 
+  /** q70: ordered string aggregation — Spark 4's `listagg` with
+    * `WITHIN GROUP (ORDER BY …)` (SPARK-42746), the report-building
+    * aggregate (CSV cells, label lists). The explicit order is what
+    * makes it deterministic — an unordered listagg varies with
+    * partitioning. Oracle uses DuckDB's dialect (`string_agg` with an
+    * in-argument ORDER BY): same semantics, independently implemented. */
+  def q70ListAgg(s: SparkSession, d: String): DataFrame = {
+    graft.Engine.attach(s, d)
+    s.sql(
+      """SELECT r_name,
+        |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name""".stripMargin)
+  }
+
+  val q70Sql: String =
+    """SELECT r_name,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM region JOIN nation ON r_regionkey = n_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  /** q71: `GROUP BY ALL` — group by every non-aggregate select item
+    * (Spark 4 / DuckDB shared dialect; the same SQL text runs on both
+    * engines, so the oracle also checks the resolution rule itself). */
+  def q71GroupByAll(s: SparkSession, d: String): DataFrame = {
+    graft.Engine.attach(s, d)
+    s.sql(q71Sql)
+  }
+
+  val q71Sql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1995-01-01'
+      |GROUP BY ALL""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_listagg"        -> (q70ListAgg _),
+    "q71_group_by_all"   -> (q71GroupByAll _),
     "q67_recursive_cte"  -> (q67RecursiveCte _),
     "q61_try_semantics"  -> (q61TrySemantics _),
     "q62_inline_values"  -> (q62InlineValues _),
@@ -268,6 +309,8 @@ object Relational5 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q70_listagg"        -> q70Sql,
+    "q71_group_by_all"   -> q71Sql,
     "q67_recursive_cte"  -> q67Sql,
     "q61_try_semantics"  -> q61Sql,
     "q62_inline_values"  -> q62Sql,
