@@ -1185,7 +1185,23 @@ object Curation {
                                 bench: DataFrame): DataFrame = {
     val s = delta.sparkSession
     import s.implicits._
-    val standingSurvivors = state.filter($"m_surv").select($"doc_id", $"quality")
+    state.filter($"m_surv").select($"doc_id", $"quality")
+      .unionByName(admitDeltaState(state, delta, bench)
+        .filter($"m_surv").select($"doc_id", $"quality"))
+  }
+
+  /** One admission step as STATE ROWS: the delta's f2-level rows in
+    * [[curationState]]'s own shape (doc_id, quality, th, sh, m_surv) —
+    * what an incremental runner APPENDS to its saved state so the next
+    * delta admits against state ⊕ this. m_surv carries the admission
+    * verdict; non-f2 delta docs (failed lang/quality, or exact-dup of
+    * state/earlier-in-delta) produce no row, exactly as they produce
+    * none in a full run's f2. [[graft.streaming.StreamingCuration
+    * .pipelineAdmission]] folds this per micro-batch. */
+  private[graft] def admitDeltaState(state: DataFrame, delta: DataFrame,
+                                     bench: DataFrame): DataFrame = {
+    val s = delta.sparkSession
+    import s.implicits._
     val standingHashes = state.select($"th")
     val standingF2Sh = state.select($"doc_id", $"sh").filter(size($"sh") > 0)
     val score = TextAnalysis.qualityScoreCol($"text")
@@ -1197,10 +1213,9 @@ object Curation {
     val dF2 = dF1
       .withColumn("rn", row_number().over(wTxt)).filter($"rn" === 1)
       .join(standingHashes, Seq("th"), "left_anti")
-      .select($"doc_id", $"text", $"quality")
-    val dSh = dF2
-      .select($"doc_id", array_sort(Dedup.shingleHashes($"text")).as("sh"))
-      .filter(size($"sh") > 0)
+      .select($"doc_id", $"quality", $"th",
+        array_sort(Dedup.shingleHashes($"text")).as("sh"))
+    val dSh = dF2.select($"doc_id", $"sh").filter(size($"sh") > 0)
     // every delta-touching pair's GREATER endpoint is a delta doc (the
     // ids-sort-after-state contract), so d2 is the doc to kill — no
     // boundary filter needed
@@ -1213,11 +1228,11 @@ object Curation {
           .select($"doc_id", explode($"sh").as("sg")),
         benchEx)
       .select($"doc_id").distinct()
-    val admitted = dF2
-      .join(nearKilled, Seq("doc_id"), "left_anti")
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .select($"doc_id", $"quality")
-    standingSurvivors.unionByName(admitted)
+    dF2
+      .join(nearKilled.withColumn("nk", lit(1)), Seq("doc_id"), "left_outer")
+      .join(contaminated.withColumn("ck", lit(1)), Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"quality", $"th", $"sh",
+        ($"nk".isNull && $"ck".isNull).as("m_surv"))
   }
 
   /** Registered split: the last fifth of the id range plays the delta —

@@ -97,6 +97,77 @@ object StreamingCuration {
     } finally { batch.unpersist(); () }
   }
 
+  // ---- full-pipeline streaming admission (the streaming twin of c12) ----
+
+  /** ALL FIVE c01 stages online — language, quality, exact keep-first,
+    * near-dup keep-first, decontamination — against everything that
+    * came before: the streaming form of [[graft.operators.Curation
+    * .admitDelta]], and the operational shape of continuous corpus
+    * curation (a crawler feeds documents; the curated set is always
+    * current; nothing is ever recomputed).
+    *
+    * Batch-slicing invariance holds by the same argument as c12's
+    * boundary sweep, iterated: each doc's verdict depends only on the
+    * SET of smaller-id docs (monotonic ingest ids), never on where
+    * batch boundaries fall — so the curated set equals a one-shot
+    * [[graft.operators.Curation.c01CurationPipeline]] over seed ∪
+    * stream, the equivalence [[graft.StreamingCurationSpec]] asserts
+    * across slicings. State is [[graft.operators.Curation
+    * .curationState]] rows partitioned by batch id (~100 B per KEPT
+    * doc — rejected non-f2 docs leave no state at all, unlike the
+    * near-dup-only history which must retain every doc); replays
+    * overwrite exactly their own `batch=<id>` subdir, same idempotence
+    * contract as [[nearDupAdmission]]. The benchmark frame is tiny by
+    * d07's premise and broadcast into each batch's decontamination. */
+  def pipelineAdmission(docs: DataFrame, bench: DataFrame, stateDir: String,
+                        checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitPipelineBatch(batch, bench, stateDir, batchId)
+        ()
+      }
+      .start()
+
+  /** One full-pipeline admission step — exposed for bounded deltas and
+    * tests. Reads state excluding this batch id (replay safety), writes
+    * the batch's f2-level state rows under `batch=<batchId>`. */
+  def admitPipelineBatch(batch0: DataFrame, bench: DataFrame, stateDir: String,
+                         batchId: Long): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val state = readHistory(spark, stateDir, StateSchema,
+      excludeBatch = Some(batchId))
+    graft.operators.Curation.admitDeltaState(
+        state, batch0.select($"doc_id", $"text"), bench)
+      .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+  }
+
+  /** Seed the state with an already-curated standing corpus (the
+    * previous batch run's [[graft.operators.Curation.curationState]]). */
+  def seedPipelineState(standing: DataFrame, bench: DataFrame,
+                        stateDir: String): Unit =
+    graft.operators.Curation.curationState(standing, bench)
+      .write.mode("overwrite").parquet(s"$stateDir/batch=-1")
+
+  /** The curated corpus as of now: (doc_id, quality) of survivors
+    * across seed + stream — c01's output shape. */
+  def curatedDocs(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    readHistory(spark, stateDir, StateSchema, excludeBatch = None)
+      .filter($"m_surv")
+      .select($"doc_id", $"quality")
+  }
+
+  /** [[graft.operators.Curation.curationState]]'s row shape. */
+  private val StateSchema = StructType(Seq(
+    StructField("doc_id", org.apache.spark.sql.types.LongType),
+    StructField("quality", org.apache.spark.sql.types.DoubleType),
+    StructField("th", org.apache.spark.sql.types.StringType),
+    StructField("sh", org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)),
+    StructField("m_surv", BooleanType)))
+
   /** Pre-load a standing corpus (all admitted) before streaming. */
   def seedHistory(docs: DataFrame, historyDir: String): Unit = {
     val spark = docs.sparkSession

@@ -79,6 +79,60 @@ class StreamingCurationSpec extends SparkSpec {
     }
   }
 
+  test("full-pipeline streamed admission ≡ one-shot c01 across slicings, seed, replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Curation
+    val all = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val bench = all.filter(_._1 < 20).toDF("doc_id", "text")
+    val stream = all.filter(_._1 >= 20)
+    val expected = Curation.c01CurationPipeline(spark, sf0001)
+      .as[(Long, Double)].collect().toSet
+    assert(expected.nonEmpty && expected.size < stream.size)
+    def curated(dir: String) =
+      StreamingCuration.curatedDocs(spark, dir).as[(Long, Double)].collect().toSet
+    // batch-fold form: whole corpus streamed from empty state, two slicings
+    for (k <- Seq(1, 5)) {
+      val dir = java.nio.file.Files.createTempDirectory("pipe-state").toString
+      val size = math.max(1, (stream.size + k - 1) / k)
+      stream.grouped(size).zipWithIndex.foreach { case (b, i) =>
+        StreamingCuration.admitPipelineBatch(
+          b.toDF("doc_id", "text"), bench, dir, i.toLong)
+      }
+      assert(curated(dir) === expected, s"slicing k=$k diverges from c01")
+    }
+    // streaming form with a SEEDED standing corpus (the c12 shape live):
+    // first 60% curated offline, the rest arrives in micro-batches
+    val cut = stream(stream.size * 3 / 5)._1
+    val dir = java.nio.file.Files.createTempDirectory("pipe-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pipe-ckpt").toString
+    StreamingCuration.seedPipelineState(
+      stream.filter(_._1 < cut).toDF("doc_id", "text"), bench, dir)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingCuration.pipelineAdmission(
+      input.toDF().toDF("doc_id", "text"), bench, dir, ckpt)
+    try {
+      stream.filter(_._1 >= cut).grouped(7).foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+      assert(curated(dir) === expected, "seeded streaming run diverges from c01")
+    } finally q.stop()
+    // replay idempotence: re-running the last batch id changes nothing
+    val lastId = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).max
+      finally s.close()
+    }
+    val lastBatch = stream.filter(_._1 >= cut).grouped(7).toSeq.last
+    StreamingCuration.admitPipelineBatch(
+      lastBatch.toDF("doc_id", "text"), bench, dir, lastId)
+    assert(curated(dir) === expected, "replayed batch changed the curated set")
+  }
+
   test("admission survives a checkpoint restart without duplicate or lost history") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
