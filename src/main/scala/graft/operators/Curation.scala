@@ -1161,7 +1161,14 @@ object Curation {
     val bench = all.filter($"doc_id" < 20)
     val standing = all.filter($"doc_id" >= 20 && $"doc_id" < boundary)
     val delta = all.filter($"doc_id" >= boundary)
-    admitDelta(curationState(standing, bench), delta, bench)
+    // materialize the state through parquet exactly as production does:
+    // the previous run WRITES curationState, the delta run READS it —
+    // which also means the state plan executes once, not once per the
+    // three places admitDelta consumes it
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft-c12-state").toString
+    curationState(standing, bench).write.mode("overwrite").parquet(stateDir)
+    admitDelta(s.read.parquet(stateDir), delta, bench)
   }
 
   /** The saved artifact a production run persists alongside its output:
