@@ -271,7 +271,48 @@ object Multimodal {
       .filter($"hamming" <= maxHamming)
   }
 
+  // ---- m08: incremental payload admission (delta vs standing manifest) ----
+
+  /** m08: the multimodal leg of the incremental family (text d11,
+    * embeddings s06, curation c12, profile t28): a newly-ingested
+    * payload batch is admitted against the STANDING corpus's
+    * content-hash manifest — the ~50 B/payload artifact the m05 pass
+    * already produces and c07 diffs — so re-crawled bytes are dropped
+    * before any decode/feature work runs. One broadcastable anti-join
+    * on sha-256; the payload BYTES of the standing corpus are never
+    * read (the manifest is the only standing input), which is the
+    * entire economics at 100 TB of media.
+    *
+    * Split mirrors d11 (doc_id ≡ 0 mod 10 plays the delta); within the
+    * delta, keep-first by doc_id (a batch can re-carry its own dups).
+    * Output: admitted (doc_id, payload_sha256) — full SQL oracle. */
+  def m08DeltaPayloads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = documents(s, d)
+      .select($"doc_id", sha2(encode($"text", "utf-8"), 256).as("payload_sha256"))
+    val standing = all.filter($"doc_id" % 10 =!= 0)
+    val delta = all.filter($"doc_id" % 10 === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"payload_sha256").orderBy($"doc_id")
+    delta
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .join(standing.select($"payload_sha256"), Seq("payload_sha256"), "left_anti")
+      .select($"doc_id", $"payload_sha256")
+  }
+
+  val m08Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, sha256(text) AS payload_sha256 FROM documents
+      |), first_delta AS (
+      |  SELECT payload_sha256, MIN(doc_id) AS doc_id
+      |  FROM h WHERE doc_id % 10 = 0 GROUP BY 1
+      |)
+      |SELECT doc_id, payload_sha256 FROM first_delta
+      |WHERE payload_sha256 NOT IN (
+      |  SELECT payload_sha256 FROM h WHERE doc_id % 10 <> 0)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m08_delta_payloads"  -> (m08DeltaPayloads _),
     "m07_perceptual_neardup" -> (m07PerceptualNearDup _),
     "m06_chunk_neardup"   -> (m06ChunkNearDup _),
     "m01_multimodal_meta" -> (m01MultimodalMeta _),
@@ -297,6 +338,7 @@ object Multimodal {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    "m08_delta_payloads" -> m08Sql,
     // m07: engine-specific (blockhash over utf-8 payload bytes) but
     // fully deterministic → golden-snapshot hard check + ScalaTest
     // ground truth on planted perturbations.

@@ -63,6 +63,26 @@ class MultimodalSpec extends SparkSpec {
     // would close; if this starts matching, the blocking changed
   }
 
+  test("m08 delta payload admission: standing dups dropped, in-batch dups kept once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = operators.Multimodal.m08DeltaPayloads(spark, sf0001)
+    val all = Tables.documents(spark, sf0001)
+      .select($"doc_id", sha2(encode($"text", "utf-8"), 256).as("h"))
+    val standing = all.filter($"doc_id" % 10 =!= 0)
+      .select($"h").as[String].collect().toSet
+    val rows = got.as[(Long, String)].collect()
+    assert(rows.nonEmpty)
+    // no admitted payload exists in the standing manifest
+    assert(rows.forall { case (_, h) => !standing.contains(h) })
+    // one row per distinct admitted hash, and it is the min delta id
+    assert(rows.map(_._2).distinct.length === rows.length)
+    val minByHash = all.filter($"doc_id" % 10 === 0)
+      .groupBy($"h").agg(min($"doc_id").as("m"))
+      .as[(String, Long)].collect().toMap
+    assert(rows.forall { case (id, h) => minByHash(h) === id })
+  }
+
   test("m03 chunking reassembles to original length") {
     import spark.implicits._
     val chunks = Multimodal.m03ChunkSample(spark, sf0001)
