@@ -34,13 +34,41 @@ object IncrementalProbe {
     import spark.implicits._
     import graft.operators.Curation
 
-    // optional arg: the delta's reciprocal corpus share (default 5 →
-    // last 20%, the registered c12 split; 50 → last 2%, the realistic
-    // daily-delta shape where the ratio approaches its asymptote)
-    val denom = args.headOption.map(_.toLong).getOrElse(5L)
-    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    // optional args: [denom] [x10] — denom is the delta's reciprocal
+    // corpus share (default 5 → last 20%, the registered c12 split;
+    // 50 → last 2%, the realistic daily-delta shape); "x10" grows the
+    // corpus 10× first (ScaleProbe's suffix-copy construction: internal
+    // near-dup structure preserved, no cross-copy shingles) so the
+    // corpus-size-dependent terms dominate the fixed job overheads and
+    // the ratio is read closer to its asymptote
+    val denom = args.find(_ != "x10").map(_.toLong).getOrElse(5L)
+    val baseDocs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val docs = if (!args.contains("x10")) baseDocs else {
+      val dir = Files.createTempDirectory("c12-x10").toString
+      // keep ids < 20 a single benchmark set: copies of bench docs get
+      // ids ≥ 20 via the stride, and only copy 0 keeps the originals
+      // copy 0 = the original corpus; copies 1..9 suffix every THIRD
+      // token: every word-3-gram shingle then contains a copy-unique
+      // token (zero cross-copy shingle overlap) while most stopwords
+      // survive, so the language/quality stages still pass real mass
+      (0 until 10).map { c =>
+        val text = if (c == 0) $"text"
+          else regexp_replace($"text", "(\\S+ \\S+ )(\\S+)", "$1$2~" + c)
+        baseDocs.select(($"doc_id" + lit(c * 100000000L)).as("doc_id"),
+          text.as("text"))
+          .filter(if (c == 0) lit(true) else $"doc_id" % 100000000L >= 20)
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      spark.read.parquet(s"$dir/documents.parquet")
+    }
     val maxId = docs.agg(max($"doc_id")).head().getLong(0)
-    val boundary = 20L.max(maxId - (maxId - 19L) / denom)
+    // delta = the last 1/denom of the stream BY RANK (the id space may
+    // be sparse, e.g. the x10 construction's strided copies)
+    val nStream = docs.filter($"doc_id" >= 20).count()
+    val take = math.max(1L, nStream / denom).toInt
+    val boundary = docs.filter($"doc_id" >= 20)
+      .orderBy($"doc_id".desc).limit(take)
+      .agg(min($"doc_id")).head().getLong(0)
     val bench = docs.filter($"doc_id" < 20)
     val standing = docs.filter($"doc_id" >= 20 && $"doc_id" < boundary)
     val delta = docs.filter($"doc_id" >= boundary)
@@ -61,17 +89,21 @@ object IncrementalProbe {
       (rs.map(_._1).sorted.apply(1), rs.head._2)
     }
 
+    // full recompute = incrementalCuration at an all-standing boundary:
+    // ≡ c01 (the sweep spec proves boundary-independence) plus the
+    // state write every production run performs anyway
+    def fullRun() =
+      Curation.incrementalCuration(docs, maxId + 1).queryExecution.toRdd.count()
     // warmup both lineages
-    Curation.c01CurationPipeline(spark, sfDir).queryExecution.toRdd.count()
-    val (fullS, nFull) = med3(
-      Curation.c01CurationPipeline(spark, sfDir).queryExecution.toRdd.count())
+    fullRun()
+    val (fullS, nFull) = med3(fullRun())
     val state = spark.read.parquet(stateDir)
     Curation.admitDelta(state, delta, bench).queryExecution.toRdd.count()
     val (deltaS, nDelta) = med3(
       Curation.admitDelta(state, delta, bench).queryExecution.toRdd.count())
 
     // equality: the steady-state path must reproduce the full recompute
-    val a = Curation.c01CurationPipeline(spark, sfDir)
+    val a = Curation.incrementalCuration(docs, maxId + 1)
       .as[(Long, Double)].collect().toSet
     val b = Curation.admitDelta(state, delta, bench)
       .as[(Long, Double)].collect().toSet
