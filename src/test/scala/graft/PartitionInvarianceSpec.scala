@@ -238,4 +238,34 @@ class PartitionInvarianceSpec extends SparkSpec {
     assert(narrow._3 === wide._3, "c11 pruned admission diverges across parallelism")
     assert(narrow._4 === wide._4, "t27 fusion diverges across parallelism")
   }
+
+  test("q70 ordered listagg, t29 BPE merges, s16 binary top-k, m08 admission are parallelism invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // q70 is the classic trap this suite exists for: an ordered string
+    // aggregation whose WITHIN GROUP sort must neutralize shuffle
+    // arrival order. t29's histogram collect order must not leak into
+    // training; s16's windows are total-ordered; m08's keep-first rides
+    // a (hash, doc_id) window.
+    val docs = Tables.documents(spark, sf001).select($"doc_id", $"text")
+    def run(inputParts: Int, shuffleParts: Int) = withShuffle(shuffleParts) {
+      val d = docs.repartition(inputParts)
+      val vecs = Tables.embeddings(spark, sf001)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .repartition(inputParts)
+      (operators.Relational5.q70ListAgg(spark, sf001)
+         .as[(String, String, Long)].collect().toSet,
+       operators.TextAnalysis.bpeTrain(d, 25),
+       operators.Similarity.binaryHammingTopK(vecs, $"vec_id" < 20, 150, 3)
+         .as[(Long, Long, Int, Double)].collect().toSet,
+       operators.Multimodal.m08DeltaPayloads(spark, sf001)
+         .as[(Long, String)].collect().toSet)
+    }
+    val narrow = run(inputParts = 3, shuffleParts = 5)
+    val wide = run(inputParts = 17, shuffleParts = 32)
+    assert(narrow._1 === wide._1, "q70 listagg diverges across parallelism")
+    assert(narrow._2 === wide._2, "t29 merge table diverges across parallelism")
+    assert(narrow._3 === wide._3, "s16 top-k diverges across parallelism")
+    assert(narrow._4 === wide._4, "m08 admission diverges across parallelism")
+  }
 }
