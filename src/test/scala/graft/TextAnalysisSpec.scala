@@ -585,6 +585,67 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ea === eb, "pruned form diverges under a load-bearing cut")
   }
 
+  test("c05 split stability under corpus growth: stable unless a delta bridges clusters") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // Operational property a training pipeline depends on: as the corpus
+    // grows, yesterday's train doc must not drift into test. Cluster reps
+    // are MIN doc_ids and new docs carry larger ids, so growth can never
+    // change an existing cluster's rep — assignments of standing docs are
+    // stable — EXCEPT when a delta chain BRIDGES two standing clusters:
+    // the merged component takes the lower rep and the higher-rep side's
+    // members move (together, atomically) to its split. Both behaviors
+    // are pinned here, plus the invariant that the post-merge assignment
+    // still audits leakage-free.
+    def words(n: Int, f: Int => String) = (0 until n).map(f).mkString(" ")
+    val aText = words(100, i => s"t$i")
+    val standingA = Seq(
+      (100L, aText),
+      (101L, words(100, i => if (i == 0) "x1" else s"t$i")),
+      (102L, words(100, i => if (i == 1) "x2" else s"t$i")))
+    // chain step k replaces tokens 0..2k-1 — adjacent steps differ by 2
+    // of 100 tokens (J ≈ 0.88 ≥ 0.8), endpoints are far apart
+    def chainText(k: Int) = words(100, i => if (i < 2 * k) s"z$i" else s"t$i")
+    val bText = chainText(25)
+    // pick B's rep id so its split differs from A's — otherwise the
+    // merge is invisible to the assertion
+    val splitOf = (id: Long) => Seq(id).toDF("k")
+      .select(operators.TextAnalysis.hashSplitCol($"k")).head().getString(0)
+    val bId = (200L to 260L).find(id => splitOf(id) != splitOf(100L)).get
+    val standingB = Seq(
+      (bId, bText),
+      (bId + 1, words(100, i => if (i < 50) s"z$i" else if (i == 51) "y1" else s"t$i")),
+      (bId + 2, words(100, i => if (i < 50) s"z$i" else if (i == 52) "y2" else s"t$i")))
+    val singletons = (400L to 403L).map(id =>
+      (id, words(100, i => s"s${id}w$i")))
+    val standing = (standingA ++ standingB ++ singletons).toDF("doc_id", "text")
+    def assignments(df: org.apache.spark.sql.DataFrame) =
+      Curation.leakageSafeSplit(df, 0.8)
+        .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val s0 = assignments(standing)
+    assert(standingA.forall(d => s0(d._1)._1 == 100L))
+    assert(standingB.forall(d => s0(d._1)._1 == bId))
+    assert(s0(100L)._2 != s0(bId)._2, "fixture must place A and B in different splits")
+    // growth WITHOUT a bridge: every standing assignment unchanged
+    val delta1 = (2000L to 2005L).map(id => (id, words(100, i => s"n${id}w$i")))
+    val s1 = assignments(standing.unionByName(delta1.toDF("doc_id", "text")))
+    assert(s0.keySet.forall(id => s1(id) == s0(id)),
+      "unrelated growth changed a standing assignment")
+    // growth WITH a bridge chain A⇝B: A keeps its rep (global min), B's
+    // members move together into A's cluster and split
+    val chain = (1 to 25).map(k => (1000L + k, chainText(k)))
+    val grown = standing.unionByName(chain.toDF("doc_id", "text"))
+    val s2 = assignments(grown)
+    assert(standingA.forall(d => s2(d._1) == s0(d._1)), "A side moved")
+    assert(singletons.forall(d => s2(d._1) == s0(d._1)), "singleton moved")
+    assert(standingB.forall(d => s2(d._1)._1 == 100L && s2(d._1)._2 == s0(100L)._2),
+      "B members did not move atomically to A's split")
+    // the moved assignment is still leakage-free
+    val audit = Curation.splitAuditPairs(grown,
+      Curation.leakageSafeSplit(grown, 0.8), 0.8)
+    assert(audit.count() === 0L, "post-merge assignment leaks across splits")
+  }
+
   test("c12 incremental curation ≡ c01 full recompute at every split boundary") {
     import spark.implicits._
     import graft.operators.Curation
