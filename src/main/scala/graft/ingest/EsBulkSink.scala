@@ -309,7 +309,13 @@ object EsSimCompact {
     // visible, and planners deliver the partition's rows twice. Refuse
     // up front rather than corrupt the store (default is off; a 100 TB
     // deployment that wants speculation must exclude the compactor job).
-    require(!spark.conf.get("spark.speculation", "false").toBoolean,
+    // read from the SparkContext conf — the scheduler's authoritative
+    // source — not the session RuntimeConfig, which only reflects
+    // entries copied at session creation and misses a flag enabled
+    // afterwards (round-10 advice)
+    require(
+      !spark.sparkContext.getConf.getBoolean("spark.speculation", false) &&
+        !spark.conf.get("spark.speculation", "false").toBoolean,
       "compaction requires spark.speculation=false: speculative duplicate " +
         "attempts would double-publish outputs into the fold manifest")
     val root = Paths.get(dir)

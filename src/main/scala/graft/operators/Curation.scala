@@ -1023,25 +1023,48 @@ object Curation {
     * quota system uses at scale: (1) one partial+final aggregate of
     * token mass per (source, quality bin) — the t19 fixed-bin sketch
     * discipline — and a per-source running mass over ≤ W bin rows picks
-    * the lowest bin whose top-down cumulative mass reaches the budget;
+    * the highest bin whose top-down cumulative mass exceeds the budget;
     * (2) the exact c10 window runs only over docs in bins ≥ that cut.
     *
-    * Same answer as c10 BY CONSTRUCTION, not approximately: the cut
-    * bin's cumulative mass ≥ budget means every doc below the cut has
-    * the full budget's worth of strictly-better tokens ahead of it, so
-    * it could never be admitted; and because IEEE multiply is monotone,
-    * bin order can never invert quality order — a pruned-in doc's
-    * predecessors (in the admission order) are all pruned in, so the
-    * surviving prefix sums are bit-identical. Hash-checked against the
-    * SAME DuckDB oracle as c10 (the d17/s04 same-answer-scalable-plan
-    * precedent) and spec-asserted equal to c10 under a source 50× its
-    * budget where the pruning is load-bearing.
+    * Same answer as c10 BY CONSTRUCTION, not approximately: the cut is
+    * the HIGHEST bin whose top-down cumulative mass STRICTLY exceeds
+    * the budget, so every doc in a bin below the cut already has more
+    * than the full budget's worth of strictly-better tokens ahead of it
+    * (bins are quality-monotone: IEEE multiply can't invert quality
+    * order), and c10 would reject it no matter what — even an n_tok = 0
+    * doc, whose own prefix sum equals the better mass. (A ≥ comparison
+    * here would be wrong at exactly one boundary: better mass == budget
+    * and a zero-token doc below the cut, which c10 admits at
+    * cum_tok == budget. Strict > retains at most one extra bin and
+    * closes that corner.) A pruned-in doc's predecessors in the
+    * admission order are all pruned in, so the surviving prefix sums
+    * are bit-identical. Hash-checked against the SAME DuckDB oracle as
+    * c10 (the d17/s04 same-answer-scalable-plan precedent) and
+    * spec-asserted equal to c10 — with the prune asserted LOAD-BEARING
+    * (survivor count ≪ corpus) — under a source ~60× its budget.
     *
     * Scale: pass 1 is map-side-combined into ≤ W rows per source (no
     * row-level shuffle); the threshold window runs on the tiny bin
     * frame; the bin cuts broadcast back; pass 2's sort shrinks from the
     * corpus to ~the budget mass per source. */
   def tokenBudgetAdmissionPruned(docs: DataFrame, budget: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy($"quality".desc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prunedBudgetCandidates(docs, budget)
+      .withColumn("cum_tok", sum($"n_tok").over(w))
+      .filter($"cum_tok" <= budget)
+      .select($"doc_id", $"source", $"n_tok", $"cum_tok")
+  }
+
+  /** Pass 1 + the cut filter of [[tokenBudgetAdmissionPruned]]: the
+    * candidate frame the exact window actually sorts. Exposed so the
+    * spec can assert the prune is load-bearing (candidates ≪ corpus on
+    * an oversubscribed source), not just that the end result matches —
+    * the equality assertion alone is vacuous when the prune no-ops. */
+  private[graft] def prunedBudgetCandidates(docs: DataFrame, budget: Long): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val W = 64 // quality ∈ [0,1] → 1/64 bins; /64 is exact in doubles
@@ -1052,21 +1075,16 @@ object Curation {
       .withColumn("bin", floor($"quality" * W).cast("int"))
     val wTop = Window.partitionBy($"source").orderBy($"bin".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // lowest bin whose top-down cumulative mass first covers the
-    // budget; a source whose whole mass fits keeps everything (cut 0 —
-    // quality is never negative, so bin ≥ 0 always)
+    // highest bin whose top-down cumulative mass STRICTLY exceeds the
+    // budget (cum grows as bins descend, so max() picks the first such
+    // bin — see the Scaladoc for why ≥ would mis-prune a zero-token
+    // boundary doc); a source whose whole mass fits keeps everything
+    // (cut 0 — quality is never negative, so bin ≥ 0 always)
     val cuts = scored.groupBy($"source", $"bin").agg(sum($"n_tok").as("mass"))
       .withColumn("cum", sum($"mass").over(wTop))
       .groupBy($"source")
-      .agg(coalesce(min(when($"cum" >= budget, $"bin")), lit(0)).as("cut"))
-    val w = Window.partitionBy($"source")
-      .orderBy($"quality".desc, $"doc_id".asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored.join(broadcast(cuts), "source")
-      .filter($"bin" >= $"cut")
-      .withColumn("cum_tok", sum($"n_tok").over(w))
-      .filter($"cum_tok" <= budget)
-      .select($"doc_id", $"source", $"n_tok", $"cum_tok")
+      .agg(coalesce(max(when($"cum" > budget, $"bin")), lit(0)).as("cut"))
+    scored.join(broadcast(cuts), "source").filter($"bin" >= $"cut")
   }
 
   def c11TokenBudgetPruned(s: SparkSession, d: String): DataFrame =
@@ -1164,11 +1182,25 @@ object Curation {
     // materialize the state through parquet exactly as production does:
     // the previous run WRITES curationState, the delta run READS it —
     // which also means the state plan executes once, not once per the
-    // three places admitDelta consumes it
+    // three places admitDelta consumes it. The dir can't be deleted
+    // here (the returned plan reads it lazily), so it's registered for
+    // JVM-exit cleanup — every verify/bench/spec run used to leave one
+    // state dump per invocation in /tmp (round-10 advice)
     val stateDir =
       java.nio.file.Files.createTempDirectory("graft-c12-state").toString
+    c12CleanupHook // ensure the hook exists before the dir is live
+    c12StateDirs.add(stateDir)
     curationState(standing, bench).write.mode("overwrite").parquet(stateDir)
     admitDelta(s.read.parquet(stateDir), delta, bench)
+  }
+
+  private val c12StateDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val c12CleanupHook: Unit = {
+    sys.addShutdownHook {
+      c12StateDirs.forEach(d => graft.BenchUtil.rmTree(d))
+    }
+    ()
   }
 
   /** The saved artifact a production run persists alongside its output:

@@ -583,6 +583,16 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().toSet
     assert(ea.nonEmpty && ea.forall(_._4 <= 2000L))
     assert(ea === eb, "pruned form diverges under a load-bearing cut")
+    // the prune must be LOAD-BEARING, not just answer-preserving: the
+    // equality above held even when a cut-selection bug made the prune
+    // a permanent no-op (round-10 advice), so pin the scale contract
+    // directly — the candidate frame the exact window sorts is a small
+    // fraction of the oversubscribed corpus
+    val candidates = Curation.prunedBudgetCandidates(synth, 2000L).count()
+    assert(candidates < 5000L / 4,
+      s"sketch cut is a no-op: $candidates of 5000 docs reach the exact sort")
+    assert(candidates >= eb.size,
+      "candidate frame must contain every admitted doc")
   }
 
   test("c05 split stability under corpus growth: stable unless a delta bridges clusters") {
