@@ -59,7 +59,14 @@ object GoldenGen {
       "t28_sketch_profile",
       // BPE training: integer pair counts over the word histogram with
       // total-order argmax tie-breaks — bit-deterministic end to end
-      "t29_bpe_train")
+      "t29_bpe_train",
+      // BPE encode: deterministic training artifact + pure per-row
+      // greedy application; sequence pinned via order-sensitive
+      // xxhash64 (engine-side → golden)
+      "t30_bpe_encode",
+      // c14: c10's admission window over t30's deterministic counts —
+      // integer sums, 6dp sort key, golden like its inputs
+      "c14_token_budget_bpe")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

@@ -1090,6 +1090,40 @@ object Curation {
   def c11TokenBudgetPruned(s: SparkSession, d: String): DataFrame =
     tokenBudgetAdmissionPruned(documents(s, d), 400L)
 
+  // ---- c14: token budget on REAL tokenizer counts (t29+t30 composed) ----
+
+  /** c14: c10's per-source token-budget admission denominated in REAL
+    * tokenizer tokens — t29 trains the merge table, t30's encoder
+    * counts each doc, and the same exact prefix-sum window admits
+    * against the budget. Training-data budgets are contracted in
+    * tokenizer tokens, not whitespace words (a 1T-token mix means
+    * tokenizer tokens); until t30 existed every token-denominated
+    * operator here approximated with whitespace counts. Plan shape vs
+    * c10 is identical — the count is still one per-row expression
+    * (the broadcast-style merge table rides inside
+    * [[graft.functions.BpeEncode]]), so the operator stays one
+    * map + one per-source window at any scale. Budget is larger than
+    * c10's because 40-merge BPE tokens sit near character granularity
+    * (~5–6× whitespace counts on this corpus). Deterministic end to
+    * end (t29's bit-deterministic training, pure per-row encode,
+    * integer sums) → golden-hashed, with the admission's maximality
+    * property asserted in the spec. */
+  def c14TokenBudgetBpe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val merges = TextAnalysis.bpeTrain(docs.select($"doc_id", $"text"), 40)
+    val w = Window.partitionBy($"source")
+      .orderBy($"quality".desc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select($"doc_id", $"source",
+        round(TextAnalysis.qualityScoreCol($"text"), 6).as("quality"),
+        size(graft.functions.BpeEncode($"text", merges))
+          .cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum($"n_tok").over(w))
+      .filter($"cum_tok" <= 2400L)
+      .select($"doc_id", $"source", $"n_tok", $"cum_tok")
+  }
+
   // ---- c13: per-document rejection-reason audit ----
 
   /** c13: WHY each document left the pipeline — the per-doc provenance
@@ -1292,6 +1326,7 @@ object Curation {
     "c09_source_cap"        -> (c09SourceCap _),
     "c10_token_budget"      -> (c10TokenBudget _),
     "c11_token_budget_pruned" -> (c11TokenBudgetPruned _),
+    "c14_token_budget_bpe"  -> (c14TokenBudgetBpe _),
     "c08_temperature_mix"   -> (c08TemperatureMix _),
     "d13_source_overlap"    -> ((s: SparkSession, d: String) => d13SourceOverlap(s, d)),
     "c07_snapshot_diff"     -> (c07SnapshotDiff _),
@@ -1310,10 +1345,16 @@ object Curation {
     "t12_token_packing"   -> (t12TokenPacking _),
   )
 
-  val oracles: Map[String, String] = Map(
+  // def, not val: c14's golden-snapshot path resolves the sf tag at
+  // dump time (GoldenGen.setSfTag), after object initialization
+  def oracles: Map[String, String] = Map(
     // c12 ≡ c01 for ANY split boundary (the incremental path's whole
     // contract) → c01's own full-recompute oracle hash-checks it
     "c12_incremental_curation" -> c01Sql,
+    // c14: BPE-token-denominated budget — the count is engine-side
+    // (t29 table + t30 encode) → golden snapshot; admission maximality
+    // asserted in the spec
+    "c14_token_budget_bpe"  -> graft.GoldenGen.oracle("c14_token_budget_bpe"),
     "c13_rejection_reasons" -> c13Sql,
     // c09/c10: integer ranks / integer running sums over a 6dp-rounded
     // sort key → cross-engine total order, full SQL oracles

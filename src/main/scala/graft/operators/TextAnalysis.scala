@@ -1102,7 +1102,21 @@ object TextAnalysis {
     * parallelism → golden-hashed; the classic low/lower/newest/widest
     * worked example is hand-pinned in `TextAnalysisSpec`. Output: the
     * ranked merge table (rank, left, right) — the artifact a tokenizer
-    * ships. */
+    * ships (and what [[bpeEncode]] applies back to the corpus).
+    *
+    * The merge loop maintains pair counts INCREMENTALLY — the HF
+    * tokenizers algorithm: an inverted index pair → word ids means each
+    * merge touches only the words that CONTAIN the merged pair, and an
+    * ordered set over (−count, left, right) makes best-pair selection
+    * O(log P) instead of a full recount. Per-merge cost is
+    * Σ|affected words|, not O(vocab × word length) — the difference
+    * between 40 toy merges and a production 32k–100k-merge vocabulary
+    * over a ~10⁷-type histogram, where a full recount per merge is
+    * ~10¹²⁺ driver-side symbol operations (days) and the incremental
+    * form stays minutes. Selection order and therefore output is
+    * bit-identical to a full recount: the ordered set always holds
+    * exactly the live (count > 0) pairs, keyed by the same total
+    * order. */
   def bpeTrain(docs: DataFrame, numMerges: Int,
                maxVocab: Int = 1 << 20): Seq[(Int, String, String)] = {
     val s = docs.sparkSession
@@ -1112,36 +1126,93 @@ object TextAnalysis {
       .groupBy($"w").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"w".asc).limit(maxVocab)
       .as[(String, Long)].collect()
-    var words: Array[(Array[String], Long)] =
-      hist.map { case (w, n) => (w.map(_.toString).toArray :+ "</w>", n) }
-    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
+    bpeTrainLocal(hist, numMerges)
+  }
+
+  /** Driver-local merge loop over the collected word histogram — split
+    * out so specs/probes can exercise merge-count scaling without a
+    * SparkSession. */
+  private[graft] def bpeTrainLocal(hist: Array[(String, Long)],
+                                   numMerges: Int): Seq[(Int, String, String)] = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] =
+      hist.map { case (w, _) => w.map(_.toString).toArray :+ "</w>" }
+    val freqs: Array[Long] = hist.map(_._2)
+    // live pair state: exact counts, inverted index pair → word ids,
+    // and an ordered view for O(log P) best-pair selection under the
+    // (−count, left, right) total order
+    val counts = mutable.HashMap[(String, String), Long]()
+    val wordsOf = mutable.HashMap[(String, String), mutable.BitSet]()
+    val ord = Ordering.fromLessThan[(Long, String, String)] { (a, b) =>
+      a._1 > b._1 || (a._1 == b._1 &&
+        (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)))
+    }
+    val live = mutable.TreeSet.empty[(Long, String, String)](ord)
+    def bump(k: (String, String), delta: Long): Unit = {
+      val before = counts.getOrElse(k, 0L)
+      if (before != 0L) live.remove((before, k._1, k._2))
+      val after = before + delta
+      if (after == 0L) counts.remove(k)
+      else { counts(k) = after; live.add((after, k._1, k._2)) }
+    }
+    for (i <- words.indices) {
+      val syms = words(i)
+      var j = 0
+      while (j < syms.length - 1) {
+        val k = (syms(j), syms(j + 1))
+        bump(k, freqs(i))
+        wordsOf.getOrElseUpdate(k, mutable.BitSet.empty) += i
+        j += 1
+      }
+    }
+    val merges = mutable.ArrayBuffer[(Int, String, String)]()
     var r = 1
-    while (r <= numMerges) {
-      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
-      for ((syms, n) <- words; i <- 0 until syms.length - 1) {
-        val k = (syms(i), syms(i + 1))
-        counts(k) = counts.getOrElse(k, 0L) + n
-      }
-      if (counts.isEmpty) r = numMerges + 1
-      else {
-        val (l, rt) = counts.keysIterator.reduceLeft { (a, b) =>
-          val (ca, cb) = (counts(a), counts(b))
-          if (cb > ca || (cb == ca &&
-              (b._1 < a._1 || (b._1 == a._1 && b._2 < a._2)))) b else a
+    while (r <= numMerges && live.nonEmpty) {
+      val (_, l, rt) = live.head
+      merges += ((r, l, rt))
+      val affected = wordsOf.getOrElse((l, rt), mutable.BitSet.empty).toArray
+      for (idx <- affected) {
+        val n = freqs(idx)
+        val old = words(idx)
+        // left-to-right non-overlapping application — same pass the
+        // encoder uses, so training and encoding agree on semantics
+        val neu = mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < old.length) {
+          if (i < old.length - 1 && old(i) == l && old(i + 1) == rt) {
+            neu += l + rt; i += 2
+          } else { neu += old(i); i += 1 }
         }
-        merges += ((r, l, rt))
-        words = words.map { case (syms, n) =>
-          val out = scala.collection.mutable.ArrayBuffer[String]()
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rt) {
-              out += l + rt; i += 2
-            } else { out += syms(i); i += 1 }
+        val nw = neu.toArray
+        // exact pair-count delta for this word (new pairs − old pairs)
+        val d = mutable.HashMap[(String, String), Long]()
+        var j = 0
+        while (j < nw.length - 1) {
+          val k = (nw(j), nw(j + 1)); d(k) = d.getOrElse(k, 0L) + n; j += 1
+        }
+        j = 0
+        while (j < old.length - 1) {
+          val k = (old(j), old(j + 1)); d(k) = d.getOrElse(k, 0L) - n; j += 1
+        }
+        for ((k, dn) <- d if dn != 0L) bump(k, dn)
+        // inverted-index membership: drop pairs this word no longer
+        // contains, add the ones the merge created
+        val oldKeys = mutable.Set[(String, String)]()
+        j = 0
+        while (j < old.length - 1) { oldKeys += ((old(j), old(j + 1))); j += 1 }
+        val newKeys = mutable.Set[(String, String)]()
+        j = 0
+        while (j < nw.length - 1) { newKeys += ((nw(j), nw(j + 1))); j += 1 }
+        for (k <- oldKeys if !newKeys.contains(k)) {
+          wordsOf.get(k).foreach { set =>
+            set -= idx; if (set.isEmpty) wordsOf.remove(k)
           }
-          (out.toArray, n)
         }
-        r += 1
+        for (k <- newKeys if !oldKeys.contains(k))
+          wordsOf.getOrElseUpdate(k, mutable.BitSet.empty) += idx
+        words(idx) = nw
       }
+      r += 1
     }
     merges.toSeq
   }
@@ -1151,6 +1222,38 @@ object TextAnalysis {
     import s.implicits._
     bpeTrain(documents(s, d).select($"doc_id", $"text"), 40)
       .toDF("rank", "left", "right")
+  }
+
+  // ---- t30: BPE encode (apply the trained merge table to the corpus) ----
+
+  /** t30: ENCODE the corpus with the t29-trained merge table — the
+    * consuming half of the tokenizer loop, which upgrades every
+    * token-denominated operator from whitespace counts to real
+    * tokenizer counts (c14 reruns the c10 token budget on these).
+    * Train once on the driver (t29's histogram reduction), then the
+    * ranked table rides into [[graft.functions.BpeEncode]] as one
+    * reference object — per-row greedy merge application, zero
+    * shuffles, embarrassingly parallel: at 100 TB this is a pure
+    * map stage whose cost is corpus-linear and whose plan is
+    * scan → project, nothing else.
+    *
+    * Output per doc: the BPE token count plus an order-sensitive
+    * xxhash64 of the full token sequence — the sequence itself is
+    * corpus-sized (that's the point), so the golden snapshot pins its
+    * exact content by hash without committing a token-level dump.
+    * Deterministic: training is bit-deterministic (t29), encoding is a
+    * pure per-row function — golden-hashed with parallelism invariance
+    * probed alongside the other engine-side ops. */
+  def t30BpeEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"text")
+    val toks = graft.functions.BpeEncode($"text", bpeTrain(docs, 40))
+    docs.select($"doc_id",
+      size(toks).cast("long").as("n_bpe"),
+      // space-joined before hashing: tokens never contain a space (the
+      // encoder splits on it), so the join is boundary-unambiguous --
+      // [ab, c] and [a, bc] hash differently
+      xxhash64(concat_ws(" ", toks)).as("tok_hash"))
   }
 
   // ---- t28: mergeable sketch profile (incremental corpus profiling) ----
@@ -1208,6 +1311,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_bpe_encode"     -> (t30BpeEncode _),
     "t29_bpe_train"      -> (t29BpeTrain _),
     "t28_sketch_profile" -> (t28SketchProfile _),
     "t27_rrf_fusion"    -> (t27RrfFusion _),
@@ -1243,6 +1347,11 @@ object TextAnalysis {
     // the loop itself is engine-side → golden snapshot, hand-pinned
     // worked example in the spec
     "t29_bpe_train"      -> graft.GoldenGen.oracle("t29_bpe_train"),
+    // t30: deterministic composition of t29's table with a pure
+    // per-row encode; the token-sequence hash is engine-side xxhash64
+    // → golden snapshot, worked examples (incl. the rank-revisit
+    // subtlety) hand-pinned in the spec
+    "t30_bpe_encode"     -> graft.GoldenGen.oracle("t30_bpe_encode"),
     // t28: engine-specific sketch hashing (Datasketches HLL) →
     // golden-hashed; estimates are integer and the register-max algebra
     // makes them invariant to batch slicing and partitioning

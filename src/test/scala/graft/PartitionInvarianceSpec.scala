@@ -259,7 +259,16 @@ class PartitionInvarianceSpec extends SparkSpec {
        operators.Similarity.binaryHammingTopK(vecs, $"vec_id" < 20, 150, 3)
          .as[(Long, Long, Int, Double)].collect().toSet,
        operators.Multimodal.m08DeltaPayloads(spark, sf001)
-         .as[(Long, String)].collect().toSet)
+         .as[(Long, String)].collect().toSet,
+       // t30: per-row encode of a per-run-trained table — invariant iff
+       // BOTH training and the sequence hash are
+       {
+         val toks = graft.functions.BpeEncode($"text",
+           operators.TextAnalysis.bpeTrain(d, 25))
+         d.select($"doc_id", size(toks).cast("long"),
+             xxhash64(concat_ws(" ", toks)))
+           .as[(Long, Long, Long)].collect().toSet
+       })
     }
     val narrow = run(inputParts = 3, shuffleParts = 5)
     val wide = run(inputParts = 17, shuffleParts = 32)
@@ -267,5 +276,6 @@ class PartitionInvarianceSpec extends SparkSpec {
     assert(narrow._2 === wide._2, "t29 merge table diverges across parallelism")
     assert(narrow._3 === wide._3, "s16 top-k diverges across parallelism")
     assert(narrow._4 === wide._4, "m08 admission diverges across parallelism")
+    assert(narrow._5 === wide._5, "t30 encode diverges across parallelism")
   }
 }

@@ -150,6 +150,18 @@ object ScaleProbe {
     row("t29_bpe_train",
       t2(operators.TextAnalysis.t29BpeTrain(spark, docsAt("x1")).count()),
       t2(operators.TextAnalysis.t29BpeTrain(spark, docsAt("x10")).count()))
+    // t29 at merge DEPTH: 40 vs 1000 merges, both on the 10× corpus —
+    // bounded only because the loop maintains pair counts incrementally
+    // (per-merge cost ∝ affected words); the pre-r11 full recount was
+    // O(merges × vocab × word length) and this row would take ~25× the
+    // 40-merge time instead of the ~flat cost the inverted index gives
+    def bpeAt(tag: String, m: Int) = {
+      val d = spark.read.parquet(s"$base/$tag/documents.parquet")
+        .select($"doc_id", $"text")
+      operators.TextAnalysis.bpeTrain(d, m).size.toLong
+    }
+    row("t29_merge_depth_x10",
+      t2(bpeAt("x10", 40)), t2(bpeAt("x10", 1000)))
 
     if (quad) {
       // the exact quadratic baseline, to show WHY s08 is the scale path:

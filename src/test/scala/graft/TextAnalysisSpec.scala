@@ -595,6 +595,43 @@ class TextAnalysisSpec extends SparkSpec {
       "candidate frame must contain every admitted doc")
   }
 
+  test("c14 BPE-denominated budget: maximal prefix under real tokenizer counts") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    import graft.functions.BpeEncode
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"source", $"text")
+    val got = Curation.c14TokenBudgetBpe(spark, sf001)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.nonEmpty && got.forall(_._4 <= 2400L))
+    // recompute the admission locally from the same deterministic
+    // inputs: quality + BPE count per doc, (quality desc, id asc)
+    // prefix per source — pins the window against an independent scan
+    val merges = TextAnalysis.bpeTrain(docs.select($"doc_id", $"text"), 40)
+    val scored = docs.select($"doc_id", $"source",
+        round(TextAnalysis.qualityScoreCol($"text"), 6).as("q"),
+        size(BpeEncode($"text", merges)).cast("long").as("n"))
+      .as[(Long, String, Double, Long)].collect()
+    val want = scored.groupBy(_._2).iterator.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (-r._3, r._1))
+      val cums = ordered.scanLeft(0L)(_ + _._4).tail
+      ordered.zip(cums).takeWhile(_._2 <= 2400L)
+        .map { case (r, c) => (r._1, r._2, r._4, c) }
+    }.toSet
+    assert(got.toSet === want)
+    // the denominator is genuinely the tokenizer's: 40-merge BPE sits
+    // near character granularity, so counts must exceed whitespace
+    // counts by a wide margin on every doc
+    val cmp = docs.select(
+        size(BpeEncode($"text", merges)).cast("long").as("bpe"),
+        size(split($"text", " +")).cast("long").as("ws"))
+      .as[(Long, Long)].collect()
+    assert(cmp.forall { case (bpe, ws) => bpe >= ws },
+      "BPE token count fell below whitespace count")
+    assert(cmp.map(_._1).sum > 3 * cmp.map(_._2).sum,
+      "BPE counts too close to whitespace counts to be char-granular")
+  }
+
   test("c05 split stability under corpus growth: stable unless a delta bridges clusters") {
     import spark.implicits._
     import graft.operators.Curation
@@ -702,6 +739,111 @@ class TextAnalysisSpec extends SparkSpec {
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val all = TextAnalysis.bpeTrain(tiny, 100)
     assert(all === Seq((1, "a", "b"), (2, "ab", "</w>")))
+  }
+
+  test("t30 BPE encode: worked examples incl. the rank-revisit subtlety") {
+    import spark.implicits._
+    import graft.functions.BpeEncode
+    // the classic table trained in the t29 spec above
+    val table = Seq((1, "e", "s"), (2, "es", "t"), (3, "est", "</w>"),
+      (4, "l", "o"))
+    def enc(text: String): Seq[Seq[String]] =
+      Seq((1L, text)).toDF("doc_id", "text")
+        .select(BpeEncode($"text", table).as("t"))
+        .as[Seq[String]].collect().toSeq
+    // hand-applied greedy: lowest rank present wins each step
+    assert(enc("lowest") === Seq(Seq("lo", "w", "est</w>")))
+    assert(enc("newest") === Seq(Seq("n", "e", "w", "est</w>")))
+    assert(enc("low") === Seq(Seq("lo", "w", "</w>")))
+    assert(enc("low lowest") ===
+      Seq(Seq("lo", "w", "</w>", "lo", "w", "est</w>")))
+    // whitespace handling mirrors the trainer's histogram: empty words
+    // vanish, so double spaces and edges add no tokens
+    assert(enc("  low  ") === Seq(Seq("lo", "w", "</w>")))
+    assert(enc("") === Seq(Seq.empty[String]))
+    // THE SEMANTIC PIN: greedy encode REVISITS earlier ranks when a
+    // later merge creates a new occurrence of an earlier pair. With
+    // 1=(aa,b), 2=(a,a): "aab" has no (aa,b) until rank 2 fires —
+    // [a,a,b] → [aa,b] → [aab]. A single pass per rank in rank order
+    // (the trainer's per-merge application) would stop at [aa, b]:
+    // encode is Sennrich's apply_bpe, not a table replay.
+    val revisit = Seq((1, "aa", "b"), (2, "a", "a"))
+    val got = Seq((1L, "aab")).toDF("doc_id", "text")
+      .select(BpeEncode($"text", revisit).as("t"))
+      .as[Seq[String]].collect().toSeq
+    assert(got === Seq(Seq("aab", "</w>")))
+    // train→encode consistency on the training corpus itself: encoding
+    // reproduces the trained segmentation of every histogram word
+    val corpus = Seq(
+      (1L, Array.fill(5)("low").mkString(" ")),
+      (2L, Array.fill(2)("lower").mkString(" ")),
+      (3L, Array.fill(6)("newest").mkString(" ")),
+      (4L, Array.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val trained = graft.operators.TextAnalysis.bpeTrain(corpus, 4)
+    val lower = Seq((1L, "lower")).toDF("doc_id", "text")
+      .select(BpeEncode($"text", trained).as("t"))
+      .as[Seq[String]].collect().toSeq
+    assert(lower === Seq(Seq("lo", "w", "e", "r", "</w>")))
+  }
+
+  test("t29 incremental merge loop ≡ full recount at depth (the r11 rewrite)") {
+    import graft.operators.TextAnalysis
+    // The production loop maintains pair counts incrementally (inverted
+    // index pair → words, ordered live set); this pins it bit-identical
+    // to the textbook full-recount-per-merge loop — deep enough (300
+    // merges, 500 types, overlap-heavy repeated letters) that any
+    // stale-count / membership / tie-break drift in the incremental
+    // bookkeeping would surface as a diverging merge table.
+    def naive(hist: Array[(String, Long)], numMerges: Int): Seq[(Int, String, String)] = {
+      var words: Array[(Array[String], Long)] =
+        hist.map { case (w, n) => (w.map(_.toString).toArray :+ "</w>", n) }
+      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
+      var r = 1
+      while (r <= numMerges) {
+        val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+        for ((syms, n) <- words; i <- 0 until syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + n
+        }
+        if (counts.isEmpty) r = numMerges + 1
+        else {
+          val (l, rt) = counts.keysIterator.reduceLeft { (a, b) =>
+            val (ca, cb) = (counts(a), counts(b))
+            if (cb > ca || (cb == ca &&
+                (b._1 < a._1 || (b._1 == a._1 && b._2 < a._2)))) b else a
+          }
+          merges += ((r, l, rt))
+          words = words.map { case (syms, n) =>
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rt) {
+                out += l + rt; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, n)
+          }
+          r += 1
+        }
+      }
+      merges.toSeq
+    }
+    val rnd = new scala.util.Random(42)
+    val hist = Array.tabulate(500) { i =>
+      // small alphabet + runs of repeated letters → heavy pair overlap,
+      // the case where left-to-right non-overlap application matters
+      val len = 3 + rnd.nextInt(10)
+      val w = (0 until len).map { _ =>
+        val c = ('a' + rnd.nextInt(5)).toChar
+        if (rnd.nextInt(3) == 0) s"$c$c" else s"$c"
+      }.mkString
+      (w, (rnd.nextInt(50) + 1).toLong)
+    }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray
+      .sortBy(_._1)
+    val want = naive(hist, 300)
+    val got = TextAnalysis.bpeTrainLocal(hist, 300)
+    assert(got === want, "incremental loop diverged from full recount")
+    assert(got.size > 100, "probe too shallow to exercise the bookkeeping")
   }
 
   test("t28 sketch profile: slicing-invariant merge + accuracy envelope") {
