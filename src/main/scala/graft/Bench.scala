@@ -86,6 +86,14 @@ object Bench {
     }
     val gcStart = gcMsNow()
 
+    // peak block-manager debt ACROSS the run, not just end-of-run
+    // residue: r10's d08/s11 watch item showed end-of-run storage can
+    // read clean (1 RDD) while mid-suite debt inflates neighbors — the
+    // peak makes that observable in the artifact (sampled after each
+    // query; an intra-query spike can still slip between samples)
+    var peakRdds = 0
+    var peakMem = 0L
+    var peakAfter = ""
     val results = queries.map { case (name, fn) =>
       // settle GC debt from the previous query so its collection pause
       // is not billed to this one (the LSH joins allocate heavily)
@@ -99,6 +107,8 @@ object Bench {
         val t2 = timeSec(materialize(fn(spark, sfDir)))
         math.min(t1, t2)
       } catch { case _: Throwable => -1.0 }
+      val (nowRdds, nowMem) = storageNow()
+      if (nowMem > peakMem) { peakMem = nowMem; peakRdds = nowRdds; peakAfter = name }
       // GC across both timed runs (not the settle): the per-query share
       // of collector time — attribution for any inflated sample
       (name, sec, gcMsNow() - gc0)
@@ -388,6 +398,8 @@ object Bench {
       // inline, final frames drain via the async cleaner)
       s""","gc_queries_ms":$gcQueriesMs""" +
       s""","storage_rdds":$storageRdds,"storage_mem_mb":${storageMem / (1024 * 1024)}""" +
+      s""","storage_rdds_peak":$peakRdds,"storage_mem_peak_mb":${peakMem / (1024 * 1024)}""" +
+      s""","storage_peak_after":"$peakAfter"""" +
       s""","copy_docs":$nDocs,"copy_sec":${r3(copySec)},"copy_docs_per_s":${r3(copyDocsPerS)}""" +
       // cold = first attempt (fresh JVM paths), all three are full
       // fresh-lineage runs (scan+shuffle+sort+write); copy_sec = median

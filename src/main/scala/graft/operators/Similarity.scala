@@ -1424,6 +1424,29 @@ object Similarity {
     "(acc, i) -> acc | CASE WHEN element_at(v, i + 1) >= 0D " +
     "THEN shiftleft(1L, i) ELSE 0L END)")
 
+  /** The WRITE path that produces the persisted signature lane — the
+    * piece of the s16 production shape that was previously only
+    * hand-assembled in specs. One pass over the float vectors computes
+    * `sig` in-plan (the same codegen'd fold as the registered entry)
+    * and writes (vec_id, v, sig) id-range-clustered: parquet stores
+    * columns in separate chunks, so a pre-rank scan selecting
+    * (vec_id, sig) reads ~8 B/vector while the float column's
+    * 4·dim B/vector stays on disk — the 100 TB economics are the
+    * column pruning, measured in `LayoutSpec` (bytes actually read,
+    * signature lane vs float lane), not just plan-asserted. The
+    * id-clustering additionally gives the RE-RANK's survivor fetch
+    * narrow per-file vec_id envelopes (the Z-order discipline on one
+    * dimension): a min/max-pruning reader touches only files whose id
+    * range intersects the survivor set. */
+  def writeSignedCorpus(vecs: DataFrame, outDir: String, numFiles: Int): Unit = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    vecs.select($"vec_id", $"v").withColumn("sig", signatureCol)
+      .repartitionByRange(numFiles, $"vec_id")
+      .sortWithinPartitions($"vec_id")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Stage 1 alone, over any (vec_id, sig) frame — the lane that runs
     * against the persisted signature column at scale. */
   private[graft] def hammingPreRank(sigs: DataFrame, qsigs: DataFrame,

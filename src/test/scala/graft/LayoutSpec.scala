@@ -69,6 +69,70 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("s16 signature lane: measured bytes read, sidecar scan vs float scan") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // the production write path (r10 gap: no writer produced the
+    // sidecar); then measure what a pre-rank-shaped scan actually READS
+    // — the 100 TB claim is "the stage that touches every row reads
+    // ~dim/8 bytes per vector", and column pruning only delivers that
+    // if parquet's per-column chunks make the sig lane physically small
+    val dir = java.nio.file.Files.createTempDirectory("s16-lane").toString
+    try {
+      // sf0.1 / 2 files: enough vector mass per file that column-chunk
+      // sizes dominate parquet footers — at 8 tiny files the ~1.5 KB/
+      // file footer swamped both lanes and the measured ratio was 1.0×
+      Similarity.writeSignedCorpus(
+        Tables.embeddings(spark, "/root/testdata/sf0.1")
+          .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+        dir, numFiles = 2)
+
+      // measure the PHYSICAL column footprint from the parquet footers:
+      // total compressed chunk bytes per column is exactly what a
+      // column-pruned scan must fetch for that column (task-level
+      // bytesRead on a local FS does not see the vectorized reader's
+      // chunk reads — measured 1.0× both lanes — so read the layout
+      // itself, which is also the quantity the 100 TB argument is about)
+      import scala.jdk.CollectionConverters._
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = spark.sessionState.newHadoopConf()
+      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+      assert(parts.nonEmpty)
+      def chunkBytes(colPred: String => Boolean): Long = parts.map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf))
+        try r.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(c => colPred(c.getPath.toDotString))
+          .map(_.getTotalSize).sum
+        finally r.close()
+      }.sum
+      val sigLane = chunkBytes(p => p == "vec_id" || p == "sig")
+      val floatLane = chunkBytes(p => p == "vec_id" || p.startsWith("v."))
+      info(f"sig lane read ${sigLane}%,d B; float lane read ${floatLane}%,d B; " +
+        f"ratio ${floatLane.toDouble / sigLane}%.1fx")
+      assert(sigLane > 0 && floatLane > 0)
+      // 64-dim doubles: raw ratio is (8+512)/(8+8) = 32×; parquet
+      // encoding narrows it, so pin a conservative floor that still
+      // proves the sidecar lane skips the float mass
+      assert(floatLane > 3 * sigLane,
+        s"signature lane ($sigLane B) is not materially cheaper than the float lane ($floatLane B)")
+      // and the pre-rank plan over this corpus prunes to (vec_id, sig)
+      val corpus = spark.read.parquet(dir)
+      val qsigs = corpus.filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"sig".as("qsig"))
+      val plan = Similarity.hammingPreRank(corpus.select($"vec_id", $"sig"),
+        qsigs, 10).queryExecution.executedPlan.toString
+      val reads = "ReadSchema: ([^\\n]*)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(reads.nonEmpty)
+      reads.foreach(rs => assert(!rs.contains("v:"),
+        s"pre-rank scan reads the float column: $rs"))
+    } finally graft.BenchUtil.rmTree(dir)
+  }
+
   test("zkey is deterministic and within the 32-bit Morton range") {
     val z = Layout.q68Zorder(spark, sf001).cache()
     try {
