@@ -55,6 +55,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // names are interpolated into the JSON artifact lines unescaped —
+    // keep that safe by construction (round-11 advice)
+    require(queries.forall(_._1.matches("[A-Za-z0-9_]+")),
+      "query names must be JSON-safe identifiers")
 
     // warmup: once through everything (codegen compile, parquet footer
     // cache, JIT); timings below are the second, steady-state run
@@ -90,10 +94,28 @@ object Bench {
     // residue: r10's d08/s11 watch item showed end-of-run storage can
     // read clean (1 RDD) while mid-suite debt inflates neighbors — the
     // peak makes that observable in the artifact (sampled after each
-    // query; an intra-query spike can still slip between samples)
+    // query; an intra-query spike can still slip between samples).
+    // RDD-count and byte maxima are tracked independently (round-11
+    // advice): the bounded-storage property SCALE.md cites is about
+    // RDD count, and a many-small-RDDs sample must not hide behind a
+    // fewer-bigger-RDDs one
     var peakRdds = 0
     var peakMem = 0L
     var peakAfter = ""
+    // the multi-job iterative-CC / triangle-family queries swing up to
+    // ±2.5× run-to-run under min-of-2 (r10/r11: s11 timed 2.45 s in one
+    // run and 6.08 s in another on identical code; d12/s10/d14/s07
+    // swung 1.3–1.9×) — each CC round is its own job, so these queries
+    // sample the scheduler/JIT/GC state ~10× per execution and two
+    // in-lineage samples share whatever debt the suite queued. Apply
+    // the copy section's protocol — settle before EACH attempt,
+    // median-of-3, every attempt a fresh lineage — and publish the
+    // attempt spreads, so the artifact itself distinguishes run-to-run
+    // variance from a real regression
+    val ccFamily = Set("d08_dedup_clusters", "d12_collapsed_clusters",
+      "s07_knn_graph", "s10_ivf_knn", "s11_semantic_survivors",
+      "d14_containment")
+    val ccAttempts = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = queries.map { case (name, fn) =>
       // settle GC debt from the previous query so its collection pause
       // is not billed to this one (the LSH joins allocate heavily)
@@ -103,13 +125,23 @@ object Bench {
       // the previous query queued; the min is the steady-state estimate
       // (PerfProbe medians agree with it, single samples can be 3× off)
       val sec = try {
-        val t1 = timeSec(materialize(fn(spark, sfDir)))
-        val t2 = timeSec(materialize(fn(spark, sfDir)))
-        math.min(t1, t2)
+        if (ccFamily(name)) {
+          val ts = (1 to 3).map { _ =>
+            System.gc(); Thread.sleep(1000)
+            timeSec(materialize(fn(spark, sfDir)))
+          }
+          ccAttempts(name) = ts
+          ts.sorted.apply(1)
+        } else {
+          val t1 = timeSec(materialize(fn(spark, sfDir)))
+          val t2 = timeSec(materialize(fn(spark, sfDir)))
+          math.min(t1, t2)
+        }
       } catch { case _: Throwable => -1.0 }
       val (nowRdds, nowMem) = storageNow()
-      if (nowMem > peakMem) { peakMem = nowMem; peakRdds = nowRdds; peakAfter = name }
-      // GC across both timed runs (not the settle): the per-query share
+      if (nowMem > peakMem) { peakMem = nowMem; peakAfter = name }
+      if (nowRdds > peakRdds) peakRdds = nowRdds
+      // GC across the timed runs (not the settles): the per-query share
       // of collector time — attribution for any inflated sample
       (name, sec, gcMsNow() - gc0)
     }
@@ -351,6 +383,26 @@ object Bench {
       sec
     }
 
+    // s16 sidecar ingest cost: the write pass that persists the 1-bit
+    // signature lane alongside the float corpus (writeSignedCorpus) vs
+    // the same id-range-clustered write WITHOUT the signature column.
+    // The lane's READ economics are measured in LayoutSpec (24.5 KB sig
+    // chunk vs 794 KB float chunk); this is the other half of the
+    // claim — the extra codegen'd fold on the write path is ~free
+    val embForWrite = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val signedDir = java.nio.file.Files.createTempDirectory("graft-bench-signed").toString
+    val plainDir = java.nio.file.Files.createTempDirectory("graft-bench-plain").toString
+    val signedWriteSec = probeSec {
+      operators.Similarity.writeSignedCorpus(embForWrite, signedDir, cpus.toInt)
+    }
+    val plainWriteSec = probeSec {
+      embForWrite.repartitionByRange(cpus.toInt, $"vec_id")
+        .sortWithinPartitions($"vec_id")
+        .write.mode("overwrite").parquet(plainDir)
+    }
+    rmTree(signedDir); rmTree(plainDir)
+
     // clean up the ~700 bulk files + checkpoint this run created —
     // the driver benches every round and /tmp accumulates otherwise
     rmTree(copyDir)
@@ -370,10 +422,14 @@ object Bench {
       .mkString("{", ",", "}")
     val gcFull = results.map { case (k, _, g) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
+    val ccJson = ccAttempts.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(t => "%.2f".format(t)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     println(s"""{"detail":"per_query_s","queries":$qsFull}""")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"sf":"$sfDir","per_query_s":$qsFull,"per_query_gc_ms":$gcFull}\n""".getBytes("UTF-8"))
+      (s"""{"sf":"$sfDir","per_query_s":$qsFull,"per_query_gc_ms":$gcFull,""" +
+       s""""cc_family_attempts_s":$ccJson}\n""").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // name the tail: the p100 was anonymous for two rounds while it
     // drifted — attribution is the first step of any perf fix
@@ -418,6 +474,14 @@ object Bench {
       s""","pipeline_pairs_clusters_crossmodal_s":${r3(pipelineSec)}""" +
       s""","c05_shared_split_s":${r3(c05SharedSec)}""" +
       s""","c12_admission_s":${r3(c12AdmitSec)}""" +
+      // the six multi-job CC/triangle queries: per-attempt spread under
+      // the settled median-of-3 protocol (their per_query_s value IS
+      // the median) — the spread bounds run-to-run variance in the one
+      // family where a single sample was a coin flip (r11 p100)
+      s""","cc_family_attempts_s":$ccJson""" +
+      // s16 sidecar write: signature lane computed in-plan vs the same
+      // clustered write without it — the ingest-side cost of the lane
+      s""","signed_write_s":${r3(signedWriteSec)},"plain_write_s":${r3(plainWriteSec)}""" +
       // BASELINE.md row mapping (explicit so the grader needn't infer)
       s""","dedup_exact_s":${r3(named("d01_exact_dedup"))}""" +
       s""","minhash_lsh_s":${r3(named("d04_minhash_lsh"))}""" +

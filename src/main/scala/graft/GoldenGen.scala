@@ -66,7 +66,10 @@ object GoldenGen {
       "t30_bpe_encode",
       // c14: c10's admission window over t30's deterministic counts —
       // integer sums, 6dp sort key, golden like its inputs
-      "c14_token_budget_bpe")
+      "c14_token_budget_bpe",
+      // t31: t12's packing over t30's deterministic counts — integer
+      // running sums per lang, golden by the same argument as c14
+      "t31_bpe_packing")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

@@ -1124,6 +1124,41 @@ object Curation {
       .select($"doc_id", $"source", $"n_tok", $"cum_tok")
   }
 
+  // ---- t31: context-window packing on REAL tokenizer counts ----
+
+  /** t31: t12's context-window packing denominated in BPE tokens —
+    * packing is THE operator whose output feeds a trainer's context
+    * windows, so real tokenizer counts matter most here: a 512-token
+    * window is 512 TOKENIZER tokens, and whitespace counts would
+    * misplace every document boundary by the ~5–6× granularity gap.
+    * Same machinery as t12 (per-lang running sum → window id →
+    * per-pack aggregate — one window exchange on lang, never a global
+    * order; at 100 TB shard the key finer, e.g. (lang, hash bucket)),
+    * with n_tok from the t29-trained table applied by
+    * [[graft.functions.BpeEncode]] — still one per-row codegen'd
+    * expression, so the plan shape is bit-identical to t12's. Window
+    * size 2048 ≈ t12's 512 scaled by the observed BPE/whitespace
+    * ratio, so pack counts stay comparable. Deterministic end to end
+    * (t29 training, pure encode, integer sums) → golden-hashed, with
+    * the packing recomputed locally from t30's counts in the spec. */
+  def t31BpePacking(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val merges = TextAnalysis.bpeTrain(docs.select($"doc_id", $"text"), 40)
+    val T = 2048
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select($"lang", $"doc_id",
+        size(graft.functions.BpeEncode($"text", merges))
+          .cast("long").as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("pack_id", floor(($"cum" - $"n_tok") / T))
+      .groupBy($"lang", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+  }
+
   // ---- c13: per-document rejection-reason audit ----
 
   /** c13: WHY each document left the pipeline — the per-doc provenance
@@ -1224,12 +1259,19 @@ object Curation {
       java.nio.file.Files.createTempDirectory("graft-c12-state").toString
     c12CleanupHook // ensure the hook exists before the dir is live
     c12StateDirs.add(stateDir)
+    // bound the in-flight set (round-11 advice): a long-lived session
+    // calling c12 repeatedly otherwise accumulates one state dump per
+    // invocation until JVM exit. FIFO-evict beyond a small window — an
+    // evicted dir backs a plan returned 8 invocations ago, long since
+    // consumed (each invocation here materializes its own state first)
+    while (c12StateDirs.size > 8)
+      Option(c12StateDirs.poll()).foreach(graft.BenchUtil.rmTree)
     curationState(standing, bench).write.mode("overwrite").parquet(stateDir)
     admitDelta(s.read.parquet(stateDir), delta, bench)
   }
 
   private val c12StateDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private lazy val c12CleanupHook: Unit = {
     sys.addShutdownHook {
       c12StateDirs.forEach(d => graft.BenchUtil.rmTree(d))
@@ -1327,6 +1369,7 @@ object Curation {
     "c10_token_budget"      -> (c10TokenBudget _),
     "c11_token_budget_pruned" -> (c11TokenBudgetPruned _),
     "c14_token_budget_bpe"  -> (c14TokenBudgetBpe _),
+    "t31_bpe_packing"       -> (t31BpePacking _),
     "c08_temperature_mix"   -> (c08TemperatureMix _),
     "d13_source_overlap"    -> ((s: SparkSession, d: String) => d13SourceOverlap(s, d)),
     "c07_snapshot_diff"     -> (c07SnapshotDiff _),
@@ -1355,6 +1398,9 @@ object Curation {
     // (t29 table + t30 encode) → golden snapshot; admission maximality
     // asserted in the spec
     "c14_token_budget_bpe"  -> graft.GoldenGen.oracle("c14_token_budget_bpe"),
+    // t31: BPE-denominated packing — counts are engine-side like c14's
+    // → golden snapshot; packing recomputed locally in the spec
+    "t31_bpe_packing"       -> graft.GoldenGen.oracle("t31_bpe_packing"),
     "c13_rejection_reasons" -> c13Sql,
     // c09/c10: integer ranks / integer running sums over a 6dp-rounded
     // sort key → cross-engine total order, full SQL oracles

@@ -1224,6 +1224,32 @@ object TextAnalysis {
       .toDF("rank", "left", "right")
   }
 
+  /** Persist a trained merge table as a parquet artifact — the
+    * train-once / encode-many shape production tokenization uses: t29
+    * runs ONCE over the training corpus (one histogram aggregate + the
+    * driver merge loop), the table ships as a ~MB artifact, and every
+    * later encode pass — the part that actually touches 100 TB — loads
+    * it and runs t30's pure map stage with zero training cost. The
+    * registered t30/c14/t31 entries still retrain inline because the
+    * oracle contract requires each entry to be a pure function of its
+    * input dir; this pair is the production seam (the c12
+    * `curationState` precedent, same parquet-artifact discipline). */
+  def saveMergeTable(merges: Seq[(Int, String, String)], dir: String): Unit = {
+    val s = SparkSession.active
+    import s.implicits._
+    merges.toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a [[saveMergeTable]] artifact, rank-ordered. Round-trip is
+    * exact (int + string columns), so encode-with-loaded-table is
+    * bit-identical to encode-with-trained-table (spec-pinned). */
+  def loadMergeTable(s: SparkSession, dir: String): Seq[(Int, String, String)] = {
+    import s.implicits._
+    s.read.parquet(dir).select($"rank", $"left", $"right")
+      .as[(Int, String, String)].collect().sortBy(_._1).toSeq
+  }
+
   // ---- t30: BPE encode (apply the trained merge table to the corpus) ----
 
   /** t30: ENCODE the corpus with the t29-trained merge table — the

@@ -36,7 +36,8 @@ object PlanAudit {
         "c09_source_cap", "c10_token_budget", "c11_token_budget_pruned",
         "t27_rrf_fusion", "c12_incremental_curation",
         "c13_rejection_reasons", "t28_sketch_profile",
-        "s16_binary_topk").foreach(show)
+        "s16_binary_topk", "t30_bpe_encode", "c14_token_budget_bpe",
+        "t31_bpe_packing").foreach(show)
     spark.stop()
   }
 }

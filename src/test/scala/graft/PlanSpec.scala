@@ -181,6 +181,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.linesIterator.exists(l =>
       l.contains("Window") && l.contains("SinglePartition")),
       "both windows must stay partitioned by source")
+    // the r11 fix made the prune load-bearing; pin the shape that makes
+    // it CHEAP too — pass 1's (source, bin) mass aggregate must combine
+    // map-side, so the sketch never shuffles row-level token counts
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      "bin-mass aggregate is not map-side combined")
+  }
+
+  test("t30: encode is scan→project — no exchange, no join, no generate") {
+    // the 100 TB claim for the tokenizer's corpus-touching half: a pure
+    // map stage (the merge table rides inside the expression), so the
+    // plan may contain NO shuffle, join, or row-multiplying node
+    val p = plan("t30_bpe_encode")
+    assert(!p.contains("Exchange"), s"encode plan shuffles:\n${p.take(800)}")
+    assert(!p.contains("Join") && !p.contains("Generate"), p.take(800))
+    assert(p.contains("bpe_encode"), "codegen'd encode expression missing")
+  }
+
+  test("t31: BPE packing windows per lang, aggregate map-side combined") {
+    val p = plan("t31_bpe_packing")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      "running sum must stay partitioned by lang")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      "pack aggregate is not map-side combined")
   }
 
   test("t27: fusion stage windows per q_id, no cartesian anywhere") {

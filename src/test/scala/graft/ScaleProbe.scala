@@ -162,6 +162,27 @@ object ScaleProbe {
     }
     row("t29_merge_depth_x10",
       t2(bpeAt("x10", 40)), t2(bpeAt("x10", 1000)))
+    // t30 encode-only: the production tokenization pass — table trained
+    // ONCE and loaded from its parquet artifact, then the corpus encode
+    // is a pure map stage; this is the docs/s number a 100 TB pass
+    // cares about (the registered t30 entry instead retrains inline to
+    // stay oracle-self-contained, so its bench time is ~half training)
+    val tableDir = s"$base/merge-table"
+    operators.TextAnalysis.saveMergeTable(
+      operators.TextAnalysis.bpeTrain(
+        spark.read.parquet(s"$base/x1/documents.parquet")
+          .select($"doc_id", $"text"), 40), tableDir)
+    val loadedTable = operators.TextAnalysis.loadMergeTable(spark, tableDir)
+    def encodeOnly(tag: String): Long =
+      spark.read.parquet(s"$base/$tag/documents.parquet")
+        .select($"doc_id",
+          size(graft.functions.BpeEncode($"text", loadedTable)).as("n"))
+        .agg(sum($"n")).head().getLong(0)
+    val enc1 = t2(encodeOnly("x1")); val enc10 = t2(encodeOnly("x10"))
+    row("t30_encode_only", (enc1._1, nDocs1), (enc10._1, nDocs10))
+    println(f"ENCODE t30 pre-trained table: x1 ${nDocs1 / enc1._1}%9.0f docs/s" +
+      f" (${enc1._2}%12d bpe tokens)  x10 ${nDocs10 / enc10._1}%9.0f docs/s" +
+      f" (${enc10._2}%12d bpe tokens)")
 
     if (quad) {
       // the exact quadratic baseline, to show WHY s08 is the scale path:

@@ -632,6 +632,84 @@ class TextAnalysisSpec extends SparkSpec {
       "BPE counts too close to whitespace counts to be char-granular")
   }
 
+  test("t31 BPE packing: per-lang window ids match an independent local packing") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    import graft.functions.BpeEncode
+    val docs = Tables.documents(spark, sf001)
+      .select($"lang", $"doc_id", $"text")
+    val got = Curation.t31BpePacking(spark, sf001)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    // recompute the packing locally from the same deterministic counts
+    // (t30's encode of the t29 table) — pins the window machinery, not
+    // just the snapshot
+    val merges = TextAnalysis.bpeTrain(docs.select($"doc_id", $"text"), 40)
+    val counted = docs.select($"lang", $"doc_id",
+        size(BpeEncode($"text", merges)).cast("long").as("n"))
+      .as[(String, Long, Long)].collect()
+    val want = counted.groupBy(_._1).iterator.flatMap { case (lang, rows) =>
+      val ordered = rows.sortBy(_._2)
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(cums).map { case ((_, id, n), cum) =>
+        (lang, (cum - n) / 2048L, id, n)
+      }.toSeq.groupBy { case (l, p, _, _) => (l, p) }
+        .map { case ((l, p), ds) =>
+          (l, p, ds.size.toLong, ds.map(_._4).sum,
+           ds.map(_._3).min, ds.map(_._3).max)
+        }
+    }.toSet
+    assert(got === want)
+    // the denominator must be load-bearing, not a rescaled t12: if BPE
+    // counts were a constant multiple of whitespace counts, t31 would
+    // cut the same boundaries at a scaled window. Pin that per-doc
+    // BPE/whitespace ratios genuinely vary, and that a whitespace
+    // packing at the SAME 2048 window places at least one doc in a
+    // different pack than t31 does
+    val ws = docs.select($"lang", $"doc_id",
+        size(split($"text", " +")).cast("long").as("n"))
+      .as[(String, Long, Long)].collect()
+    val ratios = counted.map(c => (c._1, c._2) -> c._3).toMap
+    val distinctRatios = ws.map { case (l, id, n) =>
+      math.round(1000.0 * ratios((l, id)) / n)
+    }.distinct
+    assert(distinctRatios.length > 10,
+      "BPE/whitespace ratio is ~constant — the denominator is a rescaled t12")
+    val wsPacks = ws.groupBy(_._1).iterator.flatMap { case (lang, rows) =>
+      val ordered = rows.sortBy(_._2)
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(cums).map { case ((_, id, n), cum) =>
+        (lang, id) -> (cum - n) / 2048L }
+    }.toMap
+    val bpePacks = counted.groupBy(_._1).iterator.flatMap { case (lang, rows) =>
+      val ordered = rows.sortBy(_._2)
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(cums).map { case ((_, id, n), cum) =>
+        (lang, id) -> (cum - n) / 2048L }
+    }.toMap
+    assert(wsPacks.exists { case (k, p) => bpePacks(k) != p },
+      "whitespace packing agrees doc-for-doc with BPE packing")
+  }
+
+  test("merge table save/load round-trips; encode with loaded table is bit-identical") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    import graft.functions.BpeEncode
+    val docs = Tables.documents(spark, sf001).select($"doc_id", $"text")
+    val trained = TextAnalysis.bpeTrain(docs, 40)
+    val dir = java.nio.file.Files.createTempDirectory("graft-merges").toString
+    try {
+      TextAnalysis.saveMergeTable(trained, dir)
+      val loaded = TextAnalysis.loadMergeTable(spark, dir)
+      assert(loaded === trained, "merge table changed across parquet round-trip")
+      // the production seam: train once, persist, encode many — the
+      // loaded artifact must drive the encoder to the same sequences
+      def enc(m: Seq[(Int, String, String)]) = docs
+        .select($"doc_id", xxhash64(concat_ws(" ", BpeEncode($"text", m))))
+        .as[(Long, Long)].collect().toSet
+      assert(enc(loaded) === enc(trained))
+    } finally graft.BenchUtil.rmTree(dir)
+  }
+
   test("c05 split stability under corpus growth: stable unless a delta bridges clusters") {
     import spark.implicits._
     import graft.operators.Curation

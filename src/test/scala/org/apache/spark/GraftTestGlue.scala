@@ -6,9 +6,4 @@ package org.apache.spark
 object GraftTestGlue {
   def setContextConf(sc: SparkContext, key: String, value: String): Unit =
     sc.conf.set(key, value)
-
-  /** Block until queued listener events are delivered — required before
-    * reading accumulated task metrics from a test SparkListener. */
-  def drainListenerBus(sc: SparkContext): Unit =
-    sc.listenerBus.waitUntilEmpty()
 }
