@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1050,13 +1050,8 @@ object Curation {
   def tokenBudgetAdmissionPruned(docs: DataFrame, budget: Long): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val w = Window.partitionBy($"source")
-      .orderBy($"quality".desc, $"doc_id".asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prunedBudgetCandidates(docs, budget)
-      .withColumn("cum_tok", sum($"n_tok").over(w))
-      .filter($"cum_tok" <= budget)
-      .select($"doc_id", $"source", $"n_tok", $"cum_tok")
+    tokenBudgetAdmissionPrunedWith(docs, budget,
+      size(filter(split($"text", " "), t => length(t) > 0)).cast("long"))
   }
 
   /** Pass 1 + the cut filter of [[tokenBudgetAdmissionPruned]]: the
@@ -1067,11 +1062,23 @@ object Curation {
   private[graft] def prunedBudgetCandidates(docs: DataFrame, budget: Long): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    prunedBudgetCandidatesWith(docs, budget,
+      size(filter(split($"text", " "), t => length(t) > 0)).cast("long"))
+  }
+
+  /** [[prunedBudgetCandidates]] generalized over the token-count
+    * expression — the prune's correctness argument never mentions the
+    * denominator (bins are quality-monotone regardless of how tokens
+    * are counted), so the same two-pass machinery serves the
+    * whitespace budget (c11) and the BPE budget (c15) unchanged. */
+  private[graft] def prunedBudgetCandidatesWith(docs: DataFrame, budget: Long,
+                                               nTok: Column): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     val W = 64 // quality ∈ [0,1] → 1/64 bins; /64 is exact in doubles
     val scored = docs.select($"doc_id", $"source",
       round(TextAnalysis.qualityScoreCol($"text"), 6).as("quality"),
-      size(filter(split($"text", " "), t => length(t) > 0))
-        .cast("long").as("n_tok"))
+      nTok.as("n_tok"))
       .withColumn("bin", floor($"quality" * W).cast("int"))
     val wTop = Window.partitionBy($"source").orderBy($"bin".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1121,6 +1128,47 @@ object Curation {
           .cast("long").as("n_tok"))
       .withColumn("cum_tok", sum($"n_tok").over(w))
       .filter($"cum_tok" <= 2400L)
+      .select($"doc_id", $"source", $"n_tok", $"cum_tok")
+  }
+
+  // ---- c15: c14's admission at 100 TB (sketch-pruned BPE budget) ----
+
+  /** c15: the histogram-pruned form of c14 — the scale path for the
+    * BPE-denominated token budget, completing the denomination
+    * unification: every budget operator now has both an exact form and
+    * a same-answer pruned form in BOTH denominations (c10/c11
+    * whitespace, c14/c15 BPE). The c11 two-pass machinery is reused
+    * verbatim with the token-count expression swapped to t30's encode
+    * ([[prunedBudgetCandidatesWith]]): pass 1 aggregates BPE-token mass
+    * per (source, quality bin) map-side into ≤ 64 rows per source and
+    * picks the conservative cut; pass 2 runs c14's exact window over
+    * the survivors only. Same answer as c14 BY CONSTRUCTION — the
+    * strict-> cut argument is denomination-blind (bins are
+    * quality-monotone; token counts only weight the bin masses) — so
+    * c15 hash-checks against c14's OWN golden snapshot, independently
+    * proving the prune preserves the admission (the c11↔c10 / d17↔d08
+    * same-answer-scalable-plan precedent). The prune is asserted
+    * load-bearing in spec under a BPE-oversubscribed source. */
+  def c15TokenBudgetBpePruned(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val merges = TextAnalysis.bpeTrain(docs.select($"doc_id", $"text"), 40)
+    tokenBudgetAdmissionPrunedWith(docs, 2400L,
+      size(graft.functions.BpeEncode($"text", merges)).cast("long"))
+  }
+
+  /** The pruned admission over any token-count expression — c11's
+    * window pass over [[prunedBudgetCandidatesWith]] survivors. */
+  private[graft] def tokenBudgetAdmissionPrunedWith(docs: DataFrame, budget: Long,
+                                                    nTok: Column): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy($"quality".desc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prunedBudgetCandidatesWith(docs, budget, nTok)
+      .withColumn("cum_tok", sum($"n_tok").over(w))
+      .filter($"cum_tok" <= budget)
       .select($"doc_id", $"source", $"n_tok", $"cum_tok")
   }
 
@@ -1369,6 +1417,7 @@ object Curation {
     "c10_token_budget"      -> (c10TokenBudget _),
     "c11_token_budget_pruned" -> (c11TokenBudgetPruned _),
     "c14_token_budget_bpe"  -> (c14TokenBudgetBpe _),
+    "c15_token_budget_bpe_pruned" -> (c15TokenBudgetBpePruned _),
     "t31_bpe_packing"       -> (t31BpePacking _),
     "c08_temperature_mix"   -> (c08TemperatureMix _),
     "d13_source_overlap"    -> ((s: SparkSession, d: String) => d13SourceOverlap(s, d)),
@@ -1398,6 +1447,10 @@ object Curation {
     // (t29 table + t30 encode) → golden snapshot; admission maximality
     // asserted in the spec
     "c14_token_budget_bpe"  -> graft.GoldenGen.oracle("c14_token_budget_bpe"),
+    // c15 ≡ c14 by construction (conservative sketch cut + exact pass,
+    // denomination-blind) → c14's own golden, independently
+    // hash-checking the pruning proof — the c11↔c10 precedent
+    "c15_token_budget_bpe_pruned" -> graft.GoldenGen.oracle("c14_token_budget_bpe"),
     // t31: BPE-denominated packing — counts are engine-side like c14's
     // → golden snapshot; packing recomputed locally in the spec
     "t31_bpe_packing"       -> graft.GoldenGen.oracle("t31_bpe_packing"),

@@ -1512,7 +1512,170 @@ object Similarity {
       |    ORDER BY cosine DESC, n_id ASC) AS rank FROM scored)
       |WHERE rank <= 3""".stripMargin
 
+  // ---- s17: persisted IVF index (the inverted file as a parquet layout) ----
+
+  /** Write the IVF INVERTED FILE as a parquet layout: corpus assigned
+    * to its nearest centroid (the exact s03 assignment rule — cosine
+    * desc, cluster_id tie-break) and written `partitionBy(cluster_id)`,
+    * one directory per posting list. This is IVF re-expressed in
+    * Spark's storage model: no bespoke in-memory index — probe-time
+    * list selection is PARTITION PRUNING, resolved against directory
+    * names at planning time, so a probe scan opens only the probed
+    * lists' files and the unprobed mass (the overwhelming majority at
+    * scale: nprobe/k of the lists) is never read. Norms are computed
+    * once here and persisted beside the vectors, so serving never
+    * recomputes them. At 100 TB: k grows ~√n, each list directory
+    * holds corpus/k vectors across multiple files; the index is
+    * written once at ingest (beside [[writeSignedCorpus]]'s signature
+    * lane) and every query run is metadata-pruned — completing the
+    * train-once(:centroids)/index-once(:this)/serve-many seam the
+    * `spark.graft.centroids.dir` store started. */
+  def writeIvfIndex(vecs: DataFrame, centroids: DataFrame, outDir: String): Unit = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val wc = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"cluster_id".asc)
+    vecs.withColumn("nrm", norm($"v"))
+      .crossJoin(broadcast(centroids))
+      .select($"vec_id", $"v", $"nrm", $"cluster_id",
+        (dot($"v", $"cv") / ($"nrm" * $"cn")).as("c_cos"))
+      .withColumn("rn", row_number().over(wc))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cluster_id")
+      .repartition($"cluster_id")
+      .sortWithinPartitions($"vec_id")
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(outDir)
+  }
+
+  /** Serve top-k from a persisted [[writeIvfIndex]] layout. The probed
+    * list ids are collected to a LITERAL `isin` partition filter
+    * (≤ nprobe·|queries| ints — a model-artifact-sized fetch, the
+    * centroid-collect precedent), so pruning is static and visible in
+    * the plan (`PartitionFilters`/`PartitionCount`, spec-pinned); the
+    * search itself is s03's exact-cosine window over the probed lists.
+    * Bit-identical to the in-plan [[s03IvfTopK]] for the same
+    * centroids/parameters: doubles round-trip parquet exactly and the
+    * dot is index-ordered — s17 hash-checks against s03's own golden. */
+  def ivfTopKFromIndex(s: SparkSession, indexDir: String, centroids: DataFrame,
+                       queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val wq = Window.partitionBy($"q_id").orderBy($"c_cos".desc, $"cluster_id".asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select($"q_id", $"qv", $"qn", $"cluster_id",
+        (dot($"qv", $"cv") / ($"qn" * $"cn")).as("c_cos"))
+      .withColumn("c_rank", row_number().over(wq))
+      .filter($"c_rank" <= nprobe)
+      .select($"q_id", $"qv", $"qn", $"cluster_id".as("probe_cluster"))
+    val probedIds = probes.select($"probe_cluster").distinct()
+      .as[Int].collect().sorted
+    val index = s.read.parquet(indexDir)
+      .filter($"cluster_id".isin(probedIds.map(Int.box): _*))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
+    index.join(broadcast(probes),
+        $"cluster_id" === $"probe_cluster" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        (dot($"v", $"qv") / ($"nrm" * $"qn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"q_id", $"n_id", $"rank", round($"cosine", 6).as("cosine_r"))
+  }
+
+  /** Registered: build the index in a temp dir in-plan (the oracle
+    * contract — every entry a pure function of its input dir; the c12
+    * state-build precedent) and serve s03's exact query through it.
+    * Production writes the index once and calls [[ivfTopKFromIndex]]
+    * per query run; the bench's steady-state probe measures that path. */
+  def s17IvfPersistedTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d).withColumn("nrm", norm($"v"))
+    val centroids = trainedCentroids(s, d, k = 5, iters = 2)
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("graft-s17-index").toString
+    s17CleanupHook
+    s17IndexDirs.add(indexDir)
+    while (s17IndexDirs.size > 8)
+      Option(s17IndexDirs.poll()).foreach(graft.BenchUtil.rmTree)
+    writeIvfIndex(c.select($"vec_id", $"v"), centroids, indexDir)
+    val q = c.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    ivfTopKFromIndex(s, indexDir, centroids, q, nprobe = 2, k = 3)
+  }
+
+  private val s17IndexDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val s17CleanupHook: Unit = {
+    sys.addShutdownHook {
+      s17IndexDirs.forEach(d => graft.BenchUtil.rmTree(d))
+    }
+    ()
+  }
+
+  // ---- s18: incremental IVF index maintenance (append the delta) ----
+
+  /** Append a DELTA of vectors to a persisted [[writeIvfIndex]] layout
+    * WITHOUT touching standing data: the delta is assigned to the same
+    * frozen centroids (the quantizer is an artifact, not re-trained per
+    * batch — standard IVF practice; re-train is a deliberate offline
+    * event that rebuilds) and appended into the matching list
+    * directories (dynamic-partition append — new files land inside
+    * existing `cluster_id=` dirs, standing files are never rewritten).
+    * Cost ∝ |delta|: one assignment pass over the delta plus one write
+    * of delta-sized files — the incremental-family economics
+    * (d11/s06/m08/c12/t28) extended to the ANN index, closing the CDC
+    * loop for serving: c07 diffs the corpus, s06 delta-joins the new
+    * vectors, s18 keeps the INDEX current without a rebuild.
+    *
+    * Serving the appended index is BIT-IDENTICAL to a full rebuild over
+    * standing ∪ delta with the same centroids: assignment is per-vector
+    * independent, and [[ivfTopKFromIndex]]'s windows are total-ordered,
+    * so file/row arrival order cannot leak into results (spec-pinned,
+    * and the registered entry hash-checks against s03's golden — the
+    * third same-answer check on this path after rebuild ≡ in-plan). */
+  def appendToIvfIndex(delta: DataFrame, centroids: DataFrame,
+                       indexDir: String): Unit = {
+    val s = delta.sparkSession
+    import s.implicits._
+    val wc = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"cluster_id".asc)
+    delta.withColumn("nrm", norm($"v"))
+      .crossJoin(broadcast(centroids))
+      .select($"vec_id", $"v", $"nrm", $"cluster_id",
+        (dot($"v", $"cv") / ($"nrm" * $"cn")).as("c_cos"))
+      .withColumn("rn", row_number().over(wc))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cluster_id")
+      .repartition($"cluster_id")
+      .sortWithinPartitions($"vec_id")
+      .write.mode("append").partitionBy("cluster_id").parquet(indexDir)
+  }
+
+  /** Registered: standing index (first ~80% of the id range) + delta
+    * append (last ~20%), then s03's exact query served through the
+    * grown index — ≡ s03's golden for ANY split boundary, which is the
+    * operator's whole contract (the c12 registration discipline). */
+  def s18IvfAppendServe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d).withColumn("nrm", norm($"v"))
+    val centroids = trainedCentroids(s, d, k = 5, iters = 2)
+    val maxId = c.agg(max($"vec_id")).head().getLong(0)
+    val boundary = maxId - (maxId + 1) / 5
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("graft-s18-index").toString
+    s17CleanupHook
+    s17IndexDirs.add(indexDir)
+    while (s17IndexDirs.size > 8)
+      Option(s17IndexDirs.poll()).foreach(graft.BenchUtil.rmTree)
+    writeIvfIndex(c.filter($"vec_id" <= boundary).select($"vec_id", $"v"),
+      centroids, indexDir)
+    appendToIvfIndex(c.filter($"vec_id" > boundary).select($"vec_id", $"v"),
+      centroids, indexDir)
+    ivfTopKFromIndex(s, indexDir, centroids,
+      c.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn")),
+      nprobe = 2, k = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_ivf_persisted"     -> (s17IvfPersistedTopK _),
+    "s18_ivf_append_serve"  -> (s18IvfAppendServe _),
     "s16_binary_topk"       -> (s16BinaryTopK _),
     "s15_mmr_topk"          -> (s15MmrTopK _),
     "s14_int8_topk"         -> (s14Int8TopK _),
@@ -1534,6 +1697,14 @@ object Similarity {
   // def, not val: the golden-snapshot oracle resolves the sf tag at
   // dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // s17 ≡ s03 bit-identically (same centroids/probes/ties; doubles
+    // round-trip parquet exactly) → s03's own golden, independently
+    // hash-checking that the persisted-index path preserves the answer
+    "s17_ivf_persisted"     -> graft.GoldenGen.oracle("s03_ivf_topk"),
+    // s18 ≡ s03 for ANY standing/delta boundary (per-vector-independent
+    // assignment + total-ordered serve windows) → the same golden,
+    // hash-checking that incremental append preserves the answer
+    "s18_ivf_append_serve"  -> graft.GoldenGen.oracle("s03_ivf_topk"),
     // s16: integer Hamming + total-ordered windows + the same IEEE
     // cosine as s01 → full SQL oracle; DuckDB computes Hamming WITHOUT
     // bit packing (per-coordinate sign disagreement), independently

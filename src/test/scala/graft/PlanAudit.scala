@@ -37,7 +37,8 @@ object PlanAudit {
         "t27_rrf_fusion", "c12_incremental_curation",
         "c13_rejection_reasons", "t28_sketch_profile",
         "s16_binary_topk", "t30_bpe_encode", "c14_token_budget_bpe",
-        "t31_bpe_packing").foreach(show)
+        "c15_token_budget_bpe_pruned", "t31_bpe_packing",
+        "s17_ivf_persisted", "s18_ivf_append_serve").foreach(show)
     spark.stop()
   }
 }

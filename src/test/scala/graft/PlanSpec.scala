@@ -188,6 +188,17 @@ class PlanSpec extends SparkSpec {
       "bin-mass aggregate is not map-side combined")
   }
 
+  test("c15: BPE budget prune keeps c11's shape — cuts broadcast, windows per-source, bin agg partial") {
+    val p = plan("c15_token_budget_bpe_pruned")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("BroadcastHashJoin"), "cut frame must broadcast")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      "both windows must stay partitioned by source")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      "bin-mass aggregate is not map-side combined")
+  }
+
   test("t30: encode is scan→project — no exchange, no join, no generate") {
     // the 100 TB claim for the tokenizer's corpus-touching half: a pure
     // map stage (the merge table rides inside the expression), so the
@@ -280,6 +291,17 @@ class PlanSpec extends SparkSpec {
     val p = plan("s01_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(600))
+  }
+
+  test("s17: persisted-index serve — probed-list partition filter in the scan, probes broadcast") {
+    val p = plan("s17_ivf_persisted")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // the scale mechanism: the probed cluster ids must reach the index
+    // scan as a PARTITION filter (directory pruning), not a row filter
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(l => l.contains("cluster_id") && !l.contains("[]")),
+      s"probe filter not pushed to partition pruning: ${pf.getOrElse("no line")}")
+    assert(p.contains("BroadcastHashJoin"), "probe frame must broadcast")
   }
 
   test("s14: quantized retrieval keeps s01's shape — query side broadcast") {

@@ -632,6 +632,51 @@ class TextAnalysisSpec extends SparkSpec {
       "BPE counts too close to whitespace counts to be char-granular")
   }
 
+  test("c15 pruned BPE admission ≡ c14 exact, prune load-bearing under BPE skew") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    import graft.functions.BpeEncode
+    // on the sf corpus the two registered entries must agree exactly
+    // (they also share c14's golden in the driver gate — this is the
+    // in-process pin with readable failures)
+    val a = Curation.c14TokenBudgetBpe(spark, sf001)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val b = Curation.c15TokenBudgetBpePruned(spark, sf001)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(a === b, "pruned BPE form diverges from exact on the sf corpus")
+    // BPE-oversubscribed synthetic: same fixture family as the c11
+    // spec, but admission runs on BPE counts from a table trained on
+    // the synth corpus itself — the cut must exclude most of the mass
+    // while the survivor window reproduces the exact admission
+    val synth = (0L until 5000L).map { i =>
+      val distinct = (i % 10 + 1).toInt
+      (i, "big", (0 until 24).map(j => s"w${j % distinct}").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val merges = TextAnalysis.bpeTrain(synth.select($"doc_id", $"text"), 40)
+    val nTok = size(BpeEncode($"text", merges)).cast("long")
+    val budget = 9000L
+    val pruned = Curation.tokenBudgetAdmissionPrunedWith(synth, budget, nTok)
+      .as[(Long, String, Long, Long)].collect().toSet
+    // exact admission recomputed locally from the same deterministic
+    // inputs (quality, BPE count), (quality desc, id asc) prefix
+    val scored = synth.select($"doc_id", $"source",
+        round(TextAnalysis.qualityScoreCol($"text"), 6).as("q"), nTok.as("n"))
+      .as[(Long, String, Double, Long)].collect()
+    val want = scored.groupBy(_._2).iterator.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (-r._3, r._1))
+      val cums = ordered.scanLeft(0L)(_ + _._4).tail
+      ordered.zip(cums).takeWhile(_._2 <= budget)
+        .map { case (r, c) => (r._1, r._2, r._4, c) }
+    }.toSet
+    assert(pruned === want, "pruned BPE admission diverges from exact under skew")
+    val candidates =
+      Curation.prunedBudgetCandidatesWith(synth, budget, nTok).count()
+    assert(candidates < 5000L / 4,
+      s"BPE sketch cut is a no-op: $candidates of 5000 docs reach the exact sort")
+    assert(candidates >= pruned.size,
+      "candidate frame must contain every admitted doc")
+  }
+
   test("t31 BPE packing: per-lang window ids match an independent local packing") {
     import spark.implicits._
     import graft.operators.{Curation, TextAnalysis}
