@@ -278,4 +278,49 @@ class PartitionInvarianceSpec extends SparkSpec {
     assert(narrow._4 === wide._4, "m08 admission diverges across parallelism")
     assert(narrow._5 === wide._5, "t30 encode diverges across parallelism")
   }
+
+  test("s17 index write/serve and t31 BPE packing are parallelism invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // s17's layout write shards lists across files differently at
+    // different parallelisms — the SERVE result must not notice (the
+    // total-ordered windows absorb file/row arrival order); t31's
+    // per-lang running sums must not leak shuffle order
+    val docs = Tables.documents(spark, sf001)
+      .select($"lang", $"doc_id", $"text")
+    val emb = Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cen = operators.Similarity.trainedCentroids(spark, sf001, k = 5, iters = 2)
+    def run(inputParts: Int, shuffleParts: Int) = withShuffle(shuffleParts) {
+      val d = docs.repartition(inputParts)
+      val merges = operators.TextAnalysis.bpeTrain(
+        d.select($"doc_id", $"text"), 40)
+      val t31 = d.select($"lang", $"doc_id",
+          size(graft.functions.BpeEncode($"text", merges)).cast("long").as("n_tok"))
+        .withColumn("cum", sum($"n_tok").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+            .orderBy($"doc_id")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+        .withColumn("pack_id", floor(($"cum" - $"n_tok") / 2048))
+        .groupBy($"lang", $"pack_id")
+        .agg(count(lit(1)).as("n"), sum($"n_tok").as("st"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      val v = emb.repartition(inputParts)
+      val dir = java.nio.file.Files.createTempDirectory("inv-s17").toString
+      val s17 = try {
+        operators.Similarity.writeIvfIndex(v, cen, dir)
+        val q = v.withColumn("nrm", operators.Similarity.norm($"v"))
+          .filter($"vec_id" < 20)
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+        operators.Similarity.ivfTopKFromIndex(spark, dir, cen, q, 2, 3)
+          .as[(Long, Long, Int, Double)].collect().toSet
+      } finally graft.BenchUtil.rmTree(dir)
+      (t31, s17)
+    }
+    val narrow = run(inputParts = 3, shuffleParts = 5)
+    val wide = run(inputParts = 17, shuffleParts = 32)
+    assert(narrow._1 === wide._1, "t31 packing diverges across parallelism")
+    assert(narrow._2 === wide._2, "s17 serve diverges across parallelism")
+  }
 }

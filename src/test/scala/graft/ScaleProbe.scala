@@ -184,6 +184,38 @@ object ScaleProbe {
       f" (${enc1._2}%12d bpe tokens)  x10 ${nDocs10 / enc10._1}%9.0f docs/s" +
       f" (${enc10._2}%12d bpe tokens)")
 
+    // s17/s18 persisted-index economics at 10×: full inverted-file
+    // rebuild over the x10 corpus vs appending a 2% delta (last 20% of
+    // the last copy) to a standing index — append must cost ~the delta
+    // fraction plus fixed job overhead, never the corpus
+    locally {
+      import operators.Similarity
+      def embX(tag: String) = spark.read.parquet(s"$base/$tag/embeddings.parquet")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val cen = Similarity.trainedCentroids(spark, docsAt("x10"), k = 5, iters = 2)
+      val vx = embX("x10")
+      val baseMax = embX("x1").agg(max($"vec_id")).head().getLong(0)
+      val cut = 9L * 10000000L + (baseMax * 4) / 5 // 2% of the x10 corpus
+      val standing = vx.filter($"vec_id" <= cut)
+      val delta = vx.filter($"vec_id" > cut)
+      val nDelta = delta.count(); val nAll = vx.count()
+      val rbDir = java.nio.file.Files.createTempDirectory("s18-rb").toString
+      val rebuildS = math.min(
+        timeSec(Similarity.writeIvfIndex(vx, cen, rbDir)),
+        timeSec(Similarity.writeIvfIndex(vx, cen, rbDir)))
+      val apDir = java.nio.file.Files.createTempDirectory("s18-ap").toString
+      Similarity.writeIvfIndex(standing, cen, apDir)
+      // append twice, min — each append writes the same delta-sized
+      // files; duplicate ids are fine for a write-cost measurement
+      val appendS = math.min(
+        timeSec(Similarity.appendToIvfIndex(delta, cen, apDir)),
+        timeSec(Similarity.appendToIvfIndex(delta, cen, apDir)))
+      println(f"SCALE s18_append_x10        rebuild=${rebuildS}%6.2fs ($nAll%8d vecs)  " +
+        f"append=${appendS}%6.2fs ($nDelta%8d vecs, ${100.0 * nDelta / nAll}%4.1f%%)  " +
+        f"cost-ratio=${appendS / rebuildS}%5.2fx")
+      BenchUtil.rmTree(rbDir); BenchUtil.rmTree(apDir)
+    }
+
     if (quad) {
       // the exact quadratic baseline, to show WHY s08 is the scale path:
       // s04 compares all pairs regardless of data — 100× work at 10× rows

@@ -138,6 +138,52 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s18 online: micro-batched foreachBatch appends keep the index ≡ rebuild") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the live form of s18: a vector stream (new embeddings from the
+    // ingest pipeline) drains through foreachBatch → appendToIvfIndex,
+    // and at every point the served index equals a from-scratch rebuild
+    // — index maintenance as a standing streaming job, the
+    // StreamingCuration discipline applied to serving
+    val c = Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val centroids = Similarity.trainedCentroids(spark, sf001, k = 5, iters = 2)
+    val q = c.withColumn("nrm", Similarity.norm($"v")).filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    def serve(dir: String) =
+      Similarity.ivfTopKFromIndex(spark, dir, centroids, q, nprobe = 2, k = 3)
+        .as[(Long, Long, Int, Double)].collect().toSet
+    val rebuilt = {
+      val dir = java.nio.file.Files.createTempDirectory("s18-rb").toString
+      try { Similarity.writeIvfIndex(c, centroids, dir); serve(dir) }
+      finally graft.BenchUtil.rmTree(dir)
+    }
+    val all = c.as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val (standing, live) = all.splitAt(all.size * 2 / 5)
+    val dir = java.nio.file.Files.createTempDirectory("s18-live").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("s18-ckpt").toString
+    try {
+      Similarity.writeIvfIndex(standing.toDF("vec_id", "v"), centroids, dir)
+      val input = MemoryStream[(Long, Seq[Double])]
+      val sq = input.toDF().toDF("vec_id", "v").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Similarity.appendToIvfIndex(b, centroids, dir); ()
+        }.start()
+      try {
+        live.grouped(math.max(1, live.size / 3)).foreach { batch =>
+          input.addData(batch: _*)
+          sq.processAllAvailable()
+        }
+      } finally sq.stop()
+      assert(serve(dir) === rebuilt,
+        "streamed index maintenance diverged from a full rebuild")
+    } finally { graft.BenchUtil.rmTree(dir); graft.BenchUtil.rmTree(ckpt) }
+  }
+
   test("s08 IVF near-dup: perfect precision, recall floor, k-means quantizer parity") {
     import spark.implicits._
     val truth = Similarity.s02EmbeddingNearDup(spark, sf001)
