@@ -69,7 +69,10 @@ object GoldenGen {
       "c14_token_budget_bpe",
       // t31: t12's packing over t30's deterministic counts — integer
       // running sums per lang, golden by the same argument as c14
-      "t31_bpe_packing")
+      "t31_bpe_packing",
+      // t32: per-source integer aggregates of t30's counts + 6dp
+      // ratios — golden like its input
+      "t32_tokenizer_report")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

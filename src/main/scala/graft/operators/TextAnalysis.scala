@@ -1282,6 +1282,42 @@ object TextAnalysis {
       xxhash64(concat_ws(" ", toks)).as("tok_hash"))
   }
 
+  // ---- t32: tokenizer fertility / compression report ----
+
+  /** t32: the per-source tokenizer-economics report — the numbers a
+    * tokenizer team reads before committing a vocabulary: FERTILITY
+    * (BPE tokens per whitespace word — how many pieces the tokenizer
+    * shatters a word into; near 1.0 on in-domain text, inflated on
+    * out-of-vocabulary sources) and COMPRESSION (characters per BPE
+    * token — how much text a context window actually holds). Per
+    * source because that is the decision grain: a source with outlier
+    * fertility either needs vocab coverage or burns training budget.
+    * Composes t29's table + t30's encoder into ONE aggregate pass:
+    * per-row codegen'd counts (BpeEncode size, whitespace size,
+    * length) → partial+final hash aggregate on source — t13's shuffle
+    * shape, a few rows out at any corpus size. Integer sums with 6dp
+    * ratio rounding ⇒ deterministic → golden-hashed like its t30
+    * input. */
+  def t32TokenizerReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val merges = bpeTrain(docs.select($"doc_id", $"text"), 40)
+    docs.select($"source",
+        size(graft.functions.BpeEncode($"text", merges))
+          .cast("long").as("n_bpe"),
+        size(filter(split($"text", " "), t => length(t) > 0))
+          .cast("long").as("n_ws"),
+        length($"text").cast("long").as("n_chars"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_bpe").as("bpe_tokens"),
+        sum($"n_ws").as("ws_tokens"),
+        sum($"n_chars").as("chars"),
+        round(sum($"n_bpe") / sum($"n_ws").cast("double"), 6).as("fertility"),
+        round(sum($"n_chars") / sum($"n_bpe").cast("double"), 6)
+          .as("chars_per_token"))
+  }
+
   // ---- t28: mergeable sketch profile (incremental corpus profiling) ----
 
   /** t28: the per-source corpus profile rebuilt from MERGEABLE SKETCH
@@ -1337,6 +1373,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t32_tokenizer_report" -> (t32TokenizerReport _),
     "t30_bpe_encode"     -> (t30BpeEncode _),
     "t29_bpe_train"      -> (t29BpeTrain _),
     "t28_sketch_profile" -> (t28SketchProfile _),
@@ -1378,6 +1415,9 @@ object TextAnalysis {
     // → golden snapshot, worked examples (incl. the rank-revisit
     // subtlety) hand-pinned in the spec
     "t30_bpe_encode"     -> graft.GoldenGen.oracle("t30_bpe_encode"),
+    // t32: integer aggregates of t30's engine-side counts + 6dp ratios
+    // → golden like its input; cross-checked against t30 in spec
+    "t32_tokenizer_report" -> graft.GoldenGen.oracle("t32_tokenizer_report"),
     // t28: engine-specific sketch hashing (Datasketches HLL) →
     // golden-hashed; estimates are integer and the register-max algebra
     // makes them invariant to batch slicing and partitioning

@@ -38,7 +38,8 @@ object PlanAudit {
         "c13_rejection_reasons", "t28_sketch_profile",
         "s16_binary_topk", "t30_bpe_encode", "c14_token_budget_bpe",
         "c15_token_budget_bpe_pruned", "t31_bpe_packing",
-        "s17_ivf_persisted", "s18_ivf_append_serve").foreach(show)
+        "s17_ivf_persisted", "s18_ivf_append_serve",
+        "t32_tokenizer_report").foreach(show)
     spark.stop()
   }
 }

@@ -735,6 +735,36 @@ class TextAnalysisSpec extends SparkSpec {
       "whitespace packing agrees doc-for-doc with BPE packing")
   }
 
+  test("t32 tokenizer report: aggregates re-derived from t30's per-doc counts") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.t32TokenizerReport(spark, sf001)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    // independent recompute: t30's own per-doc BPE counts joined back
+    // to source, plus local whitespace/char sums — the report must be
+    // exactly the aggregate of the counts the encoder entry publishes
+    val srcOf = Tables.documents(spark, sf001)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+    val bpe = TextAnalysis.t30BpeEncode(spark, sf001)
+      .select($"doc_id", $"n_bpe").as[(Long, Long)].collect().toMap
+    srcOf.groupBy(_._2).foreach { case (src, rows) =>
+      val (_, nDocs, bpeT, wsT, chars, fert, cpt) = got(src)
+      assert(nDocs === rows.size)
+      assert(bpeT === rows.map(r => bpe(r._1)).sum,
+        s"$src: report BPE sum diverges from t30's counts")
+      assert(wsT === rows.map(_._3.split(" ").count(_.nonEmpty).toLong).sum)
+      assert(chars === rows.map(_._3.length.toLong).sum)
+      assert(math.abs(fert - bpeT.toDouble / wsT) < 1e-5)
+      assert(math.abs(cpt - chars.toDouble / bpeT) < 1e-5)
+      // 40-merge BPE sits near character granularity: fertility must be
+      // well above 1 and each token must average only a few characters
+      assert(fert > 2.0 && cpt < 4.0, s"$src: fertility=$fert cpt=$cpt")
+    }
+  }
+
   test("merge table save/load round-trips; encode with loaded table is bit-identical") {
     import spark.implicits._
     import graft.operators.TextAnalysis
