@@ -1552,6 +1552,12 @@ object Similarity {
     * centroid-collect precedent), so pruning is static and visible in
     * the plan (`PartitionFilters`/`PartitionCount`, spec-pinned); the
     * search itself is s03's exact-cosine window over the probed lists.
+    * (Spark additionally attaches dynamic partition pruning from the
+    * broadcast probe join on the partition column — observed in the
+    * spec's plan — so a query batch too large to collect could drop
+    * the literal filter and still get runtime list pruning via DPP;
+    * the static form is kept because it prunes at PLANNING time and
+    * makes the pruned file set assertable.)
     * Bit-identical to the in-plan [[s03IvfTopK]] for the same
     * centroids/parameters: doubles round-trip parquet exactly and the
     * dot is index-ordered — s17 hash-checks against s03's own golden. */
