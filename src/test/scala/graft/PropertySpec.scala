@@ -411,4 +411,60 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("sketch-pruned budget ≡ exact on random corpora, incl. budgets AT a prefix boundary") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    import graft.functions.BpeEncode
+    // the c11/c15 cut proof has one sharp corner: better-mass exactly
+    // equal to the budget. Random corpora alone almost never land
+    // there, so for every corpus the budget sweep INCLUDES exact
+    // per-source cumulative prefix sums (where cum_tok == budget admits
+    // the boundary doc) alongside tiny/huge budgets
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu")
+    (0 until 4).foreach { seed =>
+      val rnd = new scala.util.Random(7000 + seed)
+      val rows = (0L until (30 + rnd.nextInt(30)).toLong).map { i =>
+        val n = 4 + rnd.nextInt(36)
+        (i, s"s${rnd.nextInt(3)}",
+          Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val docs = rows.toDF("doc_id", "source", "text")
+      // whitespace denomination: exact window vs pruned two-pass
+      def wsAdmit(b: Long) = Curation.tokenBudgetAdmission(docs, b)
+        .as[(Long, String, Long, Long)].collect().toSet
+      // boundary budgets: actual cumulative sums in the admission order
+      val cums = wsAdmit(Long.MaxValue / 4).toSeq.map(_._4)
+      val budgets = (Seq(1L, 7L, 100000L) ++
+        Seq.fill(3)(cums(rnd.nextInt(cums.size)))).distinct
+      budgets.foreach { b =>
+        val exact = wsAdmit(b)
+        val pruned = Curation.tokenBudgetAdmissionPruned(docs, b)
+          .as[(Long, String, Long, Long)].collect().toSet
+        assert(exact === pruned, s"seed=$seed budget=$b (whitespace)")
+      }
+      // BPE denomination: pruned two-pass vs a local exact recompute
+      val merges = TextAnalysis.bpeTrain(docs.select($"doc_id", $"text"), 20)
+      val nTok = size(BpeEncode($"text", merges)).cast("long")
+      val scored = docs.select($"doc_id", $"source",
+          round(TextAnalysis.qualityScoreCol($"text"), 6).as("q"), nTok.as("n"))
+        .as[(Long, String, Double, Long)].collect()
+      def exactBpe(b: Long) = scored.groupBy(_._2).iterator.flatMap {
+        case (_, rs) =>
+          val ordered = rs.sortBy(r => (-r._3, r._1))
+          val cs = ordered.scanLeft(0L)(_ + _._4).tail
+          ordered.zip(cs).takeWhile(_._2 <= b)
+            .map { case (r, c) => (r._1, r._2, r._4, c) }
+      }.toSet
+      val bpeCums = exactBpe(Long.MaxValue / 4).toSeq.map(_._4)
+      val bpeBudgets = (Seq(3L, 40L, 100000L) ++
+        Seq.fill(3)(bpeCums(rnd.nextInt(bpeCums.size)))).distinct
+      bpeBudgets.foreach { b =>
+        val pruned = Curation.tokenBudgetAdmissionPrunedWith(docs, b, nTok)
+          .as[(Long, String, Long, Long)].collect().toSet
+        assert(exactBpe(b) === pruned, s"seed=$seed budget=$b (bpe)")
+      }
+    }
+  }
 }
