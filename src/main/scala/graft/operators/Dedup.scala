@@ -513,6 +513,75 @@ object Dedup {
   def d15SubstringSpans(s: SparkSession, d: String): DataFrame =
     substringSpans(documents(s, d).select(col("doc_id"), col("text")), 8)
 
+  /** d18: the CONSUMING half of d15 — actually produce the cleaned
+    * corpus. d15 reports where cross-doc duplicated substrings live;
+    * Lee et al. 2022's dedup then REMOVES every occurrence but one.
+    * Contract (token-level, deterministic): each duplicated k-window is
+    * OWNED by the smallest doc_id containing it; a token survives iff
+    * it is not covered by any foreign-owned duplicated window. The
+    * owner doc keeps its copy (unless an overlapping window is owned
+    * elsewhere — the documented corner of window-granular dedup);
+    * every other doc's copy is excised. Output per doc: original/kept/
+    * removed token counts and the sha-256 of the cleaned text — the
+    * full text stays distributed (it is corpus-sized; the hash pins it
+    * bit-exactly for the oracle).
+    *
+    * Scale shape — all equi, all linear, no pair term (d15's
+    * discipline): window explode (∝ token mass) → owner aggregate on
+    * the window key (map-side combined; a million-doc boilerplate
+    * window is agg-key skew, bounded per task) → foreign-occurrence
+    * equi-join back on the window key → per-doc islands → removed
+    * positions exploded (∝ removed mass) → one anti equi-join on
+    * (doc_id, pos) → per-doc ordered reassembly (sort_array over
+    * collected (pos, token) structs — per-doc state, uniform key). At
+    * 100 TB the window key becomes a 128-bit hash (the d15 note); the
+    * entry keeps window text so DuckDB replicates bit-for-bit. */
+  def dedupSubstrings(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(k >= 2, "window length must be at least 2 tokens")
+    val toks = docs.select($"doc_id", tokens($"text").as("t"))
+    val long = toks.filter(size($"t") >= k)
+    val wins = long.select($"doc_id",
+        posexplode(transform(sequence(lit(0), size($"t") - k),
+          i => array_join(slice($"t", i + 1, lit(k)), " "))))
+      .toDF("doc_id", "pos", "w")
+    val owners = wins.groupBy($"w")
+      .agg(min($"doc_id").as("owner"), countDistinct($"doc_id").as("nd"))
+      .filter($"nd" > 1)
+      .select($"w", $"owner")
+    val foreign = wins.join(owners, "w").filter($"doc_id" =!= $"owner")
+      .select($"doc_id", $"pos")
+    // islands of consecutive foreign windows → covered token ranges;
+    // non-adjacent islands can still overlap by < k tokens, so removal
+    // is a distinct position set, not a range list
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val removedPos = foreign
+      .withColumn("grp", $"pos" - row_number().over(wn))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").as("s0"), (max($"pos") + k - 1).as("e0"))
+      .select($"doc_id", explode(sequence($"s0", $"e0")).as("pos"))
+      .distinct()
+    // explode ALL docs' positions (short docs simply have no removals),
+    // so a doc is absent from `kept` iff EVERY token was removed
+    val kept = toks
+      .select($"doc_id", posexplode($"t")).toDF("doc_id", "pos", "tok")
+      .join(removedPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct($"pos", $"tok"))),
+          st => st("tok"))).as("cleaned"))
+    toks.select($"doc_id", size($"t").cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_kept", lit(0L)).cast("long").as("n_kept"),
+        ($"n_tokens" - coalesce($"n_kept", lit(0L))).cast("long")
+          .as("n_removed"),
+        sha2(coalesce($"cleaned", lit("")), 256).as("cleaned_sha"))
+  }
+
   /** Maximal cross-doc duplicated ≥k-token spans over any
     * (doc_id, text) frame — see [[d15SubstringSpans]]. Emits
     * (doc_id, span_start, span_len, n_windows) per maximal span,
@@ -551,6 +620,50 @@ object Dedup {
   /** Oracle: the same window/island arithmetic in DuckDB, grouped on
     * the window text (the Spark side groups on the text too in this
     * entry; production swaps in a 128-bit hash key — scaladoc). */
+  def d18DedupSubstrings(s: SparkSession, d: String): DataFrame =
+    dedupSubstrings(documents(s, d).select(col("doc_id"), col("text")), 8)
+
+  val d18Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), longd AS (
+      |  SELECT doc_id, t FROM tok WHERE len(t) >= 8
+      |), win AS (
+      |  SELECT doc_id, unnest(range(0, len(t) - 7)) AS pos, t FROM longd
+      |), w2 AS (
+      |  SELECT doc_id, pos, array_to_string(t[pos+1:pos+8], ' ') AS w FROM win
+      |), own AS (
+      |  SELECT w, MIN(doc_id) AS owner FROM w2
+      |  GROUP BY w HAVING COUNT(DISTINCT doc_id) > 1
+      |), foreign_occ AS (
+      |  SELECT w2.doc_id, w2.pos FROM w2 JOIN own USING (w)
+      |  WHERE w2.doc_id <> own.owner
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM foreign_occ
+      |), spans AS (
+      |  SELECT doc_id, MIN(pos) AS s0, MAX(pos) + 7 AS e0
+      |  FROM isl GROUP BY doc_id, grp
+      |), removed AS (
+      |  SELECT DISTINCT doc_id, pos FROM (
+      |    SELECT doc_id, unnest(range(s0, e0 + 1)) AS pos FROM spans)
+      |), keptpos AS (
+      |  SELECT tp.doc_id, tp.pos, tp.t[tp.pos + 1] AS tok FROM (
+      |    SELECT doc_id, unnest(range(0, len(t))) AS pos, t FROM tok) tp
+      |  LEFT JOIN removed r ON r.doc_id = tp.doc_id AND r.pos = tp.pos
+      |  WHERE r.doc_id IS NULL
+      |), kept AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY pos) AS cleaned
+      |  FROM keptpos GROUP BY doc_id
+      |)
+      |SELECT tok.doc_id, CAST(len(tok.t) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(len(tok.t) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed,
+      |  sha256(COALESCE(kept.cleaned, '')) AS cleaned_sha
+      |FROM tok LEFT JOIN kept ON kept.doc_id = tok.doc_id""".stripMargin
+
   val d15Sql: String =
     """WITH tok AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -915,6 +1028,7 @@ object Dedup {
     "d12_collapsed_clusters" -> (d12CollapsedClusters _),
     "d14_containment"    -> (d14Containment _),
     "d15_substring_spans" -> (d15SubstringSpans _),
+    "d18_dedup_substrings" -> (d18DedupSubstrings _),
     "d17_lsh_clusters"   -> (d17LshClusters _),
   )
 
@@ -939,6 +1053,7 @@ object Dedup {
     "d12_collapsed_clusters" -> d08Sql,
     "d14_containment"   -> d14Sql,
     "d15_substring_spans" -> d15Sql,
+    "d18_dedup_substrings" -> d18Sql,
     // same clusters as d08 through the LSH candidate path: exact
     // verification restores the d03 pair set (recall pinned by the
     // driver's d04-vs-d03 hash match), CC is pair-set-determined

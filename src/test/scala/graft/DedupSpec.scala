@@ -200,6 +200,51 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.substringSpans(corpus, 8).count() > 0)
   }
 
+  test("d18 substring removal: owner keeps, copies excised, edges pinned") {
+    import spark.implicits._
+    // same planted family as the d15 spec: the 20-token boilerplate in
+    // A (owner: smallest doc_id) and B; C repeats a phrase internally
+    // (never flagged — repetition, not duplication); D is clean; E is
+    // nothing BUT the boilerplate (full removal); F is shorter than
+    // the window (untouchable)
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    val phrase = (1 to 8).map(i => s"p$i").mkString(" ")
+    val aHead = (1 to 30).map(i => s"a$i").mkString(" ")
+    val bTail = (1 to 30).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, aHead + " " + boiler),
+      (2L, boiler + " " + bTail),
+      (3L, phrase + " x1 x2 x3 " + phrase),
+      (4L, (1 to 25).map(i => s"d$i").mkString(" ")),
+      (5L, boiler),
+      (6L, "s1 s2 s3")).toDF("doc_id", "text")
+    val got = Dedup.dedupSubstrings(docs, 8)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    def sha(t: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // A owns the boilerplate (doc_id 1 < 2, 5): keeps everything
+    assert(got(1L) === (1L, 50L, 50L, 0L, sha(aHead + " " + boiler)))
+    // B and E hold foreign-owned copies: the block is excised whole
+    assert(got(2L) === (2L, 50L, 30L, 20L, sha(bTail)))
+    assert(got(5L) === (5L, 20L, 0L, 20L, sha("")))
+    // internal repetition, clean docs, and short docs are untouched
+    assert(got(3L) === (3L, 19L, 19L, 0L, sha(phrase + " x1 x2 x3 " + phrase)))
+    assert(got(4L)._4 === 0L)
+    assert(got(6L) === (6L, 3L, 3L, 0L, sha("s1 s2 s3")))
+    // removal is idempotent here: after excising B's and E's copies
+    // only the owner still holds the block, so a second pass over the
+    // cleaned corpus finds nothing cross-doc-duplicated
+    val cleaned = Seq(
+      (1L, aHead + " " + boiler), (2L, bTail),
+      (3L, phrase + " x1 x2 x3 " + phrase),
+      (4L, (1 to 25).map(i => s"d$i").mkString(" ")), (6L, "s1 s2 s3"))
+      .toDF("doc_id", "text")
+    val again = Dedup.dedupSubstrings(cleaned, 8)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(again.forall(_._4 == 0L), "second pass removed more — not idempotent")
+  }
+
   test("dedup is idempotent: d01 over its own survivors is identity") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001)
