@@ -141,6 +141,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("d18: substring removal is equi-only — owner agg partial, no cartesian/NLJ, no global window") {
+    val p = plan("d18_dedup_substrings")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the owner aggregate on the window key must combine map-side —
+    // boilerplate skew is bounded per task, never a hot reduce key
+    assert(p.contains("partial_min") || p.contains("Partial"),
+      "owner aggregate is not map-side combined")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      "island window must stay partitioned by doc_id")
+  }
+
   test("c05: leakage-safe split is equi-joins only — no cartesian/NLJ") {
     val p = plan("c05_leakage_safe_split")
     assert(!p.contains("CartesianProduct") &&

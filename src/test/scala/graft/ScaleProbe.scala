@@ -100,6 +100,16 @@ object ScaleProbe {
     def d15At(tag: String) = Dedup.substringSpans(
       spark.read.parquet(s"$base/$tag/documents.parquet")
         .select($"doc_id", $"text"), 8).count()
+    // d18: span REMOVAL — d15's linear shape plus the position
+    // anti-join and per-doc reassembly; cost ∝ token mass + removed
+    // mass, still no pair term (the ~c suffixing means removals stay
+    // within-copy, so removed mass scales ×10 with the corpus)
+    // toRdd.count, not count(): count() lets Catalyst prune the
+    // reassembly/sha columns — the 10× mass this row exists to measure
+    def d18At(tag: String) = Dedup.dedupSubstrings(
+      spark.read.parquet(s"$base/$tag/documents.parquet")
+        .select($"doc_id", $"text"), 8).queryExecution.toRdd.count()
+    row("d18_dedup_substrings", t2(d18At("x1")), t2(d18At("x10")))
     row("d15_substring_spans", t2(d15At("x1")), t2(d15At("x10")))
 
     // ANN under the dup storm: k grows with n so the per-bucket compare
