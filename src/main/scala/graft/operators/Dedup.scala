@@ -552,19 +552,28 @@ object Dedup {
       .select($"w", $"owner")
     val foreign = wins.join(owners, "w").filter($"doc_id" =!= $"owner")
       .select($"doc_id", $"pos")
-    // islands of consecutive foreign windows → covered token ranges;
-    // non-adjacent islands can still overlap by < k tokens, so removal
-    // is a distinct position set, not a range list
+    excise(toks, foreign, k)
+  }
+
+  /** The shared removal tail of d18/d19: given each doc's tokens and
+    * the flagged window positions to excise, cut the covered tokens
+    * and reassemble. Islands of consecutive flagged windows become
+    * covered ranges; non-adjacent islands can still overlap by < k
+    * tokens, so removal is a distinct position set, not a range list.
+    * All positions are exploded (short/clean docs simply have no
+    * removals), so a doc is absent from the kept aggregate iff EVERY
+    * token was removed. */
+  private def excise(toks: DataFrame, flagged: DataFrame, k: Int): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
     val wn = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"pos")
-    val removedPos = foreign
+    val removedPos = flagged
       .withColumn("grp", $"pos" - row_number().over(wn))
       .groupBy($"doc_id", $"grp")
       .agg(min($"pos").as("s0"), (max($"pos") + k - 1).as("e0"))
       .select($"doc_id", explode(sequence($"s0", $"e0")).as("pos"))
       .distinct()
-    // explode ALL docs' positions (short docs simply have no removals),
-    // so a doc is absent from `kept` iff EVERY token was removed
     val kept = toks
       .select($"doc_id", posexplode($"t")).toDF("doc_id", "pos", "tok")
       .join(removedPos, Seq("doc_id", "pos"), "left_anti")
@@ -581,6 +590,90 @@ object Dedup {
           .as("n_removed"),
         sha2(coalesce($"cleaned", lit("")), 256).as("cleaned_sha"))
   }
+
+  /** d19: the INCREMENTAL form of d18 — clean a delta batch against the
+    * standing corpus without touching standing data (the d11/s06/c12
+    * discipline for the substring modality, closing the incremental
+    * family's last missing modality). Any delta token covered by a
+    * k-window that already EXISTS in the standing corpus is excised:
+    * standing owns everything it contains, the delta is the newcomer.
+    * Delta-internal duplicates are deliberately NOT removed here (they
+    * are d18's business at the next full pass — or the streaming form's,
+    * where each admitted batch joins the standing window set).
+    *
+    * Cost ∝ |delta| window mass + one equi-join against the standing
+    * window SET — which at 100 TB is a persisted artifact (distinct
+    * window hashes, the d11 shingle-history / c12 curation-state
+    * pattern), never a rescan of standing text. No pair term, no
+    * cross-delta work. */
+  def deltaSubstringRemoval(standing: DataFrame, delta: DataFrame,
+                            k: Int): DataFrame = {
+    val s = standing.sparkSession
+    import s.implicits._
+    require(k >= 2, "window length must be at least 2 tokens")
+    def winsOf(docs: DataFrame) = docs
+      .select($"doc_id", tokens($"text").as("t"))
+      .filter(size($"t") >= k)
+      .select($"doc_id",
+        posexplode(transform(sequence(lit(0), size($"t") - k),
+          i => array_join(slice($"t", i + 1, lit(k)), " "))))
+      .toDF("doc_id", "pos", "w")
+    val standingSet = winsOf(standing).select($"w").distinct()
+    val flagged = winsOf(delta).join(standingSet, "w")
+      .select($"doc_id", $"pos")
+    excise(delta.select($"doc_id", tokens($"text").as("t")), flagged, k)
+  }
+
+  /** Registered split: standing = first ~80% of the id range, delta =
+    * the rest (the c12 boundary discipline — one max() scalar). */
+  def d19DeltaSubstrings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"text")
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+    val boundary = maxId - (maxId + 1) / 5
+    deltaSubstringRemoval(docs.filter($"doc_id" <= boundary),
+      docs.filter($"doc_id" > boundary), 8)
+  }
+
+  val d19Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), bnd AS (
+      |  SELECT MAX(doc_id) - CAST((MAX(doc_id) + 1) / 5 AS BIGINT) AS b FROM tok
+      |), win AS (
+      |  SELECT doc_id, unnest(range(0, len(t) - 7)) AS pos, t FROM tok
+      |  WHERE len(t) >= 8
+      |), w2 AS (
+      |  SELECT doc_id, pos, array_to_string(t[pos+1:pos+8], ' ') AS w FROM win
+      |), standing_set AS (
+      |  SELECT DISTINCT w FROM w2, bnd WHERE doc_id <= b
+      |), flagged AS (
+      |  SELECT w2.doc_id, w2.pos,
+      |    w2.pos - ROW_NUMBER() OVER (PARTITION BY w2.doc_id ORDER BY w2.pos) AS grp
+      |  FROM w2 JOIN standing_set USING (w), bnd WHERE w2.doc_id > b
+      |), spans AS (
+      |  SELECT doc_id, MIN(pos) AS s0, MAX(pos) + 7 AS e0
+      |  FROM flagged GROUP BY doc_id, grp
+      |), removed AS (
+      |  SELECT DISTINCT doc_id, pos FROM (
+      |    SELECT doc_id, unnest(range(s0, e0 + 1)) AS pos FROM spans)
+      |), deltatok AS (
+      |  SELECT doc_id, t FROM tok, bnd WHERE doc_id > b
+      |), keptpos AS (
+      |  SELECT tp.doc_id, tp.pos, tp.t[tp.pos + 1] AS tok FROM (
+      |    SELECT doc_id, unnest(range(0, len(t))) AS pos, t FROM deltatok) tp
+      |  LEFT JOIN removed r ON r.doc_id = tp.doc_id AND r.pos = tp.pos
+      |  WHERE r.doc_id IS NULL
+      |), kept AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY pos) AS cleaned
+      |  FROM keptpos GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(len(d.t) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed,
+      |  sha256(COALESCE(kept.cleaned, '')) AS cleaned_sha
+      |FROM deltatok d LEFT JOIN kept ON kept.doc_id = d.doc_id""".stripMargin
 
   /** Maximal cross-doc duplicated ≥k-token spans over any
     * (doc_id, text) frame — see [[d15SubstringSpans]]. Emits
@@ -1029,6 +1122,7 @@ object Dedup {
     "d14_containment"    -> (d14Containment _),
     "d15_substring_spans" -> (d15SubstringSpans _),
     "d18_dedup_substrings" -> (d18DedupSubstrings _),
+    "d19_delta_substrings" -> (d19DeltaSubstrings _),
     "d17_lsh_clusters"   -> (d17LshClusters _),
   )
 
@@ -1054,6 +1148,7 @@ object Dedup {
     "d14_containment"   -> d14Sql,
     "d15_substring_spans" -> d15Sql,
     "d18_dedup_substrings" -> d18Sql,
+    "d19_delta_substrings" -> d19Sql,
     // same clusters as d08 through the LSH candidate path: exact
     // verification restores the d03 pair set (recall pinned by the
     // driver's d04-vs-d03 hash match), CC is pair-set-determined

@@ -245,6 +245,42 @@ class DedupSpec extends SparkSpec {
     assert(again.forall(_._4 == 0L), "second pass removed more — not idempotent")
   }
 
+  test("d19 delta substring removal: standing owns, delta cleaned, delta-internal dups kept") {
+    import spark.implicits._
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    val standing = Seq(
+      (1L, (1 to 30).map(i => s"a$i").mkString(" ") + " " + boiler),
+      (2L, (1 to 25).map(i => s"s$i").mkString(" "))).toDF("doc_id", "text")
+    val novel = (1 to 30).map(i => s"n$i").mkString(" ")
+    val deltaDup = (1 to 12).map(i => s"z$i").mkString(" ")
+    val delta = Seq(
+      (10L, boiler + " " + novel),     // standing block → excised
+      (11L, novel),                    // windows shared with doc 10 only — NOT standing → kept
+      (12L, deltaDup),                 // delta-internal dup pair...
+      (13L, deltaDup),                 // ...both kept (standing doesn't own them)
+      (14L, "t1 t2 t3")).toDF("doc_id", "text") // short → untouched
+    val got = Dedup.deltaSubstringRemoval(standing, delta, 8)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    def sha(t: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.keySet === Set(10L, 11L, 12L, 13L, 14L),
+      "output must cover exactly the delta")
+    assert(got(10L) === (10L, 50L, 30L, 20L, sha(novel)))
+    assert(got(11L) === (11L, 30L, 30L, 0L, sha(novel)))
+    assert(got(12L) === (12L, 12L, 12L, 0L, sha(deltaDup)))
+    assert(got(13L) === (13L, 12L, 12L, 0L, sha(deltaDup)))
+    assert(got(14L) === (14L, 3L, 3L, 0L, sha("t1 t2 t3")))
+    // composition with d18: delta-cleaning then treating the union as
+    // standing leaves nothing standing-owned in a replayed delta
+    val replay = Dedup.deltaSubstringRemoval(
+      standing.unionByName(Seq((10L, novel)).toDF("doc_id", "text")),
+      Seq((20L, boiler + " x9 " + boiler)).toDF("doc_id", "text"), 8)
+      .as[(Long, Long, Long, Long, String)].collect()
+    // both boiler copies in the new doc are standing-owned → only the
+    // lone separator token survives
+    assert(replay.head._3 === 1L && replay.head._5 === sha("x9"))
+  }
+
   test("dedup is idempotent: d01 over its own survivors is identity") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001)

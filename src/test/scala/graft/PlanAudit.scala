@@ -39,7 +39,8 @@ object PlanAudit {
         "s16_binary_topk", "t30_bpe_encode", "c14_token_budget_bpe",
         "c15_token_budget_bpe_pruned", "t31_bpe_packing",
         "s17_ivf_persisted", "s18_ivf_append_serve",
-        "t32_tokenizer_report", "d18_dedup_substrings").foreach(show)
+        "t32_tokenizer_report", "d18_dedup_substrings",
+        "d19_delta_substrings").foreach(show)
     spark.stop()
   }
 }
