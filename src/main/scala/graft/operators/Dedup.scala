@@ -607,21 +607,43 @@ object Dedup {
     * pattern), never a rescan of standing text. No pair term, no
     * cross-delta work. */
   def deltaSubstringRemoval(standing: DataFrame, delta: DataFrame,
-                            k: Int): DataFrame = {
-    val s = standing.sparkSession
+                            k: Int): DataFrame =
+    deltaSubstringRemovalWithSet(substringWindowSet(standing, k), delta, k)
+
+  /** The standing corpus's distinct k-window set — the artifact a
+    * production pipeline PERSISTS once and joins every delta against
+    * (the d11 shingle-history / c12 curation-state discipline): the
+    * full-corpus window explode is paid at standing-build time, never
+    * per batch. Grows by each admitted batch's windows (append). */
+  def substringWindowSet(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     require(k >= 2, "window length must be at least 2 tokens")
-    def winsOf(docs: DataFrame) = docs
-      .select($"doc_id", tokens($"text").as("t"))
+    winsOf(docs, k).select($"w").distinct()
+  }
+
+  /** Delta cleaning against an already-built standing window set —
+    * the steady-state path; cost ∝ delta window mass + the set join. */
+  def deltaSubstringRemovalWithSet(standingSet: DataFrame, delta: DataFrame,
+                                   k: Int): DataFrame = {
+    val s = delta.sparkSession
+    import s.implicits._
+    require(k >= 2, "window length must be at least 2 tokens")
+    val flagged = winsOf(delta, k)
+      .join(standingSet.select($"w"), "w")
+      .select($"doc_id", $"pos")
+    excise(delta.select($"doc_id", tokens($"text").as("t")), flagged, k)
+  }
+
+  private def winsOf(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", tokens($"text").as("t"))
       .filter(size($"t") >= k)
       .select($"doc_id",
         posexplode(transform(sequence(lit(0), size($"t") - k),
           i => array_join(slice($"t", i + 1, lit(k)), " "))))
       .toDF("doc_id", "pos", "w")
-    val standingSet = winsOf(standing).select($"w").distinct()
-    val flagged = winsOf(delta).join(standingSet, "w")
-      .select($"doc_id", $"pos")
-    excise(delta.select($"doc_id", tokens($"text").as("t")), flagged, k)
   }
 
   /** Registered split: standing = first ~80% of the id range, delta =

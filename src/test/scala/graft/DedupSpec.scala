@@ -279,6 +279,17 @@ class DedupSpec extends SparkSpec {
     // both boiler copies in the new doc are standing-owned → only the
     // lone separator token survives
     assert(replay.head._3 === 1L && replay.head._5 === sha("x9"))
+    // the production seam: the standing window set persisted to parquet
+    // and reloaded must clean the delta identically
+    val setDir = java.nio.file.Files.createTempDirectory("d19-set").toString
+    try {
+      Dedup.substringWindowSet(standing, 8)
+        .write.mode("overwrite").parquet(setDir)
+      val viaSet = Dedup.deltaSubstringRemovalWithSet(
+          spark.read.parquet(setDir), delta, 8)
+        .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+      assert(viaSet === got, "persisted-set path diverges from inline path")
+    } finally graft.BenchUtil.rmTree(setDir)
   }
 
   test("dedup is idempotent: d01 over its own survivors is identity") {

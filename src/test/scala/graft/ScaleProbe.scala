@@ -110,6 +110,29 @@ object ScaleProbe {
       spark.read.parquet(s"$base/$tag/documents.parquet")
         .select($"doc_id", $"text"), 8).queryExecution.toRdd.count()
     row("d18_dedup_substrings", t2(d18At("x1")), t2(d18At("x10")))
+    // d19 delta economics on the x10 corpus: full d18 recompute vs the
+    // STEADY STATE — a 2% delta cleaned against the standing window set
+    // loaded from its persisted parquet artifact (the registered d19
+    // entry rebuilds the set in-plan to stay oracle-self-contained, so
+    // its cost ≈ d18; THIS is the per-batch operating cost)
+    locally {
+      val vx = spark.read.parquet(s"$base/x10/documents.parquet")
+        .select($"doc_id", $"text")
+      val baseMaxD = spark.read.parquet(s"$base/x1/documents.parquet")
+        .agg(max($"doc_id")).head().getLong(0)
+      val cutD = 9L * 10000000L + (baseMaxD * 4) / 5
+      val setDir = s"$base/winset"
+      Dedup.substringWindowSet(vx.filter($"doc_id" <= cutD), 8)
+        .write.mode("overwrite").parquet(setDir)
+      val standingSet = spark.read.parquet(setDir)
+      val (f, _) = t2(Dedup.dedupSubstrings(vx, 8)
+        .queryExecution.toRdd.count())
+      val (dl, _) = t2(Dedup.deltaSubstringRemovalWithSet(
+          standingSet, vx.filter($"doc_id" > cutD), 8)
+        .queryExecution.toRdd.count())
+      println(f"SCALE d19_delta_x10         full-d18=${f}%6.2fs  " +
+        f"delta-d19(2%%, persisted set)=${dl}%6.2fs  cost-ratio=${dl / f}%5.2fx")
+    }
     row("d15_substring_spans", t2(d15At("x1")), t2(d15At("x10")))
 
     // ANN under the dup storm: k grows with n so the per-bucket compare
