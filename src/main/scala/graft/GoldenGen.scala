@@ -72,7 +72,12 @@ object GoldenGen {
       "t31_bpe_packing",
       // t32: per-source integer aggregates of t30's counts + 6dp
       // ratios — golden like its input
-      "t32_tokenizer_report")
+      "t32_tokenizer_report",
+      // c16 DSIR: hashed-bigram buckets are xxhash64 (engine-specific),
+      // per-bucket log2 weights are pure per-value functions of integer
+      // counts, the per-doc sum is exact decimal, ranking total-ordered
+      // — parallelism-independent (probed in PartitionInvarianceSpec)
+      "c16_dsir_selection")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

@@ -304,6 +304,88 @@ object Int8Quantize {
   }
 }
 
+/** Argmax cosine of a row vector against a FIXED benchmark matrix that
+  * rides inside the task binary as a plain reference object — the
+  * vector-space analogue of [[graft.functions.BloomHitsAtLeast]]'s
+  * broadcast-artifact pattern. Returns struct(bench_id, cosine) of the
+  * best match; ties on cosine go to the smallest bench id (benchmarks
+  * are scanned in ascending-id order and replaced only on a strictly
+  * greater score — the same total order as `ORDER BY cosine DESC,
+  * bench_id ASC`).
+  *
+  * Why an expression and not a join: a broadcast cross join + groupBy
+  * max materializes |corpus|·|bench| rows and SHUFFLES the corpus for
+  * the per-row max; this kernel computes the max where the row already
+  * is — zero shuffle, zero row multiplication, one fused pass in
+  * WholeStageCodegen. Benchmark suites are small by construction (the
+  * d07/d16 premise: thousands of vectors × ≤ 4k dims ≈ a few MB), so
+  * the matrix ships like the Bloom bits do.
+  *
+  * Arithmetic contract (the SQL oracle reproduces it bit-for-bit):
+  * cosine = seqdot(v, b) / (sqrt(seqdot(v, v)) · sqrt(seqdot(b, b))),
+  * all sums in ascending index order — identical to DuckDB's
+  * `list_dot_product` evaluation. Bench norms are precomputed ONCE at
+  * build time with the same kernel. Zero-norm vectors yield NaN
+  * cosines, which strict `>` never selects — callers should drop or
+  * document zero vectors (embedding corpora don't contain them). */
+case class MaxCosineAgainst(child: Expression, benchIds: Array[Long],
+                            benchVecs: Array[Array[Double]], benchNorms: Array[Double])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("bench_id", LongType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false)))
+  override def nullSafeEval(a: Any): Any =
+    MaxCosineAgainst.compute(a.asInstanceOf[ArrayData], benchIds, benchVecs, benchNorms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("benchIds", benchIds, "long[]")
+    val vecsRef = ctx.addReferenceObj("benchVecs", benchVecs, "double[][]")
+    val nrmsRef = ctx.addReferenceObj("benchNorms", benchNorms, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MaxCosineAgainst.compute($c, $idsRef, $vecsRef, $nrmsRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): MaxCosineAgainst =
+    copy(child = c)
+  override def prettyName: String = "max_cosine_against"
+}
+
+object MaxCosineAgainst {
+  import org.apache.spark.sql.GraftGlue
+  def apply(c: Column, ids: Array[Long], vecs: Array[Array[Double]],
+            norms: Array[Double]): Column = {
+    require(ids.nonEmpty && ids.length == vecs.length && ids.length == norms.length,
+      "benchmark matrix must be non-empty and aligned")
+    GraftGlue.toCol(MaxCosineAgainst(GraftGlue.toExpr(c), ids, vecs, norms))
+  }
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(v: ArrayData, ids: Array[Long], vecs: Array[Array[Double]],
+              norms: Array[Double]): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val n = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); s += x * x; i += 1 }
+    val vn = math.sqrt(s)
+    var best = Double.NegativeInfinity
+    var bestId = ids(0)
+    var b = 0
+    while (b < vecs.length) {
+      val bv = vecs(b)
+      if (bv.length != n)
+        throw new IllegalArgumentException(
+          s"max_cosine_against: dimension mismatch ($n vs ${bv.length})")
+      var d = 0.0
+      i = 0
+      while (i < n) { d += v.getDouble(i) * bv(i); i += 1 }
+      val cos = d / (vn * norms(b))
+      if (cos > best) { best = cos; bestId = ids(b) }
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, best))
+  }
+}
+
 object VectorOps {
   import org.apache.spark.sql.GraftGlue._
   def dotProduct(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))

@@ -1207,6 +1207,95 @@ object Curation {
         min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
   }
 
+  // ---- c16: DSIR importance resampling (Xie et al. 2023) ----
+
+  /** c16: data selection via importance resampling — the published
+    * no-classifier technique (Xie et al. 2023, arXiv:2302.03169) for
+    * choosing raw-pool documents that LOOK LIKE a small high-quality
+    * target corpus: fit two bag-of-hashed-bigram LMs (target, pool),
+    * score every pool doc by its log importance weight
+    * log w_d = Σ_occurrences λ_b(occurrence) with
+    * λ_b = log₂P̂_target(b) − log₂P̂_pool(b) (add-one smoothing over the
+    * B hashed buckets), and keep the top-K. This is the standard
+    * selection step between surface heuristics (t02/t22) and a neural
+    * scorer: quality classifiers need labels, DSIR needs only the
+    * target sample. The paper samples with Gumbel noise; deterministic
+    * top-K by weight (ties → doc_id) is the derandomization an audited
+    * pipeline can re-run bit-identically. Both the raw sum (the paper's
+    * weight — length-biased, as Σλ grows with doc length) and the
+    * per-bigram average (the length-normalized diagnostic) are emitted.
+    *
+    * Determinism: bucket ids are xxhash64 (engine-side, fixed seed);
+    * bucket counts and totals are integer aggregates (order-free);
+    * each λ_b is a pure per-value function of integer counts (log2 is
+    * transcendental → cross-engine unsafe → golden oracle, the t21
+    * discipline), quantized to 6 dp; the per-doc sum — the one
+    * order-varying float reduction — runs through `Det.dsum` (exact
+    * decimal); ranking is total-ordered (6 dp weight, doc_id).
+    * Partition invariance probed in PartitionInvarianceSpec.
+    *
+    * Scale (100 TB): hashing n-grams into B buckets is exactly what
+    * makes DSIR feasible where an unhashed bigram LM (t21's model
+    * frame) carries vocabulary-mass state — each LM is one integer
+    * aggregate with map-side combine whose shuffle fan-in is ≤ B rows
+    * TOTAL (B = 2048 here; the paper's 10⁴ changes nothing
+    * structurally). The λ table (≤ B rows, a few KB) broadcasts to the
+    * scoring join (fan-out exactly 1 per occurrence; bucket keys are
+    * hash-uniform, no skew); per-doc reduction is one partial+final
+    * agg; the final top-K is a TakeOrdered. No pair term, nothing
+    * quadratic, model state O(B) regardless of corpus size. The
+    * target side is small by construction (d07's premise). */
+  def c16DsirSelection(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // stand-in target: two sources play the curated high-quality set
+    val docs = documents(s, d).select($"doc_id", $"text", $"source")
+    val isTarget = $"source".isin("src1", "src2")
+    dsirSelect(docs.filter(!isTarget), docs.filter(isTarget),
+      buckets = 2048, topK = 100)
+  }
+
+  /** Frame-taking core of c16: pool and target as (doc_id, text[, …])
+    * frames. Docs with < 2 tokens have no features and are never
+    * selected (not scorable ⇒ not comparable to scored docs). */
+  private[graft] def dsirSelect(pool: DataFrame, target: DataFrame,
+                                buckets: Int, topK: Int): DataFrame = {
+    val s = pool.sparkSession
+    import s.implicits._
+    def feats(df: DataFrame): DataFrame = {
+      val t = split($"text", " ")
+      val n1 = greatest(size(t) - 1, lit(0))
+      val zipped = arrays_zip(slice(t, lit(1), n1), slice(t, lit(2), n1))
+      df.filter(size(t) >= 2)
+        .select($"doc_id", explode(zipped).as("p"))
+        .select($"doc_id",
+          pmod(xxhash64(concat_ws(" ", $"p.0", $"p.1")), lit(buckets.toLong)).as("b"))
+    }
+    val poolF = feats(pool)
+    val tCnt = feats(target).groupBy($"b").agg(count(lit(1)).as("ct"))
+    val pCnt = poolF.groupBy($"b").agg(count(lit(1)).as("cp"))
+    // scalar totals: 1-row aggregates (the t21/c04 `.head()` precedent)
+    val tTot = tCnt.agg(sum($"ct")).head().getLong(0)
+    val pTot = pCnt.agg(sum($"cp")).head().getLong(0)
+    // λ per bucket: pure per-value function of integer counts, 6 dp.
+    // Every pool bucket exists in pCnt by construction; target count
+    // defaults to 0 via the left join (add-one smoothing covers it).
+    val lam = pCnt.join(tCnt, Seq("b"), "left")
+      .select($"b", round(
+        log(2.0, (coalesce($"ct", lit(0L)).cast("double") + 1.0) /
+          lit((tTot + buckets).toDouble)) -
+        log(2.0, ($"cp".cast("double") + 1.0) / lit((pTot + buckets).toDouble)),
+        6).as("lam"))
+    poolF.join(broadcast(lam), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), graft.Det.dsum($"lam").as("logw"))
+      .select($"doc_id", $"n_bigrams", round($"logw", 6).as("logw_r"),
+        round($"logw" / $"n_bigrams", 6).as("avg_lam_r"))
+      .orderBy($"logw_r".desc, $"doc_id".asc)
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"logw_r".desc, $"doc_id".asc)))
+  }
+
   // ---- c13: per-document rejection-reason audit ----
 
   /** c13: WHY each document left the pipeline — the per-doc provenance
@@ -1418,6 +1507,7 @@ object Curation {
     "c11_token_budget_pruned" -> (c11TokenBudgetPruned _),
     "c14_token_budget_bpe"  -> (c14TokenBudgetBpe _),
     "c15_token_budget_bpe_pruned" -> (c15TokenBudgetBpePruned _),
+    "c16_dsir_selection"    -> (c16DsirSelection _),
     "t31_bpe_packing"       -> (t31BpePacking _),
     "c08_temperature_mix"   -> (c08TemperatureMix _),
     "d13_source_overlap"    -> ((s: SparkSession, d: String) => d13SourceOverlap(s, d)),
@@ -1451,6 +1541,11 @@ object Curation {
     // denomination-blind) → c14's own golden, independently
     // hash-checking the pruning proof — the c11↔c10 precedent
     "c15_token_budget_bpe_pruned" -> graft.GoldenGen.oracle("c14_token_budget_bpe"),
+    // c16: hashed-feature LM weights derive from xxhash64 + log2
+    // (engine-side, deterministic; per-doc sum exact decimal) → golden
+    // snapshot, the t21/t24 discipline; selection behavior pinned on a
+    // planted corpus in CurationSpec
+    "c16_dsir_selection"    -> graft.GoldenGen.oracle("c16_dsir_selection"),
     // t31: BPE-denominated packing — counts are engine-side like c14's
     // → golden snapshot; packing recomputed locally in the spec
     "t31_bpe_packing"       -> graft.GoldenGen.oracle("t31_bpe_packing"),

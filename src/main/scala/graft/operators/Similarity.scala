@@ -1679,7 +1679,82 @@ object Similarity {
       nprobe = 2, k = 3)
   }
 
+  // ---- s19: embedding-space benchmark decontamination ----
+
+  /** s19: the vector-space leg of benchmark decontamination — the
+    * semantic twin of d07/d16's n-gram overlap rule. Paraphrased or
+    * translated eval contamination shares almost no shingles with its
+    * source (n-gram decontamination is blind to it) but lands close in
+    * embedding space; scoring every training vector's MAX cosine
+    * against the benchmark suite and cutting at τ is the published
+    * remedy. The output is the full per-vector audit artifact (nearest
+    * benchmark id, score, decision) rather than only the flagged tail —
+    * the datasheet a release review reads, and the form whose oracle
+    * checks every row's argmax rather than a 4-row slice.
+    *
+    * Scale (100 TB): benchmark suites are SMALL by construction — the
+    * same premise d16's Bloom filter rests on. The bench matrix
+    * (ids, vectors, precomputed norms) is collected once on the driver
+    * and rides to executors inside the task binary via
+    * [[graft.functions.MaxCosineAgainst]]; the corpus then STREAMS
+    * through one fused map stage — no join, no row multiplication, no
+    * shuffle anywhere in the plan (pinned in PlanSpec), scan pruned to
+    * (vec_id, embedding). Cost is pure FLOPs: |corpus|·|bench|·dim
+    * multiply-adds, embarrassingly parallel. If a bench suite ever
+    * outgrows broadcast size, the IVF-probed join (s03/s08 machinery)
+    * is the same-predicate fallback — probe only the benchmark's
+    * nearest buckets instead of scanning all of it. */
+  def s19BenchDecontamination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d).select($"vec_id", $"v")
+    benchDecontaminationAudit(c.filter($"vec_id" >= 50),
+      c.filter($"vec_id" < 50), tau = 0.45)
+  }
+
+  /** Frame-taking core of s19: corpus and benchmark as (vec_id, v)
+    * frames. Bench rows are collected ASCENDING so the kernel's
+    * scan-order tie-break equals `ORDER BY cosine DESC, bench_id ASC`. */
+  private[graft] def benchDecontaminationAudit(corpus: DataFrame, bench: DataFrame,
+                                               tau: Double): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val b = bench.select($"vec_id", $"v").orderBy($"vec_id")
+      .as[(Long, Array[Double])].collect()
+    val norms = b.map { case (_, v) =>
+      var s0 = 0.0; var i = 0
+      while (i < v.length) { s0 += v(i) * v(i); i += 1 }
+      math.sqrt(s0)
+    }
+    corpus
+      .withColumn("mc", graft.functions.MaxCosineAgainst(
+        $"v", b.map(_._1), b.map(_._2), norms))
+      .select($"vec_id", $"mc.bench_id".as("bench_id"),
+        round($"mc.cosine", 6).as("cosine_r"),
+        ($"mc.cosine" >= tau).as("contaminated"))
+  }
+
+  val s19Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), b AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE vec_id < 50
+      |), c AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE vec_id >= 50
+      |), sims AS (
+      |  SELECT c.vec_id, b.vec_id AS bench_id,
+      |    list_dot_product(c.v, b.v) / (c.nrm * b.nrm) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      |      ORDER BY list_dot_product(c.v, b.v) / (c.nrm * b.nrm) DESC,
+      |               b.vec_id ASC) AS rn
+      |  FROM c CROSS JOIN b
+      |)
+      |SELECT vec_id, bench_id, ROUND(cosine, 6) AS cosine_r,
+      |       cosine >= 0.45 AS contaminated
+      |FROM sims WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_bench_decontamination" -> (s19BenchDecontamination _),
     "s17_ivf_persisted"     -> (s17IvfPersistedTopK _),
     "s18_ivf_append_serve"  -> (s18IvfAppendServe _),
     "s16_binary_topk"       -> (s16BinaryTopK _),
@@ -1703,6 +1778,9 @@ object Similarity {
   // def, not val: the golden-snapshot oracle resolves the sf tag at
   // dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // s19: sequential-order dot kernel both engines → bit-identical
+    // cosines, total-ordered argmax → full SQL oracle
+    "s19_bench_decontamination" -> s19Sql,
     // s17 ≡ s03 bit-identically (same centroids/probes/ties; doubles
     // round-trip parquet exactly) → s03's own golden, independently
     // hash-checking that the persisted-index path preserves the answer

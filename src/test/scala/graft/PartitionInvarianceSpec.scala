@@ -112,6 +112,11 @@ class PartitionInvarianceSpec extends SparkSpec {
       // quantized decimal term sum — all must be bit-stable as the
       // cluster reshapes
       val d = docs.repartition(inputParts)
+      // c16's DSIR weights: integer bucket counts + 6dp per-bucket log
+      // weights + an exact-decimal per-doc sum + total-order top-K —
+      // the full selection must survive any reshaping
+      val srcd = Tables.documents(spark, sf001)
+        .select($"doc_id", $"text", $"source").repartition(inputParts)
       (operators.TextAnalysis.cmsTokenEstimates(d)
          .as[(String, Long)].collect().toSet,
        Similarity.semanticSurvivors(vecs.repartition(inputParts), cen, 0.45)
@@ -119,7 +124,10 @@ class PartitionInvarianceSpec extends SparkSpec {
        operators.TextAnalysis.lmQualityScores(d)
          .as[(Long, Long, Double)].collect().toSet,
        operators.TextAnalysis.bm25TopK(d, d.filter($"doc_id" < 20), 3)
-         .as[(Long, Long, Int, Double)].collect().toSet)
+         .as[(Long, Long, Int, Double)].collect().toSet,
+       Curation.dsirSelect(srcd.filter(!$"source".isin("src1", "src2")),
+           srcd.filter($"source".isin("src1", "src2")), 2048, 100)
+         .collect().map(_.toSeq).toSet)
     }
 
     val narrow = runAll(inputParts = 3, shuffleParts = 5)
@@ -128,6 +136,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     assert(narrow._2 === wide._2, "s11 survivors diverge across parallelism")
     assert(narrow._3 === wide._3, "t21 LM scores diverge across parallelism")
     assert(narrow._4 === wide._4, "t25 BM25 ranking diverges across parallelism")
+    assert(narrow._5 === wide._5, "c16 DSIR selection diverges across parallelism")
   }
 
   test("s12 PQ training and codes are parallelism invariant") {

@@ -40,7 +40,8 @@ object PlanAudit {
         "c15_token_budget_bpe_pruned", "t31_bpe_packing",
         "s17_ivf_persisted", "s18_ivf_append_serve",
         "t32_tokenizer_report", "d18_dedup_substrings",
-        "d19_delta_substrings").foreach(show)
+        "d19_delta_substrings", "s19_bench_decontamination",
+        "c16_dsir_selection").foreach(show)
     spark.stop()
   }
 }

@@ -222,6 +222,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bpe_encode"), "codegen'd encode expression missing")
   }
 
+  test("s19: bench decontamination is scan→project — no exchange, no join") {
+    // the 100 TB claim: the bench matrix rides inside the expression
+    // (the d16 Bloom premise), so the corpus-touching plan is one fused
+    // map stage — NO shuffle, join, or row-multiplying node anywhere
+    val p = plan("s19_bench_decontamination")
+    assert(!p.contains("Exchange"), s"decontamination plan shuffles:\n${p.take(800)}")
+    assert(!p.contains("Join") && !p.contains("Generate"), p.take(800))
+    assert(p.contains("max_cosine_against"), "codegen'd argmax kernel missing")
+  }
+
   test("t31: BPE packing windows per lang, aggregate map-side combined") {
     val p = plan("t31_bpe_packing")
     assert(!p.contains("CartesianProduct") &&

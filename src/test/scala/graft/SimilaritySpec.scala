@@ -891,4 +891,35 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(picks(1)._4 - (0.63 - 0.3 * 0.855)) < 1e-6)
     assert(math.abs(picks(2)._4 - (0.7 * 0.9499 - 0.3)) < 1e-6)
   }
+
+  test("s19 bench decontamination: planted paraphrase flagged, argmax + tie-break exact") {
+    import spark.implicits._
+    // planted bench: two orthogonal unit vectors. Corpus: c100 is a
+    // scaled copy of bench 0 (cosine 1 — the "paraphrase" that n-gram
+    // decontamination misses but embedding space catches), c101 sits at
+    // 45° to BOTH bench vectors (exact tie → smallest bench id must
+    // win), c102 is near-orthogonal to both (clean).
+    val bench = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0))).toDF("vec_id", "v")
+    val r = math.sqrt(0.5)
+    val corpus = Seq(
+      (100L, Seq(2.5, 0.0, 0.0)),      // scaled copy of bench 0
+      (101L, Seq(r, r, 0.0)),          // equidistant: cos = r to both
+      (102L, Seq(0.01, 0.0, 1.0))      // clean
+    ).toDF("vec_id", "v")
+    val got = Similarity.benchDecontaminationAudit(corpus, bench, tau = 0.45)
+      .as[(Long, Long, Double, Boolean)].collect().map(x => x._1 -> x).toMap
+    assert(got(100L) === ((100L, 0L, 1.0, true)), s"got ${got(100L)}")
+    // exact cosine tie at √0.5 — the kernel's strict-> scan order must
+    // resolve to bench 0, matching ORDER BY cosine DESC, bench_id ASC
+    assert(got(101L)._2 === 0L && got(101L)._4 === true)
+    assert(math.abs(got(101L)._3 - r) < 1e-6)
+    assert(got(102L)._4 === false)
+    // dimension mismatch fails loudly (the DotProduct contract)
+    val bad = Seq((200L, Seq(1.0, 0.0))).toDF("vec_id", "v")
+    intercept[IllegalArgumentException] {
+      Similarity.benchDecontaminationAudit(bad, bench, tau = 0.45).collect()
+    }
+  }
 }

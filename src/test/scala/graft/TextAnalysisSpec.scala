@@ -632,6 +632,41 @@ class TextAnalysisSpec extends SparkSpec {
       "BPE counts too close to whitespace counts to be char-granular")
   }
 
+  test("c16 DSIR: target-like pool docs outrank disjoint-vocabulary noise") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // target: a distinctive vocabulary. Pool: two docs sharing the
+    // target's bigrams, two noise docs with disjoint vocabulary, one
+    // single-token doc (no bigram features → never scorable/selected).
+    val target = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta"),
+      (901L, "alpha beta gamma delta eta theta")).toDF("doc_id", "text")
+    val pool = Seq(
+      (1L, "alpha beta gamma delta"),          // target-like
+      (2L, "gamma delta epsilon zeta"),        // target-like
+      (3L, "zig zag zog zug zeg"),             // noise
+      (4L, "quux corge grault garply waldo"),  // noise
+      (5L, "lonely")                           // featureless
+    ).toDF("doc_id", "text")
+    val sel = Curation.dsirSelect(pool, target, buckets = 2048, topK = 2)
+      .as[(Long, Long, Double, Double, Int)].collect().sortBy(_._5)
+    assert(sel.map(_._1).toSet === Set(1L, 2L),
+      s"DSIR must select the target-like docs, got ${sel.toSeq}")
+    // and with the whole pool ranked, noise docs sit strictly below
+    // target-like ones in AVERAGE per-bigram weight too (the
+    // length-normalized diagnostic), and doc 5 is absent entirely
+    val all = Curation.dsirSelect(pool, target, buckets = 2048, topK = 10)
+      .as[(Long, Long, Double, Double, Int)].collect()
+    assert(all.map(_._1).toSet === Set(1L, 2L, 3L, 4L), "doc 5 has no features")
+    val byId = all.map(r => r._1 -> r).toMap
+    assert(Seq(1L, 2L).map(byId(_)._4).min > Seq(3L, 4L).map(byId(_)._4).max,
+      "avg per-bigram weight must separate target-like from noise")
+    // determinism: a second run is bit-identical
+    val again = Curation.dsirSelect(pool, target, buckets = 2048, topK = 10)
+      .as[(Long, Long, Double, Double, Int)].collect()
+    assert(all.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("c15 pruned BPE admission ≡ c14 exact, prune load-bearing under BPE skew") {
     import spark.implicits._
     import graft.operators.{Curation, TextAnalysis}
