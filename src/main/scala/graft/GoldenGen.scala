@@ -77,7 +77,11 @@ object GoldenGen {
       // per-bucket log2 weights are pure per-value functions of integer
       // counts, the per-doc sum is exact decimal, ranking total-ordered
       // — parallelism-independent (probed in PartitionInvarianceSpec)
-      "c16_dsir_selection")
+      "c16_dsir_selection",
+      // m09: blockhash fingerprints (engine-specific, deterministic) +
+      // integer hamming + total-ordered argmin + sha membership — the
+      // m07 discipline applied to the decontamination audit
+      "m09_bench_decontamination")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

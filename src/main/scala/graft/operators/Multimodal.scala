@@ -311,7 +311,85 @@ object Multimodal {
       |WHERE payload_sha256 NOT IN (
       |  SELECT payload_sha256 FROM h WHERE doc_id % 10 <> 0)""".stripMargin
 
+  // ---- m09: payload benchmark decontamination (exact + perceptual) ----
+
+  /** m09: the multimodal leg of benchmark decontamination, completing
+    * the triad across modalities: d07/d16 flag n-gram overlap (text),
+    * s19 flags embedding proximity (semantics), m09 flags PAYLOADS —
+    * both the byte-exact copy (sha-256 membership in the benchmark
+    * manifest) and the re-encoded/stamped/prefixed variant (perceptual
+    * fingerprint within hamming ≤ 7, m07's tier). An eval asset pasted
+    * into a training crawl rarely arrives byte-identical — it gets
+    * recompressed, watermarked, prefixed; the perceptual tier is the
+    * one that catches those, and the byte tier labels which hits are
+    * provably the same file.
+    *
+    * Scale (100 TB): the benchmark side is small by construction (the
+    * d07/d16/s19 premise), so its fingerprint bands and sha manifest
+    * BROADCAST — the corpus side computes one codegen'd BlockHash64
+    * per payload (no shuffle of payload bytes, ever), candidates arise
+    * from d05's 8×8 pigeonhole banding against bench bands only
+    * (asymmetric corpus × bench, never corpus²; coverage to hamming 7
+    * guaranteed), exact hamming verifies candidates, and the per-doc
+    * argmin (hamming, bench_id) is a window over the few candidate
+    * rows. byte_exact is an independent broadcast join on sha-256
+    * (two payloads can share a fingerprint without sharing bytes).
+    * Output: the FULL per-doc audit (the s19 framing — nearest bench
+    * evidence where one exists within the radius, nulls + a false flag
+    * otherwise), so the oracle hashes every decision, not just the
+    * flagged tail. Deterministic mechanism over engine-side hashes →
+    * golden-hashed (the m07/d05 discipline); planted
+    * exact/perturbed/unrelated spec. */
+  def m09BenchDecontamination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = documents(s, d)
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+    payloadDecontamination(all.filter($"doc_id" >= 20),
+      all.filter($"doc_id" < 20), maxHamming = 7)
+  }
+
+  /** Frame-taking core of m09: corpus and benchmark as
+    * (doc_id, payload: binary) frames. */
+  def payloadDecontamination(corpus: DataFrame, bench: DataFrame,
+                             maxHamming: Int): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    require(maxHamming <= 7, "8-chunk pigeonhole guarantees coverage only to hamming 7")
+    def fp(df: DataFrame) = df.select($"doc_id",
+      graft.functions.VectorOps.blockhash64($"payload").as("fp"),
+      sha2($"payload", 256).as("sha"))
+    def bands(df: DataFrame) = {
+      val chunks = array((0 until 8).map(c =>
+        shiftright($"fp", c * 8).bitwiseAND(lit(255L))): _*)
+      df.select($"doc_id", $"fp", posexplode(chunks))
+        .toDF("doc_id", "fp", "chunk_id", "chunk_val")
+    }
+    val b = fp(bench)
+    val c = fp(corpus)
+    val cand = bands(c).as("x")
+      .join(broadcast(bands(b.select($"doc_id".as("doc_id"), $"fp")).as("y")),
+        $"x.chunk_id" === $"y.chunk_id" && $"x.chunk_val" === $"y.chunk_val")
+      .select($"x.doc_id".as("doc_id"), $"y.doc_id".as("bench_id"),
+        Dedup.hamming($"x.fp", $"y.fp").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"hamming".asc, $"bench_id".asc)
+    val flagged = cand
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+      .join(c.select($"doc_id", $"sha"), Seq("doc_id"))
+      .join(broadcast(b.select($"sha").distinct()
+        .withColumn("byte_hit", lit(true))), Seq("sha"), "left")
+      .select($"doc_id", $"bench_id", $"hamming",
+        coalesce($"byte_hit", lit(false)).as("byte_exact"))
+    c.select($"doc_id").join(flagged, Seq("doc_id"), "left")
+      .select($"doc_id", $"bench_id", $"hamming",
+        coalesce($"byte_exact", lit(false)).as("byte_exact"),
+        $"bench_id".isNotNull.as("contaminated"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m09_bench_decontamination" -> (m09BenchDecontamination _),
     "m08_delta_payloads"  -> (m08DeltaPayloads _),
     "m07_perceptual_neardup" -> (m07PerceptualNearDup _),
     "m06_chunk_neardup"   -> (m06ChunkNearDup _),
@@ -338,6 +416,10 @@ object Multimodal {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // m09: blockhash fingerprints are engine-specific but the whole
+    // flag→argmin→byte-label chain is deterministic and total-ordered
+    // → golden-snapshot hard check, the m07/d05 discipline
+    "m09_bench_decontamination" -> graft.GoldenGen.oracle("m09_bench_decontamination"),
     "m08_delta_payloads" -> m08Sql,
     // m07: engine-specific (blockhash over utf-8 payload bytes) but
     // fully deterministic → golden-snapshot hard check + ScalaTest

@@ -136,4 +136,36 @@ class MultimodalSpec extends SparkSpec {
     val recall = (truth & got).size.toDouble / truth.size
     assert(recall >= 0.7, s"recall = $recall (${(truth & got).size}/${truth.size})")
   }
+
+  test("m09 payload decontamination: exact copy, perturbed variant, unrelated clean") {
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog " * 48).getBytes("UTF-8")
+    val stamped = ("PREFIX STAMP 123 " + new String(base, "UTF-8")).getBytes("UTF-8")
+    val other = ("zyxwvu polyphony rhythm gym xylophone quartz " * 48).getBytes("UTF-8")
+    // note: a REVERSED payload is perceptually near its original under
+    // the octant-histogram hash (byte multisets per octant barely move)
+    // — the second bench doc must differ in character composition
+    val far = ("0123456789 abcdef binary blob header " * 48).getBytes("UTF-8")
+    val bench = Seq((0L, base), (1L, far)).toDF("doc_id", "payload")
+    val corpus = Seq(
+      (100L, base.clone()), // byte-exact copy of bench 0
+      (101L, stamped),      // re-encoded variant: perceptual hit, not byte hit
+      (102L, other)         // clean
+    ).toDF("doc_id", "payload")
+    val got = operators.Multimodal.payloadDecontamination(corpus, bench, 7)
+      .as[(Long, Option[Long], Option[Int], Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(100L, 101L, 102L), "full audit: one row per corpus doc")
+    assert(got.filter(_._2._5).keySet === Set(100L, 101L),
+      s"flag set wrong: ${got.filter(_._2._5).keySet}")
+    assert(got(100L) === ((100L, Some(0L), Some(0), true, true)), s"got ${got(100L)}")
+    assert(got(102L) === ((102L, None, None, false, false)), s"got ${got(102L)}")
+    // the stamped variant: flagged perceptually (hamming may be 0 —
+    // the octant histogram absorbs the insertion entirely, which is
+    // the kernel's design) but NOT byte-exact — exactly the case the
+    // independent sha signal exists to label
+    val (_, b101, h101, ex101, fl101) = got(101L)
+    assert(b101 === Some(0L) && h101.exists(_ <= 7) && !ex101 && fl101,
+      s"variant must be a perceptual-only hit: ${got(101L)}")
+  }
 }

@@ -173,6 +173,22 @@ object ScaleProbe {
     row("s16_binary_topk",
       t2(Similarity.s16BinaryTopK(spark, docsAt("x1")).count()),
       t2(Similarity.s16BinaryTopK(spark, docsAt("x10")).count()))
+    // s19: fixed benchmark (the x1 id range < 50), corpus ×10 — the
+    // bench matrix rides inside the expression, so the plan is one
+    // broadcast-matrix map stage and the t-ratio tracks row count
+    def s19At(tag: String) = {
+      val c = spark.read.parquet(s"$base/$tag/embeddings.parquet")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      Similarity.benchDecontaminationAudit(
+        c.filter($"vec_id" >= 50), c.filter($"vec_id" < 50), 0.45).count()
+    }
+    row("s19_bench_decontam", t2(s19At("x1")), t2(s19At("x10")))
+    // c16 DSIR: both LMs are B-bucket integer aggregates (∝ corpus
+    // token mass; shuffle fan-in capped at B rows), scoring join
+    // fan-out 1 per occurrence — linear end to end, no vocab-mass state
+    row("c16_dsir_selection",
+      t2(operators.Curation.c16DsirSelection(spark, docsAt("x1")).count()),
+      t2(operators.Curation.c16DsirSelection(spark, docsAt("x10")).count()))
     // t28: two hash aggs over token/hash mass — the linear floor
     row("t28_sketch_profile",
       t2(operators.TextAnalysis.t28SketchProfile(spark, docsAt("x1")).count()),
