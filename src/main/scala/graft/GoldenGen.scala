@@ -81,7 +81,11 @@ object GoldenGen {
       // m09: blockhash fingerprints (engine-specific, deterministic) +
       // integer hamming + total-ordered argmin + sha membership — the
       // m07 discipline applied to the decontamination audit
-      "m09_bench_decontamination")
+      "m09_bench_decontamination",
+      // c17: deterministic composition of d16 (Bloom, engine-side) +
+      // s19 (SQL-safe) + m09 (blockhash, engine-side) — golden like
+      // its engine-side inputs
+      "c17_decontamination_report")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

@@ -1296,6 +1296,76 @@ object Curation {
         Window.orderBy($"logw_r".desc, $"doc_id".asc)))
   }
 
+  // ---- c17: cross-modal decontamination report ----
+
+  /** c17: the decontamination DATASHEET — one row per corpus document
+    * combining the three modality verdicts against one benchmark suite
+    * (docs with doc_id < 20, their embeddings, their payload bytes):
+    * n-gram overlap (the d07/d16 rule — verbatim contamination),
+    * embedding proximity (the s19 rule — paraphrased/translated
+    * contamination n-grams miss), and payload fingerprints (the m09
+    * rule — byte-identical or re-encoded assets). Each tier carries
+    * its best evidence (which benchmark doc, how strong), so a release
+    * review reads ONE artifact instead of three, and the disagreement
+    * rows — flagged semantically but not textually — are exactly the
+    * paraphrase cases a human audits first.
+    *
+    * Scale: pure composition of the three audited mechanisms, each of
+    * which broadcasts its (small) benchmark artifact and streams the
+    * corpus — the Bloom bits (d16), the vector matrix
+    * ([[graft.functions.MaxCosineAgainst]]), the fingerprint bands +
+    * sha manifest (m09). The final assembly is three left equi-joins
+    * on doc_id (the embedding audit is a full per-doc frame; the text
+    * and payload tiers surface only hits, nulls mean clean). Inherits
+    * each tier's no-corpus² guarantee; nothing new shuffles except the
+    * id-keyed joins. Engine-side hashes (Bloom, blockhash) → golden
+    * (the m09 discipline); tier agreement with the three standalone
+    * entries is spec-asserted so the report cannot drift from the
+    * operators it summarizes. */
+  def c17DecontaminationReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"text")
+    val benchD = docs.filter($"doc_id" < 20)
+    val corpusD = docs.filter($"doc_id" >= 20)
+
+    // text tier: strongest benchmark overlap per doc (d16 machinery)
+    val wT = Window.partitionBy($"doc_id").orderBy($"n_shared".desc, $"bench_id".asc)
+    val textBest = bloomContaminationCounts(corpusD, benchD)
+      .withColumn("rn", row_number().over(wT)).filter($"rn" === 1)
+      .select($"doc_id", $"bench_id".as("text_bench_id"),
+        $"n_shared".as("text_shared"))
+
+    // semantic tier: s19's full audit over the same id split
+    val e = embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val semAudit = Similarity.benchDecontaminationAudit(
+        e.filter($"vec_id" >= 20), e.filter($"vec_id" < 20), tau = 0.45)
+      .select($"vec_id".as("doc_id"), $"bench_id".as("sem_bench_id"),
+        $"cosine_r".as("sem_cosine_r"), $"contaminated".as("sem_hit"))
+
+    // payload tier: m09's full audit over the same id split
+    val pay = docs.select($"doc_id", encode($"text", "utf-8").as("payload"))
+    val payAudit = Multimodal.payloadDecontamination(
+        pay.filter($"doc_id" >= 20), pay.filter($"doc_id" < 20), maxHamming = 7)
+      .select($"doc_id", $"bench_id".as("payload_bench_id"),
+        $"hamming", $"byte_exact", $"contaminated".as("payload_hit"))
+
+    corpusD.select($"doc_id")
+      .join(textBest, Seq("doc_id"), "left")
+      .join(semAudit, Seq("doc_id"), "left")
+      .join(payAudit, Seq("doc_id"), "left")
+      .select($"doc_id",
+        $"text_bench_id".isNotNull.as("text_hit"),
+        $"text_bench_id", coalesce($"text_shared", lit(0L)).as("text_shared"),
+        coalesce($"sem_hit", lit(false)).as("sem_hit"),
+        $"sem_bench_id", $"sem_cosine_r",
+        coalesce($"payload_hit", lit(false)).as("payload_hit"),
+        $"payload_bench_id", $"hamming",
+        coalesce($"byte_exact", lit(false)).as("byte_exact"))
+      .withColumn("contaminated_any",
+        $"text_hit" || $"sem_hit" || $"payload_hit")
+  }
+
   // ---- c13: per-document rejection-reason audit ----
 
   /** c13: WHY each document left the pipeline — the per-doc provenance
@@ -1508,6 +1578,7 @@ object Curation {
     "c14_token_budget_bpe"  -> (c14TokenBudgetBpe _),
     "c15_token_budget_bpe_pruned" -> (c15TokenBudgetBpePruned _),
     "c16_dsir_selection"    -> (c16DsirSelection _),
+    "c17_decontamination_report" -> (c17DecontaminationReport _),
     "t31_bpe_packing"       -> (t31BpePacking _),
     "c08_temperature_mix"   -> (c08TemperatureMix _),
     "d13_source_overlap"    -> ((s: SparkSession, d: String) => d13SourceOverlap(s, d)),
@@ -1546,6 +1617,10 @@ object Curation {
     // snapshot, the t21/t24 discipline; selection behavior pinned on a
     // planted corpus in CurationSpec
     "c16_dsir_selection"    -> graft.GoldenGen.oracle("c16_dsir_selection"),
+    // c17: composes d16's Bloom + m09's blockhash (engine-side) with
+    // s19's SQL-safe audit → golden as a whole; tier agreement with
+    // the three standalone entries spec-asserted
+    "c17_decontamination_report" -> graft.GoldenGen.oracle("c17_decontamination_report"),
     // t31: BPE-denominated packing — counts are engine-side like c14's
     // → golden snapshot; packing recomputed locally in the spec
     "t31_bpe_packing"       -> graft.GoldenGen.oracle("t31_bpe_packing"),

@@ -41,7 +41,8 @@ object PlanAudit {
         "s17_ivf_persisted", "s18_ivf_append_serve",
         "t32_tokenizer_report", "d18_dedup_substrings",
         "d19_delta_substrings", "s19_bench_decontamination",
-        "c16_dsir_selection").foreach(show)
+        "c16_dsir_selection", "m09_bench_decontamination",
+        "c17_decontamination_report").foreach(show)
     spark.stop()
   }
 }

@@ -632,6 +632,44 @@ class TextAnalysisSpec extends SparkSpec {
       "BPE counts too close to whitespace counts to be char-granular")
   }
 
+  test("c17 report: every tier column agrees with its standalone operator") {
+    import spark.implicits._
+    import graft.operators.{Curation, Multimodal, Similarity}
+    val rep = Curation.c17DecontaminationReport(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // one row per corpus doc, no doc lost or invented
+    assert(rep.size === 480 && rep.keySet.forall(_ >= 20))
+    // text tier ≡ d16's flagged doc set (same rule, same boundary)
+    val d16Docs = Curation.d16BloomDecontamination(spark, sf001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rep.filter(_._2.getBoolean(1)).keySet === d16Docs,
+      "text_hit set diverges from d16")
+    // semantic tier ≡ s19's audit recomputed on the report's boundary
+    val e = Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val sem = Similarity.benchDecontaminationAudit(
+        e.filter($"vec_id" >= 20), e.filter($"vec_id" < 20), 0.45)
+      .as[(Long, Long, Double, Boolean)].collect().map(x => x._1 -> x).toMap
+    rep.foreach { case (id, r) =>
+      assert(r.getBoolean(4) === sem(id)._4 &&
+             r.getLong(5) === sem(id)._2 &&
+             r.getDouble(6) === sem(id)._3, s"sem tier diverges at $id")
+    }
+    // payload tier ≡ m09's audit (same frames, same boundary)
+    val m09 = Multimodal.m09BenchDecontamination(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    rep.foreach { case (id, r) =>
+      val m = m09(id)
+      assert(r.getBoolean(7) === m.getBoolean(4) &&
+             r.getBoolean(10) === m.getBoolean(3), s"payload tier diverges at $id")
+    }
+    // the verdict is the OR of the tiers
+    rep.values.foreach { r =>
+      assert(r.getBoolean(11) ===
+        (r.getBoolean(1) || r.getBoolean(4) || r.getBoolean(7)))
+    }
+  }
+
   test("c16 DSIR: target-like pool docs outrank disjoint-vocabulary noise") {
     import spark.implicits._
     import graft.operators.Curation
