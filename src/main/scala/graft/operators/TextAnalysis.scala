@@ -653,6 +653,76 @@ object TextAnalysis {
         ($"wsum" > 0).as("keep"))
   }
 
+  // ---- t33: distinct-n corpus diversity (per source) ----
+
+  /** t33: per-source distinct-n ratios — the distinct-1/distinct-2
+    * diversity metric (Li et al. 2016, arXiv:1510.03055: unique
+    * n-grams / total n-grams). In a training-data pipeline this is the
+    * MODE-COLLAPSE diagnostic for synthetic/generated sources: a
+    * distilled or templated source scores far below organic text at
+    * the same volume, and the c04 datasheet's uniqueness column
+    * (byte-exact dedup rate) cannot see it — two generations are never
+    * byte-equal yet reuse the same n-grams. Read alongside c04 before
+    * weighting a source in c03/c08.
+    *
+    * Scale: two aggregates per n — a total count (map-side combined)
+    * and a distinct count (one shuffle on (source, gram); gram keys
+    * are hash-uniform, stopword-heavy grams skew the PARTIAL agg
+    * which combine bounds per task). State ∝ distinct grams per
+    * source, the same vocabulary-mass scaling as t13/t21 — and like
+    * any diversity measurement it can sample at the reader (a fixed
+    * doc-hash sample preserves ratios) when the full pass isn't worth
+    * it. Integer counts + one 6 dp-rounded division per ratio → full
+    * SQL oracle (the t22 discipline). */
+  def t33DistinctNgrams(s: SparkSession, d: String): DataFrame =
+    distinctNgramRatios(documents(s, d).select("doc_id", "source", "text"))
+
+  /** Frame-taking core of t33 (specs feed planted templated sources). */
+  private[graft] def distinctNgramRatios(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val t = toks($"text")
+    def grams(n: Int): DataFrame =
+      if (n == 1)
+        docs.select($"source", explode(t).as("g")).filter(length($"g") > 0)
+      else {
+        val len = size(t) - (n - 1)
+        val zipped = arrays_zip((1 to n).map(i => slice(t, lit(i), len)): _*)
+        docs.filter(size(t) >= n)
+          .select($"source", explode(zipped).as("p"))
+          .select($"source",
+            concat_ws(" ", (0 until n).map(i => col(s"p.$i")): _*).as("g"))
+      }
+    def ratios(n: Int): DataFrame = grams(n).groupBy($"source").agg(
+      count(lit(1)).as(s"total_$n"),
+      countDistinct($"g").as(s"distinct_$n"))
+      .withColumn(s"distinct_${n}_r",
+        round(col(s"distinct_$n").cast("double") / col(s"total_$n"), 6))
+    ratios(1).join(ratios(2), Seq("source"))
+      .select($"source", $"total_1", $"distinct_1", $"distinct_1_r",
+        $"total_2", $"distinct_2", $"distinct_2_r")
+  }
+
+  val t33Sql: String =
+    """WITH tok AS (
+      |  SELECT source, string_split(text, ' ') AS t FROM documents
+      |), u AS (
+      |  SELECT source, COUNT(*) AS total_1, COUNT(DISTINCT g) AS distinct_1
+      |  FROM (SELECT source, unnest(t) AS g FROM tok) WHERE len(g) > 0
+      |  GROUP BY 1
+      |), b AS (
+      |  SELECT source, COUNT(*) AS total_2, COUNT(DISTINCT g) AS distinct_2
+      |  FROM (SELECT source, unnest([t[i] || ' ' || t[i+1]
+      |          for i in range(1, len(t))]) AS g
+      |        FROM tok WHERE len(t) >= 2)
+      |  GROUP BY 1
+      |)
+      |SELECT source, total_1, distinct_1,
+      |  ROUND(CAST(distinct_1 AS DOUBLE) / total_1, 6) AS distinct_1_r,
+      |  total_2, distinct_2,
+      |  ROUND(CAST(distinct_2 AS DOUBLE) / total_2, 6) AS distinct_2_r
+      |FROM u JOIN b USING (source)""".stripMargin
+
   def t22GopherRules(s: SparkSession, d: String): DataFrame =
     gopherRules(documents(s, d).select("doc_id", "text"))
 
@@ -1383,6 +1453,7 @@ object TextAnalysis {
     "t24_hash_classifier" -> (t24HashClassifier _),
     "t23_normalize"     -> (t23Normalize _),
     "t22_gopher_rules"  -> (t22GopherRules _),
+    "t33_distinct_ngrams" -> (t33DistinctNgrams _),
     "t21_lm_quality"    -> (t21LmQuality _),
     "t20_heavy_hitters" -> (t20HeavyHitters _),
     "t19_approx_quantiles" -> (t19ApproxQuantiles _),
@@ -1439,6 +1510,7 @@ object TextAnalysis {
     "t24_hash_classifier" -> graft.GoldenGen.oracle("t24_hash_classifier"),
     "t23_normalize"     -> t23Sql,
     "t22_gopher_rules"  -> t22Sql,
+    "t33_distinct_ngrams" -> t33Sql,
     // t21: log2 is transcendental (cross-engine unsafe) → golden-hashed;
     // partition invariance engineered via quantized decimal term sums.
     "t21_lm_quality"    -> graft.GoldenGen.oracle("t21_lm_quality"),

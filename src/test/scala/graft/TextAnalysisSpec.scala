@@ -632,6 +632,31 @@ class TextAnalysisSpec extends SparkSpec {
       "BPE counts too close to whitespace counts to be char-granular")
   }
 
+  test("t33 distinct-n: templated source scores far below organic, hand arithmetic exact") {
+    import spark.implicits._
+    // "synthetic" source: one template, surface-varied (never byte-equal
+    // — c04's uniqueness column scores it 100% unique) vs an organic
+    // source with fresh vocabulary per doc
+    val docs = Seq(
+      (1L, "synth", "the model said the answer is one"),
+      (2L, "synth", "the model said the answer is two"),
+      (3L, "synth", "the model said the answer is three"),
+      (4L, "organic", "quarterly revenue beat analyst expectations again"),
+      (5L, "organic", "migrating birds navigate using geomagnetic cues"),
+      (6L, "organic", "the sonata modulates abruptly into f minor")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.distinctNgramRatios(docs)
+      .as[(String, Long, Long, Double, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // synth: 21 tokens, 8 distinct (the model said the answer is +
+    // one/two/three); 18 bigrams, 8 distinct
+    assert(got("synth") === (("synth", 21L, 8L, 0.380952, 18L, 8L, 0.444444)))
+    // organic: every doc has fresh vocabulary — ratios near 1
+    assert(got("organic")._4 > 0.9 && got("organic")._7 === 1.0)
+    assert(got("synth")._7 < got("organic")._7 / 2,
+      "distinct-2 must separate the templated source")
+  }
+
   test("c17 report: every tier column agrees with its standalone operator") {
     import spark.implicits._
     import graft.operators.{Curation, Multimodal, Similarity}
