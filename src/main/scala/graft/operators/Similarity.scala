@@ -1753,7 +1753,87 @@ object Similarity {
       |       cosine >= 0.45 AS contaminated
       |FROM sims WHERE rn = 1""".stripMargin
 
+  // ---- s20: Matryoshka truncation audit ----
+
+  /** s20: the dimension-commit diagnostic — before choosing how many
+    * leading dimensions of an embedding column to index (Matryoshka
+    * representation learning, Kusupati et al. 2022: MRL-trained
+    * embeddings keep most ranking signal in a prefix), measure what
+    * each truncation actually costs: per (query, prefix length m),
+    * the top-k under first-m-dims cosine and its OVERLAP with the
+    * full-dimension top-k. This is the third face of the storage
+    * ladder's measurement discipline — s05 prices int8, s16/LayoutSpec
+    * price the 1-bit lane, s20 prices dropping dimensions outright
+    * (a 64→16 truncation is 4× less scan I/O with zero decode cost,
+    * better than int8 IF the overlap holds; these fixture embeddings
+    * are not MRL-trained, so low-m overlap is expectedly weak — the
+    * audit exists to catch exactly that before a layout commits).
+    *
+    * Scale: one s01-shaped pass per probed m — query side broadcast,
+    * corpus streams, per-query top-k windows over the candidate frame;
+    * the audit runs over a bounded query SAMPLE by construction (its
+    * output is a decision table, not a serving path). Everything is
+    * integer ranks + the same sequential-order dot kernel → full SQL
+    * oracle (slices preserve element order in both engines). */
+  def s20MatryoshkaAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d).select($"vec_id", $"v")
+    def topk(m: Int): DataFrame = {
+      val cm = c.select($"vec_id", slice($"v", 1, m).as("vm"))
+        .withColumn("nrm", norm($"vm"))
+      val q = cm.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"vm".as("qv"), $"nrm".as("qn"))
+      val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
+      cm.crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("n_id"),
+          (dot($"vm", $"qv") / ($"nrm" * $"qn")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"q_id", $"n_id", $"rank")
+    }
+    val full = topk(64).select($"q_id", $"n_id")
+    Seq(8, 16, 32, 64).map { m =>
+      val t = topk(m)
+      val top1 = t.filter($"rank" === 1).select($"q_id", $"n_id".as("top1_id"))
+      t.join(full, Seq("q_id", "n_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("overlap3"))
+        // a prefix ranking can be fully disjoint from the full top-k —
+        // keep those queries at overlap 0 instead of dropping the row
+        .join(top1, Seq("q_id"), "right")
+        .select($"q_id", lit(m).as("m"), $"top1_id",
+          coalesce($"overlap3", lit(0L)).as("overlap3"))
+    }.reduce(_ unionByName _)
+  }
+
+  val s20Sql: String = {
+    def topkSql(m: Int): String =
+      s"""SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_dot_product(q.vm, c.vm) /
+         |        (sqrt(list_dot_product(q.vm, q.vm)) * sqrt(list_dot_product(c.vm, c.vm))) DESC,
+         |        c.vec_id ASC) AS rank
+         |  FROM (SELECT vec_id, vm FROM e$m WHERE vec_id < 20) q
+         |  JOIN e$m c ON c.vec_id <> q.vec_id
+         |  QUALIFY rank <= 3""".stripMargin
+    val es = Seq(8, 16, 32, 64).map(m =>
+      s"""e$m AS (
+         |  SELECT vec_id, list_transform(embedding[1:$m], x -> CAST(x AS DOUBLE)) AS vm
+         |  FROM embeddings
+         |), t$m AS (
+         |  ${topkSql(m).replace("\n", "\n  ")}
+         |)""".stripMargin).mkString(", ")
+    val unions = Seq(8, 16, 32, 64).map(m =>
+      s"""SELECT p.q_id, $m AS m,
+         |  MAX(CASE WHEN p.rank = 1 THEN p.n_id END) AS top1_id,
+         |  COUNT(f.n_id) AS overlap3
+         |FROM t$m p LEFT JOIN t64 f ON f.q_id = p.q_id AND f.n_id = p.n_id
+         |GROUP BY 1""".stripMargin).mkString("\nUNION ALL\n")
+    s"WITH $es\n$unions"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_matryoshka_audit"  -> (s20MatryoshkaAudit _),
     "s19_bench_decontamination" -> (s19BenchDecontamination _),
     "s17_ivf_persisted"     -> (s17IvfPersistedTopK _),
     "s18_ivf_append_serve"  -> (s18IvfAppendServe _),
@@ -1778,6 +1858,9 @@ object Similarity {
   // def, not val: the golden-snapshot oracle resolves the sf tag at
   // dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // s20: integer ranks + the same sequential-order dot kernel over
+    // prefix slices (order-preserving both engines) → full SQL oracle
+    "s20_matryoshka_audit"  -> s20Sql,
     // s19: sequential-order dot kernel both engines → bit-identical
     // cosines, total-ordered argmax → full SQL oracle
     "s19_bench_decontamination" -> s19Sql,

@@ -892,6 +892,27 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(picks(2)._4 - (0.7 * 0.9499 - 0.3)) < 1e-6)
   }
 
+  test("s20 matryoshka audit: full-dim row is exact, truncation loses (never gains) fidelity") {
+    import spark.implicits._
+    val rows = Similarity.s20MatryoshkaAudit(spark, sf001)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(rows.length === 80, "20 queries x 4 truncations")
+    // m = 64 IS the full ranking: overlap must be exactly k for every
+    // query, and its top1 must equal s01's rank-1 neighbor
+    val at64 = rows.filter(_._2 == 64)
+    assert(at64.forall(_._4 === 3L), "full-dim overlap must be 3")
+    val s01Top1 = Similarity.s01CosineTopK(spark, sf001)
+      .filter($"rank" === 1).select($"q_id", $"n_id")
+      .as[(Long, Long)].collect().toMap
+    at64.foreach { case (q, _, t1, _) => assert(t1 === s01Top1(q)) }
+    // fidelity is measured, not assumed: on these non-MRL fixture
+    // embeddings the mean overlap at m=8 must sit strictly below full —
+    // the audit exists to catch exactly this before a layout commits
+    val mean8 = rows.filter(_._2 == 8).map(_._4).sum / 20.0
+    assert(mean8 < 3.0, s"m=8 mean overlap $mean8 should lose fidelity here")
+    assert(rows.forall(r => r._4 >= 0L && r._4 <= 3L))
+  }
+
   test("s19 bench decontamination: planted paraphrase flagged, argmax + tie-break exact") {
     import spark.implicits._
     // planted bench: two orthogonal unit vectors. Corpus: c100 is a
