@@ -1261,39 +1261,72 @@ object Curation {
                                 buckets: Int, topK: Int): DataFrame = {
     val s = pool.sparkSession
     import s.implicits._
-    def feats(df: DataFrame): DataFrame = {
-      val t = split($"text", " ")
-      val n1 = greatest(size(t) - 1, lit(0))
-      val zipped = arrays_zip(slice(t, lit(1), n1), slice(t, lit(2), n1))
-      df.filter(size(t) >= 2)
-        .select($"doc_id", explode(zipped).as("p"))
-        .select($"doc_id",
-          pmod(xxhash64(concat_ws(" ", $"p.0", $"p.1")), lit(buckets.toLong)).as("b"))
-    }
-    val poolF = feats(pool)
-    val tCnt = feats(target).groupBy($"b").agg(count(lit(1)).as("ct"))
-    val pCnt = poolF.groupBy($"b").agg(count(lit(1)).as("cp"))
-    // scalar totals: 1-row aggregates (the t21/c04 `.head()` precedent)
-    val tTot = tCnt.agg(sum($"ct")).head().getLong(0)
-    val pTot = pCnt.agg(sum($"cp")).head().getLong(0)
-    // λ per bucket: pure per-value function of integer counts, 6 dp.
-    // Every pool bucket exists in pCnt by construction; target count
-    // defaults to 0 via the left join (add-one smoothing covers it).
-    val lam = pCnt.join(tCnt, Seq("b"), "left")
-      .select($"b", round(
-        log(2.0, (coalesce($"ct", lit(0L)).cast("double") + 1.0) /
-          lit((tTot + buckets).toDouble)) -
-        log(2.0, ($"cp".cast("double") + 1.0) / lit((pTot + buckets).toDouble)),
-        6).as("lam"))
-    poolF.join(broadcast(lam), Seq("b"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), graft.Det.dsum($"lam").as("logw"))
-      .select($"doc_id", $"n_bigrams", round($"logw", 6).as("logw_r"),
-        round($"logw" / $"n_bigrams", 6).as("avg_lam_r"))
+    dsirScoreWith(pool, dsirModel(pool, target, buckets), buckets)
       .orderBy($"logw_r".desc, $"doc_id".asc)
       .limit(topK)
       .withColumn("rank", row_number().over(
         Window.orderBy($"logw_r".desc, $"doc_id".asc)))
+  }
+
+  private def dsirFeats(df: DataFrame, buckets: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val t = split($"text", " ")
+    val n1 = greatest(size(t) - 1, lit(0))
+    val zipped = arrays_zip(slice(t, lit(1), n1), slice(t, lit(2), n1))
+    df.filter(size(t) >= 2)
+      .select($"doc_id", explode(zipped).as("p"))
+      .select($"doc_id",
+        pmod(xxhash64(concat_ws(" ", $"p.0", $"p.1")), lit(buckets.toLong)).as("b"))
+  }
+
+  /** The fitted DSIR model as a first-class (b, lam) frame — the
+    * artifact a production pipeline PERSISTS once and scores every
+    * candidate batch against (the t30 merge-table / c12 curation-state
+    * / d19 window-set discipline: fit cost is paid at model-build
+    * time, never per batch). A sentinel row b = −1 carries the
+    * UNSEEN-bucket weight (add-one smoothing with zero counts on both
+    * sides), so a reloaded model is self-contained: a delta doc whose
+    * bigrams hash to buckets the fit never saw still scores, with
+    * exactly the smoothing the fit implies. */
+  private[graft] def dsirModel(pool: DataFrame, target: DataFrame,
+                               buckets: Int): DataFrame = {
+    val s = pool.sparkSession
+    import s.implicits._
+    val tCnt = dsirFeats(target, buckets).groupBy($"b").agg(count(lit(1)).as("ct"))
+    val pCnt = dsirFeats(pool, buckets).groupBy($"b").agg(count(lit(1)).as("cp"))
+    // scalar totals: 1-row aggregates (the t21/c04 `.head()` precedent)
+    val tTot = tCnt.agg(sum($"ct")).head().getLong(0)
+    val pTot = pCnt.agg(sum($"cp")).head().getLong(0)
+    // λ per bucket: pure per-value function of integer counts, 6 dp.
+    // Buckets seen by EITHER side get a row (full outer); zero counts
+    // on the missing side are the same add-one smoothing the sentinel
+    // encodes. The model row count is ≤ min(2·B, vocab) — tiny.
+    def lamExpr(ct: Column, cp: Column): Column = round(
+      log(2.0, (ct.cast("double") + 1.0) / lit((tTot + buckets).toDouble)) -
+      log(2.0, (cp.cast("double") + 1.0) / lit((pTot + buckets).toDouble)), 6)
+    pCnt.join(tCnt, Seq("b"), "full_outer")
+      .select($"b", lamExpr(coalesce($"ct", lit(0L)), coalesce($"cp", lit(0L))).as("lam"))
+      .unionByName(s.range(1).select(lit(-1L).as("b"),
+        lamExpr(lit(0L), lit(0L)).as("lam")))
+  }
+
+  /** Score ANY (doc_id, text, …) frame against a fitted — possibly
+    * parquet-reloaded — model: one bigram explode + broadcast λ join +
+    * exact-decimal per-doc sum. No pool rescan, no refit; this is the
+    * per-batch operating cost of DSIR at 100 TB. */
+  private[graft] def dsirScoreWith(docs: DataFrame, model: DataFrame,
+                                   buckets: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val unseenLam = model.filter($"b" === -1L).select($"lam").head().getDouble(0)
+    dsirFeats(docs, buckets)
+      .join(broadcast(model.filter($"b" =!= -1L)), Seq("b"), "left")
+      .withColumn("lam", coalesce($"lam", lit(unseenLam)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), graft.Det.dsum($"lam").as("logw"))
+      .select($"doc_id", $"n_bigrams", round($"logw", 6).as("logw_r"),
+        round($"logw" / $"n_bigrams", 6).as("avg_lam_r"))
   }
 
   // ---- c17: cross-modal decontamination report ----

@@ -189,6 +189,24 @@ object ScaleProbe {
     row("c16_dsir_selection",
       t2(operators.Curation.c16DsirSelection(spark, docsAt("x1")).count()),
       t2(operators.Curation.c16DsirSelection(spark, docsAt("x10")).count()))
+    // c16 score-only: the production steady state — the λ model fitted
+    // ONCE and reloaded from parquet, each batch pays only the explode
+    // + broadcast join + per-doc sum (vs the registered entry's
+    // fit-inclusive cost; the t30 encode-only symmetry)
+    locally {
+      val d10 = spark.read.parquet(s"$base/x10/documents.parquet")
+        .select($"doc_id", $"text", $"source")
+      val pool10 = d10.filter(!$"source".isin("src1", "src2"))
+      val modelDir = s"$base/dsir-model"
+      operators.Curation.dsirModel(pool10,
+        d10.filter($"source".isin("src1", "src2")), 2048)
+        .write.mode("overwrite").parquet(modelDir)
+      val m = spark.read.parquet(modelDir)
+      val (fit, _) = t2(operators.Curation.c16DsirSelection(spark, docsAt("x10")).count())
+      val (sc, n) = t2(operators.Curation.dsirScoreWith(pool10, m, 2048).count())
+      println(f"SCALE c16_score_only        fit+select=${fit}%6.2fs  " +
+        f"score-only(persisted model, $n docs)=${sc}%6.2fs  cost-ratio=${sc / fit}%5.2fx")
+    }
     // t28: two hash aggs over token/hash mass — the linear floor
     row("t28_sketch_profile",
       t2(operators.TextAnalysis.t28SketchProfile(spark, docsAt("x1")).count()),

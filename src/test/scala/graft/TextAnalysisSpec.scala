@@ -657,6 +657,48 @@ class TextAnalysisSpec extends SparkSpec {
       "distinct-2 must separate the templated source")
   }
 
+  test("c16 model persists: reloaded lambda table scores identically; novel vocab gets the smoothed default") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sf001).select($"doc_id", $"text", $"source")
+    val pool = docs.filter(!$"source".isin("src1", "src2"))
+    val target = docs.filter($"source".isin("src1", "src2"))
+    val model = Curation.dsirModel(pool, target, 2048)
+    val dir = java.nio.file.Files.createTempDirectory("c16-model").toString
+    try {
+      model.write.mode("overwrite").parquet(dir)
+      val reloaded = spark.read.parquet(dir)
+      val a = Curation.dsirScoreWith(pool, model, 2048)
+        .collect().map(_.toSeq).toSet
+      val b = Curation.dsirScoreWith(pool, reloaded, 2048)
+        .collect().map(_.toSeq).toSet
+      assert(a === b, "parquet round-trip changed DSIR scores")
+      // a delta doc with vocabulary the fit never saw: each bigram
+      // takes its bucket's weight if the (hash-shared) bucket was
+      // populated at fit time, the sentinel default otherwise —
+      // recomputed independently here by a local model lookup
+      val unseen = reloaded.filter($"b" === -1L).select($"lam").head().getDouble(0)
+      val lamMap = reloaded.filter($"b" =!= -1L)
+        .as[(Long, Double)].collect().toMap
+      def bucketOf(g: String): Long = spark.range(1)
+        .select(pmod(xxhash64(lit(g)), lit(2048L))).head().getLong(0)
+      val delta = Seq((9999L, "zzqx vvrp kkmw zzqx vvrp")).toDF("doc_id", "text")
+      val grams = Seq("zzqx vvrp", "vvrp kkmw", "kkmw zzqx", "zzqx vvrp")
+      val expected = grams.map(g => lamMap.getOrElse(bucketOf(g), unseen)).sum
+      val scored = Curation.dsirScoreWith(delta, reloaded, 2048)
+        .as[(Long, Long, Double, Double)].head()
+      assert(scored._2 === 4L)
+      assert(math.abs(scored._3 - expected) < 1e-6,
+        s"delta score ${scored._3} != locally recomputed $expected")
+      // and the sentinel path itself, pinned with a hand-built model:
+      // an empty bucket table forces every bigram onto the default
+      val sentinelOnly = Seq((-1L, 0.5)).toDF("b", "lam")
+      val s2 = Curation.dsirScoreWith(delta, sentinelOnly, 2048)
+        .as[(Long, Long, Double, Double)].head()
+      assert(s2._3 === 2.0 && s2._4 === 0.5, s"sentinel-only score $s2")
+    } finally graft.BenchUtil.rmTree(dir)
+  }
+
   test("c17 report: every tier column agrees with its standalone operator") {
     import spark.implicits._
     import graft.operators.{Curation, Multimodal, Similarity}
