@@ -232,6 +232,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("max_cosine_against"), "codegen'd argmax kernel missing")
   }
 
+  test("c16: LM aggregates partial+final, lambda table broadcasts, no cartesian") {
+    // the O(buckets)-state claim: both hashed LMs must combine map-side
+    // (shuffle fan-in ≤ B rows) and the λ table must reach the scoring
+    // join as a broadcast, never a shuffled side
+    val p = plan("c16_dsir_selection")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), "lambda join must broadcast")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      "bucket-count aggregates are not map-side combined")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-K must be a TakeOrdered, not a global sort")
+  }
+
+  test("m09: bench side broadcasts; the only shuffled joins key on doc_id") {
+    // asymmetric corpus × bench banding: the candidate join must build
+    // on the broadcast bench bands (never a corpus self-join or
+    // cartesian); the audit ASSEMBLY joins (flagged ⋈ sha, corpus ⋈
+    // audit) are allowed to shuffle — they key on doc_id, uniform by
+    // construction — but nothing may shuffle on a band/fingerprint key
+    val p = plan("m09_bench_decontamination")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), "bench side must broadcast")
+    val smjKeyed = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smjKeyed.forall(_.contains("doc_id")),
+      s"shuffled join off the uniform doc_id key:\n${smjKeyed.mkString("\n")}")
+  }
+
   test("t31: BPE packing windows per lang, aggregate map-side combined") {
     val p = plan("t31_bpe_packing")
     assert(!p.contains("CartesianProduct") &&
