@@ -124,10 +124,16 @@ object Bench {
       // min of two runs: a single sample still carries whatever cleanup
       // the previous query queued; the min is the steady-state estimate
       // (PerfProbe medians agree with it, single samples can be 3× off)
+      // per-attempt settle GC must NOT bill into this query's gc share
+      // (it collects whatever the SUITE queued): accumulate only the
+      // deltas of the timed spans themselves
+      var settleGcMs = 0L
       val sec = try {
         if (ccFamily(name)) {
           val ts = (1 to 3).map { _ =>
+            val s0 = gcMsNow()
             System.gc(); Thread.sleep(1000)
+            settleGcMs += gcMsNow() - s0
             timeSec(materialize(fn(spark, sfDir)))
           }
           ccAttempts(name) = ts
@@ -143,7 +149,7 @@ object Bench {
       if (nowRdds > peakRdds) peakRdds = nowRdds
       // GC across the timed runs (not the settles): the per-query share
       // of collector time — attribution for any inflated sample
-      (name, sec, gcMsNow() - gc0)
+      (name, sec, gcMsNow() - gc0 - settleGcMs)
     }
     val gcQueriesMs = gcMsNow() - gcStart
     val (storageRdds, storageMem) = storageNow()
@@ -434,7 +440,10 @@ object Bench {
     // 3-decimal rounding: ms resolution is below run-to-run noise, and the
     // harness that collects this output keeps only the last ~2000 chars of
     // stdout — the final line must fit that window to be machine-parsed
-    def r3(d: Double): String = "%.3f".format(d)
+    // Locale.ROOT: a comma-decimal default locale would otherwise emit
+    // "2,45" and corrupt the JSON artifact
+    def r3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val byName = results.map { case (k, v, _) => k -> v }.toMap
     def named(q: String): Double = byName.getOrElse(q, -1.0)
     // full per-query map: on its OWN line (and file) — at 100+ queries it
@@ -445,7 +454,8 @@ object Bench {
     val gcFull = results.map { case (k, _, g) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val ccJson = ccAttempts.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.map(t => "%.2f".format(t)).mkString(",") + "]"
+      "\"" + k + "\":[" + ts.map(t =>
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(t))).mkString(",") + "]"
     }.mkString("{", ",", "}")
     println(s"""{"detail":"per_query_s","queries":$qsFull}""")
     try java.nio.file.Files.write(

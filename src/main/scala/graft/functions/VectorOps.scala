@@ -325,9 +325,11 @@ object Int8Quantize {
   * cosine = seqdot(v, b) / (sqrt(seqdot(v, v)) · sqrt(seqdot(b, b))),
   * all sums in ascending index order — identical to DuckDB's
   * `list_dot_product` evaluation. Bench norms are precomputed ONCE at
-  * build time with the same kernel. Zero-norm vectors yield NaN
-  * cosines, which strict `>` never selects — callers should drop or
-  * document zero vectors (embedding corpora don't contain them). */
+  * build time with the same kernel. Zero-norm vectors have no cosine:
+  * the engines would silently DIVERGE on them (the JVM yields NaN,
+  * which strict `>` never selects; DuckDB yields NULL), so both the
+  * kernel (corpus side) and the builder (bench side) fail loudly
+  * instead — the [[DotProduct]] dimension-mismatch precedent. */
 case class MaxCosineAgainst(child: Expression, benchIds: Array[Long],
                             benchVecs: Array[Array[Double]], benchNorms: Array[Double])
     extends UnaryExpression {
@@ -355,6 +357,8 @@ object MaxCosineAgainst {
             norms: Array[Double]): Column = {
     require(ids.nonEmpty && ids.length == vecs.length && ids.length == norms.length,
       "benchmark matrix must be non-empty and aligned")
+    require(norms.forall(_ > 0.0),
+      "max_cosine_against: zero-norm benchmark vector has no cosine")
     GraftGlue.toCol(MaxCosineAgainst(GraftGlue.toExpr(c), ids, vecs, norms))
   }
 
@@ -366,6 +370,9 @@ object MaxCosineAgainst {
     var i = 0
     while (i < n) { val x = v.getDouble(i); s += x * x; i += 1 }
     val vn = math.sqrt(s)
+    if (vn == 0.0)
+      throw new IllegalArgumentException(
+        "max_cosine_against: zero-norm corpus vector has no cosine")
     var best = Double.NegativeInfinity
     var bestId = ids(0)
     var b = 0

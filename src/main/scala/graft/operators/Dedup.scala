@@ -541,11 +541,7 @@ object Dedup {
     import s.implicits._
     require(k >= 2, "window length must be at least 2 tokens")
     val toks = docs.select($"doc_id", tokens($"text").as("t"))
-    val long = toks.filter(size($"t") >= k)
-    val wins = long.select($"doc_id",
-        posexplode(transform(sequence(lit(0), size($"t") - k),
-          i => array_join(slice($"t", i + 1, lit(k)), " "))))
-      .toDF("doc_id", "pos", "w")
+    val wins = winsOf(docs, k)
     val owners = wins.groupBy($"w")
       .agg(min($"doc_id").as("owner"), countDistinct($"doc_id").as("nd"))
       .filter($"nd" > 1)
@@ -661,7 +657,10 @@ object Dedup {
     """WITH tok AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |), bnd AS (
-      |  SELECT MAX(doc_id) - CAST((MAX(doc_id) + 1) / 5 AS BIGINT) AS b FROM tok
+      |  -- // (integer division) to mirror Scala's truncating Long /:
+      |  -- DuckDB's / is float division and CAST rounds-to-nearest, so
+      |  -- the engines would split at different ids when (max+1) % 5 >= 3
+      |  SELECT MAX(doc_id) - (MAX(doc_id) + 1) // 5 AS b FROM tok
       |), win AS (
       |  SELECT doc_id, unnest(range(0, len(t) - 7)) AS pos, t FROM tok
       |  WHERE len(t) >= 8

@@ -942,5 +942,14 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.benchDecontaminationAudit(bad, bench, tau = 0.45).collect()
     }
+    // zero-norm vectors have no cosine and the engines would silently
+    // diverge on them (JVM NaN vs DuckDB NULL) — both sides fail loudly
+    val zero = Seq((300L, Seq(0.0, 0.0, 0.0))).toDF("vec_id", "v")
+    intercept[IllegalArgumentException] {
+      Similarity.benchDecontaminationAudit(zero, bench, tau = 0.45).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.benchDecontaminationAudit(corpus, zero, tau = 0.45).collect()
+    }
   }
 }
