@@ -245,7 +245,81 @@ object EventAnalytics {
       |FROM active JOIN cohort USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
+  // ---- q72: per-user activity-series similarity top-k ----
+
+  /** q72: which users behave alike over TIME — cosine similarity of
+    * per-user daily activity series, the time-series similarity-search
+    * modality (the EDBT'19 streaming-series / ICDE'21 top-k trajectory
+    * line) expressed relationally: the (user, day, count) frame
+    * equi-joins itself on the day key, so the inner product is an
+    * integer aggregate and the dense per-user vector NEVER
+    * materializes. The same events that q28 buckets and q65/q66
+    * funnel/retain become a similarity space — cohort discovery,
+    * bot-ring detection, account-sharing signals.
+    *
+    * Scale: the sparse join's fan-out per day bucket is |active
+    * probes| × |active users| — linear in the corpus for a fixed probe
+    * set (never users²); the dot aggregate combines map-side; norms
+    * are one pass over the same daily frame. If the probe set is "all
+    * users" the problem becomes all-pairs and belongs to the s04/s08
+    * blocked/LSH machinery instead — this operator is the
+    * probe-against-corpus form. Zero-overlap pairs are absent from the
+    * join in BOTH engines (no shared active day ⇒ dot 0 ⇒ cannot
+    * outrank any overlapping candidate, and both engines omit the row
+    * identically). Integer dots + IEEE sqrt/divide → bit-identical;
+    * full SQL oracle. */
+  def q72SeriesTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
+    val daily = events(s, d)
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val norms = daily.groupBy($"user_id")
+      .agg(sum($"c" * $"c").as("ss"))
+      .select($"user_id", sqrt($"ss".cast("double")).as("nrm"))
+    daily.filter($"user_id" < 10)
+      .select($"user_id".as("q_id"), $"day", $"c".as("qc"))
+      .join(daily.select($"user_id".as("n_id"), $"day", $"c".as("nc")), Seq("day"))
+      .filter($"q_id" =!= $"n_id")
+      .groupBy($"q_id", $"n_id")
+      .agg(sum($"qc" * $"nc").as("dot"))
+      .join(norms.select($"user_id".as("q_id"), $"nrm".as("qn")), Seq("q_id"))
+      .join(norms.select($"user_id".as("n_id"), $"nrm".as("nn")), Seq("n_id"))
+      .select($"q_id", $"n_id",
+        ($"dot".cast("double") / ($"qn" * $"nn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"n_id", $"rank", round($"cosine", 6).as("cosine_r"))
+  }
+
+  val q72Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |), norms AS (
+      |  SELECT user_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nrm
+      |  FROM daily GROUP BY 1
+      |), dots AS (
+      |  SELECT q.user_id AS q_id, n.user_id AS n_id, SUM(q.c * n.c) AS dot
+      |  FROM daily q JOIN daily n ON q.day = n.day AND q.user_id <> n.user_id
+      |  WHERE q.user_id < 10
+      |  GROUP BY 1, 2
+      |), sims AS (
+      |  SELECT d.q_id, d.n_id,
+      |    CAST(d.dot AS DOUBLE) / (nq.nrm * nn.nrm) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY d.q_id
+      |      ORDER BY CAST(d.dot AS DOUBLE) / (nq.nrm * nn.nrm) DESC,
+      |               d.n_id ASC) AS rank
+      |  FROM dots d
+      |  JOIN norms nq ON nq.user_id = d.q_id
+      |  JOIN norms nn ON nn.user_id = d.n_id
+      |)
+      |SELECT q_id, n_id, rank, ROUND(cosine, 6) AS cosine_r
+      |FROM sims WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_series_topk"  -> (q72SeriesTopK _),
     "q65_funnel"       -> (q65Funnel _),
     "q66_retention"    -> (q66Retention _),
     "q64_asof_join"    -> (q64AsofJoin _),
@@ -258,6 +332,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q72_series_topk"  -> q72Sql,
     "q65_funnel"       -> q65Sql,
     "q66_retention"    -> q66Sql,
     "q64_asof_join"    -> q64Sql,

@@ -1837,7 +1837,90 @@ object Similarity {
     s"WITH $es\n$unions"
   }
 
+  // ---- s21: IVF-probed decontamination (the big-bench fallback) ----
+
+  /** s21: s19 when the benchmark suite outgrows broadcast — the probed
+    * form s19's scaladoc promises, now concrete. The BENCH side is
+    * multi-probe INDEXED (each bench vector replicated into its 2
+    * nearest buckets — replicating the small side is the cheap half
+    * of the asymmetric trade, and it is what buys the recall floor);
+    * each CORPUS vector probes its nprobe nearest centroids and takes
+    * the argmax cosine over only the bench vectors in those buckets.
+    * A pair meeting in two shared buckets yields byte-identical
+    * candidate rows, so the argmax window is unaffected. Candidate
+    * volume per corpus vector is the probed buckets' replicated bench
+    * mass (~nprobe·r/k of the suite), never the suite — the s03/s08
+    * economics pointed at an asymmetric join.
+    *
+    * Error model is one-sided, like the rest of the IVF family: a
+    * FLAG always carries a true witness (precision 1 — the cosine is
+    * exact, only the candidate set is approximate), a flag is MISSED
+    * only if every ≥ τ witness lives outside the probed buckets; the
+    * subset/precision properties and a fixture recall floor are
+    * spec-pinned against s19's exact audit. Deterministic seed
+    * quantizer → full SQL oracle (the s08 discipline; production
+    * swaps in trained centroids config-only, same plan). */
+  def s21ProbedDecontamination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = corpus(s, d).select($"vec_id", $"v")
+    val bench = all.filter($"vec_id" < 50)
+    val corp = all.filter($"vec_id" >= 50)
+    val cen = seedCentroids(bench, 5)
+    val benchHome = probeAssignments(bench, cen, nprobe = 2, maxBucket = 0L)
+      .select($"vec_id".as("bench_id"), $"v".as("bv"), $"nrm".as("bn"), $"cluster_id")
+    val wb = Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"bench_id".asc)
+    val best = probeAssignments(corp, cen, nprobe = 2, maxBucket = 0L)
+      .join(benchHome, Seq("cluster_id"))
+      .select($"vec_id", $"bench_id",
+        (dot($"v", $"bv") / ($"nrm" * $"bn")).as("cosine"))
+      .withColumn("rn", row_number().over(wb)).filter($"rn" === 1)
+    corp.select($"vec_id")
+      .join(best, Seq("vec_id"), "left")
+      .select($"vec_id", $"bench_id", round($"cosine", 6).as("cosine_r"),
+        coalesce($"cosine" >= 0.45, lit(false)).as("contaminated"))
+  }
+
+  val s21Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), en AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+      |), b AS (
+      |  SELECT * FROM en WHERE vec_id < 50
+      |), c AS (
+      |  SELECT * FROM en WHERE vec_id >= 50
+      |), cen AS (
+      |  SELECT vec_id AS cluster_id, v AS cv, nrm AS cn FROM b WHERE vec_id < 5
+      |), ba AS (
+      |  SELECT vec_id AS bench_id, v AS bv, nrm AS bn, cluster_id FROM (
+      |    SELECT b.vec_id, b.v, b.nrm, cen.cluster_id,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |        ORDER BY list_dot_product(b.v, cen.cv) / (b.nrm * cen.cn) DESC,
+      |                 cen.cluster_id ASC) AS rn
+      |    FROM b CROSS JOIN cen) WHERE rn <= 2
+      |), cp AS (
+      |  SELECT vec_id, v, nrm, cluster_id FROM (
+      |    SELECT c.vec_id, c.v, c.nrm, cen.cluster_id,
+      |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      |        ORDER BY list_dot_product(c.v, cen.cv) / (c.nrm * cen.cn) DESC,
+      |                 cen.cluster_id ASC) AS rn
+      |    FROM c CROSS JOIN cen) WHERE rn <= 2
+      |), best AS (
+      |  SELECT vec_id, bench_id, cosine FROM (
+      |    SELECT cp.vec_id, ba.bench_id,
+      |      list_dot_product(cp.v, ba.bv) / (cp.nrm * ba.bn) AS cosine,
+      |      ROW_NUMBER() OVER (PARTITION BY cp.vec_id
+      |        ORDER BY list_dot_product(cp.v, ba.bv) / (cp.nrm * ba.bn) DESC,
+      |                 ba.bench_id ASC) AS rn
+      |    FROM cp JOIN ba USING (cluster_id)) WHERE rn = 1
+      |)
+      |SELECT c.vec_id, best.bench_id, ROUND(best.cosine, 6) AS cosine_r,
+      |  COALESCE(best.cosine >= 0.45, FALSE) AS contaminated
+      |FROM c LEFT JOIN best USING (vec_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_probed_decontamination" -> (s21ProbedDecontamination _),
     "s20_matryoshka_audit"  -> (s20MatryoshkaAudit _),
     "s19_bench_decontamination" -> (s19BenchDecontamination _),
     "s17_ivf_persisted"     -> (s17IvfPersistedTopK _),
@@ -1863,6 +1946,9 @@ object Similarity {
   // def, not val: the golden-snapshot oracle resolves the sf tag at
   // dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // s21: approximate RECALL, deterministic SQL-replicable mechanism
+    // (seed quantizer + probe joins) — the s08 oracle discipline
+    "s21_probed_decontamination" -> s21Sql,
     // s20: integer ranks + the same sequential-order dot kernel over
     // prefix slices (order-preserving both engines) → full SQL oracle
     "s20_matryoshka_audit"  -> s20Sql,

@@ -952,4 +952,37 @@ class SimilaritySpec extends SparkSpec {
       Similarity.benchDecontaminationAudit(corpus, zero, tau = 0.45).collect()
     }
   }
+
+  test("s21 probed decontamination: one-sided vs s19 — flag subset, exact witnesses, recall floor") {
+    import spark.implicits._
+    val exact = Similarity.s19BenchDecontamination(spark, sf001)
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val probed = Similarity.s21ProbedDecontamination(spark, sf001)
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect()
+    // one audit row per corpus vector — the left join drops nothing
+    assert(probed.length === exact.size,
+      s"${probed.length} probed rows vs ${exact.size} exact")
+    probed.foreach { case (id, _, cos, flag) =>
+      val e = exact(id)
+      if (flag) {
+        // precision 1: a probed flag always carries a true witness —
+        // the cosine is exact, only the candidate SET is approximate,
+        // so the exact audit must flag too (one-sided error)
+        assert(e._4, s"s21 flagged $id but the exact audit did not")
+        assert(cos.get >= 0.45 - 1e-6)
+        // and the probed witness can never beat the global argmax
+        // (round(x,6) is monotone, so ≤ survives the 6dp quantization)
+        assert(cos.get <= e._3.get + 1e-9,
+          s"probed witness ${cos.get} > exact max ${e._3.get} for $id")
+      }
+    }
+    // recall floor on the fixture: contamination is only MISSED when
+    // every ≥ τ witness lives outside the probed buckets
+    val exactFlags = exact.values.count(_._4)
+    val probedFlags = probed.count(_._4)
+    assert(exactFlags > 0, "fixture must contain ≥ τ mass for the floor to bind")
+    val recall = probedFlags.toDouble / exactFlags
+    assert(recall >= 0.9, s"fixture recall $recall ($probedFlags/$exactFlags) below floor")
+  }
 }
