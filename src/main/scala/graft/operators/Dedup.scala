@@ -778,6 +778,87 @@ object Dedup {
       |  sha256(COALESCE(kept.cleaned, '')) AS cleaned_sha
       |FROM tok LEFT JOIN kept ON kept.doc_id = tok.doc_id""".stripMargin
 
+  /** d20: WITHIN-document repetition removal — the transform
+    * counterpart of the t11/t22 repetition DIAGNOSTICS (Rae et al.
+    * 2021 measure duplicated n-gram mass and drop whole documents;
+    * production web pipelines also excise the repeated mass itself —
+    * boilerplate runs, stutter loops, navigation blocks repeated
+    * inside one page — and keep the document). Contract (token-level,
+    * deterministic): a k-window occurrence is flagged iff the SAME
+    * window's first occurrence in the SAME document ends at least k
+    * tokens earlier (`pos ≥ first_pos + k` — overlapping echoes of
+    * the first copy, the periodic-text corner, are not flagged
+    * themselves but may fall inside a flagged island). The first
+    * occurrence always survives; every later non-overlapping copy is
+    * excised through the shared d18 island machinery. Output per doc:
+    * original/kept/removed token counts + cleaned-text sha.
+    *
+    * Scale shape — strictly per-document, even more local than d18:
+    * window explode (∝ token mass) → first-occurrence aggregate on
+    * (doc_id, window) (map-side combined, key cardinality bounded by
+    * the doc's own windows) → equi-join back on (doc_id, window) →
+    * the d18 island/excise tail. NO cross-document term anywhere: the
+    * operator partitions perfectly by doc_id and would run as one
+    * shuffle-light pass at any corpus size. The registered entry uses
+    * k=2 so the mechanism is visibly load-bearing on the fixture
+    * (343/500 docs carry an intra-doc bigram repeat); production
+    * boilerplate excision runs k≈5–10, config-only. */
+  def intraDocRepeatRemoval(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(k >= 2, "window length must be at least 2 tokens")
+    val toks = docs.select($"doc_id", tokens($"text").as("t"))
+    val wins = winsOf(docs, k)
+    val firsts = wins.groupBy($"doc_id", $"w").agg(min($"pos").as("p0"))
+    val flagged = wins.join(firsts, Seq("doc_id", "w"))
+      .filter($"pos" >= $"p0" + k)
+      .select($"doc_id", $"pos")
+    excise(toks, flagged, k)
+  }
+
+  def d20IntraDocRepeats(s: SparkSession, d: String): DataFrame =
+    intraDocRepeatRemoval(documents(s, d).select(col("doc_id"), col("text")), 2)
+
+  val d20Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), longd AS (
+      |  SELECT doc_id, t FROM tok WHERE len(t) >= 2
+      |), win AS (
+      |  SELECT doc_id, unnest(range(0, len(t) - 1)) AS pos, t FROM longd
+      |), w2 AS (
+      |  SELECT doc_id, pos, array_to_string(t[pos+1:pos+2], ' ') AS w FROM win
+      |), flagged AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, MIN(pos) OVER (PARTITION BY doc_id, w) AS p0
+      |    FROM w2)
+      |  WHERE pos >= p0 + 2
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM flagged
+      |), spans AS (
+      |  SELECT doc_id, MIN(pos) AS s0, MAX(pos) + 1 AS e0
+      |  FROM isl GROUP BY doc_id, grp
+      |), removed AS (
+      |  SELECT DISTINCT doc_id, pos FROM (
+      |    SELECT doc_id, unnest(range(s0, e0 + 1)) AS pos FROM spans)
+      |), keptpos AS (
+      |  SELECT tp.doc_id, tp.pos, tp.t[tp.pos + 1] AS tok FROM (
+      |    SELECT doc_id, unnest(range(0, len(t))) AS pos, t FROM tok) tp
+      |  LEFT JOIN removed r ON r.doc_id = tp.doc_id AND r.pos = tp.pos
+      |  WHERE r.doc_id IS NULL
+      |), kept AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY pos) AS cleaned
+      |  FROM keptpos GROUP BY doc_id
+      |)
+      |SELECT tok.doc_id, CAST(len(tok.t) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(len(tok.t) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed,
+      |  sha256(COALESCE(kept.cleaned, '')) AS cleaned_sha
+      |FROM tok LEFT JOIN kept ON kept.doc_id = tok.doc_id""".stripMargin
+
   val d15Sql: String =
     """WITH tok AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -856,9 +937,14 @@ object Dedup {
     * exact Jaccard filter ≥ 0.8. Output is identical to d03 whenever
     * LSH recall holds (P[miss a 0.8+ pair] < 1e-12 with these
     * parameters) — which the driver's oracle compare asserts. */
-  def d04MinhashLsh(s: SparkSession, d: String): DataFrame = {
+  def d04MinhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshPairs(documents(s, d))
+
+  /** Frame-taking form of d04 (probes and scale measurements). */
+  def minhashLshPairs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val sh = documents(s, d)
+    val sh = docs
       .select($"doc_id", shingleHashes($"text").as("sh"))
       .filter(size($"sh") > 0)
     val banded = sh
@@ -895,6 +981,109 @@ object Dedup {
   def d17LshClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     clusterPairs(d04MinhashLsh(s, d).select($"d1", $"d2"))
+  }
+
+  // ---- d21: persisted LSH band index + delta probe ----
+
+  /** The per-doc shingle-hash frame — the index's verify lane. */
+  private def shingleFrame(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", shingleHashes($"text").as("sh"))
+      .filter(size($"sh") > 0)
+  }
+
+  /** (doc_id, band_id, band_hash) banding of a shingle frame — the
+    * index's candidate lane, the same native signature/band
+    * expressions d04 runs in-plan. */
+  private def bandedOf(sh: DataFrame): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    sh.select($"doc_id", posexplode(bandKeys(minhashSignature($"sh"))))
+      .toDF("doc_id", "band_id", "band_hash")
+  }
+
+  /** d21: the LSH index as a PERSISTED ARTIFACT — the text-modality
+    * twin of s17/s18's inverted file. d11 probes a delta against the
+    * standing corpus with a prefix join, which re-reads standing
+    * shingle mass every batch; at 100 TB the production shape is an
+    * index written ONCE: the banded table (doc_id, band_id,
+    * band_hash — 16 rows × ~12 B per doc) plus the shingle frame
+    * (the verify lane, read only for candidate doc_ids). Each delta
+    * batch computes its own signatures in-plan (native expressions,
+    * one narrow pass over the DELTA only), equi-joins its band keys
+    * against the standing banded table — the shuffle moves band keys
+    * and ids, never text or shingle arrays — and exact-verifies only
+    * the collided candidates. `appendToLshIndex` admits each batch
+    * into the artifact (new files only; standing files byte-untouched,
+    * the s18 append discipline), so consecutive deltas also probe each
+    * other's history.
+    *
+    * Probe semantics ≡ d04 over (standing ∪ delta) restricted to
+    * delta-touching pairs: the bucket cap is computed on the UNION's
+    * bucket mass (exactly what in-plan d04 would see), candidates are
+    * delta-side × union-side within capped buckets, old–old pairs
+    * never form. With 16×8 banding P[miss a 0.8+ pair] < 1e-12, so
+    * the registered entry hash-matches d11's exact oracle (the
+    * d04≡d03 / s04≡s02 same-answer-scalable-plan precedent). The
+    * persisted round-trip (write → append → probe ≡ in-plan rebuild,
+    * standing files untouched) is spec-pinned in DedupSpec. */
+  def writeLshIndex(docs: DataFrame, dir: String): Unit = {
+    val sh = shingleFrame(docs)
+    sh.write.mode("overwrite").parquet(s"$dir/shingles")
+    bandedOf(sh).write.mode("overwrite").parquet(s"$dir/banded")
+  }
+
+  /** Admit a delta batch into a standing index: append-only — new
+    * files land beside the standing ones, which stay byte-untouched. */
+  def appendToLshIndex(delta: DataFrame, dir: String): Unit = {
+    val sh = shingleFrame(delta)
+    sh.write.mode("append").parquet(s"$dir/shingles")
+    bandedOf(sh).write.mode("append").parquet(s"$dir/banded")
+  }
+
+  /** Probe a delta batch against a persisted index: the J ≥ τ pairs
+    * touching the delta (new–old and new–new), at delta signature
+    * cost + one band-keyed equi-join + candidate-only verification. */
+  def probeLshIndex(s: SparkSession, dir: String, delta: DataFrame,
+                    threshold: Double, maxBucket: Int = 1000): DataFrame =
+    probeLshFrames(s.read.parquet(s"$dir/banded"),
+      s.read.parquet(s"$dir/shingles"), delta, threshold, maxBucket)
+
+  /** Frame-taking core of the probe (the registered entry builds the
+    * standing frames in-plan to stay oracle-self-contained — the
+    * d19/c12 discipline; production reads the persisted artifact). */
+  private[graft] def probeLshFrames(standingBanded: DataFrame,
+      standingSh: DataFrame, delta: DataFrame, threshold: Double,
+      maxBucket: Int): DataFrame = {
+    val s = delta.sparkSession
+    import s.implicits._
+    val dSh = shingleFrame(delta)
+    val dBand = bandedOf(dSh)
+    val all = standingBanded.unionByName(dBand)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"band_id", $"band_hash")
+    val bounded = all.withColumn("bucket_n", count(lit(1)).over(w))
+      .filter($"bucket_n" <= maxBucket).drop("bucket_n")
+    val boundedDelta = bounded.join(
+      dSh.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val cand = boundedDelta.as("x").join(bounded.as("y"),
+        $"x.band_id" === $"y.band_id" && $"x.band_hash" === $"y.band_hash" &&
+        $"x.doc_id" =!= $"y.doc_id")
+      .select(least($"x.doc_id", $"y.doc_id").as("d1"),
+              greatest($"x.doc_id", $"y.doc_id").as("d2"))
+      .distinct()
+    verifyCandidates(cand, standingSh.unionByName(dSh), threshold)
+  }
+
+  /** Registered split: d11's (doc_id ≡ 0 mod 10 plays the delta) —
+    * standing frames built in-plan, same oracle as d11. */
+  def d21LshIndexProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"text")
+    val standingSh = shingleFrame(docs.filter($"doc_id" % 10 =!= 0))
+    probeLshFrames(bandedOf(standingSh), standingSh,
+      docs.filter($"doc_id" % 10 === 0), 0.8, 1000)
   }
 
   // ---- d05: SimHash near-dup ----
@@ -1144,6 +1333,8 @@ object Dedup {
     "d15_substring_spans" -> (d15SubstringSpans _),
     "d18_dedup_substrings" -> (d18DedupSubstrings _),
     "d19_delta_substrings" -> (d19DeltaSubstrings _),
+    "d20_intradoc_repeats" -> (d20IntraDocRepeats _),
+    "d21_lsh_index_probe"  -> (d21LshIndexProbe _),
     "d17_lsh_clusters"   -> (d17LshClusters _),
   )
 
@@ -1170,6 +1361,10 @@ object Dedup {
     "d15_substring_spans" -> d15Sql,
     "d18_dedup_substrings" -> d18Sql,
     "d19_delta_substrings" -> d19Sql,
+    "d20_intradoc_repeats" -> d20Sql,
+    // d21: LSH-indexed probe ≡ the exact delta-touching pair set
+    // whenever banding recall holds (the d04≡d03 argument)
+    "d21_lsh_index_probe"  -> d11Sql,
     // same clusters as d08 through the LSH candidate path: exact
     // verification restores the d03 pair set (recall pinned by the
     // driver's d04-vs-d03 hash match), CC is pair-set-determined

@@ -1919,7 +1919,125 @@ object Similarity {
       |  COALESCE(best.cosine >= 0.45, FALSE) AS contaminated
       |FROM c LEFT JOIN best USING (vec_id)""".stripMargin
 
+  // ---- s22: IVF recall audit (recall@k per probe depth) ----
+
+  /** s22: the index-tuning table — measured recall@k of the IVF probe
+    * against the exact s01 ranking, per (query, nprobe). The audit
+    * discipline's retrieval face: s05 prices int8, s16 prices the
+    * 1-bit lane, s20 prices dimension drop, s22 prices PROBE DEPTH —
+    * the one dial every IVF deployment tunes blind without exactly
+    * this table (recall is data-dependent: clustered corpora saturate
+    * at small nprobe, this fixture's unclustered gaussians pay ~1/k
+    * per probe — the audit exists to measure which corpus you have).
+    * nprobe spans {1, 2, 3, 5}; 5 = k is the exhaustive row, which
+    * must reproduce the exact ranking (recall 1) — the audit carries
+    * its own calibration anchor.
+    *
+    * Scale: one probed candidate join per audit (the nprobe axis
+    * rides as a tiny broadcast dimension table multiplying only the
+    * QUERY side — the corpus is scanned once, candidates ∝ probed
+    * bucket mass per (query, nprobe)); the exact side is one
+    * s01-shaped broadcast pass over the bounded query sample. A
+    * decision table, not a serving path (the s20 rule). Integer hit
+    * counts + total-ordered windows → full SQL oracle. */
+  def s22IvfRecallAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d).withColumn("nrm", norm($"v"))
+    val cen = seedCentroids(c, 5)
+    val wc = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"cluster_id".asc)
+    val home = c.crossJoin(broadcast(cen))
+      .select($"vec_id", $"v", $"nrm", $"cluster_id",
+        (dot($"v", $"cv") / ($"nrm" * $"cn")).as("c_cos"))
+      .withColumn("rn", row_number().over(wc)).filter($"rn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cluster_id")
+    val q = c.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val wq = Window.partitionBy($"q_id").orderBy($"c_cos".desc, $"cluster_id".asc)
+    val qp = q.crossJoin(broadcast(cen))
+      .select($"q_id", $"qv", $"qn", $"cluster_id",
+        (dot($"qv", $"cv") / ($"qn" * $"cn")).as("c_cos"))
+      .withColumn("c_rank", row_number().over(wq)).filter($"c_rank" <= 5)
+    val nps = Seq(1, 2, 3, 5).toDF("nprobe")
+    val probes = qp.join(broadcast(nps), $"c_rank" <= $"nprobe")
+      .select($"q_id", $"qv", $"qn", $"cluster_id".as("probe_cluster"), $"nprobe")
+    val wi = Window.partitionBy($"q_id", $"nprobe").orderBy($"cosine".desc, $"n_id".asc)
+    val ivf = home.join(broadcast(probes),
+        $"cluster_id" === $"probe_cluster" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"nprobe", $"vec_id".as("n_id"),
+        (dot($"v", $"qv") / ($"nrm" * $"qn")).as("cosine"))
+      .withColumn("rn", row_number().over(wi)).filter($"rn" <= 3)
+      .select($"q_id", $"nprobe", $"n_id")
+    val we = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
+    val exact = c.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        (dot($"v", $"qv") / ($"nrm" * $"qn")).as("cosine"))
+      .withColumn("rank", row_number().over(we)).filter($"rank" <= 3)
+      .select($"q_id", $"n_id")
+    val hits = ivf.join(exact, Seq("q_id", "n_id"))
+      .groupBy($"q_id", $"nprobe").agg(count(lit(1)).as("h"))
+    q.select($"q_id").crossJoin(broadcast(nps))
+      .join(hits, Seq("q_id", "nprobe"), "left")
+      .select($"q_id", $"nprobe",
+        coalesce($"h", lit(0L)).cast("long").as("n_hits"),
+        round(coalesce($"h", lit(0L)) / lit(3.0), 6).as("recall_r"))
+  }
+
+  val s22Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), en AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+      |), cen AS (
+      |  SELECT vec_id AS cluster_id, v AS cv, nrm AS cn FROM en WHERE vec_id < 5
+      |), home AS (
+      |  SELECT vec_id, v, nrm, cluster_id FROM (
+      |    SELECT en.vec_id, en.v, en.nrm, cen.cluster_id,
+      |      ROW_NUMBER() OVER (PARTITION BY en.vec_id
+      |        ORDER BY list_dot_product(en.v, cen.cv) / (en.nrm * cen.cn) DESC,
+      |                 cen.cluster_id ASC) AS rn
+      |    FROM en CROSS JOIN cen) WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM en WHERE vec_id < 20
+      |), np AS (
+      |  SELECT unnest([1, 2, 3, 5]) AS nprobe
+      |), qp AS (
+      |  SELECT q_id, qv, qn, cluster_id, c_rank FROM (
+      |    SELECT q.q_id, q.qv, q.qn, cen.cluster_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+      |        ORDER BY list_dot_product(q.qv, cen.cv) / (q.qn * cen.cn) DESC,
+      |                 cen.cluster_id ASC) AS c_rank
+      |    FROM q CROSS JOIN cen) WHERE c_rank <= 5
+      |), ivf AS (
+      |  SELECT q_id, nprobe, n_id FROM (
+      |    SELECT qp.q_id, np.nprobe, home.vec_id AS n_id,
+      |      ROW_NUMBER() OVER (PARTITION BY qp.q_id, np.nprobe
+      |        ORDER BY list_dot_product(home.v, qp.qv) / (home.nrm * qp.qn) DESC,
+      |                 home.vec_id ASC) AS rn
+      |    FROM qp JOIN np ON qp.c_rank <= np.nprobe
+      |    JOIN home ON home.cluster_id = qp.cluster_id
+      |             AND home.vec_id <> qp.q_id) WHERE rn <= 3
+      |), exact AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q.q_id, en.vec_id AS n_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+      |        ORDER BY list_dot_product(en.v, q.qv) / (en.nrm * q.qn) DESC,
+      |                 en.vec_id ASC) AS rank
+      |    FROM en CROSS JOIN q WHERE en.vec_id <> q.q_id) WHERE rank <= 3
+      |), hits AS (
+      |  SELECT q_id, nprobe, COUNT(*) AS h
+      |  FROM ivf JOIN exact USING (q_id, n_id)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT q.q_id, np.nprobe,
+      |  CAST(COALESCE(hits.h, 0) AS BIGINT) AS n_hits,
+      |  ROUND(COALESCE(hits.h, 0) / 3.0, 6) AS recall_r
+      |FROM q CROSS JOIN np
+      |LEFT JOIN hits ON hits.q_id = q.q_id AND hits.nprobe = np.nprobe""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_ivf_recall_audit"  -> (s22IvfRecallAudit _),
     "s21_probed_decontamination" -> (s21ProbedDecontamination _),
     "s20_matryoshka_audit"  -> (s20MatryoshkaAudit _),
     "s19_bench_decontamination" -> (s19BenchDecontamination _),
@@ -1946,6 +2064,9 @@ object Similarity {
   // def, not val: the golden-snapshot oracle resolves the sf tag at
   // dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // s22: integer hit counts + total-ordered windows over the seed
+    // quantizer — the whole audit is SQL-replicable
+    "s22_ivf_recall_audit"  -> s22Sql,
     // s21: approximate RECALL, deterministic SQL-replicable mechanism
     // (seed quantizer + probe joins) — the s08 oracle discipline
     "s21_probed_decontamination" -> s21Sql,

@@ -245,6 +245,90 @@ class DedupSpec extends SparkSpec {
     assert(again.forall(_._4 == 0L), "second pass removed more — not idempotent")
   }
 
+  test("d21 persisted LSH index: probe ≡ in-plan rebuild ≡ d11, append leaves standing files untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf001).select($"doc_id", $"text")
+    val standing = docs.filter($"doc_id" % 10 =!= 0)
+    val delta = docs.filter($"doc_id" % 10 === 0)
+    val rebuilt = Dedup.d21LshIndexProbe(spark, sf001)
+      .as[(Long, Long, Double)].collect().toSet
+    // same answer as the prefix-join delta probe (d11): two machineries,
+    // one contract — the delta-touching J ≥ τ pair set
+    val viaPrefix = Dedup.deltaNearDupPairs(standing, delta, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rebuilt === viaPrefix, "LSH probe diverges from the prefix-join probe")
+    assert(rebuilt.nonEmpty, "fixture delta must touch some pair")
+    val maxId = standing.agg(max($"doc_id")).head().getLong(0)
+    for (frac <- Seq(0.5, 0.9)) {
+      val boundary = (maxId * frac).toLong
+      val dir = java.nio.file.Files.createTempDirectory("d21-idx").toString
+      try {
+        Dedup.writeLshIndex(standing.filter($"doc_id" <= boundary), dir)
+        def dataFiles = {
+          val b = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+          val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          try st.forEach(p => if (p.toString.endsWith(".parquet")) b += p)
+          finally st.close()
+          b.map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p))
+            .toMap
+        }
+        val before = dataFiles
+        Dedup.appendToLshIndex(standing.filter($"doc_id" > boundary), dir)
+        val after = dataFiles
+        assert(before.keySet.subsetOf(after.keySet),
+          "append rewrote or removed standing index files")
+        before.foreach { case (f, t) =>
+          assert(after(f) == t, s"standing file $f was modified by append")
+        }
+        assert(after.size > before.size, "append wrote no new files")
+        val served = Dedup.probeLshIndex(spark, dir, delta, 0.8, 1000)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(served === rebuilt,
+          s"persisted probe diverges from rebuild at boundary fraction $frac")
+      } finally graft.BenchUtil.rmTree(dir)
+    }
+  }
+
+  test("d20 intra-doc repetition: first copy survives, later copies excised, cross-doc dups ignored") {
+    import spark.implicits._
+    val phrase = (1 to 8).map(i => s"p$i").mkString(" ")
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      // d18's doc-3 complement: the internal repeat d18 deliberately
+      // keeps is exactly what d20 excises — second copy starts at pos
+      // 11 ≥ 0 + 8, its single exact window is the island
+      (3L, phrase + " x1 x2 x3 " + phrase),
+      // cross-doc duplication is NOT d20's business (no intra repeat)
+      (1L, (1 to 30).map(i => s"a$i").mkString(" ") + " " + boiler),
+      (2L, boiler + " " + (1 to 30).map(i => s"c$i").mkString(" ")),
+      (4L, (1 to 25).map(i => s"d$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.intraDocRepeatRemoval(docs, 8)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    def sha(t: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(3L) === (3L, 19L, 11L, 8L, sha(phrase + " x1 x2 x3")))
+    assert(got(1L)._4 === 0L && got(2L)._4 === 0L && got(4L)._4 === 0L,
+      "cross-doc duplication must be untouched — that is d18's job")
+
+    // periodic text at the registered k=2: echoes of the first copy
+    // within < k of it are not flagged themselves, but the flagged
+    // non-overlapping repeats island over them — one span cuts the
+    // whole tail, the first period survives
+    val periodic = Seq((7L, "r1 r2 r1 r2 r1 r2 r1 r2")).toDF("doc_id", "text")
+    val p = Dedup.intraDocRepeatRemoval(periodic, 2)
+      .as[(Long, Long, Long, Long, String)].collect().head
+    assert(p === (7L, 8L, 2L, 6L, sha("r1 r2")))
+
+    // and the registered fixture entry is load-bearing, not vacuous:
+    // the sf0.01 corpus carries real intra-doc bigram repeats
+    val fixture = Dedup.d20IntraDocRepeats(spark, sf001)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val touched = fixture.count(_._4 > 0L)
+    assert(touched >= 300, s"only $touched docs excised — prune not load-bearing")
+  }
+
   test("d19 delta substring removal: standing owns, delta cleaned, delta-internal dups kept") {
     import spark.implicits._
     val boiler = (1 to 20).map(i => s"b$i").mkString(" ")

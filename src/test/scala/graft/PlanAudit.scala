@@ -42,7 +42,9 @@ object PlanAudit {
         "t32_tokenizer_report", "d18_dedup_substrings",
         "d19_delta_substrings", "s19_bench_decontamination",
         "c16_dsir_selection", "m09_bench_decontamination",
-        "c17_decontamination_report").foreach(show)
+        "c17_decontamination_report", "s21_probed_decontamination",
+        "q72_series_topk", "d20_intradoc_repeats",
+        "s22_ivf_recall_audit", "d21_lsh_index_probe").foreach(show)
     spark.stop()
   }
 }

@@ -232,6 +232,55 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("max_cosine_against"), "codegen'd argmax kernel missing")
   }
 
+  test("d20: intra-doc repetition — every exchange keys on doc_id (no cross-doc term)") {
+    // the strictly-per-document claim, made testable: the whole
+    // computation must partition by doc_id — any hash exchange whose
+    // key set omits doc_id would be a cross-document shuffle
+    val p = plan("d20_intradoc_repeats")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    val hashed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(hashed.nonEmpty, "expected keyed exchanges")
+    assert(hashed.forall(_.contains("doc_id")),
+      s"cross-doc shuffle found:\n${hashed.filterNot(_.contains("doc_id")).mkString("\n")}")
+  }
+
+  test("d21: LSH index probe — candidate join equi-keyed on band keys, no cartesian/NLJ") {
+    // the indexed-probe claim: the delta meets the standing corpus
+    // only through band-key equi-joins (shuffle moves band keys and
+    // ids, never text) and the candidate-only verify joins on doc ids
+    val p = plan("d21_lsh_index_probe")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("band_hash"), "band-keyed candidate join missing")
+  }
+
+  test("s21: probed decontamination — candidate join equi-keyed on cluster id, NLJ only vs centroids") {
+    // the big-bench claim: corpus never meets the suite in a nested
+    // loop — candidates come from an equi-join on probed cluster ids
+    // (the s08 discipline), so per-corpus-vector work is the probed
+    // buckets' bench mass, not the suite
+    val p = plan("s21_probed_decontamination")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // two deliberate k-row centroid broadcasts (bench indexing +
+    // corpus probing); the corpus-bench join itself must be equi-keyed
+    val nlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj <= 2, s"$nlj nested-loop joins: ${p.take(800)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "candidate join is not an equi-join")
+  }
+
+  test("q72: series similarity — day-keyed equi-joins only, dot aggregate map-side combined") {
+    // the sparse-inner-product claim: the dense per-user vector never
+    // materializes and users never meet in a nested loop — the dot is
+    // an integer aggregate over a day-keyed equi-join, combined
+    // map-side before any exchange
+    val p = plan("q72_series_topk")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected two-phase agg")
+  }
+
   test("c16: LM aggregates partial+final, lambda table broadcasts, no cartesian") {
     // the O(buckets)-state claim: both hashed LMs must combine map-side
     // (shuffle fan-in ≤ B rows) and the λ table must reach the scoring

@@ -110,6 +110,13 @@ object ScaleProbe {
       spark.read.parquet(s"$base/$tag/documents.parquet")
         .select($"doc_id", $"text"), 8).queryExecution.toRdd.count()
     row("d18_dedup_substrings", t2(d18At("x1")), t2(d18At("x10")))
+    // d20: strictly per-document (no cross-doc term at all) — the
+    // t-ratio should track token mass like d18's, with no owner-agg
+    // cross-doc key; full materialization for the same reason as d18
+    def d20At(tag: String) = Dedup.intraDocRepeatRemoval(
+      spark.read.parquet(s"$base/$tag/documents.parquet")
+        .select($"doc_id", $"text"), 2).queryExecution.toRdd.count()
+    row("d20_intradoc_repeats", t2(d20At("x1")), t2(d20At("x10")))
     // d19 delta economics on the x10 corpus: full d18 recompute vs the
     // STEADY STATE — a 2% delta cleaned against the standing window set
     // loaded from its persisted parquet artifact (the registered d19
@@ -132,6 +139,26 @@ object ScaleProbe {
         .queryExecution.toRdd.count())
       println(f"SCALE d19_delta_x10         full-d18=${f}%6.2fs  " +
         f"delta-d19(2%%, persisted set)=${dl}%6.2fs  cost-ratio=${dl / f}%5.2fx")
+    }
+    // d21 steady state: a 2% delta probed against the PERSISTED LSH
+    // index vs the full d04 recompute on the x10 corpus — the per-batch
+    // operating cost of indexed near-dup admission (the registered d21
+    // entry rebuilds the standing frames in-plan for the oracle; this
+    // is the production path: signatures computed once at index-build,
+    // each batch pays only its own signatures + the band-keyed join)
+    locally {
+      val vx = spark.read.parquet(s"$base/x10/documents.parquet")
+        .select($"doc_id", $"text")
+      val baseMaxD = spark.read.parquet(s"$base/x1/documents.parquet")
+        .agg(max($"doc_id")).head().getLong(0)
+      val cutD = 9L * 10000000L + (baseMaxD * 4) / 5
+      val idxDir = s"$base/lshidx"
+      Dedup.writeLshIndex(vx.filter($"doc_id" <= cutD), idxDir)
+      val (f, _) = t2(Dedup.minhashLshPairs(vx).count())
+      val (dl, _) = t2(Dedup.probeLshIndex(spark, idxDir,
+        vx.filter($"doc_id" > cutD), 0.8).count())
+      println(f"SCALE d21_delta_x10         full-d04=${f}%6.2fs  " +
+        f"probe-d21(2%%, persisted index)=${dl}%6.2fs  cost-ratio=${dl / f}%5.2fx")
     }
     row("d15_substring_spans", t2(d15At("x1")), t2(d15At("x10")))
 
@@ -183,6 +210,13 @@ object ScaleProbe {
         c.filter($"vec_id" >= 50), c.filter($"vec_id" < 50), 0.45).count()
     }
     row("s19_bench_decontam", t2(s19At("x1")), t2(s19At("x10")))
+    // s21: same fixed benchmark, corpus ×10, but candidates from the
+    // probed equi-join instead of the broadcast matrix — the t-ratio
+    // should stay ~linear (per-corpus-vector work is the probed
+    // buckets' bench mass, constant here)
+    row("s21_probed_decontam",
+      t2(Similarity.s21ProbedDecontamination(spark, docsAt("x1")).count()),
+      t2(Similarity.s21ProbedDecontamination(spark, docsAt("x10")).count()))
     // c16 DSIR: both LMs are B-bucket integer aggregates (∝ corpus
     // token mass; shuffle fan-in capped at B rows), scoring join
     // fan-out 1 per occurrence — linear end to end, no vocab-mass state

@@ -953,6 +953,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s22 ivf recall audit: monotone in nprobe, exhaustive row exactly reproduces s01") {
+    import spark.implicits._
+    val rows = Similarity.s22IvfRecallAudit(spark, sf001)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rows.length === 80, "20 queries x 4 probe depths")
+    assert(rows.forall(r => r._3 >= 0L && r._3 <= 3L))
+    // recall is monotone in nprobe per query: the candidate set only
+    // grows, and under the shared total order (cosine DESC, id ASC) a
+    // global-top-3 member can never be displaced by a non-member
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byNp = rs.sortBy(_._2).map(_._3)
+      assert(byNp.zip(byNp.tail).forall { case (a, b) => a <= b },
+        s"recall not monotone for query $q: ${byNp.toSeq}")
+    }
+    // nprobe = k = 5 probes every bucket — the audit's calibration
+    // anchor: the exhaustive row must reproduce the exact ranking
+    assert(rows.filter(_._2 == 5).forall(_._3 === 3L),
+      "exhaustive probe must have recall 1")
+    // and the audit is load-bearing on this corpus: unclustered
+    // gaussians pay for shallow probes (mean recall strictly below 1
+    // at nprobe=1 — the table measuring which corpus you have)
+    val mean1 = rows.filter(_._2 == 1).map(_._3).sum / 20.0
+    assert(mean1 < 3.0, s"nprobe=1 mean hits $mean1 should lose recall here")
+  }
+
   test("s21 probed decontamination: one-sided vs s19 — flag subset, exact witnesses, recall floor") {
     import spark.implicits._
     val exact = Similarity.s19BenchDecontamination(spark, sf001)
