@@ -85,7 +85,11 @@ object GoldenGen {
       // c17: deterministic composition of d16 (Bloom, engine-side) +
       // s19 (SQL-safe) + m09 (blockhash, engine-side) — golden like
       // its engine-side inputs
-      "c17_decontamination_report")
+      "c17_decontamination_report",
+      // m10: m07's fingerprints and banding restricted to the
+      // delta-touching pair set — deterministic like m07, golden by
+      // the same argument
+      "m10_payload_index_probe")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

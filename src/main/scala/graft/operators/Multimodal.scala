@@ -388,7 +388,97 @@ object Multimodal {
         $"bench_id".isNotNull.as("contaminated"))
   }
 
+  // ---- m10: persisted perceptual band index (probe deltas at fp cost) ----
+
+  /** m10: the perceptual fingerprint index as a PERSISTED ARTIFACT —
+    * the multimodal twin of d21's text LSH index and s17/s18's
+    * inverted file, completing the index-artifact family across all
+    * three modalities (text shingles, embeddings, payloads). m08
+    * admits deltas against the byte-exact sha manifest, but a
+    * re-encoded/watermarked variant sails through it and is only
+    * caught by a full m07 pass — which recomputes every standing
+    * fingerprint from standing payload BYTES. The production shape
+    * writes the band table ONCE: (doc_id, fp, chunk_id, chunk_val),
+    * 8 rows × ~28 B per payload — a few hundred bytes standing in for
+    * the megabytes of the payload itself. Each delta batch computes
+    * its own fingerprints in-plan (one codegen'd BlockHash64 per
+    * payload, no shuffle of payload bytes), equi-joins its band keys
+    * against the standing table, and hamming-verifies only the
+    * collided candidates; standing payload bytes are never read again
+    * — the entire economics of 100 TB of media.
+    * [[appendToPayloadIndex]] admits batches into the artifact (new
+    * files only; standing files byte-untouched — the s18/d21 append
+    * discipline), so consecutive deltas also probe each other.
+    *
+    * Probe ≡ m07 over (standing ∪ delta) restricted to delta-touching
+    * pairs: candidates are delta-side × union-side within shared
+    * (chunk_id, chunk_val) buckets, so old–old pairs never form, and
+    * the 8×8-bit pigeonhole banding guarantees coverage to hamming ≤ 7
+    * — the restriction is EXACT, not a recall bound (stronger than
+    * d21's < 1e-12 equivalence). Registered entry rebuilds the
+    * standing frames in-plan (oracle self-containment, the d19/d21
+    * discipline); the persisted round-trip is spec-pinned. */
+  def writePayloadIndex(payloads: DataFrame, dir: String): Unit =
+    payloadBands(payloads).write.mode("overwrite").parquet(s"$dir/bands")
+
+  /** Admit a delta batch into a standing index: append-only — new
+    * files land beside the standing ones, which stay byte-untouched. */
+  def appendToPayloadIndex(delta: DataFrame, dir: String): Unit =
+    payloadBands(delta).write.mode("append").parquet(s"$dir/bands")
+
+  /** The banded-fingerprint frame of a (doc_id, payload) batch — the
+    * index's row format and the probe's in-plan delta lane (the same
+    * codegen'd BlockHash64 + 8×8-bit chunking m07 runs in-plan). */
+  private def payloadBands(payloads: DataFrame): DataFrame = {
+    val s = payloads.sparkSession
+    import s.implicits._
+    val chunks = array((0 until 8).map(c =>
+      shiftright($"fp", c * 8).bitwiseAND(lit(255L))): _*)
+    payloads
+      .select($"doc_id",
+        graft.functions.VectorOps.blockhash64($"payload").as("fp"))
+      .select($"doc_id", $"fp", posexplode(chunks))
+      .toDF("doc_id", "fp", "chunk_id", "chunk_val")
+  }
+
+  /** Probe a delta batch against a persisted index: the hamming ≤ h
+    * pairs touching the delta (new–old and new–new), at delta
+    * fingerprint cost + one band-keyed equi-join. */
+  def probePayloadIndex(s: SparkSession, dir: String, delta: DataFrame,
+                        maxHamming: Int): DataFrame =
+    probePayloadBands(s.read.parquet(s"$dir/bands"), delta, maxHamming)
+
+  /** Frame-taking core of the probe (the registered entry builds the
+    * standing band frame in-plan to stay oracle-self-contained). */
+  private[graft] def probePayloadBands(standing: DataFrame,
+      delta: DataFrame, maxHamming: Int): DataFrame = {
+    val s = delta.sparkSession
+    import s.implicits._
+    require(maxHamming <= 7, "8-chunk pigeonhole guarantees coverage only to hamming 7")
+    val dBands = payloadBands(delta)
+    val all = standing.unionByName(dBands)
+    dBands.as("x").join(all.as("y"),
+        $"x.chunk_id" === $"y.chunk_id" && $"x.chunk_val" === $"y.chunk_val" &&
+        $"x.doc_id" =!= $"y.doc_id")
+      .select(least($"x.doc_id", $"y.doc_id").as("d1"),
+              greatest($"x.doc_id", $"y.doc_id").as("d2"),
+              graft.operators.Dedup.hamming($"x.fp", $"y.fp").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+  }
+
+  /** Registered split: doc_id ≡ 0 mod 10 plays the delta (the
+    * d11/d21/m08 convention); standing bands built in-plan. */
+  def m10PayloadIndexProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = documents(s, d)
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+    probePayloadBands(payloadBands(all.filter($"doc_id" % 10 =!= 0)),
+      all.filter($"doc_id" % 10 === 0), 7)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_payload_index_probe" -> (m10PayloadIndexProbe _),
     "m09_bench_decontamination" -> (m09BenchDecontamination _),
     "m08_delta_payloads"  -> (m08DeltaPayloads _),
     "m07_perceptual_neardup" -> (m07PerceptualNearDup _),
@@ -416,6 +506,11 @@ object Multimodal {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // m10: same engine-side fingerprints as m07, same deterministic
+    // banding/verify chain → golden-snapshot hard check; ≡ m07
+    // restricted to delta-touching pairs (exact by pigeonhole
+    // coverage), the restriction spec-asserted in MultimodalSpec
+    "m10_payload_index_probe" -> graft.GoldenGen.oracle("m10_payload_index_probe"),
     // m09: blockhash fingerprints are engine-specific but the whole
     // flag→argmin→byte-label chain is deterministic and total-ordered
     // → golden-snapshot hard check, the m07/d05 discipline

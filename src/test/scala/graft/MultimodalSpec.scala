@@ -137,6 +137,52 @@ class MultimodalSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall = $recall (${(truth & got).size}/${truth.size})")
   }
 
+  test("m10 persisted payload index: probe ≡ m07 delta-touching, append leaves standing files untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val all = Tables.documents(spark, sf001)
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+    val standing = all.filter($"doc_id" % 10 =!= 0)
+    val delta = all.filter($"doc_id" % 10 === 0)
+    val got = operators.Multimodal.m10PayloadIndexProbe(spark, sf001)
+      .as[(Long, Long, Int)].collect().toSet
+    // ≡ m07 over the full corpus restricted to delta-touching pairs —
+    // EXACT by pigeonhole coverage, not a recall bound
+    val m07 = operators.Multimodal.m07PerceptualNearDup(spark, sf001)
+      .as[(Long, Long, Int)].collect().toSet
+    val touching = m07.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    assert(got === touching, "probe diverges from m07's delta-touching pairs")
+    assert(got.nonEmpty, "fixture delta must touch some perceptual pair")
+    assert(m07.exists(p => p._1 % 10 != 0 && p._2 % 10 != 0),
+      "fixture must also have old-old pairs the probe must NOT emit")
+    // persisted round-trip: write half the standing set, append the
+    // rest (standing files byte-untouched), probe ≡ in-plan rebuild
+    val maxId = standing.agg(max($"doc_id")).head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("m10-idx").toString
+    try {
+      operators.Multimodal.writePayloadIndex(
+        standing.filter($"doc_id" <= maxId / 2), dir)
+      def dataFiles = {
+        val b = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try st.forEach(p => if (p.toString.endsWith(".parquet")) b += p)
+        finally st.close()
+        b.map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p)).toMap
+      }
+      val before = dataFiles
+      operators.Multimodal.appendToPayloadIndex(
+        standing.filter($"doc_id" > maxId / 2), dir)
+      val after = dataFiles
+      assert(before.keySet.subsetOf(after.keySet), "append removed standing files")
+      before.foreach { case (f, t) =>
+        assert(after(f) == t, s"standing file $f was modified by append") }
+      assert(after.size > before.size, "append wrote no new files")
+      val served = operators.Multimodal.probePayloadIndex(spark, dir, delta, 7)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(served === got, "persisted probe diverges from in-plan rebuild")
+    } finally graft.BenchUtil.rmTree(dir)
+  }
+
   test("m09 payload decontamination: exact copy, perturbed variant, unrelated clean") {
     import spark.implicits._
     val base = ("the quick brown fox jumps over the lazy dog " * 48).getBytes("UTF-8")

@@ -44,7 +44,8 @@ object PlanAudit {
         "c16_dsir_selection", "m09_bench_decontamination",
         "c17_decontamination_report", "s21_probed_decontamination",
         "q72_series_topk", "d20_intradoc_repeats",
-        "s22_ivf_recall_audit", "d21_lsh_index_probe").foreach(show)
+        "s22_ivf_recall_audit", "d21_lsh_index_probe",
+        "m10_payload_index_probe").foreach(show)
     spark.stop()
   }
 }

@@ -255,6 +255,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("band_hash"), "band-keyed candidate join missing")
   }
 
+  test("m10: payload index probe — band-keyed equi-join, payload bytes never shuffle") {
+    // the media-economics claim: the delta meets the standing corpus
+    // only through (chunk_id, chunk_val) equi-joins — every exchange
+    // carries ids and 64-bit fingerprints, never payload bytes
+    val p = plan("m10_payload_index_probe")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("chunk_val"), "band-keyed candidate join missing")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, "expected keyed exchanges")
+    assert(!exchanges.exists(_.contains("payload")),
+      s"payload bytes crossed an exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("s21: probed decontamination — candidate join equi-keyed on cluster id, NLJ only vs centroids") {
     // the big-bench claim: corpus never meets the suite in a nested
     // loop — candidates come from an equi-join on probed cluster ids

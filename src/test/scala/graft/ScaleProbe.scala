@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Measured scale-up evidence for SCALE.md: builds a 10× corpus from
   * sf0.1 and times the dedup/similarity paths at both sizes, so the
@@ -159,6 +159,24 @@ object ScaleProbe {
         vx.filter($"doc_id" > cutD), 0.8).count())
       println(f"SCALE d21_delta_x10         full-d04=${f}%6.2fs  " +
         f"probe-d21(2%%, persisted index)=${dl}%6.2fs  cost-ratio=${dl / f}%5.2fx")
+    }
+    // m10 steady state: the same economics for payloads — a 2% delta
+    // probed against the persisted band table vs a full m07 recompute
+    // on the x10 corpus (production never re-reads standing payload
+    // bytes; the probe's standing input is the ~200 B/payload index)
+    locally {
+      val vx = spark.read.parquet(s"$base/x10/documents.parquet")
+        .select($"doc_id", encode($"text", "utf-8").as("payload"))
+      val baseMaxD = spark.read.parquet(s"$base/x1/documents.parquet")
+        .agg(max($"doc_id")).head().getLong(0)
+      val cutD = 9L * 10000000L + (baseMaxD * 4) / 5
+      val idxDir = s"$base/payloadidx"
+      Multimodal.writePayloadIndex(vx.filter($"doc_id" <= cutD), idxDir)
+      val (f, _) = t2(Multimodal.perceptualNearDupPairs(vx, 7).count())
+      val (dl, _) = t2(Multimodal.probePayloadIndex(spark, idxDir,
+        vx.filter($"doc_id" > cutD), 7).count())
+      println(f"SCALE m10_delta_x10         full-m07=${f}%6.2fs  " +
+        f"probe-m10(2%%, persisted index)=${dl}%6.2fs  cost-ratio=${dl / f}%5.2fx")
     }
     row("d15_substring_spans", t2(d15At("x1")), t2(d15At("x10")))
 
