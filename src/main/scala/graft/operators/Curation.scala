@@ -1334,7 +1334,13 @@ object Curation {
   private def dsirScoreFeats(feats: DataFrame, model: DataFrame): DataFrame = {
     val s = feats.sparkSession
     import s.implicits._
-    val unseenLam = model.filter($"b" === -1L).select($"lam").head().getDouble(0)
+    // the sentinel row (b = -1) carries the smoothed unseen-bucket
+    // weight; a persisted/hand-built model missing it is malformed —
+    // fail loudly with the fix, not a bare NoSuchElementException
+    val unseenLam = model.filter($"b" === -1L).select($"lam").collect()
+      .headOption.map(_.getDouble(0)).getOrElse(throw new IllegalArgumentException(
+        "DSIR model frame has no unseen-bucket sentinel row (b = -1); " +
+        "refit with dsirFit or add the smoothed-default row to the artifact"))
     feats
       .join(broadcast(model.filter($"b" =!= -1L)), Seq("b"), "left")
       .withColumn("lam", coalesce($"lam", lit(unseenLam)))

@@ -920,11 +920,19 @@ object Dedup {
     * buckets should be handled by an exact-dedup pre-pass instead). */
   private[graft] def lshCandidates(banded: DataFrame, maxBucket: Int = 1000): DataFrame = {
     import banded.sparkSession.implicits._
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"band_id", $"band_hash")
-    val bounded = banded
-      .withColumn("bucket_n", count(lit(1)).over(w))
-      .filter($"bucket_n" <= maxBucket)
-      .drop("bucket_n")
+    // Two-phase cap (not a Window count): a window over (band_id,
+    // band_hash) concentrates a flooded boilerplate bucket's rows on
+    // ONE task — the exact storm the cap exists to guard against. The
+    // groupBy count is map-side combined (each task contributes one
+    // partial row per key however flooded the bucket), and the over-cap
+    // key set is rare by construction (buckets > maxBucket) → broadcast
+    // anti-join removes their rows without ever co-locating them.
+    val overCap = banded.groupBy($"band_id", $"band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter($"bucket_n" > maxBucket)
+      .select($"band_id", $"band_hash")
+    val bounded =
+      banded.join(broadcast(overCap), Seq("band_id", "band_hash"), "left_anti")
     bounded.as("x").join(bounded.as("y"),
         $"x.band_id" === $"y.band_id" && $"x.band_hash" === $"y.band_hash" &&
         $"x.doc_id" < $"y.doc_id")
@@ -1031,49 +1039,124 @@ object Dedup {
   def writeLshIndex(docs: DataFrame, dir: String): Unit = {
     val sh = shingleFrame(docs)
     sh.write.mode("overwrite").parquet(s"$dir/shingles")
-    bandedOf(sh).write.mode("overwrite").parquet(s"$dir/banded")
+    val banded = bandedOf(sh).persist()
+    try {
+      banded.write.mode("overwrite").parquet(s"$dir/banded")
+      bandedOf_counts(banded).write.mode("overwrite")
+        .parquet(s"$dir/bucket_counts")
+    } finally { banded.unpersist(); () }
+  }
+
+  /** Per-bucket partial counts of a banded frame — the third lane of
+    * the index artifact. Persisted so the probe never has to count the
+    * standing banded table: the bucket-cap key set comes from summing
+    * THESE rows (one tiny row per touched bucket per batch), not from
+    * a window over standing band rows. */
+  private def bandedOf_counts(banded: DataFrame): DataFrame = {
+    import banded.sparkSession.implicits._
+    banded.groupBy($"band_id", $"band_hash").agg(count(lit(1)).as("n"))
   }
 
   /** Admit a delta batch into a standing index: append-only — new
-    * files land beside the standing ones, which stay byte-untouched. */
+    * files land beside the standing ones, which stay byte-untouched.
+    * The counts lane appends PARTIAL rows for the buckets this batch
+    * touches only (readers sum per key), so the incremental update
+    * cost is delta-proportional on all three lanes. */
   def appendToLshIndex(delta: DataFrame, dir: String): Unit = {
     val sh = shingleFrame(delta)
     sh.write.mode("append").parquet(s"$dir/shingles")
-    bandedOf(sh).write.mode("append").parquet(s"$dir/banded")
+    val banded = bandedOf(sh).persist()
+    try {
+      banded.write.mode("append").parquet(s"$dir/banded")
+      bandedOf_counts(banded).write.mode("append")
+        .parquet(s"$dir/bucket_counts")
+    } finally { banded.unpersist(); () }
   }
 
   /** Probe a delta batch against a persisted index: the J ≥ τ pairs
     * touching the delta (new–old and new–new), at delta signature
-    * cost + one band-keyed equi-join + candidate-only verification. */
+    * cost + one band-keyed join that BROADCASTS the delta side —
+    * the standing banded table streams map-side past it, never
+    * shuffles, and no window runs over it (PlanSpec-pinned).
+    *
+    * Probe-before-append protocol: probe a batch FIRST, then admit it
+    * with [[appendToLshIndex]]. The answer stays correct either way —
+    * the probe anti-joins the delta's ids out of the standing lanes,
+    * so an already-appended batch cannot duplicate pairs or self-pair
+    * — but the bucket cap of an after-append probe sees that batch's
+    * band mass twice (standing counts + in-plan delta counts), which
+    * can drop a bucket sitting within one delta of the cap
+    * (conservative: never admits extra candidates). */
   def probeLshIndex(s: SparkSession, dir: String, delta: DataFrame,
                     threshold: Double, maxBucket: Int = 1000): DataFrame =
     probeLshFrames(s.read.parquet(s"$dir/banded"),
+      s.read.parquet(s"$dir/bucket_counts"),
       s.read.parquet(s"$dir/shingles"), delta, threshold, maxBucket)
 
   /** Frame-taking core of the probe (the registered entry builds the
     * standing frames in-plan to stay oracle-self-contained — the
-    * d19/c12 discipline; production reads the persisted artifact). */
+    * d19/c12 discipline; production reads the persisted artifact).
+    *
+    * Delta-cost shape, stage by stage:
+    *  1. delta signatures/bands: one narrow pass over the DELTA only.
+    *  2. bucket cap: standing per-bucket counts come from the COUNTS
+    *     artifact (tiny rows, no band-row shuffle), delta counts from
+    *     a delta-sized groupBy; the merged over-cap key set (buckets
+    *     > maxBucket — rare by construction) broadcasts into anti-joins
+    *     on both sides. Identical cap semantics to in-plan d04 over
+    *     standing ∪ delta — the union's bucket mass decides.
+    *  3. candidates: new–old = standing bands streamed past the
+    *     BROADCAST delta bands (BroadcastHashJoin — zero standing
+    *     Exchange); new–new = delta self-join (delta-sized).
+    *  4. verify: candidate doc_ids (delta-proportional) broadcast-
+    *     semi-prune the shingle lane, then the exact-Jaccard join runs
+    *     over the pruned candidate-sized frame only.
+    * Net: standing data is SCANNED (counts + banded + shingles, all
+    * columnar and textless except the shingle lane's pruned read) but
+    * never shuffled, windowed, or joined shuffle-side — probe wall
+    * time stays ~flat as the standing corpus grows (measured:
+    * LshProbeScale in IncrementalProbe / SCALE.md). */
   private[graft] def probeLshFrames(standingBanded: DataFrame,
-      standingSh: DataFrame, delta: DataFrame, threshold: Double,
-      maxBucket: Int): DataFrame = {
+      standingCounts: DataFrame, standingSh: DataFrame, delta: DataFrame,
+      threshold: Double, maxBucket: Int): DataFrame = {
     val s = delta.sparkSession
     import s.implicits._
     val dSh = shingleFrame(delta)
     val dBand = bandedOf(dSh)
-    val all = standingBanded.unionByName(dBand)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"band_id", $"band_hash")
-    val bounded = all.withColumn("bucket_n", count(lit(1)).over(w))
-      .filter($"bucket_n" <= maxBucket).drop("bucket_n")
-    val boundedDelta = bounded.join(
-      dSh.select($"doc_id"), Seq("doc_id"), "left_semi")
-    val cand = boundedDelta.as("x").join(bounded.as("y"),
+    val dIds = dSh.select($"doc_id")
+    // idempotence guard: drop the delta's own rows from the standing
+    // lanes (no-op under probe-before-append; broadcast anti — cheap)
+    val sBand = standingBanded.join(broadcast(dIds), Seq("doc_id"), "left_anti")
+    val sSh = standingSh.join(broadcast(dIds), Seq("doc_id"), "left_anti")
+    // union bucket mass from the artifact + the delta's in-plan counts
+    val overCap = standingCounts.select($"band_id", $"band_hash", $"n")
+      .unionByName(bandedOf_counts(dBand))
+      .groupBy($"band_id", $"band_hash").agg(sum($"n").as("n"))
+      .filter($"n" > maxBucket)
+      .select($"band_id", $"band_hash")
+    val dOk = dBand.join(broadcast(overCap), Seq("band_id", "band_hash"), "left_anti")
+    val sOk = sBand.join(broadcast(overCap), Seq("band_id", "band_hash"), "left_anti")
+    // new–old: delta side broadcast, standing streams — no Exchange
+    val candSO = sOk.as("y").join(broadcast(dOk.as("x")),
         $"x.band_id" === $"y.band_id" && $"x.band_hash" === $"y.band_hash" &&
         $"x.doc_id" =!= $"y.doc_id")
       .select(least($"x.doc_id", $"y.doc_id").as("d1"),
               greatest($"x.doc_id", $"y.doc_id").as("d2"))
-      .distinct()
-    verifyCandidates(cand, standingSh.unionByName(dSh), threshold)
+    // new–new: delta self-join — delta-sized both sides
+    val candNN = dOk.as("x").join(broadcast(dOk.as("y")),
+        $"x.band_id" === $"y.band_id" && $"x.band_hash" === $"y.band_hash" &&
+        $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
+    val cand = candSO.unionByName(candNN).distinct()
+    // verify on the candidate-pruned shingle frame: the candidate id
+    // set is delta-proportional (every pair touches the delta), so the
+    // standing shingle lane is filtered by a broadcast semi-join —
+    // scanned, never shuffled at standing size
+    val candIds = cand.select($"d1".as("doc_id"))
+      .unionByName(cand.select($"d2".as("doc_id"))).distinct()
+    val shSlim = sSh.unionByName(dSh)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    verifyCandidates(cand, shSlim, threshold)
   }
 
   /** Registered split: d11's (doc_id ≡ 0 mod 10 plays the delta) —
@@ -1082,8 +1165,9 @@ object Dedup {
     import s.implicits._
     val docs = documents(s, d).select($"doc_id", $"text")
     val standingSh = shingleFrame(docs.filter($"doc_id" % 10 =!= 0))
-    probeLshFrames(bandedOf(standingSh), standingSh,
-      docs.filter($"doc_id" % 10 === 0), 0.8, 1000)
+    val standingBanded = bandedOf(standingSh)
+    probeLshFrames(standingBanded, bandedOf_counts(standingBanded),
+      standingSh, docs.filter($"doc_id" % 10 === 0), 0.8, 1000)
   }
 
   // ---- d05: SimHash near-dup ----

@@ -1606,24 +1606,34 @@ object Similarity {
     val indexDir =
       java.nio.file.Files.createTempDirectory("graft-s17-index").toString
     s17CleanupHook
-    s17IndexDirs.add(indexDir)
-    while (s17IndexDirs.size > 8)
-      Option(s17IndexDirs.poll()).foreach(graft.BenchUtil.rmTree)
     writeIvfIndex(c.select($"vec_id", $"v"), centroids, indexDir)
     val q = c.filter($"vec_id" < 20)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
-    ivfTopKFromIndex(s, indexDir, centroids, q, nprobe = 2, k = 3)
+    val served =
+      ivfTopKFromIndex(s, indexDir, centroids, q, nprobe = 2, k = 3)
+        .localCheckpoint()
+    s17Admit(indexDir)
+    served
   }
 
   /** Temp index dirs from the s17/s18 REGISTERED entries, FIFO-capped
-    * at 8 (the c12 state-dir precedent). Contract the cap relies on:
-    * each entry's returned DataFrame is materialized by its caller
-    * (driver gate / bench) before 8 further s17/s18 invocations occur —
-    * the eviction deletes the parquet a still-lazy plan would read.
-    * Production callers own their index dir via `writeIvfIndex`/
-    * `ivfTopKFromIndex` directly and are not subject to this queue. */
+    * at 8 (the c12 state-dir precedent). Safe against lazy callers:
+    * each entry localCheckpoints (eager) its served result BEFORE its
+    * dir is admitted to the queue, so by the time an eviction deletes
+    * a dir no returned plan can re-read it — the result rows live in
+    * the block manager. Production callers own their index dir via
+    * `writeIvfIndex`/`ivfTopKFromIndex` directly and are not subject
+    * to this queue. */
   private val s17IndexDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Admit a dir to the FIFO (call only after the result backed by it
+    * has been materialized) and evict past the cap. */
+  private def s17Admit(dir: String): Unit = {
+    s17IndexDirs.add(dir)
+    while (s17IndexDirs.size > 8)
+      Option(s17IndexDirs.poll()).foreach(graft.BenchUtil.rmTree)
+  }
   private lazy val s17CleanupHook: Unit = {
     sys.addShutdownHook {
       s17IndexDirs.forEach(d => graft.BenchUtil.rmTree(d))
@@ -1669,17 +1679,17 @@ object Similarity {
     val indexDir =
       java.nio.file.Files.createTempDirectory("graft-s18-index").toString
     s17CleanupHook
-    s17IndexDirs.add(indexDir)
-    while (s17IndexDirs.size > 8)
-      Option(s17IndexDirs.poll()).foreach(graft.BenchUtil.rmTree)
     writeIvfIndex(c.filter($"vec_id" <= boundary).select($"vec_id", $"v"),
       centroids, indexDir)
     appendToIvfIndex(c.filter($"vec_id" > boundary).select($"vec_id", $"v"),
       centroids, indexDir)
-    ivfTopKFromIndex(s, indexDir, centroids,
+    val served = ivfTopKFromIndex(s, indexDir, centroids,
       c.filter($"vec_id" < 20)
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn")),
       nprobe = 2, k = 3)
+      .localCheckpoint()
+    s17Admit(indexDir)
+    served
   }
 
   // ---- s19: embedding-space benchmark decontamination ----

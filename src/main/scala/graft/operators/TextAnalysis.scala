@@ -1383,8 +1383,15 @@ object TextAnalysis {
         sum($"n_bpe").as("bpe_tokens"),
         sum($"n_ws").as("ws_tokens"),
         sum($"n_chars").as("chars"),
-        round(sum($"n_bpe") / sum($"n_ws").cast("double"), 6).as("fertility"),
-        round(sum($"n_chars") / sum($"n_bpe").cast("double"), 6)
+        // explicit null contract: a source whose texts are all empty/
+        // whitespace has no denominator — emit null, never a silent
+        // divide artifact (golden-snapshotted, so the contract is ours
+        // to pin; real corpora always have n_ws/n_bpe > 0)
+        when(sum($"n_ws") > 0,
+          round(sum($"n_bpe") / sum($"n_ws").cast("double"), 6))
+          .as("fertility"),
+        when(sum($"n_bpe") > 0,
+          round(sum($"n_chars") / sum($"n_bpe").cast("double"), 6))
           .as("chars_per_token"))
   }
 

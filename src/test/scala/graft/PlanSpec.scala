@@ -255,6 +255,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("band_hash"), "band-keyed candidate join missing")
   }
 
+  test("d21: persisted probe — standing lanes never shuffle or window, delta broadcasts") {
+    // the delta-cost contract, pinned on the PRODUCTION path (persisted
+    // artifact → probeLshIndex): the standing banded/shingle/counts
+    // lanes may be SCANNED but must never sit under a shuffle Exchange
+    // or a Window — the only joins touching them are broadcast-hash
+    // with the (delta-proportional) side broadcast
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"text")
+    val dir = java.nio.file.Files.createTempDirectory("d21-plan-idx").toString
+    try {
+      graft.operators.Dedup.writeLshIndex(docs.filter($"doc_id" % 10 =!= 0), dir)
+      val probe = graft.operators.Dedup.probeLshIndex(spark, dir,
+        docs.filter($"doc_id" % 10 === 0), 0.8, 1000)
+      val plan = probe.queryExecution.executedPlan
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        "window in the probe plan")
+      def isStanding(f: FileSourceScanExec): Boolean =
+        f.relation.location.rootPaths.exists { rp =>
+          val s = rp.toString
+          s.contains(dir) && (s.contains("banded") || s.contains("shingles"))
+        }
+      // a standing scan is "unguarded" at a node if no REDUCING
+      // broadcast join (inner/semi against the broadcast delta or
+      // candidate set — output ∝ matches, i.e. delta-proportional)
+      // sits between the scan and that node; anti-joins don't reduce
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+      def unguarded(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec => isStanding(f)
+        case b: BroadcastHashJoinExec
+            if b.joinType == Inner || b.joinType == LeftSemi => false
+        case other => other.children.exists(unguarded)
+      }
+      val offending = plan.collect {
+        case e: ShuffleExchangeLike if e.children.exists(unguarded) => e
+      }
+      assert(offending.isEmpty,
+        s"standing index lane crossed a shuffle:\n${offending.map(_.nodeName).mkString("\n")}")
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        "delta side must broadcast into the standing lanes")
+    } finally graft.BenchUtil.rmTree(dir)
+  }
+
   test("m10: payload index probe — band-keyed equi-join, payload bytes never shuffle") {
     // the media-economics claim: the delta meets the standing corpus
     // only through (chunk_id, chunk_val) equi-joins — every exchange
@@ -409,7 +456,24 @@ class PlanSpec extends SparkSpec {
   }
 
   test("s17: persisted-index serve — probed-list partition filter in the scan, probes broadcast") {
-    val p = plan("s17_ivf_persisted")
+    // pinned on the production API (writeIvfIndex → ivfTopKFromIndex):
+    // the registered entry localCheckpoints its result (so the FIFO
+    // temp-dir eviction can never invalidate a lazy caller), which
+    // truncates the plan — the serve shape must be read pre-checkpoint
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val centroids = Similarity.trainedCentroids(spark, sf001, k = 5, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("s17-plan-idx").toString
+    val p = try {
+      Similarity.writeIvfIndex(emb, centroids, dir)
+      val q = emb.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"v".as("qv"),
+          Similarity.norm($"v").as("qn"))
+      Similarity.ivfTopKFromIndex(spark, dir, centroids, q, nprobe = 2, k = 3)
+        .queryExecution.executedPlan.toString
+    } finally graft.BenchUtil.rmTree(dir)
     assert(!p.contains("CartesianProduct"), p.take(600))
     // the scale mechanism: the probed cluster ids must reach the index
     // scan as a PARTITION filter (directory pruning), not a row filter

@@ -159,6 +159,31 @@ object ScaleProbe {
         vx.filter($"doc_id" > cutD), 0.8).count())
       println(f"SCALE d21_delta_x10         full-d04=${f}%6.2fs  " +
         f"probe-d21(2%%, persisted index)=${dl}%6.2fs  cost-ratio=${dl / f}%5.2fx")
+      // the flat-probe claim: the SAME delta probed against a 1× vs a
+      // 10× standing index. Copies share no shingles with copy 0, so
+      // the answers are identical; the x10 probe pays only the larger
+      // standing SCAN (columnar ids+hashes, no shuffle) — wall time
+      // should stay ~flat, which is the whole point of the artifact
+      val x1 = spark.read.parquet(s"$base/x1/documents.parquet")
+        .select($"doc_id", $"text")
+      val baseMax1 = x1.agg(max($"doc_id")).head().getLong(0)
+      val cut1 = (baseMax1 * 4) / 5
+      val delta1 = x1.filter($"doc_id" > cut1)
+      val idx1 = s"$base/lshidx_x1"
+      Dedup.writeLshIndex(x1.filter($"doc_id" <= cut1), idx1)
+      // x10 standing = x1 standing ∪ copies 1..9 (ids ≥ 10^7 all land
+      // standing-side); probe the same x1 delta against both
+      val idx10 = s"$base/lshidx_x10s"
+      val x10all = spark.read.parquet(s"$base/x10/documents.parquet")
+        .select($"doc_id", $"text")
+      Dedup.writeLshIndex(
+        x10all.filter($"doc_id" >= 10000000L || $"doc_id" <= cut1), idx10)
+      val (p1, n1) = t2(Dedup.probeLshIndex(spark, idx1, delta1, 0.8).count())
+      val (p10, n10) = t2(Dedup.probeLshIndex(spark, idx10, delta1, 0.8).count())
+      require(n1 == n10,
+        s"x1 vs x10 standing changed the probe answer: $n1 vs $n10")
+      println(f"SCALE d21_probe_flat        probe-vs-1x=${p1}%6.2fs  " +
+        f"probe-vs-10x=${p10}%6.2fs  t-ratio=${p10 / p1}%5.2fx (same delta, same answer)")
     }
     // m10 steady state: the same economics for payloads — a 2% delta
     // probed against the persisted band table vs a full m07 recompute
