@@ -72,6 +72,72 @@ object Bench {
     System.gc()
     Thread.sleep(3000)
 
+    // batch copy throughput: events ∪ lineitem → IngestRecord → bulk sink.
+    // Every doc carries the cursor field (events' ts, lineitem's
+    // l_shipdate) and the store is written CURSOR-CLUSTERED
+    // (range-partition + sort on ts) — the layout a real incremental
+    // store has by construction (files arrive in time order under the
+    // sink's monotonic wall-clock naming).
+    // POSITION (round-13): this section runs HERE — after the warmup
+    // pass, before the timed query suite — because its number drifted
+    // with the SUITE, not the code: r11→r12 it fell 138.7k → 116.6k
+    // docs/s on an untouched path with tight attempt spreads, exactly
+    // as 19 queries were added upstream of it; per-attempt settles
+    // can drain queued GC but not the larger old-gen occupancy a
+    // 177-query pass leaves behind. Measured after warmup only, the
+    // number tracks the copy path, not the suite's growth.
+    // Measurement protocol (round-10 fix — BENCH_r09 reported 4.3k
+    // docs/s on code that does 52k in isolation):
+    //  - SETTLE before each attempt (System.gc + 2 s).
+    //  - MEDIAN-OF-3, each attempt on a FRESH lineage (the Dataset is
+    //    rebuilt per attempt): r9's single timed write reused the
+    //    shuffle map output of the nDocs count() on the same Dataset,
+    //    so copy_sec measured sort+write, not the full copy. Each
+    //    attempt here pays scan + range-shuffle + sort + write.
+    //  - the cursor rides as a TYPED column selected before to_json
+    //    (events' ts, lineitem's l_shipdate) and is dropped at the sink
+    //    boundary — not re-parsed per row out of the serialized body.
+    import spark.implicits._
+    def mkCopyRecords() = {
+      // same emitted body as Emit.ing01EmitEvents / the r9 lineitem lane
+      val ev = Tables.events(spark, sfDir).select(
+        lit("events").as("indexId"),
+        $"event_id".cast("string").as("docId"),
+        to_json(struct($"event_id", $"event_type", $"value",
+          $"ts".cast("string").as("ts"),
+          get_json_object($"props", "$.k").cast("int").as("k"))).as("source"),
+        $"ts".cast("string").as("sort_ts"))
+      val li = Tables.lineitem(spark, sfDir).select(
+        lit("lineitem").as("indexId"),
+        concat_ws("-", $"l_orderkey", $"l_linenumber").as("docId"),
+        to_json(struct($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_linenumber",
+          $"l_quantity", $"l_extendedprice",
+          $"l_shipdate".cast("string").as("ts"))).as("source"),
+        $"l_shipdate".cast("string").as("sort_ts"))
+      ev.unionByName(li)
+        .repartitionByRange(cpus.toInt, $"sort_ts")
+        .sortWithinPartitions($"sort_ts")
+        .select($"indexId", $"docId", $"source")
+        .as[ingest.IngestRecord]
+    }
+    // row count from metadata-only scans — does NOT warm the copy shuffle
+    val nDocs = Tables.events(spark, sfDir).count() +
+      Tables.lineitem(spark, sfDir).count()
+    val copyAttempts = (1 to 3).map { i =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-sink$i").toString
+      System.gc(); Thread.sleep(2000)
+      dir -> timeSec(ingest.EsBulkSink.write(mkCopyRecords(), dir))
+    }
+    val copySec = copyAttempts.map(_._2).sorted.apply(1)
+    // the streaming drain below reads the LAST attempt's store
+    val copyDir = copyAttempts.last._1
+    copyAttempts.dropRight(1).foreach { case (d, _) => rmTree(d) }
+    val copyDocsPerS = nDocs / copySec
+
+    // drain the copy section's debt before the timed suite starts
+    System.gc()
+    Thread.sleep(2000)
+
     // context-health telemetry (the r8 lesson: a whole bench run
     // executed in a degraded environment — copy −2.5×, streaming +7× on
     // unchanged code — and nothing in the artifact showed it). Record
@@ -157,72 +223,35 @@ object Bench {
     val medianS = if (ok.nonEmpty) ok(ok.size / 2) else -1.0
     val p100S = if (ok.nonEmpty) ok.last else -1.0
 
-    // batch copy throughput: events ∪ lineitem → IngestRecord → bulk sink.
-    // Every doc carries the cursor field (events' ts, lineitem's
-    // l_shipdate) and the store is written CURSOR-CLUSTERED
-    // (range-partition + sort on ts) — the layout a real incremental
-    // store has by construction (files arrive in time order under the
-    // sink's monotonic wall-clock naming). The previous unsorted bulk
-    // copy produced files whose ts ranges all overlapped and 600k docs
-    // with NO ts at all; the streaming drain below then degenerated —
-    // one 597k-row first batch (every null-ts doc shares one cursor
-    // position) and each later micro-batch re-parsing ~the whole
-    // corpus (its (start,end] range intersected every file). That
-    // measured file-layout pathology, not micro-batch latency; the
-    // stream_files_opened telemetry keeps read amplification
-    // observable so the pathology can never hide again.
-    // Measurement protocol (round-10 fix — BENCH_r09 reported 4.3k
-    // docs/s on code that does 52k in isolation):
-    //  - SETTLE first: this section runs immediately after 141 queries
-    //    (~58 s of queued GC debt in r9); the streaming section below
-    //    already settles, the copy section did not — its one sample was
-    //    billed the whole suite's cleanup.
-    //  - MEDIAN-OF-3, each attempt on a FRESH lineage (the Dataset is
-    //    rebuilt per attempt): r9's single timed write reused the
-    //    shuffle map output of the nDocs count() on the same Dataset,
-    //    so copy_sec measured sort+write, not the full copy. Each
-    //    attempt here pays scan + range-shuffle + sort + write.
-    //  - the cursor rides as a TYPED column selected before to_json
-    //    (events' ts, lineitem's l_shipdate) and is dropped at the sink
-    //    boundary — not re-parsed per row out of the serialized body.
-    import spark.implicits._
-    def mkCopyRecords() = {
-      // same emitted body as Emit.ing01EmitEvents / the r9 lineitem lane
-      val ev = Tables.events(spark, sfDir).select(
-        lit("events").as("indexId"),
-        $"event_id".cast("string").as("docId"),
-        to_json(struct($"event_id", $"event_type", $"value",
-          $"ts".cast("string").as("ts"),
-          get_json_object($"props", "$.k").cast("int").as("k"))).as("source"),
-        $"ts".cast("string").as("sort_ts"))
-      val li = Tables.lineitem(spark, sfDir).select(
-        lit("lineitem").as("indexId"),
-        concat_ws("-", $"l_orderkey", $"l_linenumber").as("docId"),
-        to_json(struct($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_linenumber",
-          $"l_quantity", $"l_extendedprice",
-          $"l_shipdate".cast("string").as("ts"))).as("source"),
-        $"l_shipdate".cast("string").as("sort_ts"))
-      ev.unionByName(li)
-        .repartitionByRange(cpus.toInt, $"sort_ts")
-        .sortWithinPartitions($"sort_ts")
-        .select($"indexId", $"docId", $"source")
-        .as[ingest.IngestRecord]
+    // suite-context vs isolated cost, attributed IN the artifact: the
+    // round-12 diff showed +11 s of diffuse drift across untouched
+    // queries (GC-pressure-correlated) with no way to tell, per query,
+    // how much was the query and how much the suite's context. After
+    // the whole suite has run, re-measure the 10 slowest under the CC
+    // protocol (settle, median-of-3, fresh lineage each) — the delta
+    // per_query_s − isolated_top10_s is that query's suite-context
+    // share, readable directly from bench_detail.json
+    val isolatedTop10 = {
+      val fnByName = queries.toMap
+      results.filter(_._2 >= 0).sortBy(-_._2).take(10).map { case (name, _, _) =>
+        val fn = fnByName(name)
+        val ts = (1 to 3).map { _ =>
+          System.gc(); Thread.sleep(1000)
+          timeSec(materialize(fn(spark, sfDir)))
+        }
+        name -> ts.sorted.apply(1)
+      }
     }
-    // row count from metadata-only scans — does NOT warm the copy shuffle
-    val nDocs = Tables.events(spark, sfDir).count() +
-      Tables.lineitem(spark, sfDir).count()
-    val copyAttempts = (1 to 3).map { i =>
-      val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-sink$i").toString
-      System.gc(); Thread.sleep(2000)
-      dir -> timeSec(ingest.EsBulkSink.write(mkCopyRecords(), dir))
-    }
-    val copySec = copyAttempts.map(_._2).sorted.apply(1)
-    // the streaming drain below reads the LAST attempt's store
-    val copyDir = copyAttempts.last._1
-    copyAttempts.dropRight(1).foreach { case (d, _) => rmTree(d) }
-    val copyDocsPerS = nDocs / copySec
 
-    // streaming micro-batch latency: drain the docs just written through
+    // streaming micro-batch latency: drain the docs written by the copy
+    // section (which ran before the suite; its store layout is
+    // cursor-clustered — the previous unsorted bulk copy produced files
+    // whose ts ranges all overlapped and 600k docs with NO ts at all;
+    // the drain then degenerated to one 597k-row first batch and each
+    // later micro-batch re-parsing ~the whole corpus. That measured
+    // file-layout pathology, not micro-batch latency; the
+    // stream_files_opened telemetry keeps read amplification observable
+    // so the pathology can never hide again) through
     // the DSv2 source at 10k docs/batch and take the median batch time.
     // Settle GC/compilation debt from the sections above first, and
     // exclude the first two (warmup) batches from the median.
@@ -457,10 +486,18 @@ object Bench {
       "\"" + k + "\":[" + ts.map(t =>
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(t))).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // position-in-suite: per_query_s preserves execution order only as
+    // JSON key order, which consumers may not keep — record it explicitly
+    // so drift analysis can correlate cost with suite position
+    val seqFull = results.zipWithIndex.map { case ((k, _, _), i) =>
+      "\"" + k + "\":" + i }.mkString("{", ",", "}")
+    val isoJson = isolatedTop10.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     println(s"""{"detail":"per_query_s","queries":$qsFull}""")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       (s"""{"sf":"$sfDir","per_query_s":$qsFull,"per_query_gc_ms":$gcFull,""" +
+       s""""per_query_seq":$seqFull,"isolated_top10_s":$isoJson,""" +
        s""""cc_family_attempts_s":$ccJson}\n""").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // name the tail: the p100 was anonymous for two rounds while it

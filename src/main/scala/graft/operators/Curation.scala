@@ -211,6 +211,72 @@ object Curation {
       |)
       |GROUP BY 1, 2""".stripMargin
 
+  // ---- c18: training-sequence manifest (concat-and-cut with splitting) ----
+
+  /** c18: the SEQUENCE MANIFEST a training loader actually consumes —
+    * t12 summarizes which window each document STARTS in; c18 emits
+    * the full assignment under concat-and-cut WITH DOCUMENT SPLITTING:
+    * documents are laid end-to-end per language in doc_id order and
+    * cut into fixed 512-token sequences, and a document straddling a
+    * boundary contributes one row PER sequence it overlaps, carrying
+    * (doc_from = token offset within the doc, seq_off = position
+    * within the sequence, n_toks = span length). Every token of every
+    * document is covered exactly once — the loader reconstructs each
+    * training sequence by concatenating its rows in seq_off order, and
+    * provenance (which doc fed which positions of which sequence) is a
+    * key lookup, which is what attribution and contamination tracing
+    * need post-hoc.
+    *
+    * Scale: the running offset is a per-lang window (t12's shape — at
+    * 100 TB shard the key finer, e.g. (lang, t09 hash bucket): same
+    * code, no global order anywhere); the boundary explode is pure
+    * per-row arithmetic (a doc overlaps ⌈n/512⌉ + 1 sequences at most,
+    * so output mass ≈ input rows + token mass / 512); no join at all. */
+  def c18SequenceManifest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val L = 512L
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select($"lang", $"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tok"))
+      .withColumn("e", sum($"n_tok").over(w))
+      .withColumn("s0", $"e" - $"n_tok")
+      .select($"lang", $"doc_id", $"s0", $"e",
+        explode(sequence(floor($"s0" / L).cast("long"),
+          floor(($"e" - 1) / L).cast("long"))).as("seq_id"))
+      .select($"lang", $"seq_id", $"doc_id",
+        (greatest($"s0", $"seq_id" * L) - $"s0").as("doc_from"),
+        (greatest($"s0", $"seq_id" * L) - $"seq_id" * L).as("seq_off"),
+        (least($"e", ($"seq_id" + 1) * L) - greatest($"s0", $"seq_id" * L))
+          .as("n_toks"))
+  }
+
+  /** All arithmetic is exact integers; the window and the span algebra
+    * are engine-portable, so the oracle is the same program in SQL. */
+  val c18Sql: String =
+    """WITH base AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |), cum AS (
+      |  SELECT lang, doc_id, n_tok,
+      |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS e
+      |  FROM base
+      |), spans AS (
+      |  -- SUM() OVER is HUGEINT in DuckDB; generate_series needs BIGINT
+      |  SELECT lang, doc_id, CAST(e - n_tok AS BIGINT) AS s0,
+      |         CAST(e AS BIGINT) AS e
+      |  FROM cum
+      |)
+      |SELECT lang, seq_id, doc_id,
+      |  GREATEST(s0, seq_id * 512) - s0 AS doc_from,
+      |  GREATEST(s0, seq_id * 512) - seq_id * 512 AS seq_off,
+      |  LEAST(e, (seq_id + 1) * 512) - GREATEST(s0, seq_id * 512) AS n_toks
+      |FROM spans, UNNEST(generate_series(s0 // 512, (e - 1) // 512))
+      |  AS u(seq_id)""".stripMargin
+
   /** t15: column profile of the corpus table — null counts, distinct
     * counts, min/max per column, one aggregate pass per column unioned
     * into a tall profile. The data-quality gate a pipeline checks
@@ -1650,6 +1716,7 @@ object Curation {
     "t10_pii_redaction"   -> (t10PiiRedaction _),
     "t11_repetition"      -> (t11RepetitionRatio _),
     "t12_token_packing"   -> (t12TokenPacking _),
+    "c18_sequence_manifest" -> (c18SequenceManifest _),
   )
 
   // def, not val: c14's golden-snapshot path resolves the sf tag at
@@ -1705,5 +1772,6 @@ object Curation {
     "t10_pii_redaction"   -> t10Sql,
     "t11_repetition"      -> t11Sql,
     "t12_token_packing"   -> t12Sql,
+    "c18_sequence_manifest" -> c18Sql,
   )
 }

@@ -2046,7 +2046,141 @@ object Similarity {
       |FROM q CROSS JOIN np
       |LEFT JOIN hits ON hits.q_id = q.q_id AND hits.nprobe = np.nprobe""".stripMargin
 
+  // ---- s23: SemDeDup — semantic dedup via cluster-bucketed cosine ----
+
+  /** s23: SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication") — the
+    * embedding-space analogue of the d04→d08 chain: paraphrases and
+    * re-renderings that share no n-grams land close in embedding
+    * space, so dedup there catches what MinHash structurally cannot.
+    * The published algorithm: cluster the corpus with k-means, compare
+    * pairs ONLY within a cluster, connect pairs above τ, keep one
+    * representative per component. The restriction to within-cluster
+    * pairs is the algorithm's own stated approximation (its compute
+    * bound), not a shortcut — so the oracle replicates it exactly.
+    *
+    * Output: one row per vector — its cluster, its component
+    * representative (min vec_id; itself when unpaired), and the keep
+    * flag a downstream filter consumes. The registered entry uses the
+    * [[seedCentroids]] quantizer so the WHOLE program — assignment,
+    * within-cluster pairs, connected components (recursive CTE) — is
+    * replicable in SQL and hash-checked end to end (the s08/d08
+    * precedent combined); production swaps in [[trainedCentroids]],
+    * which changes only the bucketing quality, not the contract.
+    *
+    * Scale: assignment is a broadcast-centroid argmax (one narrow
+    * pass); the pair join is equi-keyed on cluster_id with
+    * within-bucket quadratic bounded by k ∝ n/target-bucket (s08's
+    * economics, maxBucket guard available); CC runs on the sparse
+    * above-τ graph (the d08 machinery — doubling rounds, bounded
+    * storage). Nothing corpus-quadratic anywhere. */
+  def s23SemDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d)
+    val assigned =
+      probeAssignments(c.select($"vec_id", $"v"), seedCentroids(c, 8),
+        nprobe = 1, maxBucket = 0L)
+    val a = assigned.select($"cluster_id", $"vec_id".as("a_id"),
+      $"v".as("av"), $"nrm".as("an"))
+    val b = assigned.select($"cluster_id", $"vec_id".as("b_id"),
+      $"v".as("bv"), $"nrm".as("bn"))
+    val pairs = a.join(b, Seq("cluster_id"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id", (dot($"av", $"bv") / ($"an" * $"bn")).as("cosine"))
+      .filter($"cosine" >= 0.45)
+      .select($"a_id".as("d1"), $"b_id".as("d2"))
+    val comps = Dedup.clusterPairs(pairs)
+      .select($"doc_id".as("vec_id"), $"cluster_rep".as("rep_id"))
+    assigned.select($"vec_id", $"cluster_id")
+      .join(comps, Seq("vec_id"), "left")
+      .select($"vec_id", $"cluster_id",
+        coalesce($"rep_id", $"vec_id").as("rep_id"))
+      .withColumn("keep", $"rep_id" === $"vec_id")
+  }
+
+  /** The full SemDeDup program in SQL: seed-quantizer argmax
+    * assignment (s08's probes CTE at nprobe = 1), within-cluster τ
+    * pairs, recursive-CTE connected components (d08's), min-rep keep. */
+  val s23Sql: String =
+    """WITH RECURSIVE en AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings
+      |), cen AS (
+      |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM en WHERE vec_id < 8
+      |), assigned AS (
+      |  SELECT vec_id, v, nrm, cid AS cluster_id FROM (
+      |    SELECT en.vec_id, en.v, en.nrm, cen.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY en.vec_id
+      |        ORDER BY list_dot_product(en.v, cen.cv) / (en.nrm * cen.cn) DESC,
+      |                 cen.cid ASC) AS rn
+      |    FROM en CROSS JOIN cen
+      |  ) WHERE rn = 1
+      |), pairs AS (
+      |  SELECT a.vec_id AS d1, b.vec_id AS d2
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+      |), edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM pairs
+      |  UNION ALL SELECT d2, d1 FROM pairs
+      |), reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+      |), comps AS (
+      |  SELECT id AS vec_id, MIN(r) AS rep_id FROM reach GROUP BY id
+      |)
+      |SELECT a.vec_id, a.cluster_id,
+      |  COALESCE(c.rep_id, a.vec_id) AS rep_id,
+      |  COALESCE(c.rep_id, a.vec_id) = a.vec_id AS keep
+      |FROM assigned a LEFT JOIN comps c USING (vec_id)""".stripMargin
+
+  // ---- s24: cosine range search (radius retrieval) ----
+
+  /** s24: range search — ALL corpus vectors within cosine ≥ τ of each
+    * query, the radius-query sibling of s01's top-k. Retrieval filters
+    * ("everything at least this similar", dedup candidate pulls,
+    * contamination sweeps at a fixed similarity bar) want a THRESHOLD,
+    * not a count: top-k under-returns in dense neighborhoods and pads
+    * sparse ones with junk below any meaningful bar.
+    *
+    * Scale: s01's exact shape — the query side is small by premise and
+    * broadcasts; the corpus STREAMS through one fused stage (scan →
+    * dot → filter), no shuffle at corpus size, output bounded by the
+    * radius's true result mass rather than k·|Q|. A corpus-resident
+    * variant at higher τ rides the IVF index instead (probe the
+    * query's nprobe cells, range-filter within them — s03/s17
+    * machinery unchanged, recall bounded by s22's audit). */
+  def s24RangeSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d).withColumn("nrm", norm($"v"))
+    val q = c.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    c.select($"vec_id".as("n_id"), $"v".as("nv"), $"nrm".as("nn"))
+      .join(broadcast(q), $"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id", (dot($"qv", $"nv") / ($"qn" * $"nn")).as("cosine"))
+      .filter($"cosine" >= 0.3)
+      .select($"q_id", $"n_id", round($"cosine", 6).as("cosine_r"))
+  }
+
+  val s24Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings
+      |)
+      |SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |  ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine_r
+      |FROM e q JOIN e c ON q.vec_id != c.vec_id
+      |WHERE q.vec_id < 20
+      |  AND list_dot_product(q.v, c.v) / (q.nrm * c.nrm) >= 0.3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s23_semdedup"          -> (s23SemDedup _),
+    "s24_range_search"      -> (s24RangeSearch _),
     "s22_ivf_recall_audit"  -> (s22IvfRecallAudit _),
     "s21_probed_decontamination" -> (s21ProbedDecontamination _),
     "s20_matryoshka_audit"  -> (s20MatryoshkaAudit _),
@@ -2074,6 +2208,8 @@ object Similarity {
   // def, not val: the golden-snapshot oracle resolves the sf tag at
   // dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    "s23_semdedup"          -> s23Sql,
+    "s24_range_search"      -> s24Sql,
     // s22: integer hit counts + total-ordered windows over the seed
     // quantizer — the whole audit is SQL-replicable
     "s22_ivf_recall_audit"  -> s22Sql,

@@ -1449,7 +1449,159 @@ object TextAnalysis {
     sketchProfile(documents(s, d).select($"doc_id", $"source", $"text"), 4)
   }
 
+  // ---- t34: Gopher-style quality-rule datasheet ----
+
+  /** t34: the per-document quality-rule audit in the style of Rae et
+    * al. 2021 (Gopher, §A1.1 "quality filtering") — each rule a named
+    * boolean column plus the measured quantity it gates, and a
+    * composite pass flag. Shipping the RULE TABLE rather than the
+    * filtered corpus is deliberate: a curation review reads per-rule
+    * hit rates (via one groupBy over this frame) before committing to
+    * thresholds, and c02-style funnels can cite which rule rejected a
+    * document. Rules (thresholds picked to discriminate on the fixture
+    * corpus; production tunes per source):
+    *   r_len:   50 ≤ word count ≤ 100 000
+    *   r_mwl:   3 ≤ mean word length ≤ 10
+    *   r_alpha: ≥ 80% of words contain a letter
+    *   r_stop:  ≥ 2 hits in a 7-word stopword list
+    *   r_rep:   most frequent word ≤ 10% of all words (the repetition
+    *            signal; Gopher's top-n-gram family, n = 1)
+    *
+    * Scale: r_len/r_mwl/r_alpha/r_stop are pure per-row expression
+    * work inside one codegen stage over the scan. r_rep needs the
+    * per-(doc, word) histogram — one explode + one groupBy keyed
+    * (doc_id, word), partial-aggregated map-side, then a doc_id-keyed
+    * reduce: all keys carry doc_id, so the shuffle parallelizes by
+    * document and no corpus-global state exists. Linear, skew-free
+    * (a doc's group count ≤ its token count). */
+  def t34GopherRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "to", "in", "and", "is")
+    val tk = toks($"text")
+    val perDoc = documents(s, d).select(
+      $"doc_id",
+      size(tk).cast("long").as("n_words"),
+      (length(regexp_replace($"text", " ", "")).cast("double") / size(tk))
+        .as("mean_word_len"),
+      (size(filter(tk, w => w.rlike("[A-Za-z]"))).cast("double") / size(tk))
+        .as("frac_alpha"),
+      size(filter(tk, w => w.isInCollection(stop))).cast("long")
+        .as("stop_hits"))
+    val topShare = documents(s, d)
+      .select($"doc_id", explode(tk).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_c"), sum($"c").as("n"))
+      .select($"doc_id", ($"top_c".cast("double") / $"n").as("top_share"))
+    perDoc.join(topShare, Seq("doc_id"))
+      .select($"doc_id", $"n_words",
+        round($"mean_word_len", 6).as("mean_word_len_r"),
+        round($"frac_alpha", 6).as("frac_alpha_r"),
+        $"stop_hits", round($"top_share", 6).as("top_share_r"),
+        ($"n_words" >= 50 && $"n_words" <= 100000).as("r_len"),
+        ($"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0).as("r_mwl"),
+        ($"frac_alpha" >= 0.8).as("r_alpha"),
+        ($"stop_hits" >= 2).as("r_stop"),
+        ($"top_share" <= 0.1).as("r_rep"))
+      .withColumn("gopher_pass",
+        $"r_len" && $"r_mwl" && $"r_alpha" && $"r_stop" && $"r_rep")
+  }
+
+  /** Flags are computed from UNROUNDED doubles on both sides; every
+    * input is an exact small integer, so the IEEE-754 divisions agree
+    * bit-for-bit across engines (the t19 precedent). */
+  val t34Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |         len(replace(text, ' ', '')) AS n_alpha_chars
+      |  FROM documents
+      |), perdoc AS (
+      |  SELECT doc_id,
+      |    CAST(len(t) AS BIGINT) AS n_words,
+      |    n_alpha_chars * 1.0 / len(t) AS mean_word_len,
+      |    len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+      |      / len(t) AS frac_alpha,
+      |    CAST(len(list_filter(t, w -> w = 'the' OR w = 'a' OR w = 'of'
+      |      OR w = 'to' OR w = 'in' OR w = 'and' OR w = 'is')) AS BIGINT)
+      |      AS stop_hits
+      |  FROM base
+      |), tok AS (
+      |  SELECT doc_id, unnest(t) AS w FROM base
+      |), ts AS (
+      |  SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top_share FROM (
+      |    SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2
+      |  ) GROUP BY doc_id
+      |)
+      |SELECT p.doc_id, p.n_words,
+      |  ROUND(p.mean_word_len, 6) AS mean_word_len_r,
+      |  ROUND(p.frac_alpha, 6) AS frac_alpha_r,
+      |  p.stop_hits, ROUND(ts.top_share, 6) AS top_share_r,
+      |  p.n_words >= 50 AND p.n_words <= 100000 AS r_len,
+      |  p.mean_word_len >= 3.0 AND p.mean_word_len <= 10.0 AS r_mwl,
+      |  p.frac_alpha >= 0.8 AS r_alpha,
+      |  p.stop_hits >= 2 AS r_stop,
+      |  ts.top_share <= 0.1 AS r_rep,
+      |  (p.n_words >= 50 AND p.n_words <= 100000)
+      |    AND (p.mean_word_len >= 3.0 AND p.mean_word_len <= 10.0)
+      |    AND p.frac_alpha >= 0.8 AND p.stop_hits >= 2
+      |    AND ts.top_share <= 0.1 AS gopher_pass
+      |FROM perdoc p JOIN ts USING (doc_id)""".stripMargin
+
+  // ---- t35: n-gram novelty (first-owner attribution) ----
+
+  /** t35: per-document n-gram NOVELTY — the fraction of a document's
+    * distinct word-3-grams whose first owner (minimum doc_id over the
+    * corpus) is the document itself. The dual of the duplication
+    * family: d03-style overlap asks "how much of this doc is shared",
+    * novelty asks "how much did this doc ADD when it arrived" — the
+    * marginal-contribution score dataset ablations and dedup-ordering
+    * decisions read (a doc with novelty ≈ 0 is fully covered by
+    * earlier data regardless of whether any single earlier doc clears
+    * a Jaccard bar).
+    *
+    * Scale: shingles are hashed per-row (the d03 machinery), the
+    * first-owner table is one groupBy(shingle hash) min — map-side
+    * combined, no skew beyond shingle popularity (a flooded shingle
+    * still reduces to ONE (sg, min) row) — and the attribution join is
+    * equi-keyed on the shingle hash with per-doc ratios reduced by
+    * doc_id. Two narrow shuffles, both linear in distinct shingle
+    * mass; nothing corpus-global, no window. */
+  def t35NgramNovelty(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ex = documents(s, d)
+      .select($"doc_id", explode(Dedup.shingleHashes($"text")).as("sg"))
+    val firstOwner = ex.groupBy($"sg").agg(min($"doc_id").as("first_doc"))
+    ex.join(firstOwner, Seq("sg"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        round($"n_novel".cast("double") / $"n_shingles", 6).as("novelty_r"))
+  }
+
+  /** Oracle on the raw 3-gram strings (the engine hashes them; counts
+    * and min-owners agree — the d03 equivalence). */
+  val t35Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |           for i in range(1, len(t)-1)]) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS s FROM sh
+      |), fo AS (
+      |  SELECT s, MIN(doc_id) AS first_doc FROM ex GROUP BY s
+      |)
+      |SELECT ex.doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN fo.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  ROUND(SUM(CASE WHEN fo.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_r
+      |FROM ex JOIN fo USING (s)
+      |GROUP BY ex.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t34_gopher_rules"   -> (t34GopherRules _),
+    "t35_ngram_novelty"  -> (t35NgramNovelty _),
     "t32_tokenizer_report" -> (t32TokenizerReport _),
     "t30_bpe_encode"     -> (t30BpeEncode _),
     "t29_bpe_train"      -> (t29BpeTrain _),
@@ -1483,6 +1635,8 @@ object TextAnalysis {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    "t34_gopher_rules"   -> t34Sql,
+    "t35_ngram_novelty"  -> t35Sql,
     // t29: pure integer counts + total-order tie-breaks make training
     // bit-deterministic (probed at two parallelisms before promotion);
     // the loop itself is engine-side → golden snapshot, hand-pinned

@@ -178,6 +178,58 @@ class PlanSpec extends SparkSpec {
       s"partial pruning must sit below the exchange:\n${lines.slice(fin, partial + 1).mkString("\n")}")
   }
 
+  test("c18: manifest window stays per-lang, boundary explode is generate — no join") {
+    val p = plan("c18_sequence_manifest")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      "running offset must stay partitioned by lang")
+    assert(p.contains("Generate"), "span explode missing")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "c18 must not join at all")
+  }
+
+  test("s23: semdedup — candidate join equi-keyed on cluster id, NLJ only vs seed broadcast") {
+    val p = plan("s23_semdedup")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // one deliberate k-row centroid broadcast feeds the argmax
+    // assignment; the within-cluster pair join must be an equi-join
+    val nlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj <= 2, s"$nlj nested-loop joins: ${p.take(800)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "candidate join is not an equi-join")
+  }
+
+  test("s24: range search keeps s01's shape — query side broadcast, corpus streams") {
+    val p = plan("s24_range_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("t34: rule aggregates all key on doc_id — no corpus-global term") {
+    val p = plan("t34_gopher_rules")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    val hashed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(hashed.nonEmpty, "expected keyed exchanges")
+    assert(hashed.forall(_.contains("doc_id")),
+      s"non-doc-keyed shuffle:\n${hashed.filterNot(_.contains("doc_id")).mkString("\n")}")
+  }
+
+  test("t35: novelty — first-owner agg partial+final on the shingle key, no window") {
+    val p = plan("t35_ngram_novelty")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(!p.contains("Window"), "no window belongs in t35")
+    // min-owner reduction must be partial+final (map-side combined), so
+    // a flooded shingle arrives at the reducer as one partial row per task
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_min")),
+      "first-owner min is not map-side combined")
+  }
+
   test("c10: running sum windows on source, never a single partition; no cartesian") {
     val p = plan("c10_token_budget")
     assert(!p.contains("CartesianProduct"), p.take(600))

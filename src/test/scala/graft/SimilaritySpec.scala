@@ -1010,4 +1010,49 @@ class SimilaritySpec extends SparkSpec {
     val recall = probedFlags.toDouble / exactFlags
     assert(recall >= 0.9, s"fixture recall $recall ($probedFlags/$exactFlags) below floor")
   }
+
+  test("s23 semdedup: within-cluster component collapses to min rep, singletons keep") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("s23-emb").toString
+    // seeds 0..7 = orthogonal unit basis vectors (they are the seed
+    // centroids AND corpus members); 8 and 9 lean on basis 0 hard
+    // enough that cluster-0 cosines clear tau = 0.45 -> component
+    // {0, 8, 9} keeps only 0; every other vector is a singleton
+    val rows = (0 until 8).map { i =>
+      (i.toLong, Array.tabulate(8)(j => if (j == i) 1.0f else 0.0f), 0)
+    } ++ Seq(
+      (8L, Array.tabulate(8)(j => if (j == 0) 0.9f else if (j == 1) 0.1f else 0.0f), 0),
+      (9L, Array.tabulate(8)(j => if (j == 0) 0.8f else if (j == 1) 0.2f else 0.0f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      val got = operators.Similarity.s23SemDedup(spark, dir)
+        .select($"vec_id", $"rep_id", $"keep")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+      assert(got.length === 10)
+      assert(got(8) === ((8L, 0L, false)) && got(9) === ((9L, 0L, false)))
+      assert(got(0) === ((0L, 0L, true)))
+      (1 to 7).foreach(i => assert(got(i) === ((i.toLong, i.toLong, true))))
+    } finally graft.BenchUtil.rmTree(dir)
+  }
+
+  test("s24 range search: returns exactly the pairs over the radius, both directions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("s24-emb").toString
+    Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      val got = operators.Similarity.s24RangeSearch(spark, dir)
+        .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+      // cos(0,1) = 0.9937 >= 0.3; cos(0,2) = 0; cos(1,2) = 0.11 < 0.3;
+      // every id here is < 20, so both directions of (0,1) appear
+      assert(got === Set((0L, 1L), (1L, 0L)))
+    } finally graft.BenchUtil.rmTree(dir)
+  }
 }

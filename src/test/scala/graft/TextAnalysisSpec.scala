@@ -1208,4 +1208,94 @@ class TextAnalysisSpec extends SparkSpec {
         s"q$q doc$d score $s is not a sum of rrf terms")
     }
   }
+
+  test("t34 gopher rules: hand-built docs hit each rule boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("t34-docs").toString
+    // doc 1: 60 alpha words incl. 3 stopwords, max word freq 3/60 = 0.05
+    //        -> every rule passes
+    // doc 2: 10 words -> r_len fails (everything else passes)
+    // doc 3: 60 words but 20 copies of "zzz" -> r_rep fails (share 1/3)
+    // doc 4: 60 numeric words -> r_alpha and r_stop fail
+    val d1 = ((1 to 57).map(i => s"word$i") ++ Seq("the", "a", "of")).mkString(" ")
+    val d2 = ((1 to 8).map(i => s"word$i") ++ Seq("the", "a")).mkString(" ")
+    val d3 = ((1 to 38).map(i => s"word$i") ++ Seq.fill(20)("zzz") ++ Seq("the", "a")).mkString(" ")
+    val d4 = (1 to 60).map(i => s"$i").mkString(" ")
+    Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val got = operators.TextAnalysis.t34GopherRules(spark, dir)
+        .select($"doc_id", $"r_len", $"r_mwl", $"r_alpha", $"r_stop", $"r_rep", $"gopher_pass")
+        .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+        .collect().sortBy(_._1)
+      assert(got(0) === ((1L, true, true, true, true, true, true)))
+      assert(got(1)._2 === false && got(1)._7 === false) // r_len
+      assert(got(2)._6 === false && got(2)._7 === false) // r_rep
+      assert(got(3)._4 === false && got(3)._5 === false && got(3)._7 === false)
+    } finally graft.BenchUtil.rmTree(dir)
+  }
+
+  test("t35 novelty: first owner scores 1, later doc scores its unshared fraction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("t35-docs").toString
+    // doc 1: shingles {w1w2w3, w2w3w4} both first-owned -> novelty 1.0
+    // doc 2: {w1w2w3 (doc1's), w2w3x} -> novelty 0.5
+    // doc 3: "w1 w2" too short for a 3-gram -> absent from the output
+    Seq((1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 x"), (3L, "w1 w2"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val got = operators.TextAnalysis.t35NgramNovelty(spark, dir)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+      assert(got.length === 2)
+      assert(got(0) === ((1L, 2L, 2L, 1.0)))
+      assert(got(1) === ((2L, 2L, 1L, 0.5)))
+    } finally graft.BenchUtil.rmTree(dir)
+  }
+
+  test("c18 manifest: split spans cover every token exactly once, sequences fill to 512") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("c18-docs").toString
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    Seq((1L, words(600)), (2L, words(100)), (3L, words(400)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val got = operators.Curation.c18SequenceManifest(spark, dir)
+        .select($"seq_id", $"doc_id", $"doc_from", $"seq_off", $"n_toks")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4))
+      // layout: doc1 [0,600) -> seq0 full + 88 into seq1; doc2 [600,700)
+      // all inside seq1; doc3 [700,1100) -> 324 in seq1 + 76 in seq2
+      assert(got.toSeq === Seq(
+        (0L, 1L, 0L, 0L, 512L),
+        (1L, 1L, 512L, 0L, 88L),
+        (1L, 2L, 0L, 88L, 100L),
+        (1L, 3L, 0L, 188L, 324L),
+        (2L, 3L, 324L, 0L, 76L)))
+      // invariants on the real corpus: every doc fully covered in
+      // contiguous spans, every sequence but the last per lang full
+      val m = operators.Curation.c18SequenceManifest(spark, sf0001)
+      val docs = Tables.documents(spark, sf0001)
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+      val perDoc = m.groupBy($"doc_id").agg(sum($"n_toks").as("covered"))
+        .join(docs, Seq("doc_id"))
+      assert(perDoc.filter($"covered" =!= $"n_tok").count() === 0)
+      val perSeq = m.groupBy($"lang", $"seq_id").agg(sum($"n_toks").as("fill"))
+      val wmax = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      val nonFull = perSeq
+        .withColumn("last", max($"seq_id").over(wmax))
+        .filter($"seq_id" =!= $"last" && $"fill" =!= 512L)
+      assert(nonFull.count() === 0, "a non-final sequence is not full")
+    } finally graft.BenchUtil.rmTree(dir)
+  }
 }
