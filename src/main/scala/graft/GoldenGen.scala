@@ -89,7 +89,10 @@ object GoldenGen {
       // m10: m07's fingerprints and banding restricted to the
       // delta-touching pair set — deterministic like m07, golden by
       // the same argument
-      "m10_payload_index_probe")
+      "m10_payload_index_probe",
+      // m11: min-label CC over m07's deterministic edge set — golden
+      // like d08's machinery over golden-safe inputs
+      "m11_perceptual_clusters")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

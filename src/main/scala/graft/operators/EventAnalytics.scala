@@ -318,9 +318,57 @@ object EventAnalytics {
       |SELECT q_id, n_id, rank, ROUND(cosine, 6) AS cosine_r
       |FROM sims WHERE rank <= 3""".stripMargin
 
+
+  /** q73: user-journey Markov transition matrix — P(next event type |
+    * current type), estimated from per-user event streams: order each
+    * user's events by (ts, event_id) (the id tiebreak makes same-
+    * timestamp order deterministic), form (prev_type, type) bigrams
+    * with lag, count, and normalize per source type. The standard
+    * product-analytics journey model (and the generator behind q65's
+    * funnel hypotheses: a funnel is one path through this matrix).
+    *
+    * Scale: lag needs each user's stream ordered — a window keyed
+    * user_id, so it parallelizes by user and no global order exists
+    * (events are already user-sharded in any real store). The bigram
+    * count is a partial+final groupBy over ≤ |types|² keys and the
+    * normalization joins two tiny aggregates. One user-keyed shuffle
+    * of (type, ts, id) triples — payload-free — dominates; everything
+    * after is bounded by the type-pair cardinality, not the corpus. */
+  def q73MarkovTransitions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val bi = events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type").agg(count(lit(1)).as("n"))
+    val tot = bi.groupBy($"prev_type").agg(sum($"n").as("n_from"))
+    bi.join(tot, Seq("prev_type"))
+      .select($"prev_type", $"event_type".as("next_type"), $"n",
+        round($"n".cast("double") / $"n_from", 6).as("p_r"))
+  }
+
+  val q73Sql: String =
+    """WITH bi AS (
+      |  SELECT prev_type, event_type, COUNT(*) AS n FROM (
+      |    SELECT LAG(event_type) OVER (PARTITION BY user_id
+      |             ORDER BY ts, event_id) AS prev_type,
+      |           event_type
+      |    FROM events
+      |  ) WHERE prev_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from FROM bi GROUP BY 1
+      |)
+      |SELECT bi.prev_type, bi.event_type AS next_type, bi.n,
+      |  ROUND(bi.n / CAST(tot.n_from AS DOUBLE), 6) AS p_r
+      |FROM bi JOIN tot USING (prev_type)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_series_topk"  -> (q72SeriesTopK _),
     "q65_funnel"       -> (q65Funnel _),
+    "q73_markov_transitions" -> (q73MarkovTransitions _),
     "q66_retention"    -> (q66Retention _),
     "q64_asof_join"    -> (q64AsofJoin _),
     "q44_variant"      -> (q44Variant _),
@@ -334,6 +382,7 @@ object EventAnalytics {
   val oracles: Map[String, String] = Map(
     "q72_series_topk"  -> q72Sql,
     "q65_funnel"       -> q65Sql,
+    "q73_markov_transitions" -> q73Sql,
     "q66_retention"    -> q66Sql,
     "q64_asof_join"    -> q64Sql,
     "q44_variant"      -> q44Sql,

@@ -477,7 +477,31 @@ object Multimodal {
       all.filter($"doc_id" % 10 === 0), 7)
   }
 
+  // ---- m11: perceptual dup clusters + keep-one manifest ----
+
+  /** m11: the media tier's d17 — perceptual near-dup CLUSTERS with a
+    * keep-one manifest, completing the payload dedup ladder
+    * (m05 exact → m06 block → m07 perceptual → m11 clusters). m07
+    * emits pairs; a curation run needs the transitive groups and one
+    * kept representative per group (re-encodes, crops and stamps of
+    * one asset chain through hamming ≤ 7 links even when the ends
+    * differ by more). Output: (doc_id, cluster_rep) for every payload
+    * in any perceptual pair, rep = min doc_id (doc_id = cluster_rep
+    * marks the keeper) — d08's contract over m07's edge set, via the
+    * same CC machinery.
+    *
+    * Scale: m07's banded candidate join never rereads payload bytes
+    * beyond the fingerprint pass, and CC runs on the sparse verified
+    * pair graph (doubling rounds, bounded storage — the d08 analysis).
+    * Fingerprints are engine-side → golden-snapshot oracle, with the
+    * CC layer's determinism already carried by the d08 machinery. */
+  def m11PerceptualClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.clusterPairs(m07PerceptualNearDup(s, d).select($"d1", $"d2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_perceptual_clusters" -> (m11PerceptualClusters _),
     "m10_payload_index_probe" -> (m10PayloadIndexProbe _),
     "m09_bench_decontamination" -> (m09BenchDecontamination _),
     "m08_delta_payloads"  -> (m08DeltaPayloads _),
@@ -511,6 +535,9 @@ object Multimodal {
     // restricted to delta-touching pairs (exact by pigeonhole
     // coverage), the restriction spec-asserted in MultimodalSpec
     "m10_payload_index_probe" -> graft.GoldenGen.oracle("m10_payload_index_probe"),
+    // m11: CC over m07's golden-safe edge set — deterministic end to
+    // end (min-label propagation), golden-snapshot hard check
+    "m11_perceptual_clusters" -> graft.GoldenGen.oracle("m11_perceptual_clusters"),
     // m09: blockhash fingerprints are engine-specific but the whole
     // flag→argmin→byte-label chain is deterministic and total-ordered
     // → golden-snapshot hard check, the m07/d05 discipline

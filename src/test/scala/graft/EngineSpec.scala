@@ -111,4 +111,31 @@ class EngineSpec extends SparkSpec {
         |FROM embeddings LIMIT 3""".stripMargin).collect()
     sim.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
   }
+
+  test("q73 markov transitions: hand-counted bigrams, same-ts order broken by event_id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("q73-events").toString
+    val T = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def t(m: Int) = new java.sql.Timestamp(T.getTime + m * 60000L)
+    // user 1: A B A C -> (A,B) (B,A) (A,C); user 2: A B at the SAME
+    // timestamp -> order must come from event_id -> (A,B)
+    Seq(
+      (1L, t(0), 1L, "A", 0.0, "{}"),
+      (2L, t(1), 1L, "B", 0.0, "{}"),
+      (3L, t(2), 1L, "A", 0.0, "{}"),
+      (4L, t(3), 1L, "C", 0.0, "{}"),
+      (10L, t(0), 2L, "A", 0.0, "{}"),
+      (11L, t(0), 2L, "B", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    try {
+      val got = operators.EventAnalytics.q73MarkovTransitions(spark, dir)
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(got === Set(
+        ("A", "B", 2L, 0.666667),
+        ("A", "C", 1L, 0.333333),
+        ("B", "A", 1L, 1.0)), got.toString)
+    } finally graft.BenchUtil.rmTree(dir)
+  }
 }

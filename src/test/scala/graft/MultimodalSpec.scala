@@ -214,4 +214,31 @@ class MultimodalSpec extends SparkSpec {
     assert(b101 === Some(0L) && h101.exists(_ <= 7) && !ex101 && fl101,
       s"variant must be a perceptual-only hit: ${got(101L)}")
   }
+
+  test("m11 perceptual clusters: transitive chain collapses to min rep, unpaired absent") {
+    import spark.implicits._
+    // the m07 fixture trio (base, edited, shifted) is a transitive
+    // chain; m11 must emit one component with rep = min doc_id and no
+    // row for the unpaired payload — d08's contract over m07's edges
+    val base = ("the quick brown fox jumps over the lazy dog " * 48).getBytes("UTF-8")
+    val edited = new String(base, "UTF-8")
+      .replaceFirst("quick brown fox", "rapid brown fox").getBytes("UTF-8")
+    val shifted = ("PREFIX STAMP 123 " + new String(base, "UTF-8")).getBytes("UTF-8")
+    val other = ("zyxwvu polyphony rhythm gym xylophone quartz " * 48).getBytes("UTF-8")
+    val payloads = Seq(
+      (7L, base), (3L, edited), (9L, shifted), (4L, other)
+    ).toDF("doc_id", "payload")
+    val pairs = operators.Multimodal.perceptualNearDupPairs(payloads, 7)
+      .select($"d1", $"d2")
+    val got = operators.Dedup.clusterPairs(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((3L, 3L), (7L, 3L), (9L, 3L)), got.toString)
+    // registered entry agrees with CC over the registered m07 pairs
+    val viaEntry = operators.Multimodal.m11PerceptualClusters(spark, sf001)
+      .as[(Long, Long)].collect().toSet
+    val viaPairs = operators.Dedup.clusterPairs(
+      operators.Multimodal.m07PerceptualNearDup(spark, sf001).select($"d1", $"d2"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaEntry === viaPairs && viaEntry.nonEmpty)
+  }
 }

@@ -332,4 +332,20 @@ class PartitionInvarianceSpec extends SparkSpec {
     assert(narrow._1 === wide._1, "t31 packing diverges across parallelism")
     assert(narrow._2 === wide._2, "s17 serve diverges across parallelism")
   }
+
+  test("m11 clusters and s23 semdedup are shuffle-partition invariant") {
+    // m11 is golden-snapshot-hashed, so its determinism across
+    // parallelisms is load-bearing for the oracle (the m07/m10
+    // precedent); s23's SQL oracle runs at one parallelism only, so
+    // the invariance check is what extends its guarantee to any
+    // cluster shape
+    def m11At(n: Int) = withShuffle(n)(
+      operators.Multimodal.m11PerceptualClusters(spark, sf001)
+        .collect().map(_.toSeq).toSet)
+    assert(m11At(3) === m11At(29), "m11 clusters diverge across parallelism")
+    def s23At(n: Int) = withShuffle(n)(
+      operators.Similarity.s23SemDedup(spark, sf001)
+        .collect().map(_.toSeq).toSet)
+    assert(s23At(3) === s23At(29), "s23 semdedup diverges across parallelism")
+  }
 }

@@ -169,15 +169,20 @@ object ScaleProbe {
       val baseMax1 = x1.agg(max($"doc_id")).head().getLong(0)
       val cut1 = (baseMax1 * 4) / 5
       val delta1 = x1.filter($"doc_id" > cut1)
+      val standing1 = x1.filter($"doc_id" <= cut1)
       val idx1 = s"$base/lshidx_x1"
-      Dedup.writeLshIndex(x1.filter($"doc_id" <= cut1), idx1)
-      // x10 standing = x1 standing ∪ copies 1..9 (ids ≥ 10^7 all land
-      // standing-side); probe the same x1 delta against both
+      Dedup.writeLshIndex(standing1, idx1)
+      // x10 standing = the x1 standing ∪ 9 token-suffixed copies of it
+      // (suffix on EVERY token ⇒ zero shingle overlap with the
+      // unsuffixed delta; ids shifted ≥ 10^7 ⇒ disjoint); cannot reuse
+      // $base/x10, whose copy 0 is also suffixed — the delta would
+      // share nothing with it and the answers wouldn't be comparable
       val idx10 = s"$base/lshidx_x10s"
-      val x10all = spark.read.parquet(s"$base/x10/documents.parquet")
-        .select($"doc_id", $"text")
-      Dedup.writeLshIndex(
-        x10all.filter($"doc_id" >= 10000000L || $"doc_id" <= cut1), idx10)
+      val copies9 = (1 until 10).map { cc =>
+        standing1.select(($"doc_id" + lit(cc * 10000000L)).as("doc_id"),
+          regexp_replace($"text", "(\\S+)", "$1~" + cc).as("text"))
+      }.reduce(_ unionByName _)
+      Dedup.writeLshIndex(standing1.unionByName(copies9), idx10)
       val (p1, n1) = t2(Dedup.probeLshIndex(spark, idx1, delta1, 0.8).count())
       val (p10, n10) = t2(Dedup.probeLshIndex(spark, idx10, delta1, 0.8).count())
       require(n1 == n10,
@@ -284,6 +289,29 @@ object ScaleProbe {
       println(f"SCALE c16_score_only        fit+select=${fit}%6.2fs  " +
         f"score-only(persisted model, $n docs)=${sc}%6.2fs  cost-ratio=${sc / fit}%5.2fx")
     }
+    // s23 SemDeDup under the recrawl dup storm: the ×10 embeddings are
+    // byte-exact copies, so every vector gains 9 cosine-1 twins and
+    // within-cluster candidate mass grows ~100× — the honest
+    // quadratic-within-bucket signature (production runs an m05-style
+    // exact pre-pass first, or s08's maxBucket cap; this row measures
+    // the uncapped oracle form so the pileup is visible, not hidden)
+    row("s23_semdedup",
+      t2(Similarity.s23SemDedup(spark, docsAt("x1")).count()),
+      t2(Similarity.s23SemDedup(spark, docsAt("x10")).count()))
+    // t34: per-row rules + one doc-keyed histogram — linear
+    row("t34_gopher_rules",
+      t2(operators.TextAnalysis.t34GopherRules(spark, docsAt("x1")).count()),
+      t2(operators.TextAnalysis.t34GopherRules(spark, docsAt("x10")).count()))
+    // t35: two shingle-keyed linear shuffles; the ~c suffixing means
+    // cross-copy shingles never merge, first-owner table scales ×10
+    row("t35_ngram_novelty",
+      t2(operators.TextAnalysis.t35NgramNovelty(spark, docsAt("x1")).count()),
+      t2(operators.TextAnalysis.t35NgramNovelty(spark, docsAt("x10")).count()))
+    // c18: per-lang running offsets + per-row span explode — linear,
+    // no join; output mass ≈ rows + token mass / 512
+    row("c18_sequence_manifest",
+      t2(operators.Curation.c18SequenceManifest(spark, docsAt("x1")).count()),
+      t2(operators.Curation.c18SequenceManifest(spark, docsAt("x10")).count()))
     // t28: two hash aggs over token/hash mass — the linear floor
     row("t28_sketch_profile",
       t2(operators.TextAnalysis.t28SketchProfile(spark, docsAt("x1")).count()),
