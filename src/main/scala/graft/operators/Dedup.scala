@@ -1160,12 +1160,19 @@ object Dedup {
   }
 
   /** Registered split: d11's (doc_id ≡ 0 mod 10 plays the delta) —
-    * standing frames built in-plan, same oracle as d11. */
+    * standing frames built in-plan, same oracle as d11. The standing
+    * shingle/banded frames are localCheckpointed because the probe
+    * consumes each one twice (banded: row lane + counts lane; shingles:
+    * banding + verify) and the in-plan build would otherwise run the
+    * 128-perm signature expression once per consumer — production
+    * reads the persisted artifact and never recomputes (r13: the
+    * duplicate in-plan banding tripled this entry's bench time). */
   def d21LshIndexProbe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d).select($"doc_id", $"text")
-    val standingSh = shingleFrame(docs.filter($"doc_id" % 10 =!= 0))
-    val standingBanded = bandedOf(standingSh)
+    val standingSh =
+      shingleFrame(docs.filter($"doc_id" % 10 =!= 0)).localCheckpoint()
+    val standingBanded = bandedOf(standingSh).localCheckpoint()
     probeLshFrames(standingBanded, bandedOf_counts(standingBanded),
       standingSh, docs.filter($"doc_id" % 10 === 0), 0.8, 1000)
   }

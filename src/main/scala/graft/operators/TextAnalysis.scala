@@ -1599,9 +1599,80 @@ object TextAnalysis {
       |FROM ex JOIN fo USING (s)
       |GROUP BY ex.doc_id""".stripMargin
 
+  // ---- t36: per-source distribution drift (total variation) ----
+
+  /** t36: how far each source's unigram distribution sits from the
+    * corpus mixture — total variation distance TVD(p_s, q) =
+    * ½ Σ_w |p_s(w) − q(w)|. The drift diagnostic behind mixing
+    * decisions (c03/c08 weights assume sources are what they were) and
+    * the cheap monitor for ingest regressions (a source whose TVD
+    * jumps changed register, language mix, or got polluted).
+    * KL is the textbook choice but needs logs (transcendental →
+    * cross-engine unsafe, the t21/t25 lesson) and is undefined on
+    * zero-mass words; TVD is bounded, symmetric, zero-safe — and its
+    * numerator is EXACT INTEGER arithmetic:
+    *
+    *   TVD(s) = [ Σ_{w∈s} |c_ws·N − c_w·N_s| + (N − M_s)·N_s ] / (2·N_s·N)
+    *
+    * where c_ws/c_w are source/corpus counts, N_s/N token totals, and
+    * M_s = Σ_{w∈s} c_w covers the words s never emits (each
+    * contributes q(w) alone). Integer sums are order-free, so the one
+    * division at the end (+ round 6) is deterministic at any
+    * parallelism — full SQL oracle, no golden needed. BIGINT bounds:
+    * c_ws·N ≤ 10^19 needs care at extreme scale — swap the numerator
+    * to DECIMAL(38,0) there; at fixture scale ≤ 10^11.
+    *
+    * Scale: one explode + two partial-aggregated groupBys (by
+    * (source, w) and by w) + one equi-join on the word — all linear in
+    * token mass, shuffle keys word-salted by nature (vocabulary), and
+    * the per-source reduce carries one integer per source. */
+  def t36SourceDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = documents(s, d)
+      .select($"source", explode(toks($"text")).as("w"))
+      .filter(length($"w") > 0)
+    val sw = tok.groupBy($"source", $"w").agg(count(lit(1)).as("c_ws"))
+    val cw = tok.groupBy($"w").agg(count(lit(1)).as("c_w"))
+    val ns = sw.groupBy($"source").agg(sum($"c_ws").as("n_s"))
+    val n = cw.agg(sum($"c_w")).head().getLong(0)
+    sw.join(cw, Seq("w"))
+      .join(ns, Seq("source"))
+      .groupBy($"source")
+      .agg(max($"n_s").as("n_tokens"),
+        sum(abs($"c_ws" * n - $"c_w" * $"n_s")).as("present_num"),
+        sum($"c_w").as("m_s"))
+      .select($"source", $"n_tokens",
+        round(($"present_num" + (lit(n) - $"m_s") * $"n_tokens")
+          .cast("double") / (lit(2.0) * $"n_tokens" * n), 6).as("tvd_r"))
+  }
+
+  /** N rides into the plan as a literal on both sides (DuckDB: a scalar
+    * subquery); every sum is integer-exact before the one division. */
+  val t36Sql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+      |), tok2 AS (
+      |  SELECT source, w FROM tok WHERE len(w) > 0
+      |), sw AS (
+      |  SELECT source, w, COUNT(*) AS c_ws FROM tok2 GROUP BY 1, 2
+      |), cw AS (
+      |  SELECT w, COUNT(*) AS c_w FROM tok2 GROUP BY 1
+      |), ns AS (
+      |  SELECT source, CAST(SUM(c_ws) AS BIGINT) AS n_s FROM sw GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM cw
+      |)
+      |SELECT sw.source, ns.n_s AS n_tokens,
+      |  ROUND(CAST(CAST(SUM(ABS(sw.c_ws * tot.n - cw.c_w * ns.n_s)) AS BIGINT)
+      |          + (tot.n - CAST(SUM(cw.c_w) AS BIGINT)) * ns.n_s AS DOUBLE)
+      |        / (2.0 * ns.n_s * tot.n), 6) AS tvd_r
+      |FROM sw JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN tot
+      |GROUP BY sw.source, ns.n_s, tot.n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t34_gopher_rules"   -> (t34GopherRules _),
     "t35_ngram_novelty"  -> (t35NgramNovelty _),
+    "t36_source_drift"   -> (t36SourceDrift _),
     "t32_tokenizer_report" -> (t32TokenizerReport _),
     "t30_bpe_encode"     -> (t30BpeEncode _),
     "t29_bpe_train"      -> (t29BpeTrain _),
@@ -1637,6 +1708,7 @@ object TextAnalysis {
   def oracles: Map[String, String] = Map(
     "t34_gopher_rules"   -> t34Sql,
     "t35_ngram_novelty"  -> t35Sql,
+    "t36_source_drift"   -> t36Sql,
     // t29: pure integer counts + total-order tie-breaks make training
     // bit-deterministic (probed at two parallelisms before promotion);
     // the loop itself is engine-side → golden snapshot, hand-pinned

@@ -1298,4 +1298,22 @@ class TextAnalysisSpec extends SparkSpec {
       assert(nonFull.count() === 0, "a non-final sequence is not full")
     } finally graft.BenchUtil.rmTree(dir)
   }
+
+  test("t36 source drift: hand-computed total variation against the corpus mixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("t36-docs").toString
+    // source A: tokens {x, x, y} -> p = (2/3, 1/3); source B: {y} -> (0, 1)
+    // corpus: N = 4, q = (1/2, 1/2)
+    // TVD(A) = (|2/3-1/2| + |1/3-1/2|) / 2 = 1/6; TVD(B) = (1/2 + 1/2) / 2 = 1/2
+    Seq((1L, "x x y", "A"), (2L, "y", "B"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val got = operators.TextAnalysis.t36SourceDrift(spark, dir)
+        .as[(String, Long, Double)].collect().sortBy(_._1)
+      assert(got.toSeq === Seq(("A", 3L, 0.166667), ("B", 1L, 0.5)), got.toSeq.toString)
+    } finally graft.BenchUtil.rmTree(dir)
+  }
 }
