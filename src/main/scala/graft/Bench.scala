@@ -234,7 +234,9 @@ object Bench {
     // variance from a real regression
     val ccFamily = Set("d08_dedup_clusters", "d12_collapsed_clusters",
       "s07_knn_graph", "s10_ivf_knn", "s11_semantic_survivors",
-      "d14_containment")
+      "d14_containment",
+      // r13 additions run CC too (multi-job, same variance profile)
+      "m11_perceptual_clusters", "s23_semdedup")
     val ccAttempts = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = queries.map { case (name, fn) =>
       // settle GC debt from the previous query so its collection pause

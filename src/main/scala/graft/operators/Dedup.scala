@@ -1121,8 +1121,13 @@ object Dedup {
       threshold: Double, maxBucket: Int): DataFrame = {
     val s = delta.sparkSession
     import s.implicits._
-    val dSh = shingleFrame(delta)
-    val dBand = bandedOf(dSh)
+    // the delta frames are consumed by ~6 plan branches (counts,
+    // over-cap anti-joins, both candidate joins, id anti-joins, the
+    // verify union) — materialize them ONCE (delta-sized by premise;
+    // localCheckpoint blocks, no disk artifact) instead of running the
+    // 128-perm signature expression once per consumer
+    val dSh = shingleFrame(delta).localCheckpoint()
+    val dBand = bandedOf(dSh).localCheckpoint()
     val dIds = dSh.select($"doc_id")
     // idempotence guard: drop the delta's own rows from the standing
     // lanes (no-op under probe-before-append; broadcast anti — cheap)
