@@ -92,7 +92,10 @@ object GoldenGen {
       "m10_payload_index_probe",
       // m11: min-label CC over m07's deterministic edge set — golden
       // like d08's machinery over golden-safe inputs
-      "m11_perceptual_clusters")
+      "m11_perceptual_clusters",
+      // m12: gear-CDC chunk hashes are a sequential pure function per
+      // row (spec-defined table), Jaccard join integer-exact — golden
+      "m12_cdc_neardup")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

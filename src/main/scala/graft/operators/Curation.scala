@@ -277,6 +277,55 @@ object Curation {
       |FROM spans, UNNEST(generate_series(s0 // 512, (e - 1) // 512))
       |  AS u(seq_id)""".stripMargin
 
+  // ---- c19: quality-threshold what-if sweep ----
+
+  /** c19: the threshold-commit sweep — survivors and token mass under
+    * each candidate quality cut, in ONE corpus pass. c01 hard-codes
+    * quality ≥ 0.5; before committing a different cut a curation
+    * review reads exactly this table (docs kept, token mass kept,
+    * fraction) rather than re-running the pipeline per candidate.
+    * Thresholding uses the 6dp-ROUNDED score on both engines (t02's
+    * published `quality` column), so the comparisons are deterministic
+    * and the sweep composes with t02/c01's semantics by construction.
+    *
+    * Scale: the score is a per-row expression; the sweep replicates
+    * each doc once per candidate τ (5×) and reduces by τ — a
+    * 5-key aggregate with map-side combine, no joins, no windows. */
+  def c19QualitySweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val taus = Seq(0.3, 0.4, 0.5, 0.6, 0.7)
+    documents(s, d)
+      .select(
+        round(TextAnalysis.qualityScoreCol($"text"), 6).as("q"),
+        size(split($"text", " ")).cast("long").as("n_tok"))
+      .select($"q", $"n_tok",
+        explode(lit(taus.toArray)).as("tau"))
+      .groupBy($"tau")
+      .agg(sum(when($"q" >= $"tau", 1L).otherwise(0L)).as("n_docs"),
+        sum(when($"q" >= $"tau", $"n_tok").otherwise(0L)).as("n_tokens"),
+        count(lit(1)).as("n_total"))
+      .select($"tau", $"n_docs", $"n_tokens",
+        round($"n_docs".cast("double") / $"n_total", 6).as("frac_docs"))
+  }
+
+  val c19Sql: String = {
+    val t02 = TextAnalysis.t02Sql.replace("\n", "\n  ")
+    s"""WITH q AS (
+       |  ${t02}
+       |), n AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |)
+       |SELECT tau,
+       |  CAST(SUM(CASE WHEN q.quality >= tau THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN q.quality >= tau THEN n.n_tok ELSE 0 END) AS BIGINT) AS n_tokens,
+       |  ROUND(SUM(CASE WHEN q.quality >= tau THEN 1 ELSE 0 END)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS frac_docs
+       |FROM q JOIN n USING (doc_id),
+       |  UNNEST([0.3, 0.4, 0.5, 0.6, 0.7]) AS t(tau)
+       |GROUP BY tau""".stripMargin
+  }
+
   /** t15: column profile of the corpus table — null counts, distinct
     * counts, min/max per column, one aggregate pass per column unioned
     * into a tall profile. The data-quality gate a pipeline checks
@@ -1717,6 +1766,7 @@ object Curation {
     "t11_repetition"      -> (t11RepetitionRatio _),
     "t12_token_packing"   -> (t12TokenPacking _),
     "c18_sequence_manifest" -> (c18SequenceManifest _),
+    "c19_quality_sweep"     -> (c19QualitySweep _),
   )
 
   // def, not val: c14's golden-snapshot path resolves the sf tag at
@@ -1773,5 +1823,6 @@ object Curation {
     "t11_repetition"      -> t11Sql,
     "t12_token_packing"   -> t12Sql,
     "c18_sequence_manifest" -> c18Sql,
+    "c19_quality_sweep"     -> c19Sql,
   )
 }

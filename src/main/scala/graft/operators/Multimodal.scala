@@ -500,8 +500,67 @@ object Multimodal {
     Dedup.clusterPairs(m07PerceptualNearDup(s, d).select($"d1", $"d2"))
   }
 
+
+  // ---- m12: content-defined chunk dedup (CDC / Gear rolling hash) ----
+
+  /** m12: near-dup payloads by CONTENT-DEFINED chunking — the
+    * insertion-robust member of the binary dedup ladder. m06's fixed
+    * 64-byte grid breaks on insertion (one prepended stamp byte shifts
+    * every later block boundary → shared blocks ≈ 0) and m07's
+    * perceptual fingerprint absorbs it only by summarizing the whole
+    * payload; CDC places boundaries where the rolling hash of the
+    * content hits a mask (Gear/FastCDC), so an edit perturbs only the
+    * chunks it touches and every later boundary RE-SYNCHRONIZES —
+    * appended, prepended, and mid-edited variants keep sharing the
+    * untouched chunks. Pairs are scored by exact Jaccard over distinct
+    * chunk-hash sets (m06's join machinery over [[graft.functions
+    * .GearChunkHashes]]'s chunks: a 6-bit mask spread over
+    * h's bits 10..20 — mixing ~2–20 trailing bytes per bit — for a
+    * ~64 B average, min 16, max 256).
+    *
+    * Scale: chunking is one codegen'd pass over payload bytes; the
+    * candidate join is an inverted-index equi-join on the 64-bit chunk
+    * hash (never payload bytes), intersection counts group by the pair
+    * — all linear in chunk mass, the m06 analysis unchanged. Chunk
+    * hashes are engine-side → golden-snapshot oracle; the kernel is a
+    * sequential pure function per row, parallelism-independent. */
+  /** 6 bits spread over 10..20: P(boundary) = 1/64 per byte with each
+    * mask bit drawing on a different depth of trailing-byte history. */
+  private val GearMask: Long =
+    (1L << 10) | (1L << 12) | (1L << 14) | (1L << 16) | (1L << 18) | (1L << 20)
+
+  def cdcChunkHashes(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.GearChunkHashes(payload, GearMask, 16, 256)
+
+  def cdcNearDupPairs(payloads: DataFrame, threshold: Double): DataFrame = {
+    val s = payloads.sparkSession
+    import s.implicits._
+    val ch = payloads
+      .select($"doc_id", cdcChunkHashes($"payload").as("chs"))
+      .filter(size($"chs") > 0)
+    val ex = ch.select($"doc_id", explode($"chs").as("ck"))
+    val n = ch.select($"doc_id", size($"chs").cast("long").as("n"))
+    val inter = ex.as("a").join(ex.as("b"),
+        $"a.ck" === $"b.ck" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(n.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+      .join(n.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+      .select($"d1", $"d2",
+        round($"i".cast("double") / ($"n1" + $"n2" - $"i"), 6).as("cdc_jaccard"))
+      .filter($"cdc_jaccard" >= threshold)
+  }
+
+  def m12CdcNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    cdcNearDupPairs(
+      documents(s, d).select($"doc_id", encode($"text", "utf-8").as("payload")), 0.5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m11_perceptual_clusters" -> (m11PerceptualClusters _),
+    "m12_cdc_neardup"         -> (m12CdcNearDup _),
     "m10_payload_index_probe" -> (m10PayloadIndexProbe _),
     "m09_bench_decontamination" -> (m09BenchDecontamination _),
     "m08_delta_payloads"  -> (m08DeltaPayloads _),
@@ -538,6 +597,9 @@ object Multimodal {
     // m11: CC over m07's golden-safe edge set — deterministic end to
     // end (min-label propagation), golden-snapshot hard check
     "m11_perceptual_clusters" -> graft.GoldenGen.oracle("m11_perceptual_clusters"),
+    // m12: gear chunk hashes are engine-side but a sequential pure
+    // function per row; the Jaccard join is m06's — golden-hashed
+    "m12_cdc_neardup"         -> graft.GoldenGen.oracle("m12_cdc_neardup"),
     // m09: blockhash fingerprints are engine-specific but the whole
     // flag→argmin→byte-label chain is deterministic and total-ordered
     // → golden-snapshot hard check, the m07/d05 discipline

@@ -2046,6 +2046,58 @@ object Similarity {
       |FROM q CROSS JOIN np
       |LEFT JOIN hits ON hits.q_id = q.q_id AND hits.nprobe = np.nprobe""".stripMargin
 
+  // ---- s25: attribute-filtered top-k (filtered ANN) ----
+
+  /** s25: top-k nearest neighbors UNDER A METADATA FILTER — each query
+    * retrieves only from its own label class, the "filtered search"
+    * every production vector store ends up needing (tenant isolation,
+    * language-matched retrieval, same-split decontamination sweeps).
+    * Post-filtering a plain top-k under-returns (the true k-th
+    * same-label neighbor may sit below k unfiltered ranks); the correct
+    * form pushes the predicate INTO candidate generation.
+    *
+    * Spark makes the pushed form the BETTER plan, not a compromise:
+    * the filter attribute becomes the join key, so the query side
+    * broadcasts and the corpus streams through a *hash* join keyed on
+    * label (s01 needs a nested-loop pass of every query against every
+    * row; here each corpus row meets only its label's queries). With a
+    * persisted index the same predicate becomes partition pruning
+    * (s17's layout keyed (label, cluster_id) — the composition is
+    * mechanical). Exact answers, full SQL oracle. */
+  def s25FilteredTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d).withColumn("nrm", norm($"v"))
+    val q = c.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"label", $"v".as("qv"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
+    c.select($"vec_id".as("n_id"), $"label", $"v".as("nv"), $"nrm".as("nn"))
+      .join(broadcast(q), Seq("label"))
+      .filter($"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id",
+        (dot($"qv", $"nv") / ($"qn" * $"nn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"n_id", $"rank", round($"cosine", 6).as("cosine_r"))
+  }
+
+  val s25Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings
+      |), scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+      |               c.vec_id ASC) AS rank
+      |  FROM e q JOIN e c ON q.label = c.label AND q.vec_id != c.vec_id
+      |  WHERE q.vec_id < 20
+      |)
+      |SELECT q_id, n_id, rank, ROUND(cosine, 6) AS cosine_r
+      |FROM scored WHERE rank <= 3""".stripMargin
+
   // ---- s23: SemDeDup — semantic dedup via cluster-bucketed cosine ----
 
   /** s23: SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
@@ -2180,6 +2232,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s23_semdedup"          -> (s23SemDedup _),
+    "s25_filtered_topk"     -> (s25FilteredTopK _),
     "s24_range_search"      -> (s24RangeSearch _),
     "s22_ivf_recall_audit"  -> (s22IvfRecallAudit _),
     "s21_probed_decontamination" -> (s21ProbedDecontamination _),
@@ -2209,6 +2262,7 @@ object Similarity {
   // dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
     "s23_semdedup"          -> s23Sql,
+    "s25_filtered_topk"     -> s25Sql,
     "s24_range_search"      -> s24Sql,
     // s22: integer hit counts + total-ordered windows over the seed
     // quantizer — the whole audit is SQL-replicable

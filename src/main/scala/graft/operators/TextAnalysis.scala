@@ -1599,6 +1599,63 @@ object TextAnalysis {
       |FROM ex JOIN fo USING (s)
       |GROUP BY ex.doc_id""".stripMargin
 
+  // ---- t37: vocabulary coverage curve ----
+
+  /** t37: per-source vocabulary coverage — how many distinct types are
+    * needed to cover 50 / 90 / 99% of the source's token mass (types
+    * ranked by count, ties broken by the word itself for a total
+    * order). The tokenizer-design diagnostic behind vocab-size commits
+    * (a source whose n99 ≈ its full vocabulary is heavy-tailed — BPE
+    * earns its keep there; one whose n50 is tiny is template-dominated)
+    * and the drilldown behind t36's drift alarms.
+    *
+    * All threshold tests are integer cross-multiplications
+    * (cum·100 ≥ pct·N_s) — no float ranks, deterministic at any
+    * parallelism. Scale: one explode + a (source, word)-keyed count
+    * (map-side combined), then a per-source window over the TYPE table
+    * (vocab rows, not token rows) — the same per-group running-sum
+    * shape as t12/c10, never a global order. */
+  def t37CoverageCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy($"source").orderBy($"c".desc, $"w".asc)
+    val types = documents(s, d)
+      .select($"source", explode(toks($"text")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("cum", sum($"c").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_s", sum($"c").over(Window.partitionBy($"source")))
+    types.groupBy($"source")
+      .agg(max($"rn").as("vocab_size"),
+        max($"n_s").as("n_tokens"),
+        min(when($"cum" * 100 >= $"n_s" * 50, $"rn")).as("n50"),
+        min(when($"cum" * 100 >= $"n_s" * 90, $"rn")).as("n90"),
+        min(when($"cum" * 100 >= $"n_s" * 99, $"rn")).as("n99"))
+  }
+
+  val t37Sql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+      |), ty AS (
+      |  SELECT source, w, COUNT(*) AS c FROM tok WHERE len(w) > 0 GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT source, c,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, w ASC) AS rn,
+      |    SUM(c) OVER (PARTITION BY source ORDER BY c DESC, w ASC
+      |                 ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(c) OVER (PARTITION BY source) AS n_s
+      |  FROM ty
+      |)
+      |SELECT source,
+      |  CAST(MAX(rn) AS BIGINT) AS vocab_size,
+      |  CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+      |  CAST(MIN(CASE WHEN cum * 100 >= n_s * 50 THEN rn END) AS BIGINT) AS n50,
+      |  CAST(MIN(CASE WHEN cum * 100 >= n_s * 90 THEN rn END) AS BIGINT) AS n90,
+      |  CAST(MIN(CASE WHEN cum * 100 >= n_s * 99 THEN rn END) AS BIGINT) AS n99
+      |FROM ranked GROUP BY source""".stripMargin
+
   // ---- t36: per-source distribution drift (total variation) ----
 
   /** t36: how far each source's unigram distribution sits from the
@@ -1673,6 +1730,7 @@ object TextAnalysis {
     "t34_gopher_rules"   -> (t34GopherRules _),
     "t35_ngram_novelty"  -> (t35NgramNovelty _),
     "t36_source_drift"   -> (t36SourceDrift _),
+    "t37_coverage_curve" -> (t37CoverageCurve _),
     "t32_tokenizer_report" -> (t32TokenizerReport _),
     "t30_bpe_encode"     -> (t30BpeEncode _),
     "t29_bpe_train"      -> (t29BpeTrain _),
@@ -1709,6 +1767,7 @@ object TextAnalysis {
     "t34_gopher_rules"   -> t34Sql,
     "t35_ngram_novelty"  -> t35Sql,
     "t36_source_drift"   -> t36Sql,
+    "t37_coverage_curve" -> t37Sql,
     // t29: pure integer counts + total-order tie-breaks make training
     // bit-deterministic (probed at two parallelisms before promotion);
     // the loop itself is engine-side → golden snapshot, hand-pinned

@@ -241,4 +241,41 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(viaEntry === viaPairs && viaEntry.nonEmpty)
   }
+
+  test("m12 CDC chunking: insertion re-synchronizes boundaries where fixed blocks collapse") {
+    import spark.implicits._
+    // varied (non-periodic) content: exactly-periodic payloads are
+    // CDC's documented pathological case (only `period` distinct
+    // rolling contexts — if none hits the mask every cut is a maxLen
+    // force-cut and the operator degrades to fixed blocking; that
+    // corpus shape belongs to m07's perceptual tier)
+    val base = ((1 to 400).map(i => s"tok$i word${i * 7 % 13}").mkString(" "))
+      .getBytes("UTF-8")
+    // ONE prepended byte: the worst case for a fixed grid — every
+    // 64-byte block boundary shifts, shared fixed blocks collapse to
+    // ~0; CDC boundaries re-synchronize after the first chunk
+    val shifted = ("X" + new String(base, "UTF-8")).getBytes("UTF-8")
+    val other = ((1 to 400).map(i => s"zz${i * 31 % 97}q${i}")).mkString(" ")
+      .getBytes("UTF-8")
+    val payloads = Seq((1L, base), (2L, shifted), (3L, other))
+      .toDF("doc_id", "payload")
+    val fixed = operators.Multimodal.chunkNearDupPairs(payloads, 0.5)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val cdc = operators.Multimodal.cdcNearDupPairs(payloads, 0.5)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(!fixed.contains((1L, 2L)),
+      "fixed 64-byte grid should lose the shifted pair (else this fixture is not load-bearing)")
+    assert(cdc.contains((1L, 2L)), s"CDC lost the shifted near-dup: $cdc")
+    assert(!cdc.contains((1L, 3L)) && !cdc.contains((2L, 3L)),
+      s"CDC matched unrelated payloads: $cdc")
+    // kernel determinism + coverage: same bytes -> same chunk set;
+    // chunks respect min/max bounds (16..256) and cover the payload
+    val mask = (1L << 10) | (1L << 12) | (1L << 14) | (1L << 16) |
+      (1L << 18) | (1L << 20)
+    val hs1 = graft.functions.GearChunkHashes.compute(base.clone(), mask, 16, 256)
+    val hs2 = graft.functions.GearChunkHashes.compute(base, mask, 16, 256)
+    assert(hs1.array.toSeq === hs2.array.toSeq)
+    assert(graft.functions.GearChunkHashes.compute(Array.emptyByteArray, mask, 16, 256)
+      .array.isEmpty)
+  }
 }

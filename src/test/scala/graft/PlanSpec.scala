@@ -540,4 +540,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(600))
   }
+
+  test("t37: coverage windows stay per-source; s25: filter attribute IS the join key") {
+    val t = plan("t37_coverage_curve")
+    assert(!t.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      "coverage running sum must stay partitioned by source")
+    assert(!t.contains("CartesianProduct"), t.take(400))
+    val p = plan("s25_filtered_topk")
+    // the filtered-ANN claim: pushing the predicate turns s01's
+    // nested-loop into a label-keyed HASH join — no NLJ anywhere
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("c19: threshold sweep is scan -> explode -> aggregate, no join or window") {
+    val p = plan("c19_quality_sweep")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(600))
+    assert(p.contains("Generate"), "threshold explode missing")
+    assert(p.contains("HashAggregate"), p.take(400))
+  }
 }

@@ -298,6 +298,17 @@ object ScaleProbe {
     row("s23_semdedup",
       t2(Similarity.s23SemDedup(spark, docsAt("x1")).count()),
       t2(Similarity.s23SemDedup(spark, docsAt("x10")).count()))
+    // m12: CDC chunking is one codegen'd byte pass; the pair join is
+    // the m06 inverted index over chunk hashes — linear in chunk mass
+    // (the ~c suffixing keeps chunks within-copy, pairs scale ×10)
+    row("m12_cdc_neardup",
+      t2(Multimodal.m12CdcNearDup(spark, docsAt("x1")).count()),
+      t2(Multimodal.m12CdcNearDup(spark, docsAt("x10")).count()))
+    // t37: the window runs over TYPE rows (vocab), not token rows; the
+    // suffixed copies grow the vocabulary ×10 — the worst case
+    row("t37_coverage_curve",
+      t2(operators.TextAnalysis.t37CoverageCurve(spark, docsAt("x1")).count()),
+      t2(operators.TextAnalysis.t37CoverageCurve(spark, docsAt("x10")).count()))
     // t34: per-row rules + one doc-keyed histogram — linear
     row("t34_gopher_rules",
       t2(operators.TextAnalysis.t34GopherRules(spark, docsAt("x1")).count()),

@@ -1055,4 +1055,28 @@ class SimilaritySpec extends SparkSpec {
       assert(got === Set((0L, 1L), (1L, 0L)))
     } finally graft.BenchUtil.rmTree(dir)
   }
+
+  test("s25 filtered top-k: neighbors come only from the query's label class") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("s25-emb").toString
+    // queries are vec_id < 20: {0 (label 0), 1 (label 1)}. Query 0's
+    // unfiltered nearest is 25 (cosine ~1) but it is label-1 — the
+    // filtered top-k must never return it.
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (30L, Array(0.8f, 0.6f, 0.0f), 0),
+      (31L, Array(0.0f, 0.0f, 1.0f), 0),
+      (1L, Array(0.0f, 1.0f, 0.0f), 1),
+      (25L, Array(0.99f, 0.1f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      val got = operators.Similarity.s25FilteredTopK(spark, dir)
+        .select($"q_id", $"n_id", $"rank").as[(Long, Long, Int)]
+        .collect().toSet
+      // q0 (label 0): 30 then 31; q1 (label 1): only 25
+      assert(got === Set((0L, 30L, 1), (0L, 31L, 2), (1L, 25L, 1)), got.toString)
+    } finally graft.BenchUtil.rmTree(dir)
+  }
 }

@@ -1316,4 +1316,36 @@ class TextAnalysisSpec extends SparkSpec {
       assert(got.toSeq === Seq(("A", 3L, 0.166667), ("B", 1L, 0.5)), got.toSeq.toString)
     } finally graft.BenchUtil.rmTree(dir)
   }
+
+  test("t37 coverage: hand-built zipf-ish source hits exact 50/90/99 knees") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("t37-docs").toString
+    // source A: counts a:5 b:3 c:1 d:1 (N=10, vocab 4) ->
+    //   cum: a=5 (50% at rn1), a+b=8, +c=9 (90% at rn3), +d=10 (99% at rn4)
+    val textA = ("a " * 5 + "b " * 3 + "c d").trim
+    Seq((1L, textA, "A")).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val got = operators.TextAnalysis.t37CoverageCurve(spark, dir)
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+      assert(got.toSeq === Seq(("A", 4L, 10L, 1L, 3L, 4L)), got.toSeq.toString)
+    } finally graft.BenchUtil.rmTree(dir)
+  }
+
+  test("c19 sweep: monotone in tau, 0.5 row equals t02's keep count") {
+    import spark.implicits._
+    val rows = operators.Curation.c19QualitySweep(spark, sf0001)
+      .as[(Double, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0.3, 0.4, 0.5, 0.6, 0.7))
+    // survivors and token mass can only shrink as the cut rises
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._2 >= hi._2 && lo._3 >= hi._3, s"non-monotone: $lo vs $hi")
+    }
+    val keptAtHalf = operators.TextAnalysis.t02QualityScore(spark, sf0001)
+      .filter($"keep").count()
+    assert(rows.find(_._1 == 0.5).get._2 === keptAtHalf,
+      "sweep's 0.5 row diverges from t02's keep semantics")
+  }
 }
