@@ -243,8 +243,10 @@ object Curation {
       .withColumn("e", sum($"n_tok").over(w))
       .withColumn("s0", $"e" - $"n_tok")
       .select($"lang", $"doc_id", $"s0", $"e",
-        explode(sequence(floor($"s0" / L).cast("long"),
-          floor(($"e" - 1) / L).cast("long"))).as("seq_id"))
+        // integral DIV, not floor(double /): offsets stay exact past
+        // 2^53 tokens — "pure integer span algebra" holds at any scale
+        explode(sequence(expr("s0 DIV 512"),
+          expr("(e - 1) DIV 512"))).as("seq_id"))
       .select($"lang", $"seq_id", $"doc_id",
         (greatest($"s0", $"seq_id" * L) - $"s0").as("doc_from"),
         (greatest($"s0", $"seq_id" * L) - $"seq_id" * L).as("seq_off"),
