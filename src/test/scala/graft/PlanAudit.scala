@@ -45,7 +45,12 @@ object PlanAudit {
         "c17_decontamination_report", "s21_probed_decontamination",
         "q72_series_topk", "d20_intradoc_repeats",
         "s22_ivf_recall_audit", "d21_lsh_index_probe",
-        "m10_payload_index_probe").foreach(show)
+        "m10_payload_index_probe",
+        "s23_semdedup", "s24_range_search", "s25_filtered_topk",
+        "t34_gopher_rules", "t35_ngram_novelty", "t36_source_drift",
+        "t37_coverage_curve", "c18_sequence_manifest",
+        "c19_quality_sweep", "m11_perceptual_clusters",
+        "m12_cdc_neardup", "q73_markov_transitions").foreach(show)
     spark.stop()
   }
 }
