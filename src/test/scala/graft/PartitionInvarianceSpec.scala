@@ -348,4 +348,14 @@ class PartitionInvarianceSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet)
     assert(s23At(3) === s23At(29), "s23 semdedup diverges across parallelism")
   }
+
+  test("m12 CDC dedup is shuffle-partition invariant") {
+    // m12 is golden-snapshot-hashed: the gear kernel is a sequential
+    // pure function per row and the Jaccard join integer-exact — this
+    // probe is what upgrades that argument to a measured property
+    def at(n: Int) = withShuffle(n)(
+      operators.Multimodal.m12CdcNearDup(spark, sf001)
+        .collect().map(_.toSeq).toSet)
+    assert(at(3) === at(29), "m12 CDC pairs diverge across parallelism")
+  }
 }
