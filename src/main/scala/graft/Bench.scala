@@ -345,6 +345,17 @@ object Bench {
     val skewClustersSec = probeSec {
       skewClusterRows = Dedup.collapsedClusters(skewDocs, 0.8).count()
     }
+    // payload-modality storm (round-14): the same 1200-dup boilerplate
+    // as BINARY payloads through m12's CDC chunk join — the byte-exact
+    // collapse guard must keep the inverted-index join at one row per
+    // distinct payload while the expanded answer carries the full
+    // ~719k-pair clique
+    var skewPayloadPairs = 0L
+    val skewPayloadSec = probeSec {
+      skewPayloadPairs = operators.Multimodal.cdcNearDupPairs(
+        skewDocs.select($"doc_id", encode($"text", "utf-8").as("payload")),
+        0.5).count()
+    }
 
     // streaming near-dup admission over the sf corpus in 5 batches:
     // each batch delta-joins against the growing history (the standing-
@@ -553,6 +564,7 @@ object Bench {
       s""","skew_d10_collapsed_s":${r3(skewD10Sec)},"skew_d10_pairs":$skewD10Pairs""" +
       s""","skew_graph_s":${r3(skewGraphSec)},"skew_graph_edges":$skewGraphEdges""" +
       s""","skew_clusters_s":${r3(skewClustersSec)},"skew_cluster_rows":$skewClusterRows""" +
+      s""","skew_payload_s":${r3(skewPayloadSec)},"skew_payload_pairs":$skewPayloadPairs""" +
       s""","curation_stream_docs":$curN,"curation_stream_s":${r3(curSec)}""" +
       s""","curation_stream_admitted":$curAdmitted""" +
       s""","pipeline_pairs_clusters_crossmodal_s":${r3(pipelineSec)}""" +

@@ -171,7 +171,9 @@ object Multimodal {
     * bytes / 64, candidates from an equi-join on the block value
     * (content-hash-uniform keys), per-pair verification by counting —
     * never an all-pairs comparison. Payload bytes never shuffle as a
-    * whole; only 64-byte blocks + ids do. */
+    * whole; only 64-byte blocks + ids do. The candidate join runs
+    * under the two payload-storm guards of [[collapsedChunkSetPairs]]
+    * (byte-exact collapse + chunk df-cap). */
   def m06ChunkNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     chunkNearDupPairs(
@@ -179,53 +181,160 @@ object Multimodal {
       0.5)
   }
 
+  /** Chunk-document-frequency cap of the registered payload near-dup
+    * entries: a chunk value present in more than this many DISTINCT
+    * payloads is excluded from the Jaccard universe (numerator AND
+    * denominators). Such a chunk is shared boilerplate by construction
+    * — zero-padding blocks, container headers, common EXIF runs — and
+    * carries ~no resemblance signal while making the inverted-index
+    * join quadratic in its document frequency. 64 is ~5× the largest
+    * honest df observed on the fixtures (14 at sf0.1), so the cap
+    * never fires there and the entries stay oracle-exact; at 100 TB it
+    * bounds every join key's candidate mass at maxDf·(maxDf−1)/2. */
+  val PayloadChunkMaxDf: Long = 64L
+
   /** The block-set join over any (doc_id, payload: binary) frame —
-    * see [[m06ChunkNearDup]]. */
-  def chunkNearDupPairs(payloads: DataFrame, threshold: Double): DataFrame = {
+    * see [[m06ChunkNearDup]] and the guards in
+    * [[collapsedChunkSetPairs]]. */
+  def chunkNearDupPairs(payloads: DataFrame, threshold: Double,
+                        maxDf: Long = PayloadChunkMaxDf): DataFrame = {
     val s = payloads.sparkSession
     import s.implicits._
-    val h = payloads
-      .select($"doc_id", hex($"payload").as("hx"))
-      .filter(length($"hx") > 0)
-    // 64 payload bytes = 128 hex chars; distinct blocks per doc
-    val nch = ceil(length($"hx") / lit(128.0)).cast("long")
-    val blocks = h
-      .select($"doc_id", $"hx", explode(sequence(lit(0L), nch - 1)).as("i"))
-      .select($"doc_id",
-        expr("substring(hx, cast(i * 128 + 1 as int), 128)").as("blk"))
-      .distinct()
-    val n = blocks.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = blocks.as("a").join(blocks.as("b"),
-        $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(n.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
-      .join(n.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
-      .select($"d1", $"d2",
-        ($"i".cast("double") / ($"n1" + $"n2" - $"i")).as("block_jaccard"))
-      .filter($"block_jaccard" >= threshold)
+    collapsedChunkSetPairs(payloads, keyed => {
+      val h = keyed.select($"sha", hex($"payload").as("hx"))
+        .filter(length($"hx") > 0)
+      // 64 payload bytes = 128 hex chars; blocks per distinct payload
+      val nch = ceil(length($"hx") / lit(128.0)).cast("long")
+      h.select($"sha", $"hx", explode(sequence(lit(0L), nch - 1)).as("i"))
+        .select($"sha",
+          expr("substring(hx, cast(i * 128 + 1 as int), 128)").as("ck"))
+    }, threshold, maxDf, identity, "block_jaccard")
   }
 
+  /** Collapse → cap → score → expand: the shared scale harness of the
+    * payload near-dup family (m06's fixed blocks, m12's CDC chunks) —
+    * Jaccard over distinct chunk sets via an inverted-index equi-join,
+    * with the two guards that keep that join linear under the payload
+    * storms a real media corpus carries:
+    *
+    *  1. BYTE-EXACT COLLAPSE (the d10 precedent): payloads are grouped
+    *     by sha-256 and each distinct payload is chunked/joined ONCE.
+    *     Answer-preserving by construction — identical payloads have
+    *     identical chunk sets, so every member pair reconstructs
+    *     exactly in the expand step (cross-group pairs inherit their
+    *     rep pair's score; within-group pairs score exactly 1.0, the
+    *     value the join would compute). A million re-uploads of one
+    *     asset cost one join row instead of a 10^12-row key storm.
+    *  2. CHUNK DF-CAP (the lshCandidates precedent, df-keyed): chunk
+    *     values in more than `maxDf` DISTINCT payloads are dropped
+    *     from the Jaccard universe — numerator and denominators both,
+    *     so the score stays a true Jaccard over the surviving (non-
+    *     boilerplate) chunk vocabulary. Drop semantics are explicit:
+    *     a pair sharing ONLY flooded chunks is not emitted (shared
+    *     boilerplate is not resemblance); every other pair's score
+    *     shifts only by the flooded chunks' removal from its set
+    *     sizes. The cap is applied by joining the chunk table to its
+    *     own per-key counts (map-side-combined groupBy) — no broadcast
+    *     of the over-cap key set, so the guard itself has no size
+    *     assumption: both the counts join and the pair join key on the
+    *     chunk value and reuse one exchange.
+    *
+    * Payload bytes never shuffle: the sha-256 group key, ids and chunk
+    * keys are the only columns that cross an exchange (the chunkers
+    * derive chunk rows in the scan stage). Eligibility for the exact-
+    * dup score (1.0) requires a non-empty SURVIVING chunk set — the
+    * same rule the join applies to distinct payloads. */
+  private[graft] def collapsedChunkSetPairs(
+      payloads: DataFrame,
+      chunksOf: DataFrame => DataFrame,
+      threshold: Double, maxDf: Long,
+      scoreOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      scoreName: String): DataFrame = {
+    val s = payloads.sparkSession
+    import s.implicits._
+    val keyed = payloads.select($"doc_id", $"payload",
+      sha2($"payload", 256).as("sha"))
+    // ids + group hash only — payload bytes stay in their scan stage
+    val memberMap = keyed.select($"doc_id", $"sha")
+    // one chunk set per DISTINCT payload (the collapse): identical
+    // payloads' chunk rows merge in the distinct's partial aggregate,
+    // so a mass-duplicated payload's flood never reaches the shuffle
+    val chunks0 = chunksOf(keyed.select($"sha", $"payload")).distinct()
+    val chunks =
+      if (maxDf <= 0L) chunks0
+      else {
+        // df per chunk value over DISTINCT payloads (map-side combined);
+        // applied as an inner join + filter rather than a broadcast
+        // anti-join of over-cap keys: the over-cap set is unbounded on
+        // an adversarial corpus (up to chunkRows/maxDf keys), while the
+        // counts join keys on the same column as the pair join below
+        // and costs no extra exchange on the probe side
+        val df = chunks0.groupBy($"ck").agg(count(lit(1)).as("df"))
+        chunks0.join(df, Seq("ck")).filter($"df" <= maxDf)
+          .select($"sha", $"ck")
+      }
+    val n = chunks.groupBy($"sha").agg(count(lit(1)).as("n"))
+    val inter = chunks.as("a").join(chunks.as("b"),
+        $"a.ck" === $"b.ck" && $"a.sha" < $"b.sha")
+      .groupBy($"a.sha".as("s1"), $"b.sha".as("s2"))
+      .agg(count(lit(1)).as("i"))
+    val repPairs = inter
+      .join(n.select($"sha".as("s1"), $"n".as("n1")), "s1")
+      .join(n.select($"sha".as("s2"), $"n".as("n2")), "s2")
+      .select($"s1", $"s2",
+        scoreOf($"i".cast("double") / ($"n1" + $"n2" - $"i")).as(scoreName))
+      .filter(col(scoreName) >= threshold)
+    // expand rep pairs back to member pairs (output mass = the true
+    // answer's own size; no intermediate is larger than the answer)
+    val crossPairs = repPairs
+      .join(memberMap.select($"sha".as("s1"), $"doc_id".as("m1")), "s1")
+      .join(memberMap.select($"sha".as("s2"), $"doc_id".as("m2")), "s2")
+      .select(least($"m1", $"m2").as("d1"), greatest($"m1", $"m2").as("d2"),
+        col(scoreName))
+    // within-group pairs: identical payloads score exactly 1.0 — but
+    // only when the group's SURVIVING chunk set is non-empty (empty
+    // payloads and all-flooded chunk sets have no Jaccard, the same
+    // rule the join applies between distinct payloads)
+    val unitPairs = memberMap
+      .join(n.select($"sha"), Seq("sha"), "left_semi").as("x")
+      .join(memberMap.as("y"),
+        $"x.sha" === $"y.sha" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"),
+        scoreOf(lit(1.0)).as(scoreName))
+      .filter(col(scoreName) >= threshold)
+    crossPairs.unionByName(unitPairs)
+  }
+
+  /** The full contract including the df-cap: blocks in more than 64
+    * DISTINCT payloads leave the Jaccard universe (numerator and
+    * denominators) — boilerplate carries no resemblance signal. On the
+    * fixtures the cap never fires (max honest df is 14 at sf0.1), so
+    * this oracle is also exactly the uncapped Jaccard there. */
   val m06Sql: String =
     """WITH h AS (
       |  SELECT doc_id, upper(hex(encode(text))) AS hx FROM documents
       |  WHERE len(text) > 0
       |), ch AS (
-      |  SELECT doc_id, list_distinct([substr(hx, 1 + 128*i, 128)
+      |  SELECT doc_id, hx, list_distinct([substr(hx, 1 + 128*i, 128)
       |           for i in range(0, CAST(ceil(len(hx) / 128.0) AS BIGINT))]) AS blks
       |  FROM h
+      |), ex0 AS (
+      |  SELECT doc_id, hx, unnest(blks) AS blk FROM ch
       |), ex AS (
-      |  SELECT doc_id, unnest(blks) AS blk, len(blks) AS n FROM ch
+      |  SELECT doc_id, blk FROM ex0
+      |  WHERE blk NOT IN (SELECT blk FROM ex0 GROUP BY blk
+      |                    HAVING COUNT(DISTINCT hx) > 64)
+      |), n AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1
       |), inter AS (
-      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i,
-      |         any_value(a.n) AS n1, any_value(b.n) AS n2
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
       |  FROM ex a JOIN ex b ON a.blk = b.blk AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |)
-      |SELECT d1, d2, CAST(i AS DOUBLE) / (n1 + n2 - i) AS block_jaccard
+      |SELECT d1, d2, CAST(i AS DOUBLE) / (n1.n + n2.n - i) AS block_jaccard
       |FROM inter
-      |WHERE CAST(i AS DOUBLE) / (n1 + n2 - i) >= 0.5""".stripMargin
+      |JOIN n n1 ON n1.doc_id = d1 JOIN n n2 ON n2.doc_id = d2
+      |WHERE CAST(i AS DOUBLE) / (n1.n + n2.n - i) >= 0.5""".stripMargin
 
   /** m07: PERCEPTUAL near-dup for binary payloads — completes the
     * multimodal dedup tiering: m05 byte-exact → m06 block-set (catches
@@ -521,7 +630,8 @@ object Multimodal {
     * Scale: chunking is one codegen'd pass over payload bytes; the
     * candidate join is an inverted-index equi-join on the 64-bit chunk
     * hash (never payload bytes), intersection counts group by the pair
-    * — all linear in chunk mass, the m06 analysis unchanged. Chunk
+    * — all linear in chunk mass, under [[collapsedChunkSetPairs]]'s
+    * two storm guards (byte-exact collapse + chunk df-cap). Chunk
     * hashes are engine-side → golden-snapshot oracle; the kernel is a
     * sequential pure function per row, parallelism-independent. */
   /** 6 bits spread over 10..20: P(boundary) = 1/64 per byte with each
@@ -532,24 +642,13 @@ object Multimodal {
   def cdcChunkHashes(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.GearChunkHashes(payload, GearMask, 16, 256)
 
-  def cdcNearDupPairs(payloads: DataFrame, threshold: Double): DataFrame = {
+  def cdcNearDupPairs(payloads: DataFrame, threshold: Double,
+                      maxDf: Long = PayloadChunkMaxDf): DataFrame = {
     val s = payloads.sparkSession
     import s.implicits._
-    val ch = payloads
-      .select($"doc_id", cdcChunkHashes($"payload").as("chs"))
-      .filter(size($"chs") > 0)
-    val ex = ch.select($"doc_id", explode($"chs").as("ck"))
-    val n = ch.select($"doc_id", size($"chs").cast("long").as("n"))
-    val inter = ex.as("a").join(ex.as("b"),
-        $"a.ck" === $"b.ck" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(n.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
-      .join(n.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
-      .select($"d1", $"d2",
-        round($"i".cast("double") / ($"n1" + $"n2" - $"i"), 6).as("cdc_jaccard"))
-      .filter($"cdc_jaccard" >= threshold)
+    collapsedChunkSetPairs(payloads,
+      keyed => keyed.select($"sha", explode(cdcChunkHashes($"payload")).as("ck")),
+      threshold, maxDf, round(_, 6), "cdc_jaccard")
   }
 
   def m12CdcNearDup(s: SparkSession, d: String): DataFrame = {

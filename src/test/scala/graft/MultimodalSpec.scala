@@ -278,4 +278,94 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.functions.GearChunkHashes.compute(Array.emptyByteArray, mask, 16, 256)
       .array.isEmpty)
   }
+
+  test("payload collapse: mass-duplicated payload reconstructs every member pair exactly") {
+    import spark.implicits._
+    // 1000 byte-identical copies of one payload + a near-dup variant +
+    // an unrelated payload: the collapse must keep the candidate join
+    // at ONE row per distinct-payload pair while the expanded answer
+    // carries the full member-pair truth
+    val base = (1 to 200).map(i => s"asset$i b${i * 3 % 17}").mkString(" ")
+    val near = (base + " trailing-stamp-bytes " + ("pad" * 30)).getBytes("UTF-8")
+    val other = (1 to 200).map(i => s"zz${i * 31 % 97}q$i").mkString(" ")
+      .getBytes("UTF-8")
+    val copies = (0L until 1000L).map(i => (i, base.getBytes("UTF-8")))
+    val payloads = (copies ++ Seq((2000L, near), (3000L, other)))
+      .toDF("doc_id", "payload")
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      "m06" -> operators.Multimodal.chunkNearDupPairs(payloads, 0.5),
+      "m12" -> operators.Multimodal.cdcNearDupPairs(payloads, 0.5)
+    ).foreach { case (tag, pairsDf) =>
+      val rows = pairsDf.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val unit = rows.filter { case (d1, d2, _) => d1 < 1000 && d2 < 1000 }
+      assert(unit.length === 1000 * 999 / 2, s"$tag: unit pair count")
+      assert(unit.forall(_._3 == 1.0), s"$tag: unit pairs must score exactly 1.0")
+      assert(rows.forall { case (d1, d2, _) => d1 < d2 }, s"$tag: ordering")
+      assert(rows.length === rows.distinct.length, s"$tag: duplicate pairs")
+      // the near-dup variant pairs with EVERY copy at one common score
+      val nearScores = rows.filter(_._2 == 2000L).map(_._3).distinct
+      if (nearScores.nonEmpty) {
+        assert(rows.count(_._2 == 2000L) === 1000, s"$tag: near-dup expansion")
+        assert(nearScores.length === 1, s"$tag: cross-group score must be uniform")
+      }
+      assert(!rows.exists(r => r._1 == 3000L || r._2 == 3000L),
+        s"$tag: unrelated payload paired")
+    }
+    // the near-dup is a genuine pair on at least the CDC path (append-
+    // robust); without it the expansion half of the fixture is inert
+    val cdcRows = operators.Multimodal.cdcNearDupPairs(payloads, 0.5)
+      .filter($"d2" === 2000L).count()
+    assert(cdcRows === 1000L, "CDC lost the appended near-dup variant")
+  }
+
+  test("chunk df-cap: flooded chunk values leave the Jaccard universe with documented drop semantics") {
+    import spark.implicits._
+    def blk(c: Char): Array[Byte] = Array.fill(64)(c.toByte)
+    // 100 DISTINCT payloads sharing one 64-byte boilerplate block
+    // (df 100 > 64) with unique tails; x/y additionally share a
+    // PRIVATE block S (df 2). With the cap: pairs among the 100 share
+    // only the flooded block -> not emitted; x keeps {S}, y keeps
+    // {S, U_y} -> jaccard exactly 1/2
+    val flood = blk('P')
+    val s = blk('S')
+    val hundred = (0L until 100L).map(i =>
+      (i, flood ++ (s"uniq$i-" * 20).getBytes("UTF-8").take(64)
+        ++ s"tail$i".getBytes("UTF-8")))
+    val x = (500L, flood ++ s)
+    val y = (501L, flood ++ s ++ blk('Y'))
+    val payloads = (hundred ++ Seq(x, y)).toDF("doc_id", "payload")
+    val capped = operators.Multimodal.chunkNearDupPairs(payloads, 0.2, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.map(t => (t._1, t._2)).toSet === Set((500L, 501L)),
+      s"capped pair set: ${capped.toSeq}")
+    assert(capped.head._3 === 0.5, "jaccard over the SURVIVING universe")
+    // uncapped, the flooded block alone makes ~C(100,2) boilerplate
+    // pairs — exactly the storm the cap drops
+    val uncapped = operators.Multimodal.chunkNearDupPairs(payloads, 0.2, maxDf = 0L)
+      .count()
+    assert(uncapped >= 100L * 99L / 2, s"uncapped boilerplate pairs: $uncapped")
+    // same contract on the CDC path: shared-prefix chunks flood (df
+    // ~102 > 64) and leave the universe; only the x/y pair (private
+    // shared run S) survives any positive threshold
+    val longFlood = ((1 to 80).map(i => s"hdr$i c${i * 5 % 11}").mkString(" "))
+      .getBytes("UTF-8") // ~600 varied bytes -> several shared chunks
+    val longS = ((1 to 40).map(i => s"sec$i v${i * 7 % 13}").mkString(" "))
+      .getBytes("UTF-8")
+    val cdcHundred = (0L until 100L).map { i =>
+      // fully unique pseudorandom tails: any chunk shared between two
+      // of these docs could only come from the flooded prefix
+      val rnd = new scala.util.Random(1000 + i)
+      (i, longFlood ++ Array.fill(120)((rnd.nextInt(26) + 'a').toByte))
+    }
+    val cdcPayloads = (cdcHundred ++ Seq(
+      (500L, longFlood ++ longS), (501L, longFlood ++ longS ++ blk('Y'))))
+      .toDF("doc_id", "payload")
+    val cdcCapped = operators.Multimodal.cdcNearDupPairs(cdcPayloads, 0.05, maxDf = 64)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(cdcCapped === Set((500L, 501L)), s"cdc capped pair set: $cdcCapped")
+    val cdcUncapped = operators.Multimodal.cdcNearDupPairs(cdcPayloads, 0.05, maxDf = 0L)
+      .count()
+    assert(cdcUncapped >= 100L * 99L / 2, s"cdc uncapped pairs: $cdcUncapped")
+  }
 }

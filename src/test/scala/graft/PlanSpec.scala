@@ -561,4 +561,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), "threshold explode missing")
     assert(p.contains("HashAggregate"), p.take(400))
   }
+
+  test("m06/m12: payload near-dup — equi-joins only, payload bytes never cross an exchange") {
+    // the collapsedChunkSetPairs contract: candidates come from chunk-
+    // value equi-joins over DISTINCT payloads' chunk sets, the df-cap
+    // is an aggregate+join on the same key (no window, no broadcast of
+    // an unbounded key set), and every exchange carries only the sha
+    // group key / ids / chunk keys — never payload or hex-payload bytes
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.BinaryType
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("m06_chunk_neardup", "m12_cdc_neardup").foreach { q =>
+        val phys = SparkEntry.queries(q)(spark, sf001)
+          .queryExecution.executedPlan
+        val p = phys.toString
+        assert(!p.contains("CartesianProduct") &&
+               !p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(800)}")
+        assert(!p.contains("Window"), s"$q: window in the plan")
+        val offending = phys.collect {
+          case e: ShuffleExchangeLike if e.child.output.exists(a =>
+            a.dataType == BinaryType || a.name == "payload" || a.name == "hx") => e
+        }
+        assert(offending.isEmpty,
+          s"$q: payload bytes crossed an exchange: ${offending.map(_.child.output.mkString(","))}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

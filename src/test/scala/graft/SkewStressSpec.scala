@@ -156,4 +156,35 @@ class SkewStressSpec extends SparkSpec {
       }
     } finally docs.unpersist()
   }
+
+  test("payload storm: 1000 copies of one padded payload — collapse keeps the chunk joins linear, truth exact") {
+    // the m06/m12 twin of the d10 test above: a mass-duplicated binary
+    // payload (the re-uploaded asset / zero-padded block case) must
+    // cost the inverted-index join ONE row per distinct payload, while
+    // the expanded answer still carries the full C(1000,2) clique —
+    // and a payload whose content is one repeated byte (all chunk
+    // values identical = the maximal within-payload flood) must not
+    // blow the join up either
+    import spark.implicits._
+    val padded = ("asset-header " + (" " * 400) + " trailer")
+      .getBytes("UTF-8")
+    val rnd = new scala.util.Random(11)
+    val normals = (0 until 60).map { i =>
+      (5000L + i, Array.fill(300 + rnd.nextInt(200))((rnd.nextInt(26) + 'a').toByte))
+    }
+    val storm = (0L until 1000L).map(i => (i, padded)) ++ normals
+    val payloads = storm.toDF("doc_id", "payload").cache()
+    try {
+      Seq[(String, org.apache.spark.sql.DataFrame)](
+        "m06" -> operators.Multimodal.chunkNearDupPairs(payloads, 0.5),
+        "m12" -> operators.Multimodal.cdcNearDupPairs(payloads, 0.5)
+      ).foreach { case (tag, df) =>
+        val rows = df.select("d1", "d2").as[(Long, Long)].collect()
+        val clique = rows.count { case (a, b) => a < 1000 && b < 1000 }
+        assert(clique === 1000 * 999 / 2, s"$tag: storm clique incomplete")
+        assert(!rows.exists { case (a, b) => a >= 5000 || b >= 5000 },
+          s"$tag: unrelated random payloads paired")
+      }
+    } finally { payloads.unpersist(); () }
+  }
 }
