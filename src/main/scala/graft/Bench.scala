@@ -236,7 +236,9 @@ object Bench {
       "s07_knn_graph", "s10_ivf_knn", "s11_semantic_survivors",
       "d14_containment",
       // r13 additions run CC too (multi-job, same variance profile)
-      "m11_perceptual_clusters", "s23_semdedup")
+      "m11_perceptual_clusters", "s23_semdedup",
+      // r14: s23's collapsed production twin — same CC stage
+      "s26_semdedup_collapsed")
     val ccAttempts = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = queries.map { case (name, fn) =>
       // settle GC debt from the previous query so its collection pause

@@ -190,15 +190,18 @@ class PlanSpec extends SparkSpec {
       "c18 must not join at all")
   }
 
-  test("s23: semdedup — candidate join equi-keyed on cluster id, NLJ only vs seed broadcast") {
-    val p = plan("s23_semdedup")
-    assert(!p.contains("CartesianProduct"), p.take(800))
-    // one deliberate k-row centroid broadcast feeds the argmax
-    // assignment; the within-cluster pair join must be an equi-join
-    val nlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
-    assert(nlj <= 2, s"$nlj nested-loop joins: ${p.take(800)}")
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
-      || p.contains("BroadcastHashJoin"), "candidate join is not an equi-join")
+  test("s23/s26: semdedup — candidate join equi-keyed on cluster id, NLJ only vs seed broadcast") {
+    Seq("s23_semdedup", "s26_semdedup_collapsed").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+      // one deliberate k-row centroid broadcast feeds the argmax
+      // assignment; the within-cluster pair join (and s26's collapse
+      // groupBy + membership join on the vector value) must be equi
+      val nlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      assert(nlj <= 2, s"$q: $nlj nested-loop joins: ${p.take(800)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"), s"$q: candidate join is not an equi-join")
+    }
   }
 
   test("s24: range search keeps s01's shape — query side broadcast, corpus streams") {

@@ -187,4 +187,39 @@ class SkewStressSpec extends SparkSpec {
       }
     } finally { payloads.unpersist(); () }
   }
+
+  test("vector dup-storm: s26's exact pre-collapse ≡ uncapped SemDeDup, rep join at distinct cardinality") {
+    // SemDeDup's pathological input: 1000 byte-identical embeddings
+    // (re-crawled page / default thumbnail) all landing in one cluster.
+    // The collapsed form must (a) run its cluster→pair→CC program over
+    // DISTINCT vectors only and (b) return exactly the uncapped
+    // program's output — the same-answer-scalable-plan contract the
+    // driver also hash-checks via s23's oracle
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(23)
+    def vec(): Array[Double] = Array.fill(16)(rnd.nextGaussian())
+    val dup = vec()
+    val vecs = ((0L until 1000L).map(i => (i, dup)) ++
+      (0 until 60).map(i => (5000L + i, vec())))
+      .toDF("vec_id", "v").cache()
+    try {
+      val cen = vecs.filter($"vec_id" < 8)
+        .select($"vec_id".as("cluster_id"), $"v".as("cv"),
+          Similarity.norm($"v").as("cn"))
+      val uncapped = Similarity.semDedupFlags(vecs, cen, 0.45)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      val collapsed = Similarity.semDedupCollapsed(vecs, cen, 0.45)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      assert(collapsed === uncapped, "collapse changed the answer")
+      // the storm group keeps exactly its min id
+      assert(uncapped.count { case (id, _, _, keep) => id < 1000 && keep } === 1)
+      // candidate mass bound: the rep-level program sees one row per
+      // DISTINCT vector — 61 here, not 1060
+      val reps = vecs.groupBy($"v").count().count()
+      assert(reps === 61L, s"expected 61 distinct vectors, got $reps")
+    } finally { vecs.unpersist(); () }
+  }
 }
