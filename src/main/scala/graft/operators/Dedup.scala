@@ -924,15 +924,20 @@ object Dedup {
     // band_hash) concentrates a flooded boilerplate bucket's rows on
     // ONE task — the exact storm the cap exists to guard against. The
     // groupBy count is map-side combined (each task contributes one
-    // partial row per key however flooded the bucket), and the over-cap
-    // key set is rare by construction (buckets > maxBucket) → broadcast
-    // anti-join removes their rows without ever co-locating them.
-    val overCap = banded.groupBy($"band_id", $"band_hash")
+    // partial row per key however flooded the bucket), and the cap is
+    // applied by JOINING the counts back on the band keys + filtering
+    // (not by broadcasting the over-cap key set, which is unbounded on
+    // an adversarial corpus — up to bandRows/maxBucket keys; r13's
+    // broadcast form assumed rarity). The counts join keys on the same
+    // columns the pair self-join below shuffles on, so the filtered
+    // frame's exchange is planned once and reused by both join sides —
+    // a flooded bucket's rows co-locate for one LINEAR hash-probe +
+    // drop, never for the quadratic pair enumeration.
+    val counts = banded.groupBy($"band_id", $"band_hash")
       .agg(count(lit(1)).as("bucket_n"))
-      .filter($"bucket_n" > maxBucket)
-      .select($"band_id", $"band_hash")
-    val bounded =
-      banded.join(broadcast(overCap), Seq("band_id", "band_hash"), "left_anti")
+    val bounded = banded.join(counts, Seq("band_id", "band_hash"))
+      .filter($"bucket_n" <= maxBucket)
+      .select($"doc_id", $"band_id", $"band_hash")
     bounded.as("x").join(bounded.as("y"),
         $"x.band_id" === $"y.band_id" && $"x.band_hash" === $"y.band_hash" &&
         $"x.doc_id" < $"y.doc_id")
@@ -1101,9 +1106,17 @@ object Dedup {
     *  1. delta signatures/bands: one narrow pass over the DELTA only.
     *  2. bucket cap: standing per-bucket counts come from the COUNTS
     *     artifact (tiny rows, no band-row shuffle), delta counts from
-    *     a delta-sized groupBy; the merged over-cap key set (buckets
-    *     > maxBucket — rare by construction) broadcasts into anti-joins
-    *     on both sides. Identical cap semantics to in-plan d04 over
+    *     a delta-sized groupBy; the merged over-cap key set broadcasts
+    *     into anti-joins on both sides. SIZE ASSUMPTION (deliberate,
+    *     unlike lshCandidates which now join-filters): the over-cap
+    *     set is ≤ totalBandRows/maxBucket keys (16 B each) and in an
+    *     honest corpus far smaller — a corpus where it outgrows the
+    *     broadcast budget is mass-boilerplate that belongs in an exact
+    *     pre-pass (d10) before any index is built. The broadcast is
+    *     load-bearing here: the anti-join's alternative would shuffle
+    *     the STANDING banded lane, breaking the probe's whole
+    *     delta-cost contract, so trading it away is never right.
+    *     Identical cap semantics to in-plan d04 over
     *     standing ∪ delta — the union's bucket mass decides.
     *  3. candidates: new–old = standing bands streamed past the
     *     BROADCAST delta bands (BroadcastHashJoin — zero standing

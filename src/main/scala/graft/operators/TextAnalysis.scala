@@ -1467,32 +1467,34 @@ object TextAnalysis {
     *   r_rep:   most frequent word ≤ 10% of all words (the repetition
     *            signal; Gopher's top-n-gram family, n = 1)
     *
-    * Scale: r_len/r_mwl/r_alpha/r_stop are pure per-row expression
-    * work inside one codegen stage over the scan. r_rep needs the
-    * per-(doc, word) histogram — one explode + one groupBy keyed
-    * (doc_id, word), partial-aggregated map-side, then a doc_id-keyed
-    * reduce: all keys carry doc_id, so the shuffle parallelizes by
-    * document and no corpus-global state exists. Linear, skew-free
-    * (a doc's group count ≤ its token count). */
+    * Scale: ONE corpus scan. Every rule input derives from the
+    * per-(doc, word) histogram — n_words = Σc, non-space chars =
+    * Σ len(w)·c (split keeps empty tokens on doubled spaces, so token
+    * lengths sum exactly to non-space chars), alpha/stop masses are
+    * conditional sums — so the whole datasheet is explode → groupBy
+    * (doc_id, word) → groupBy doc_id, both partial-aggregated
+    * map-side, no join and no second scan (r13 fused the two). All
+    * keys carry doc_id: the shuffle parallelizes by document and no
+    * corpus-global state exists. Linear, skew-free (a doc's group
+    * count ≤ its token count). The divisions are the same
+    * integer-ratio IEEE ops as the two-scan form — bit-identical. */
   def t34GopherRules(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val stop = Seq("the", "a", "of", "to", "in", "and", "is")
-    val tk = toks($"text")
-    val perDoc = documents(s, d).select(
-      $"doc_id",
-      size(tk).cast("long").as("n_words"),
-      (length(regexp_replace($"text", " ", "")).cast("double") / size(tk))
-        .as("mean_word_len"),
-      (size(filter(tk, w => w.rlike("[A-Za-z]"))).cast("double") / size(tk))
-        .as("frac_alpha"),
-      size(filter(tk, w => w.isInCollection(stop))).cast("long")
-        .as("stop_hits"))
-    val topShare = documents(s, d)
-      .select($"doc_id", explode(tk).as("w"))
+    val hist = documents(s, d)
+      .select($"doc_id", explode(toks($"text")).as("w"))
       .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id").agg(max($"c").as("top_c"), sum($"c").as("n"))
-      .select($"doc_id", ($"top_c".cast("double") / $"n").as("top_share"))
-    perDoc.join(topShare, Seq("doc_id"))
+    hist.groupBy($"doc_id").agg(
+        sum($"c").as("n_words"),
+        max($"c").as("top_c"),
+        sum(length($"w").cast("long") * $"c").as("n_chars"),
+        sum(when($"w".rlike("[A-Za-z]"), $"c").otherwise(0L)).as("n_alpha"),
+        sum(when($"w".isInCollection(stop), $"c").otherwise(0L)).as("stop_hits"))
+      .select($"doc_id", $"n_words",
+        ($"n_chars".cast("double") / $"n_words").as("mean_word_len"),
+        ($"n_alpha".cast("double") / $"n_words").as("frac_alpha"),
+        $"stop_hits",
+        ($"top_c".cast("double") / $"n_words").as("top_share"))
       .select($"doc_id", $"n_words",
         round($"mean_word_len", 6).as("mean_word_len_r"),
         round($"frac_alpha", 6).as("frac_alpha_r"),
@@ -1691,20 +1693,27 @@ object TextAnalysis {
     val sw = tok.groupBy($"source", $"w").agg(count(lit(1)).as("c_ws"))
     val cw = tok.groupBy($"w").agg(count(lit(1)).as("c_w"))
     val ns = sw.groupBy($"source").agg(sum($"c_ws").as("n_s"))
-    val n = cw.agg(sum($"c_w")).head().getLong(0)
+    // the corpus total as a 1-row aggregate frame, broadcast-cross-
+    // joined IN the plan (the oracle's tot CTE) — not collected at
+    // DataFrame-construction time, which both re-ran the token
+    // explode eagerly per invocation and NPE'd on an empty corpus
+    val tot = cw.agg(sum($"c_w").as("n_tot"))
     sw.join(cw, Seq("w"))
       .join(ns, Seq("source"))
+      .crossJoin(broadcast(tot))
       .groupBy($"source")
       .agg(max($"n_s").as("n_tokens"),
-        sum(abs($"c_ws" * n - $"c_w" * $"n_s")).as("present_num"),
-        sum($"c_w").as("m_s"))
+        sum(abs($"c_ws" * $"n_tot" - $"c_w" * $"n_s")).as("present_num"),
+        sum($"c_w").as("m_s"),
+        max($"n_tot").as("n_tot"))
       .select($"source", $"n_tokens",
-        round(($"present_num" + (lit(n) - $"m_s") * $"n_tokens")
-          .cast("double") / (lit(2.0) * $"n_tokens" * n), 6).as("tvd_r"))
+        round(($"present_num" + ($"n_tot" - $"m_s") * $"n_tokens")
+          .cast("double") / (lit(2.0) * $"n_tokens" * $"n_tot"), 6).as("tvd_r"))
   }
 
-  /** N rides into the plan as a literal on both sides (DuckDB: a scalar
-    * subquery); every sum is integer-exact before the one division. */
+  /** N rides into the plan as a broadcast 1-row aggregate on both sides
+    * (DuckDB: the tot CTE); every sum is integer-exact before the one
+    * division. */
   val t36Sql: String =
     """WITH tok AS (
       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents

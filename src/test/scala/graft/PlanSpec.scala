@@ -211,7 +211,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
-  test("t34: rule aggregates all key on doc_id — no corpus-global term") {
+  test("t34: rule aggregates all key on doc_id, one corpus scan — no corpus-global term") {
     val p = plan("t34_gopher_rules")
     assert(!p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoopJoin"), p.take(600))
@@ -219,6 +219,13 @@ class PlanSpec extends SparkSpec {
     assert(hashed.nonEmpty, "expected keyed exchanges")
     assert(hashed.forall(_.contains("doc_id")),
       s"non-doc-keyed shuffle:\n${hashed.filterNot(_.contains("doc_id")).mkString("\n")}")
+    // r14: the whole datasheet derives from the (doc_id, word)
+    // histogram — per-doc expressions and the top-share reduce share
+    // ONE corpus scan, no join
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1,
+      "t34 must scan the corpus exactly once")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "t34 needs no join")
   }
 
   test("t35: novelty — first-owner agg partial+final on the shingle key, no window") {
