@@ -40,11 +40,85 @@ object Bench {
     math.min(attempt(), attempt())
   }
 
+  /** The copy workload, shared verbatim by the in-suite section and
+    * [[CopyBench]]'s isolated fresh-JVM run (round-14: two data points
+    * separate the copy PATH from the suite/box CONTEXT): events ∪
+    * lineitem → IngestRecord, cursor riding as a typed column,
+    * store written cursor-clustered. */
+  private[graft] def copyRecords(spark: SparkSession, sfDir: String,
+      cpus: Int): org.apache.spark.sql.Dataset[ingest.IngestRecord] = {
+    import spark.implicits._
+    // same emitted body as Emit.ing01EmitEvents / the r9 lineitem lane
+    val ev = Tables.events(spark, sfDir).select(
+      lit("events").as("indexId"),
+      $"event_id".cast("string").as("docId"),
+      to_json(struct($"event_id", $"event_type", $"value",
+        $"ts".cast("string").as("ts"),
+        get_json_object($"props", "$.k").cast("int").as("k"))).as("source"),
+      $"ts".cast("string").as("sort_ts"))
+    val li = Tables.lineitem(spark, sfDir).select(
+      lit("lineitem").as("indexId"),
+      concat_ws("-", $"l_orderkey", $"l_linenumber").as("docId"),
+      to_json(struct($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_linenumber",
+        $"l_quantity", $"l_extendedprice",
+        $"l_shipdate".cast("string").as("ts"))).as("source"),
+      $"l_shipdate".cast("string").as("sort_ts"))
+    ev.unionByName(li)
+      .repartitionByRange(cpus, $"sort_ts")
+      .sortWithinPartitions($"sort_ts")
+      .select($"indexId", $"docId", $"source")
+      .as[ingest.IngestRecord]
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the environment provides 32 executor threads (local[32]); honor an
     // explicit override but never default below the machine's shape
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // isolated copy baseline FIRST, in a fresh forked JVM with nothing
+    // else running (round-14: the in-suite copy number slid three
+    // rounds on an untouched path; two data points separate the PATH
+    // from the suite/box CONTEXT — see CopyBench). Runs before this
+    // JVM allocates its SparkSession so the child sees a quiet box.
+    val isolatedLine: String = try {
+      val jvm = new java.io.File(
+        new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+      // same module opens Spark 4 needs outside spark-submit (build.sbt)
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = Seq(jvm) ++ addOpens ++ Seq(
+        s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+        "-cp", sys.props("java.class.path"), "graft.CopyBench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      // drain stderr (Spark logs) so the child never blocks on a full pipe
+      val drain = new Thread(() => {
+        val es = proc.getErrorStream
+        val buf = new Array[Byte](8192)
+        while (es.read(buf) >= 0) ()
+      })
+      drain.setDaemon(true); drain.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream)
+        .getLines().find(_.startsWith("""{"metric":"copy_isolated""""))
+      if (!proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS))
+        proc.destroyForcibly()
+      out.getOrElse("""{"metric":"copy_isolated","error":"no output"}""")
+    } catch {
+      case e: Throwable =>
+        s"""{"metric":"copy_isolated","error":"${e.getClass.getSimpleName}"}"""
+    }
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -98,28 +172,7 @@ object Bench {
     //    (events' ts, lineitem's l_shipdate) and is dropped at the sink
     //    boundary — not re-parsed per row out of the serialized body.
     import spark.implicits._
-    def mkCopyRecords() = {
-      // same emitted body as Emit.ing01EmitEvents / the r9 lineitem lane
-      val ev = Tables.events(spark, sfDir).select(
-        lit("events").as("indexId"),
-        $"event_id".cast("string").as("docId"),
-        to_json(struct($"event_id", $"event_type", $"value",
-          $"ts".cast("string").as("ts"),
-          get_json_object($"props", "$.k").cast("int").as("k"))).as("source"),
-        $"ts".cast("string").as("sort_ts"))
-      val li = Tables.lineitem(spark, sfDir).select(
-        lit("lineitem").as("indexId"),
-        concat_ws("-", $"l_orderkey", $"l_linenumber").as("docId"),
-        to_json(struct($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_linenumber",
-          $"l_quantity", $"l_extendedprice",
-          $"l_shipdate".cast("string").as("ts"))).as("source"),
-        $"l_shipdate".cast("string").as("sort_ts"))
-      ev.unionByName(li)
-        .repartitionByRange(cpus.toInt, $"sort_ts")
-        .sortWithinPartitions($"sort_ts")
-        .select($"indexId", $"docId", $"source")
-        .as[ingest.IngestRecord]
-    }
+    def mkCopyRecords() = copyRecords(spark, sfDir, cpus.toInt)
     // row count from metadata-only scans — does NOT warm the copy shuffle
     val nDocs = Tables.events(spark, sfDir).count() +
       Tables.lineitem(spark, sfDir).count()
@@ -294,9 +347,33 @@ object Bench {
     // 1.1–2.6× across the top-10). The steady-state truth lies between;
     // a cross-round move of per_query_s that isolated_top10_s does NOT
     // mirror is measurement context, and one that both mirror is code.
+    // round-over-round self-attribution (r14): the previous round's
+    // committed bench_detail.json is the baseline — every query that
+    // regressed > 1.3× and > 0.3 s against it joins the isolation set,
+    // so the artifact itself answers "context or code?" for exactly
+    // the queries the cross-round diff will flag, not just the tail.
+    val prevPerQuery: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_detail.json")), "UTF-8")
+      val body = txt.split("\"per_query_s\":\\{", 2)(1).split("\\}", 2)(0)
+      body.split(",").flatMap { kv =>
+        kv.split(":") match {
+          case Array(k, v) => Some(k.replace("\"", "") -> v.toDouble)
+          case _ => None
+        }
+      }.toMap
+    } catch { case _: Throwable => Map.empty }
+    val nowByName = results.map { case (k, v, _) => k -> v }.toMap
+    val regressed = results.filter(_._2 >= 0).collect {
+      case (name, sec, _)
+          if prevPerQuery.get(name).exists(p => sec > p * 1.3 && sec - p > 0.3) =>
+        name
+    }
     val isolatedTop10 = {
       val fnByName = queries.toMap
-      results.filter(_._2 >= 0).sortBy(-_._2).take(10).map { case (name, _, _) =>
+      val names = (results.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
+        ++ regressed).distinct
+      names.map { name =>
         val fn = fnByName(name)
         val ts = (1 to 3).map { _ =>
           System.gc(); Thread.sleep(1000)
@@ -305,6 +382,17 @@ object Bench {
         name -> ts.sorted.apply(1)
       }
     }
+    // the regression verdict, computed in-artifact: a regression whose
+    // ISOLATED time also moved ≥ 1.3× vs last round's per_query_s is
+    // code; one whose isolated time sits at ~the old warm number is
+    // measurement context
+    val regressionJson = regressed.map { name =>
+      val prev = prevPerQuery(name)
+      val iso = isolatedTop10.toMap.getOrElse(name, -1.0)
+      val verdict = if (iso >= 0 && iso <= prev * 1.3) "context" else "code-or-unknown"
+      s""""$name":{"prev_s":$prev,"now_s":${nowByName(name)},""" +
+        s""""isolated_s":$iso,"read":"$verdict"}"""
+    }.mkString("{", ",", "}")
 
     // skew stress (round-5 carried item): 1200 copies of one boilerplate
     // doc on top of the sf corpus — the d04 maxBucket guard must keep
@@ -526,6 +614,7 @@ object Bench {
       java.nio.file.Paths.get("bench_detail.json"),
       (s"""{"sf":"$sfDir","per_query_s":$qsFull,"per_query_gc_ms":$gcFull,""" +
        s""""per_query_seq":$seqFull,"isolated_top10_s":$isoJson,""" +
+       s""""regressions_vs_prev":$regressionJson,""" +
        s""""cc_family_attempts_s":$ccJson}\n""").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // name the tail: the p100 was anonymous for two rounds while it
@@ -550,6 +639,10 @@ object Bench {
       // it (healthy: near zero — superseded CC checkpoints are released
       // inline, final frames drain via the async cleaner)
       s""","gc_queries_ms":$gcQueriesMs""" +
+      // round-over-round regression attribution (vs the previous
+      // round's committed bench_detail.json; isolated re-measure per
+      // entry — "context" = isolated sits at the old number)
+      s""","regressions_vs_prev":$regressionJson""" +
       s""","storage_rdds":$storageRdds,"storage_mem_mb":${storageMem / (1024 * 1024)}""" +
       s""","storage_rdds_peak":$peakRdds,"storage_mem_peak_mb":${peakMem / (1024 * 1024)}""" +
       s""","storage_peak_after":"$peakAfter"""" +
@@ -558,6 +651,9 @@ object Bench {
       // fresh-lineage runs (scan+shuffle+sort+write); copy_sec = median
       s""","copy_sec_attempts":[${copyAttempts.map(a => r3(a._2)).mkString(",")}]""" +
       s""","copy_timing":"settled; median-of-3; fresh lineage per attempt"""" +
+      // the fresh-JVM baseline measured before this suite started —
+      // read the two copy numbers as path (isolated) vs context (suite)
+      s""","copy_isolated":$isolatedLine""" +
       s""","streaming_batch_ms":$streamingBatchMs""" +
       s""","stream_files_parsed":$streamFilesParsed""" +
       s""","stream_files_opened":$streamFilesOpened,"stream_files_in_store":$bulkFilesInStore""" +

@@ -441,8 +441,12 @@ object Curation {
     *  - language and quality are PER-ROW EXPRESSIONS
     *    ([[TextAnalysis.langPredCol]]/[[TextAnalysis.qualityScoreCol]]),
     *    not joins against t03/t02 output frames — zero extra scans;
-    *  - exact keep-first dedup is one window over `text` (min doc_id
-    *    among quality survivors), not a groupBy + semi-join pair;
+    *  - exact keep-first dedup is one NARROW content-hash aggregate
+    *    (min doc_id per sha-256 among quality survivors, map-side
+    *    combined) joined back on doc_id — not a window over `text`,
+    *    which would shuffle AND sort full text bytes keyed by the text
+    *    value itself and concentrate a mass-duplicated text's clique
+    *    on one task (r14; the d01/m05 hash-grouping discipline);
     *  - the near-dup pair join and the contamination join — the two
     *    expensive operators — each appear once, as left-joined kill
     *    sets over the flagged frame.
@@ -470,13 +474,26 @@ object Curation {
     val s = corpus.sparkSession
     import s.implicits._
     val score = TextAnalysis.qualityScoreCol($"text")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"text")
-    val flagged = corpus
+    val flagged0 = corpus
       .withColumn("m_lang", TextAnalysis.langPredCol($"text") === "en")
       .withColumn("quality", round(score, 6))
       .withColumn("m_f1", $"m_lang" && (score >= 0.5))
-      .withColumn("m_f2",
-        $"m_f1" && $"doc_id" === min(when($"m_f1", $"doc_id")).over(w))
+    // exact keep-first via a NARROW content-hash aggregate + doc-keyed
+    // join, not a window over `text` (r14): the window shuffled and
+    // SORTED full text bytes keyed by the text value itself — a
+    // mass-duplicated text concentrates its whole clique on one task
+    // (the d10 storm shape). The groupBy ships (hash, id) pairs only,
+    // combines map-side, and the join back keys on doc_id — uniform by
+    // construction. sha-256 equality stands in for text equality, the
+    // d01/m05 discipline.
+    val winners = flagged0.filter($"m_f1")
+      .select(sha2($"text", 256).as("th"), $"doc_id")
+      .groupBy($"th").agg(min($"doc_id").as("win_id"))
+      .select($"win_id".as("doc_id"), lit(true).as("is_win"))
+    val flagged = flagged0
+      .join(winners, Seq("doc_id"), "left_outer")
+      .withColumn("m_f2", $"m_f1" && coalesce($"is_win", lit(false)))
+      .drop("is_win")
     // shingle the exact-dedup survivors ONCE; the near-dup join and the
     // contamination explode both consume this frame
     val f2sh = flagged.filter($"m_f2")

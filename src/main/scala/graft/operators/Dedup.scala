@@ -1042,14 +1042,18 @@ object Dedup {
     * persisted round-trip (write → append → probe ≡ in-plan rebuild,
     * standing files untouched) is spec-pinned in DedupSpec. */
   def writeLshIndex(docs: DataFrame, dir: String): Unit = {
+    val g = IndexStore.nextGen(dir)
+    val root = IndexStore.genPath(dir, g)
     val sh = shingleFrame(docs)
-    sh.write.mode("overwrite").parquet(s"$dir/shingles")
+    sh.write.mode("overwrite").parquet(s"$root/shingles")
     val banded = bandedOf(sh).persist()
     try {
-      banded.write.mode("overwrite").parquet(s"$dir/banded")
+      banded.write.mode("overwrite").parquet(s"$root/banded")
       bandedOf_counts(banded).write.mode("overwrite")
-        .parquet(s"$dir/bucket_counts")
+        .parquet(s"$root/bucket_counts")
     } finally { banded.unpersist(); () }
+    IndexStore.publish(dir, g)
+    IndexStore.sweep(dir)
   }
 
   /** Per-bucket partial counts of a banded frame — the third lane of
@@ -1068,14 +1072,51 @@ object Dedup {
     * touches only (readers sum per key), so the incremental update
     * cost is delta-proportional on all three lanes. */
   def appendToLshIndex(delta: DataFrame, dir: String): Unit = {
+    val root = IndexStore.currentPath(dir)
     val sh = shingleFrame(delta)
-    sh.write.mode("append").parquet(s"$dir/shingles")
+    sh.write.mode("append").parquet(s"$root/shingles")
     val banded = bandedOf(sh).persist()
     try {
-      banded.write.mode("append").parquet(s"$dir/banded")
+      banded.write.mode("append").parquet(s"$root/banded")
       bandedOf_counts(banded).write.mode("append")
-        .parquet(s"$dir/bucket_counts")
+        .parquet(s"$root/bucket_counts")
     } finally { banded.unpersist(); () }
+  }
+
+  /** Compact a standing LSH index: fold each lane's accumulated small
+    * append files into few large ones, and MERGE the counts lane's
+    * partial rows (one row per bucket — readers sum per key, so merged
+    * sums are semantics-identical). Probe answers are byte-identical
+    * by construction: shingles/banded are row-preserving rewrites.
+    *
+    * Live-reader-safe via [[IndexStore]] generations: the folded lanes
+    * land as generation N+1 and `_current` flips atomically — a probe
+    * that already resolved gen N keeps every file it planned until two
+    * further generations publish (sweep grace), and a new probe sees
+    * exactly one side of the fold. Run every K appends (K ~ 10–50);
+    * single-maintainer like the appends themselves (the artifact's
+    * existing single-writer contract). Cost: one linear read+write of
+    * the index lanes — independent of corpus text, ~16 rows × 12 B +
+    * one shingle array per doc. */
+  def compactLshIndex(s: SparkSession, dir: String): Unit = {
+    val src = IndexStore.currentPath(dir)
+    val g = IndexStore.nextGen(dir)
+    val dst = IndexStore.genPath(dir, g)
+    def fold(lane: String): Unit = {
+      val in = s.read.parquet(s"$src/$lane")
+      in.coalesce(math.max(1, in.inputFiles.length / 16))
+        .write.mode("overwrite").parquet(s"$dst/$lane")
+    }
+    fold("shingles")
+    fold("banded")
+    val counts = s.read.parquet(s"$src/bucket_counts")
+    import s.implicits._
+    counts.groupBy($"band_id", $"band_hash")
+      .agg(org.apache.spark.sql.functions.sum($"n").as("n"))
+      .coalesce(math.max(1, counts.inputFiles.length / 16))
+      .write.mode("overwrite").parquet(s"$dst/bucket_counts")
+    IndexStore.publish(dir, g)
+    IndexStore.sweep(dir)
   }
 
   /** Probe a delta batch against a persisted index: the J ≥ τ pairs
@@ -1093,10 +1134,12 @@ object Dedup {
     * can drop a bucket sitting within one delta of the cap
     * (conservative: never admits extra candidates). */
   def probeLshIndex(s: SparkSession, dir: String, delta: DataFrame,
-                    threshold: Double, maxBucket: Int = 1000): DataFrame =
-    probeLshFrames(s.read.parquet(s"$dir/banded"),
-      s.read.parquet(s"$dir/bucket_counts"),
-      s.read.parquet(s"$dir/shingles"), delta, threshold, maxBucket)
+                    threshold: Double, maxBucket: Int = 1000): DataFrame = {
+    val root = IndexStore.currentPath(dir)
+    probeLshFrames(s.read.parquet(s"$root/banded"),
+      s.read.parquet(s"$root/bucket_counts"),
+      s.read.parquet(s"$root/shingles"), delta, threshold, maxBucket)
+  }
 
   /** Frame-taking core of the probe (the registered entry builds the
     * standing frames in-plan to stay oracle-self-contained — the

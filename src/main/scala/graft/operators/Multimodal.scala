@@ -527,13 +527,34 @@ object Multimodal {
     * d21's < 1e-12 equivalence). Registered entry rebuilds the
     * standing frames in-plan (oracle self-containment, the d19/d21
     * discipline); the persisted round-trip is spec-pinned. */
-  def writePayloadIndex(payloads: DataFrame, dir: String): Unit =
-    payloadBands(payloads).write.mode("overwrite").parquet(s"$dir/bands")
+  def writePayloadIndex(payloads: DataFrame, dir: String): Unit = {
+    val g = IndexStore.nextGen(dir)
+    payloadBands(payloads).write.mode("overwrite")
+      .parquet(s"${IndexStore.genPath(dir, g)}/bands")
+    IndexStore.publish(dir, g)
+    IndexStore.sweep(dir)
+  }
 
   /** Admit a delta batch into a standing index: append-only — new
     * files land beside the standing ones, which stay byte-untouched. */
   def appendToPayloadIndex(delta: DataFrame, dir: String): Unit =
-    payloadBands(delta).write.mode("append").parquet(s"$dir/bands")
+    payloadBands(delta).write.mode("append")
+      .parquet(s"${IndexStore.currentPath(dir)}/bands")
+
+  /** Compact a standing payload index: fold the band lane's append
+    * files into few large ones — a row-preserving rewrite, so probe
+    * answers are identical. Live-reader-safe via [[IndexStore]]
+    * generations (atomic flip, one-cycle sweep grace) — the d21/s17
+    * compaction contract on the payload modality. */
+  def compactPayloadIndex(s: SparkSession, dir: String): Unit = {
+    val src = IndexStore.currentPath(dir)
+    val g = IndexStore.nextGen(dir)
+    val in = s.read.parquet(s"$src/bands")
+    in.coalesce(math.max(1, in.inputFiles.length / 16))
+      .write.mode("overwrite").parquet(s"${IndexStore.genPath(dir, g)}/bands")
+    IndexStore.publish(dir, g)
+    IndexStore.sweep(dir)
+  }
 
   /** The banded-fingerprint frame of a (doc_id, payload) batch — the
     * index's row format and the probe's in-plan delta lane (the same
@@ -555,7 +576,9 @@ object Multimodal {
     * fingerprint cost + one band-keyed equi-join. */
   def probePayloadIndex(s: SparkSession, dir: String, delta: DataFrame,
                         maxHamming: Int): DataFrame =
-    probePayloadBands(s.read.parquet(s"$dir/bands"), delta, maxHamming)
+    probePayloadBands(
+      s.read.parquet(s"${IndexStore.currentPath(dir)}/bands"),
+      delta, maxHamming)
 
   /** Frame-taking core of the probe (the registered entry builds the
     * standing band frame in-plan to stay oracle-self-contained). */

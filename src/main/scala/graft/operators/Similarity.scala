@@ -1530,8 +1530,34 @@ object Similarity {
     * lane) and every query run is metadata-pruned — completing the
     * train-once(:centroids)/index-once(:this)/serve-many seam the
     * `spark.graft.centroids.dir` store started. */
-  def writeIvfIndex(vecs: DataFrame, centroids: DataFrame, outDir: String): Unit =
-    writeIvfLists(vecs, centroids, outDir, org.apache.spark.sql.SaveMode.Overwrite)
+  def writeIvfIndex(vecs: DataFrame, centroids: DataFrame, outDir: String): Unit = {
+    val g = IndexStore.nextGen(outDir)
+    writeIvfLists(vecs, centroids, IndexStore.genPath(outDir, g),
+      org.apache.spark.sql.SaveMode.Overwrite)
+    IndexStore.publish(outDir, g)
+    IndexStore.sweep(outDir)
+  }
+
+  /** Compact a standing IVF index: fold each cluster list's
+    * accumulated append files into one file per list (repartition on
+    * cluster_id — each list lands whole in one task, sorted like the
+    * build path writes it). Row-preserving, so served answers are
+    * identical; live-reader-safe via [[IndexStore]] generations
+    * (atomic `_current` flip, one-cycle sweep grace). Run every K
+    * appends; cost is one linear read+write of the LISTS (ids +
+    * vectors), never the source corpus. */
+  def compactIvfIndex(s: SparkSession, indexDir: String): Unit = {
+    import s.implicits._
+    val src = IndexStore.currentPath(indexDir)
+    val g = IndexStore.nextGen(indexDir)
+    s.read.parquet(src)
+      .repartition($"cluster_id")
+      .sortWithinPartitions($"vec_id")
+      .write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(IndexStore.genPath(indexDir, g))
+    IndexStore.publish(indexDir, g)
+    IndexStore.sweep(indexDir)
+  }
 
   /** The one assignment-and-layout pipeline both the full build and the
     * delta append run — a single body so the append path can never
@@ -1582,7 +1608,7 @@ object Similarity {
       .select($"q_id", $"qv", $"qn", $"cluster_id".as("probe_cluster"))
     val probedIds = probes.select($"probe_cluster").distinct()
       .as[Int].collect().sorted
-    val index = s.read.parquet(indexDir)
+    val index = s.read.parquet(IndexStore.currentPath(indexDir))
       .filter($"cluster_id".isin(probedIds.map(Int.box): _*))
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
     index.join(broadcast(probes),
@@ -1664,7 +1690,8 @@ object Similarity {
     * third same-answer check on this path after rebuild ≡ in-plan). */
   def appendToIvfIndex(delta: DataFrame, centroids: DataFrame,
                        indexDir: String): Unit =
-    writeIvfLists(delta, centroids, indexDir, org.apache.spark.sql.SaveMode.Append)
+    writeIvfLists(delta, centroids, IndexStore.currentPath(indexDir),
+      org.apache.spark.sql.SaveMode.Append)
 
   /** Registered: standing index (first ~80% of the id range) + delta
     * append (last ~20%), then s03's exact query served through the

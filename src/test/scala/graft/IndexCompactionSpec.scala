@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, IndexStore, Multimodal, Similarity}
+
+/** The index-compaction contract (round-14): append-only index
+  * artifacts accumulate one small file set per delta batch, and at
+  * production cadence the FILE COUNT becomes the probe bottleneck.
+  * Compaction must fold the lanes without changing any probe answer,
+  * bound the file count, and stay safe for readers that planned
+  * against the pre-compaction generation (the IndexStore grace
+  * window). */
+class IndexCompactionSpec extends SparkSpec {
+
+  private def parquetFiles(dir: String): Seq[String] = {
+    val b = scala.collection.mutable.ArrayBuffer[String]()
+    val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try st.forEach(p => if (p.toString.endsWith(".parquet")) b += p.toString)
+    finally st.close()
+    b.toSeq
+  }
+
+  test("LSH index: 20 appends then compact — same probe answer, files bounded, counts lane merged") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+    val cut = (maxId * 4) / 5
+    val standing = docs.filter($"doc_id" <= cut)
+    val delta = docs.filter($"doc_id" > cut)
+    val dir = java.nio.file.Files.createTempDirectory("compact-lsh").toString
+    try {
+      // build from the first slice, append the remaining 19
+      val bounds = (0 to 20).map(i => 1 + cut * i / 20)
+      Dedup.writeLshIndex(
+        standing.filter($"doc_id" < bounds(1)), dir)
+      (1 until 20).foreach { i =>
+        Dedup.appendToLshIndex(
+          standing.filter($"doc_id" >= bounds(i) && $"doc_id" < bounds(i + 1)),
+          dir)
+      }
+      val before = Dedup.probeLshIndex(spark, dir, delta, 0.8)
+        .as[(Long, Long, Double)].collect().toSet
+      val filesBefore = parquetFiles(dir).size
+      val gen0 = IndexStore.currentGen(dir).get
+      // a reader that PLANNED before compaction (the live-reader case)
+      val preplanned = Dedup.probeLshIndex(spark, dir, delta, 0.8)
+      Dedup.compactLshIndex(spark, dir)
+      assert(IndexStore.currentGen(dir).get === gen0 + 1, "generation must bump")
+      val filesAfter = parquetFiles(IndexStore.currentPath(dir)).size
+      assert(filesAfter * 4 <= filesBefore,
+        s"compaction barely folded: $filesBefore -> $filesAfter")
+      val after = Dedup.probeLshIndex(spark, dir, delta, 0.8)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(after === before, "compaction changed the probe answer")
+      assert(after.nonEmpty, "fixture delta must touch some pair")
+      // counts lane partials merged to one row per bucket
+      val counts = spark.read
+        .parquet(s"${IndexStore.currentPath(dir)}/bucket_counts")
+      assert(counts.groupBy($"band_id", $"band_hash").count()
+        .filter($"count" > 1).count() === 0L, "counts lane still has partials")
+      // grace: the pre-compaction plan still executes (its generation
+      // survives one compaction cycle)...
+      assert(preplanned.as[(Long, Long, Double)].collect().toSet === before,
+        "live reader lost its planned generation after one compaction")
+      // ...and is swept only after TWO further generations publish
+      Dedup.compactLshIndex(spark, dir)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(IndexStore.genPath(dir, gen0))),
+        "retired generation must be swept after the grace window")
+    } finally graft.BenchUtil.rmTree(dir)
+  }
+
+  test("IVF index: appends then compact — served top-k identical, one file per list") {
+    import spark.implicits._
+    val c = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val centroids = Similarity.trainedCentroids(spark, sf0001, k = 5, iters = 2)
+    val q = c.withColumn("nrm", Similarity.norm($"v")).filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    def serve(dir: String) =
+      Similarity.ivfTopKFromIndex(spark, dir, centroids, q, nprobe = 2, k = 3)
+        .as[(Long, Long, Int, Double)].collect().toSet
+    val maxId = c.agg(max($"vec_id")).head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("compact-ivf").toString
+    try {
+      val bounds = (0 to 20).map(i => maxId * i / 20)
+      Similarity.writeIvfIndex(
+        c.filter($"vec_id" <= bounds(1)), centroids, dir)
+      (1 until 20).foreach { i =>
+        Similarity.appendToIvfIndex(
+          c.filter($"vec_id" > bounds(i) && $"vec_id" <= bounds(i + 1)),
+          centroids, dir)
+      }
+      val before = serve(dir)
+      val filesBefore = parquetFiles(dir).size
+      Similarity.compactIvfIndex(spark, dir)
+      val filesAfter = parquetFiles(IndexStore.currentPath(dir)).size
+      assert(filesAfter * 4 <= filesBefore,
+        s"compaction barely folded: $filesBefore -> $filesAfter")
+      assert(filesAfter <= 5, s"expected ~one file per list, got $filesAfter")
+      assert(serve(dir) === before, "compaction changed served results")
+      assert(before.nonEmpty)
+    } finally graft.BenchUtil.rmTree(dir)
+  }
+
+  test("payload index: appends then compact — probe identical, files bounded") {
+    import spark.implicits._
+    val all = Tables.documents(spark, sf0001)
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+    val maxId = all.agg(max($"doc_id")).head().getLong(0)
+    val cut = (maxId * 4) / 5
+    val standing = all.filter($"doc_id" <= cut)
+    val delta = all.filter($"doc_id" > cut)
+    val dir = java.nio.file.Files.createTempDirectory("compact-pay").toString
+    try {
+      val bounds = (0 to 20).map(i => 1 + cut * i / 20)
+      Multimodal.writePayloadIndex(
+        standing.filter($"doc_id" < bounds(1)), dir)
+      (1 until 20).foreach { i =>
+        Multimodal.appendToPayloadIndex(
+          standing.filter($"doc_id" >= bounds(i) && $"doc_id" < bounds(i + 1)),
+          dir)
+      }
+      val before = Multimodal.probePayloadIndex(spark, dir, delta, 7)
+        .as[(Long, Long, Int)].collect().toSet
+      val filesBefore = parquetFiles(dir).size
+      Multimodal.compactPayloadIndex(spark, dir)
+      val filesAfter = parquetFiles(IndexStore.currentPath(dir)).size
+      assert(filesAfter * 4 <= filesBefore,
+        s"compaction barely folded: $filesBefore -> $filesAfter")
+      val after = Multimodal.probePayloadIndex(spark, dir, delta, 7)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(after === before, "compaction changed the probe answer")
+    } finally graft.BenchUtil.rmTree(dir)
+  }
+}

@@ -50,7 +50,8 @@ object PlanAudit {
         "t34_gopher_rules", "t35_ngram_novelty", "t36_source_drift",
         "t37_coverage_curve", "c18_sequence_manifest",
         "c19_quality_sweep", "m11_perceptual_clusters",
-        "m12_cdc_neardup", "q73_markov_transitions").foreach(show)
+        "m12_cdc_neardup", "q73_markov_transitions",
+        "s26_semdedup_collapsed").foreach(show)
     spark.stop()
   }
 }

@@ -189,6 +189,39 @@ object ScaleProbe {
         s"x1 vs x10 standing changed the probe answer: $n1 vs $n10")
       println(f"SCALE d21_probe_flat        probe-vs-1x=${p1}%6.2fs  " +
         f"probe-vs-10x=${p10}%6.2fs  t-ratio=${p10 / p1}%5.2fx (same delta, same answer)")
+
+      // compaction economics (round-14): the same standing corpus
+      // admitted as ONE write vs TWENTY appends vs twenty appends +
+      // compactLshIndex. Answers are identical at every point (the
+      // IndexCompactionSpec contract); this row prices the small-file
+      // debt appends accumulate and shows compaction returning the
+      // probe to ~single-write cost with a bounded file count.
+      def lshFiles(dir: String): Int = {
+        val b = scala.collection.mutable.ArrayBuffer[String]()
+        val st = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(operators.IndexStore.currentPath(dir)))
+        try st.forEach(p => if (p.toString.endsWith(".parquet")) b += p.toString)
+        finally st.close()
+        b.size
+      }
+      val idxApp = s"$base/lshidx_app20"
+      val sMax = standing1.agg(max($"doc_id")).head().getLong(0)
+      val aBounds = (0 to 20).map(i => 1 + sMax * i / 20)
+      Dedup.writeLshIndex(standing1.filter($"doc_id" < aBounds(1)), idxApp)
+      (1 until 20).foreach { i =>
+        Dedup.appendToLshIndex(standing1.filter(
+          $"doc_id" >= aBounds(i) && $"doc_id" < aBounds(i + 1)), idxApp)
+      }
+      val fApp = lshFiles(idxApp)
+      val (pApp, nApp) = t2(Dedup.probeLshIndex(spark, idxApp, delta1, 0.8).count())
+      Dedup.compactLshIndex(spark, idxApp)
+      val fCom = lshFiles(idxApp)
+      val (pCom, nCom) = t2(Dedup.probeLshIndex(spark, idxApp, delta1, 0.8).count())
+      require(nApp == n1 && nCom == n1,
+        s"append/compact changed the probe answer: $n1 vs $nApp vs $nCom")
+      println(f"SCALE d21_compaction        probe-1-write=${p1}%6.2fs (${lshFiles(idx1)}%d files)  " +
+        f"probe-20-appends=${pApp}%6.2fs ($fApp%d files)  " +
+        f"probe-compacted=${pCom}%6.2fs ($fCom%d files)")
     }
     // m10 steady state: the same economics for payloads — a 2% delta
     // probed against the persisted band table vs a full m07 recompute
