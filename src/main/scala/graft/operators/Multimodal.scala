@@ -680,7 +680,76 @@ object Multimodal {
       documents(s, d).select($"doc_id", encode($"text", "utf-8").as("payload")), 0.5)
   }
 
+  // ---- m13: chunk-level storage dedup report ----
+
+  /** m13: the STORAGE-PLANNING face of payload dedup — per source, how
+    * many bytes does chunk-level deduplication actually save? Every
+    * dedup store (content-addressed object stores, backup systems à la
+    * LBFS/restic, training-data blob caches) reports exactly this
+    * table before anyone provisions capacity: payload mass, chunk
+    * mass after within-source dedup, and the ratio. m05 answers
+    * "how many whole files are copies"; m06/m12 answer "which PAIRS
+    * are near-dups"; m13 prices the byte savings of storing each
+    * distinct chunk once — the number that decides whether a
+    * dedup store is worth running at all.
+    *
+    * Chunks are m06's fixed 64-byte grid (byte-exact, engine-neutral →
+    * full SQL oracle; the CDC variant swaps the chunker and reports
+    * slightly higher savings on insert-shifted corpora). Distinctness
+    * is per source — the operational unit capacity is provisioned by.
+    *
+    * Scale: one narrow pass cuts payloads into (source, blk) rows; the
+    * distinct and both aggregates are map-side combined and keyed by
+    * source(+chunk value) — content-hash-uniform, no skewable key, no
+    * join wider than the final per-source rollup. Payload bytes never
+    * shuffle (hex blocks + source only). */
+  def m13StorageDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = documents(s, d)
+      .select($"source", hex(encode($"text", "utf-8")).as("hx"))
+      .filter(length($"hx") > 0)
+    val nch = ceil(length($"hx") / lit(128.0)).cast("long")
+    val blocks = h
+      .select($"source", $"hx", explode(sequence(lit(0L), nch - 1)).as("i"))
+      .select($"source",
+        expr("substring(hx, cast(i * 128 + 1 as int), 128)").as("blk"))
+    val total = h.groupBy($"source").agg(
+      count(lit(1)).as("n_payloads"),
+      sum(length($"hx") / 2).cast("long").as("total_bytes"))
+    val uniq = blocks.distinct()
+      .groupBy($"source").agg(
+        count(lit(1)).as("n_distinct_blocks"),
+        sum(length($"blk") / 2).cast("long").as("unique_bytes"))
+    total.join(uniq, Seq("source"))
+      .select($"source", $"n_payloads", $"total_bytes",
+        $"n_distinct_blocks", $"unique_bytes",
+        round($"total_bytes".cast("double") / $"unique_bytes", 6)
+          .as("dedup_ratio_r"))
+  }
+
+  val m13Sql: String =
+    """WITH h AS (
+      |  SELECT source, upper(hex(encode(text))) AS hx FROM documents
+      |  WHERE len(text) > 0
+      |), blocks AS (
+      |  SELECT DISTINCT source, unnest([substr(hx, 1 + 128*i, 128)
+      |           for i in range(0, CAST(ceil(len(hx) / 128.0) AS BIGINT))]) AS blk
+      |  FROM h
+      |), total AS (
+      |  SELECT source, COUNT(*) AS n_payloads,
+      |    CAST(SUM(len(hx) / 2) AS BIGINT) AS total_bytes
+      |  FROM h GROUP BY 1
+      |), uniq AS (
+      |  SELECT source, COUNT(*) AS n_distinct_blocks,
+      |    CAST(SUM(len(blk) / 2) AS BIGINT) AS unique_bytes
+      |  FROM blocks GROUP BY 1
+      |)
+      |SELECT source, n_payloads, total_bytes, n_distinct_blocks, unique_bytes,
+      |  ROUND(CAST(total_bytes AS DOUBLE) / unique_bytes, 6) AS dedup_ratio_r
+      |FROM total JOIN uniq USING (source)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m13_storage_dedup" -> (m13StorageDedup _),
     "m11_perceptual_clusters" -> (m11PerceptualClusters _),
     "m12_cdc_neardup"         -> (m12CdcNearDup _),
     "m10_payload_index_probe" -> (m10PayloadIndexProbe _),
@@ -711,6 +780,7 @@ object Multimodal {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    "m13_storage_dedup" -> m13Sql,
     // m10: same engine-side fingerprints as m07, same deterministic
     // banding/verify chain → golden-snapshot hard check; ≡ m07
     // restricted to delta-touching pairs (exact by pigeonhole

@@ -767,6 +767,128 @@ object TextAnalysis {
         ($"top2_frac" <= 0.20 && $"dup5_frac" <= 0.15).as("gopher_keep"))
   }
 
+  // ---- t38: the complete Gopher repetition-signal table ----
+
+  /** t38: ALL NINE n-gram repetition signals of Gopher's quality
+    * filter (Rae et al. 2021, arXiv:2112.11446 Table A1) — t22 ships
+    * the two-signal v1 (top-2-gram + dup-5-gram); this is the full
+    * published table: the character-mass fraction of the single most
+    * frequent n-gram for n ∈ {2,3,4}, and the character-mass fraction
+    * covered by DUPLICATED n-grams (count ≥ 2) for n ∈ {5..10}, each
+    * against the paper's named threshold (0.20/0.18/0.16 and
+    * 0.15/0.14/0.13/0.12/0.11/0.10), composed into the keep verdict.
+    * The graded n range exists because pathologies differ: a stuck
+    * phrase dominates the top-n share at small n, templated boilerplate
+    * shows up as long duplicated runs at large n.
+    *
+    * Scale: nine branches of the same shape — explode n-grams, count
+    * per (doc, gram), reduce per doc — every aggregate partial+final
+    * and every shuffle keyed by doc_id(+gram), so the whole table
+    * partitions by document at any corpus size (t22's analysis ×9; the
+    * branches share one cached-nothing scan each, all columnar). A doc
+    * shorter than n tokens has no n-th signal: its fraction is 0 (no
+    * repetition evidence) and the rule passes, oracle-mirrored. */
+  def t38RepetitionSignals(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    repetitionSignals(documents(s, d).select($"doc_id", $"text"))
+  }
+
+  /** Frame-taking core of t38 (specs feed hand-computed fixtures). */
+  private[graft] def repetitionSignals(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val t = toks($"text")
+    val nTok = size(t)
+    def gramCounts(n: Int): DataFrame = {
+      val len = nTok - (n - 1)
+      val zipped = arrays_zip((1 to n).map(i => slice(t, lit(i), len)): _*)
+      docs.filter(nTok >= n)
+        .select($"doc_id", explode(zipped).as("p"))
+        .select($"doc_id",
+          concat_ws(" ", (0 until n).map(i => col(s"p.$i")): _*).as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+    }
+    def topFrac(n: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"c".desc, $"g".asc)
+      gramCounts(n)
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"doc_id", ($"c" * length($"g")).as(s"top${n}_mass"))
+    }
+    def dupMass(n: Int): DataFrame =
+      gramCounts(n).filter($"c" >= 2)
+        .groupBy($"doc_id").agg(sum($"c" * length($"g")).as(s"dup${n}_mass"))
+    val base = docs.select($"doc_id", length($"text").as("n_chars"))
+    val joined = (Seq(2, 3, 4).map(topFrac) ++ Seq(5, 6, 7, 8, 9, 10).map(dupMass))
+      .foldLeft(base)((acc, f) => acc.join(f, Seq("doc_id"), "left"))
+    def frac(c: Column): Column =
+      round(coalesce(c, lit(0L)).cast("double") / $"n_chars", 6)
+    val tops = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dups = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11,
+      10 -> 0.10)
+    val cols =
+      tops.map { case (n, _) => frac(col(s"top${n}_mass")).as(s"top${n}_frac") } ++
+      dups.map { case (n, _) => frac(col(s"dup${n}_mass")).as(s"dup${n}_frac") }
+    val keep = (tops.map { case (n, thr) => frac(col(s"top${n}_mass")) <= thr } ++
+      dups.map { case (n, thr) => frac(col(s"dup${n}_mass")) <= thr })
+      .reduce(_ && _)
+    joined.select($"doc_id" +: cols :+ keep.as("gopher_rep_keep"): _*)
+  }
+
+  /** Every fraction is (integer char mass) / n_chars — the same IEEE
+    * division both engines compute; missing signals COALESCE to 0. */
+  val t38Sql: String = {
+    def gramList(n: Int): String =
+      (0 until n).map(i => s"t[i+$i]").mkString(" || ' ' || ")
+    def topCte(n: Int): String =
+      s"""top$n AS (
+         |  SELECT doc_id, c * LENGTH(g) AS top${n}_mass
+         |  FROM (SELECT doc_id, g, COUNT(*) AS c,
+         |          row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY COUNT(*) DESC, g ASC) AS rn
+         |        FROM (SELECT doc_id, unnest([${gramList(n)}
+         |                for i in range(1, len(t) - ${n - 2})]) AS g
+         |              FROM tok WHERE len(t) >= $n)
+         |        GROUP BY doc_id, g)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    def dupCte(n: Int): String =
+      s"""dup$n AS (
+         |  SELECT doc_id, SUM(c * LENGTH(g)) AS dup${n}_mass
+         |  FROM (SELECT doc_id, g, COUNT(*) AS c
+         |        FROM (SELECT doc_id, unnest([${gramList(n)}
+         |                for i in range(1, len(t) - ${n - 2})]) AS g
+         |              FROM tok WHERE len(t) >= $n)
+         |        GROUP BY doc_id, g)
+         |  WHERE c >= 2 GROUP BY doc_id
+         |)""".stripMargin
+    val tops = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dups = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11,
+      10 -> 0.10)
+    val fracs =
+      tops.map { case (n, _) =>
+        s"ROUND(CAST(COALESCE(top${n}_mass, 0) AS DOUBLE) / n_chars, 6) AS top${n}_frac" } ++
+      dups.map { case (n, _) =>
+        s"ROUND(CAST(COALESCE(dup${n}_mass, 0) AS DOUBLE) / n_chars, 6) AS dup${n}_frac" }
+    val keep =
+      (tops.map { case (n, thr) =>
+        s"ROUND(CAST(COALESCE(top${n}_mass, 0) AS DOUBLE) / n_chars, 6) <= $thr" } ++
+       dups.map { case (n, thr) =>
+        s"ROUND(CAST(COALESCE(dup${n}_mass, 0) AS DOUBLE) / n_chars, 6) <= $thr" })
+        .mkString("(", " AND ", ")")
+    s"""WITH tok AS (
+       |  SELECT doc_id, LENGTH(text) AS n_chars, string_split(text, ' ') AS t
+       |  FROM documents
+       |), ${(Seq(2, 3, 4).map(topCte) ++ Seq(5, 6, 7, 8, 9, 10).map(dupCte))
+              .mkString(", ")}
+       |SELECT tok.doc_id, ${fracs.mkString(", ")},
+       |  $keep AS gopher_rep_keep
+       |FROM tok
+       |${(Seq(2, 3, 4).map(n => s"LEFT JOIN top$n ON top$n.doc_id = tok.doc_id") ++
+           Seq(5, 6, 7, 8, 9, 10).map(n => s"LEFT JOIN dup$n ON dup$n.doc_id = tok.doc_id"))
+           .mkString("\n")}""".stripMargin
+  }
+
   val t22Sql: String =
     """WITH tok AS (
       |  SELECT doc_id, LENGTH(text) AS n_chars, string_split(text, ' ') AS t
@@ -1736,6 +1858,7 @@ object TextAnalysis {
       |GROUP BY sw.source, ns.n_s, tot.n""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t38_repetition_signals" -> (t38RepetitionSignals _),
     "t34_gopher_rules"   -> (t34GopherRules _),
     "t35_ngram_novelty"  -> (t35NgramNovelty _),
     "t36_source_drift"   -> (t36SourceDrift _),
@@ -1773,6 +1896,7 @@ object TextAnalysis {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    "t38_repetition_signals" -> t38Sql,
     "t34_gopher_rules"   -> t34Sql,
     "t35_ngram_novelty"  -> t35Sql,
     "t36_source_drift"   -> t36Sql,

@@ -279,6 +279,33 @@ class MultimodalSpec extends SparkSpec {
       .array.isEmpty)
   }
 
+  test("m13 storage dedup report: hand-computed byte masses and ratio") {
+    import spark.implicits._
+    // srcA: two identical 128-byte payloads + one distinct 64-byte one
+    //   total = 320 B over 3 payloads; distinct blocks: the dup's two
+    //   64-B blocks + the loner's one → unique = 192 B → ratio 1.666667
+    // srcB: one 100-byte payload → blocks 64+36 → unique = total = 100
+    val a = ("A" * 64) + ("B" * 64)
+    val rows = operators.Multimodal.m13StorageDedup _
+    val df = Seq(
+      (1L, a, "srcA"), (2L, a, "srcA"), (3L, "C" * 64, "srcA"),
+      (4L, ("D" * 100), "srcB"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("m13fix").toString
+    try {
+      df.write.parquet(s"$dir/documents.parquet")
+      val got = rows(spark, dir).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val sa = got("srcA")
+      assert(sa.getLong(1) === 3L && sa.getLong(2) === 320L)
+      assert(sa.getLong(3) === 3L && sa.getLong(4) === 192L)
+      assert(sa.getDouble(5) === 1.666667)
+      val sb = got("srcB")
+      assert(sb.getLong(2) === 100L && sb.getLong(4) === 100L &&
+        sb.getDouble(5) === 1.0)
+    } finally graft.BenchUtil.rmTree(dir)
+  }
+
   test("payload collapse: mass-duplicated payload reconstructs every member pair exactly") {
     import spark.implicits._
     // 1000 byte-identical copies of one payload + a near-dup variant +

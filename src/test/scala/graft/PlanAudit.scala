@@ -51,7 +51,8 @@ object PlanAudit {
         "t37_coverage_curve", "c18_sequence_manifest",
         "c19_quality_sweep", "m11_perceptual_clusters",
         "m12_cdc_neardup", "q73_markov_transitions",
-        "s26_semdedup_collapsed").foreach(show)
+        "s26_semdedup_collapsed", "t38_repetition_signals",
+        "m13_storage_dedup").foreach(show)
     spark.stop()
   }
 }

@@ -1348,4 +1348,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.find(_._1 == 0.5).get._2 === keptAtHalf,
       "sweep's 0.5 row diverges from t02's keep semantics")
   }
+
+  test("t38 repetition signals: hand-computed char-mass fractions, ties, short-doc zeros") {
+    import spark.implicits._
+    // doc 1: "x y x y x y" (11 chars, 6 tokens) — a stuck phrase.
+    //  top2: "x y"×3 (ties beaten by count) → 3·3/11 = 0.818182
+    //  top3: "x y x"×2 ties "y x y"×2 → g-asc tiebreak picks "x y x"
+    //        → 2·5/11 = 0.909091
+    //  top4: "x y x y"×2 → 2·7/11 = 1.272727 (overlapping occurrences
+    //        can exceed 1 — the signal is a ratio, not a partition)
+    //  dup5/dup6: every 5-/6-gram occurs once → 0; 7..10-grams absent → 0
+    // doc 2: 40 distinct tokens — all signals far under threshold.
+    val varied = (1 to 40).map(i => s"w$i").mkString(" ")
+    val got = operators.TextAnalysis.repetitionSignals(
+      Seq((1L, "x y x y x y"), (2L, varied)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = got(1L)
+    assert(d1.getDouble(1) === 0.818182, "top2_frac")
+    assert(d1.getDouble(2) === 0.909091, "top3_frac")
+    assert(d1.getDouble(3) === 1.272727, "top4_frac")
+    (4 to 9).foreach(i => assert(d1.getDouble(i) === 0.0, s"dup frac col $i"))
+    assert(!d1.getBoolean(10), "stuck phrase must fail the composite")
+    assert(got(2L).getBoolean(10), "varied doc must pass all nine rules")
+  }
 }
