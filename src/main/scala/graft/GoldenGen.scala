@@ -95,7 +95,10 @@ object GoldenGen {
       "m11_perceptual_clusters",
       // m12: gear-CDC chunk hashes are a sequential pure function per
       // row (spec-defined table), Jaccard join integer-exact — golden
-      "m12_cdc_neardup")
+      "m12_cdc_neardup",
+      // m14: gear chunk SPANS share m12's kernel (same cut points,
+      // lengths added) and the report is integer rollups — golden
+      "m14_cdc_storage_dedup")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

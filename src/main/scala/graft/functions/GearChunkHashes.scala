@@ -46,6 +46,38 @@ case class GearChunkHashes(child: Expression, mask: Long, minLen: Int,
   override def prettyName: String = "gear_chunk_hashes"
 }
 
+/** [[GearChunkHashes]]'s sibling carrying chunk BYTE LENGTHS alongside
+  * the hashes — struct(hashes: array<long>, lens: array<int>), same
+  * cut points, same within-payload first-occurrence dedup (identical
+  * hash ⇒ identical content ⇒ identical length). The storage-dedup
+  * report (m14) needs lengths to price distinct-chunk byte mass;
+  * keeping the hash-only expression untouched preserves m12's golden. */
+case class GearChunkSpans(child: Expression, mask: Long, minLen: Int,
+                          maxLen: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("h", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("len", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    GearChunkHashes.computeSpans(input.asInstanceOf[Array[Byte]], mask, minLen, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GearChunkHashes.computeSpans($c, ${mask}L, $minLen, $maxLen);")
+
+  override protected def withNewChildInternal(c: Expression): GearChunkSpans =
+    copy(child = c)
+  override def prettyName: String = "gear_chunk_spans"
+}
+
+object GearChunkSpans {
+  import org.apache.spark.sql.GraftGlue
+  def apply(c: Column, mask: Long, minLen: Int, maxLen: Int): Column =
+    GraftGlue.toCol(GearChunkSpans(GraftGlue.toExpr(c), mask, minLen, maxLen))
+}
+
 object GearChunkHashes {
   import org.apache.spark.sql.GraftGlue
   def apply(c: Column, mask: Long, minLen: Int, maxLen: Int): Column =
@@ -83,5 +115,36 @@ object GearChunkHashes {
     }
     if (start < n) cut(n)
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** [[compute]] with byte lengths: struct(hashes, lens) as an
+    * InternalRow — same cut points, same first-occurrence dedup. */
+  def computeSpans(bytes: Array[Byte], mask: Long, minLen: Int,
+                   maxLen: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = bytes.length
+    val seen = new java.util.HashSet[java.lang.Long](16)
+    val outH = new Array[Long](n / minLen + 1)
+    val outL = new Array[Int](n / minLen + 1)
+    var m = 0
+    var h = 0L
+    var start = 0
+    var i = 0
+    def cut(end: Int): Unit = {
+      val v = XXH64.hashUnsafeBytes(bytes,
+        Platform.BYTE_ARRAY_OFFSET + start, end - start, 42L)
+      if (seen.add(v)) { outH(m) = v; outL(m) = end - start; m += 1 }
+      start = end
+      h = 0L
+    }
+    while (i < n) {
+      h = (h << 1) + gear(bytes(i) & 0xff)
+      i += 1
+      val len = i - start
+      if ((len >= minLen && (h & mask) == 0L) || len >= maxLen) cut(i)
+    }
+    if (start < n) cut(n)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(java.util.Arrays.copyOf(outH, m)),
+                 new GenericArrayData(java.util.Arrays.copyOf(outL, m))))
   }
 }

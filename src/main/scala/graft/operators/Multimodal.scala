@@ -694,9 +694,12 @@ object Multimodal {
     * dedup store is worth running at all.
     *
     * Chunks are m06's fixed 64-byte grid (byte-exact, engine-neutral →
-    * full SQL oracle; the CDC variant swaps the chunker and reports
-    * slightly higher savings on insert-shifted corpora). Distinctness
-    * is per source — the operational unit capacity is provisioned by.
+    * full SQL oracle; [[m14CdcStorageDedup]] is the content-defined
+    * lane). Rows are per source PLUS one corpus-total row
+    * (source = '*'): chunks shared ACROSS sources — mirrored docs,
+    * cross-source boilerplate — dedupe only at corpus scope, so the
+    * '*' row is where a multi-source store's real savings show (the
+    * fixture's dup docs straddle sources; per-source rows sit ≈ 1).
     *
     * Scale: one narrow pass cuts payloads into (source, blk) rows; the
     * distinct and both aggregates are map-side combined and keyed by
@@ -713,42 +716,106 @@ object Multimodal {
       .select($"source", $"hx", explode(sequence(lit(0L), nch - 1)).as("i"))
       .select($"source",
         expr("substring(hx, cast(i * 128 + 1 as int), 128)").as("blk"))
-    val total = h.groupBy($"source").agg(
-      count(lit(1)).as("n_payloads"),
-      sum(length($"hx") / 2).cast("long").as("total_bytes"))
-    val uniq = blocks.distinct()
-      .groupBy($"source").agg(
-        count(lit(1)).as("n_distinct_blocks"),
-        sum(length($"blk") / 2).cast("long").as("unique_bytes"))
-    total.join(uniq, Seq("source"))
-      .select($"source", $"n_payloads", $"total_bytes",
-        $"n_distinct_blocks", $"unique_bytes",
-        round($"total_bytes".cast("double") / $"unique_bytes", 6)
-          .as("dedup_ratio_r"))
+    storageReport(
+      h.select($"source", (length($"hx") / 2).cast("long").as("n_bytes")),
+      blocks.select($"source", $"blk".as("ck"),
+        (length($"blk") / 2).cast("long").as("len")),
+      "n_distinct_blocks", "dedup_ratio_r")
+  }
+
+  /** The per-source + corpus-total ('*') rollup both storage reports
+    * share. The corpus row is NOT the sum of the per-source rows —
+    * chunks shared ACROSS sources (mirrored docs, cross-source
+    * boilerplate) dedupe only there, which is where most of the
+    * fixture's savings live. Corpus-wide distinctness is one extra
+    * distinct + rollup over the same chunk rows. */
+  private def storageReport(payloadBytes: DataFrame, chunks: DataFrame,
+                            nDistinctCol: String, ratioCol: String): DataFrame = {
+    val s = payloadBytes.sparkSession
+    import s.implicits._
+    def report(tot: DataFrame, uq: DataFrame): DataFrame =
+      tot.join(uq, Seq("source"))
+        .select($"source", $"n_payloads", $"total_bytes",
+          col(nDistinctCol), $"unique_bytes",
+          round($"total_bytes".cast("double") / $"unique_bytes", 6)
+            .as(ratioCol))
+    val perSource = report(
+      payloadBytes.groupBy($"source").agg(
+        count(lit(1)).as("n_payloads"), sum($"n_bytes").as("total_bytes")),
+      chunks.distinct().groupBy($"source").agg(
+        count(lit(1)).as(nDistinctCol), sum($"len").as("unique_bytes")))
+    val corpus = report(
+      payloadBytes.groupBy(lit("*").as("source")).agg(
+        count(lit(1)).as("n_payloads"), sum($"n_bytes").as("total_bytes")),
+      chunks.select($"ck", $"len").distinct()
+        .groupBy(lit("*").as("source")).agg(
+          count(lit(1)).as(nDistinctCol), sum($"len").as("unique_bytes")))
+    perSource.unionByName(corpus)
   }
 
   val m13Sql: String =
     """WITH h AS (
       |  SELECT source, upper(hex(encode(text))) AS hx FROM documents
       |  WHERE len(text) > 0
-      |), blocks AS (
-      |  SELECT DISTINCT source, unnest([substr(hx, 1 + 128*i, 128)
+      |), ex AS (
+      |  SELECT source, unnest([substr(hx, 1 + 128*i, 128)
       |           for i in range(0, CAST(ceil(len(hx) / 128.0) AS BIGINT))]) AS blk
       |  FROM h
-      |), total AS (
+      |), ps AS (
       |  SELECT source, COUNT(*) AS n_payloads,
       |    CAST(SUM(len(hx) / 2) AS BIGINT) AS total_bytes
       |  FROM h GROUP BY 1
-      |), uniq AS (
+      |), pu AS (
       |  SELECT source, COUNT(*) AS n_distinct_blocks,
       |    CAST(SUM(len(blk) / 2) AS BIGINT) AS unique_bytes
-      |  FROM blocks GROUP BY 1
+      |  FROM (SELECT DISTINCT source, blk FROM ex) GROUP BY 1
+      |), cs AS (
+      |  SELECT '*' AS source, COUNT(*) AS n_payloads,
+      |    CAST(SUM(len(hx) / 2) AS BIGINT) AS total_bytes FROM h
+      |), cu AS (
+      |  SELECT '*' AS source, COUNT(*) AS n_distinct_blocks,
+      |    CAST(SUM(len(blk) / 2) AS BIGINT) AS unique_bytes
+      |  FROM (SELECT DISTINCT blk FROM ex)
       |)
       |SELECT source, n_payloads, total_bytes, n_distinct_blocks, unique_bytes,
       |  ROUND(CAST(total_bytes AS DOUBLE) / unique_bytes, 6) AS dedup_ratio_r
-      |FROM total JOIN uniq USING (source)""".stripMargin
+      |FROM (SELECT ps.*, n_distinct_blocks, unique_bytes
+      |      FROM ps JOIN pu USING (source)
+      |      UNION ALL
+      |      SELECT cs.*, n_distinct_blocks, unique_bytes
+      |      FROM cs JOIN cu USING (source))""".stripMargin
+
+  /** m14: m13's CONTENT-DEFINED lane — the same per-source storage
+    * dedup report over Gear-CDC chunks instead of the fixed 64-byte
+    * grid. The number capacity planning actually uses: real dedup
+    * stores (LBFS/restic/borg, blob caches) chunk content-defined
+    * precisely because insert-shifted near-copies then share all
+    * untouched chunks — m13's grid misses those, so its ratio is the
+    * conservative floor and m14's the operating estimate; the gap
+    * between the two rows is the measured value of CDC itself.
+    *
+    * Scale: one codegen'd byte pass per payload ([[graft.functions
+    * .GearChunkSpans]] — same cut points as m12's hashes, plus byte
+    * lengths), then m13's shape exactly: map-side-combined distinct +
+    * two per-source rollups, only (source, hash, len) rows shuffle.
+    * Engine-side chunker → golden-snapshot oracle (the m12
+    * discipline; the kernel is a sequential pure function per row). */
+  def m14CdcStorageDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = documents(s, d)
+      .select($"source", encode($"text", "utf-8").as("payload"))
+      .filter(length($"payload") > 0)
+    val sp = p.select($"source", length($"payload").cast("long").as("n_bytes"),
+      graft.functions.GearChunkSpans($"payload", GearMask, 16, 256).as("sp"))
+    storageReport(
+      sp.select($"source", $"n_bytes"),
+      sp.select($"source", explode(arrays_zip($"sp.h", $"sp.len")).as("z"))
+        .select($"source", $"z.h".as("ck"), $"z.len".cast("long").as("len")),
+      "n_distinct_chunks", "cdc_dedup_ratio_r")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m14_cdc_storage_dedup" -> (m14CdcStorageDedup _),
     "m13_storage_dedup" -> (m13StorageDedup _),
     "m11_perceptual_clusters" -> (m11PerceptualClusters _),
     "m12_cdc_neardup"         -> (m12CdcNearDup _),
@@ -781,6 +848,10 @@ object Multimodal {
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
     "m13_storage_dedup" -> m13Sql,
+    // m14: gear chunk spans are engine-side but a sequential pure
+    // function per row (the m12 argument) and the rollups are integer
+    // sums — golden-snapshot hard check
+    "m14_cdc_storage_dedup" -> graft.GoldenGen.oracle("m14_cdc_storage_dedup"),
     // m10: same engine-side fingerprints as m07, same deterministic
     // banding/verify chain → golden-snapshot hard check; ≡ m07
     // restricted to delta-touching pairs (exact by pigeonhole

@@ -277,6 +277,16 @@ class MultimodalSpec extends SparkSpec {
     assert(hs1.array.toSeq === hs2.array.toSeq)
     assert(graft.functions.GearChunkHashes.compute(Array.emptyByteArray, mask, 16, 256)
       .array.isEmpty)
+    // the spans sibling: same cut points (hash lane identical), lengths
+    // within [min, max], and their sum covers the payload exactly when
+    // no within-payload chunk repeats (dedup drops repeat lengths too)
+    val spans = graft.functions.GearChunkHashes.computeSpans(base, mask, 16, 256)
+    val sh = spans.getArray(0).toLongArray.toSeq
+    val sl = spans.getArray(1).toIntArray.toSeq
+    assert(sh === hs1.array.toSeq, "spans' hash lane diverges from GearChunkHashes")
+    assert(sl.forall(l => l >= 1 && l <= 256))
+    assert(sl.sum <= base.length)
+    if (sh == sh.distinct) assert(sl.sum === base.length, "spans must tile the payload")
   }
 
   test("m13 storage dedup report: hand-computed byte masses and ratio") {
@@ -303,6 +313,11 @@ class MultimodalSpec extends SparkSpec {
       val sb = got("srcB")
       assert(sb.getLong(2) === 100L && sb.getLong(4) === 100L &&
         sb.getDouble(5) === 1.0)
+      // corpus row: 420 B over blocks {A64,B64,C64,D64,D36} = 292 B
+      val all = got("*")
+      assert(all.getLong(1) === 4L && all.getLong(2) === 420L)
+      assert(all.getLong(3) === 5L && all.getLong(4) === 292L)
+      assert(all.getDouble(5) === 1.438356)
     } finally graft.BenchUtil.rmTree(dir)
   }
 
