@@ -1109,40 +1109,169 @@ object Similarity {
         })
         rows.toDF("sub", "cid", "cv")
       }
-      val assigned = coarseResiduals(vq64, coarse)
-      val rsv = assigned.select($"vec_id", posexplode(subSplit($"r", dsub)))
-        .toDF("vec_id", "sub", "sv")
       // corpus as the IVFADC serving layout: (cluster_id, vec_id, codes)
-      val codes = pqCodes(rsv, books)
-        .join(assigned.select($"vec_id", $"cluster_id"), "vec_id")
-      // query side: nprobe nearest coarse buckets, one residual — and
-      // therefore one ADC distance table — PER PROBED BUCKET
-      val wp = Window.partitionBy($"q_id").orderBy($"d2".asc, $"cid".asc)
-      val probes = vq64.filter($"vec_id" < 20)
-        .select($"vec_id".as("q_id"), $"sv".as("qsv"), $"sub")
-        .join(broadcast(coarse), Seq("sub"))
-        .select($"q_id", $"cid", $"qsv", $"cv", d2($"qsv", $"cv").as("d2"))
-        .withColumn("c_rank", row_number().over(wp))
-        .filter($"c_rank" <= nprobe)
-        .select($"q_id", $"cid".as("cluster_id"),
-          zip_with($"qsv", $"cv", (x, c) => round(x - c, 6)).as("qr"))
-      val dtab = probes
-        .select($"q_id", $"cluster_id", posexplode(subSplit($"qr", dsub)))
-        .toDF("q_id", "cluster_id", "sub", "qsv")
-        .join(broadcast(books), Seq("sub"))
-        .select($"q_id", $"cluster_id", $"sub", $"cid",
-          round(d2($"qsv", $"cv"), 6).as("d2q"))
-      val wq = Window.partitionBy($"q_id").orderBy($"adc".asc, $"n_id".asc)
-      codes
-        .select($"vec_id".as("n_id"), $"cluster_id", posexplode($"codes"))
-        .toDF("n_id", "cluster_id", "sub", "cid")
-        .join(broadcast(dtab), Seq("cluster_id", "sub", "cid"))
-        .filter($"n_id" =!= $"q_id")
-        .groupBy($"q_id", $"n_id")
-        .agg(graft.Det.dsum($"d2q").as("adc"))
-        .withColumn("rank", row_number().over(wq))
-        .filter($"rank" <= 3)
-        .select($"q_id", $"n_id", $"rank", round($"adc", 6).as("adc_r"))
+      val codes = encodeIvfAdc(vq64, coarse, books, dsub)
+      ivfAdcServe(codes, coarse, books,
+        vq64.filter($"vec_id" < 20), dsub, nprobe, k = 3)
+    } finally { vq64.unpersist(); () }
+  }
+
+  /** Spec-facing alias of [[coarseResiduals]] (PlanSpec/SimilaritySpec
+    * build s27 artifacts with in-spec quantizers). */
+  private[graft] def coarseResidualsForSpec(vq64: DataFrame,
+                                            coarse: DataFrame): DataFrame =
+    coarseResiduals(vq64, coarse)
+
+  /** Assign + encode a full-vector (sub=0) frame against FROZEN
+    * quantizers — the one body both the in-plan s13 entry and the
+    * persisted-index build/append run (the writeIvfLists discipline:
+    * the append path can never silently diverge from the rebuild). */
+  private def encodeIvfAdc(vq64: DataFrame, coarse: DataFrame,
+                           books: DataFrame, dsub: Int): DataFrame = {
+    val s = vq64.sparkSession
+    import s.implicits._
+    val assigned = coarseResiduals(vq64, coarse)
+    val rsv = assigned.select($"vec_id", posexplode(subSplit($"r", dsub)))
+      .toDF("vec_id", "sub", "sv")
+    pqCodes(rsv, books)
+      .join(assigned.select($"vec_id", $"cluster_id"), "vec_id")
+  }
+
+  /** The IVFADC serve stage — probes, per-(query, bucket) ADC distance
+    * tables, code scoring, top-k — shared by s13 (in-plan frames) and
+    * s27 (artifact frames). Every join is broadcast-model or equi-keyed
+    * on (cluster_id, sub, cid); the only corpus-sized shuffle is the
+    * final (q_id, n_id) exact-decimal sum. */
+  private def ivfAdcServe(codes: DataFrame, coarse: DataFrame,
+      books: DataFrame, qVq64: DataFrame, dsub: Int, nprobe: Int,
+      k: Int): DataFrame = {
+    val s = codes.sparkSession
+    import s.implicits._
+    // query side: nprobe nearest coarse buckets, one residual — and
+    // therefore one ADC distance table — PER PROBED BUCKET
+    val wp = Window.partitionBy($"q_id").orderBy($"d2".asc, $"cid".asc)
+    val probes = qVq64
+      .select($"vec_id".as("q_id"), $"sv".as("qsv"), $"sub")
+      .join(broadcast(coarse), Seq("sub"))
+      .select($"q_id", $"cid", $"qsv", $"cv", d2($"qsv", $"cv").as("d2"))
+      .withColumn("c_rank", row_number().over(wp))
+      .filter($"c_rank" <= nprobe)
+      .select($"q_id", $"cid".as("cluster_id"),
+        zip_with($"qsv", $"cv", (x, c) => round(x - c, 6)).as("qr"))
+    val dtab = probes
+      .select($"q_id", $"cluster_id", posexplode(subSplit($"qr", dsub)))
+      .toDF("q_id", "cluster_id", "sub", "qsv")
+      .join(broadcast(books), Seq("sub"))
+      .select($"q_id", $"cluster_id", $"sub", $"cid",
+        round(d2($"qsv", $"cv"), 6).as("d2q"))
+    val wq = Window.partitionBy($"q_id").orderBy($"adc".asc, $"n_id".asc)
+    codes
+      .select($"vec_id".as("n_id"), $"cluster_id", posexplode($"codes"))
+      .toDF("n_id", "cluster_id", "sub", "cid")
+      .join(broadcast(dtab), Seq("cluster_id", "sub", "cid"))
+      .filter($"n_id" =!= $"q_id")
+      .groupBy($"q_id", $"n_id")
+      .agg(graft.Det.dsum($"d2q").as("adc"))
+      .withColumn("rank", row_number().over(wq))
+      .filter($"rank" <= k)
+      .select($"q_id", $"n_id", $"rank", round($"adc", 6).as("adc_r"))
+  }
+
+  // ---- s27: persisted IVFADC index (the production serving artifact) ----
+
+  /** Write the IVFADC serving artifact: two model lanes (coarse
+    * quantizer, residual codebooks — tiny, broadcast at serve time)
+    * plus the encoded corpus partitioned by cluster_id, so probe-time
+    * list selection IS partition pruning — s17's layout carrying s13's
+    * 32×-compressed codes instead of raw vectors. At 100 TB this is
+    * ~3 TB of codes + two sub-MB models: the artifact a production ANN
+    * service actually loads. [[IndexStore]] generations like every
+    * index artifact (atomic flip, sweep grace, compactable). */
+  def writeIvfAdcIndex(vq64: DataFrame, coarse: DataFrame, books: DataFrame,
+                       dsub: Int, dir: String): Unit = {
+    import vq64.sparkSession.implicits._
+    val g = IndexStore.nextGen(dir)
+    val root = IndexStore.genPath(dir, g)
+    coarse.write.mode("overwrite").parquet(s"$root/coarse")
+    books.write.mode("overwrite").parquet(s"$root/books")
+    encodeIvfAdc(vq64, coarse, books, dsub)
+      .repartition($"cluster_id").sortWithinPartitions($"vec_id")
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$root/codes")
+    IndexStore.publish(dir, g)
+    IndexStore.sweep(dir)
+  }
+
+  /** Admit a delta against a standing IVFADC artifact: encode it with
+    * the FROZEN quantizers read from the artifact's own model lanes
+    * and append new files into the matching list directories —
+    * standing files byte-untouched, cost ∝ |delta| (the s18 contract
+    * on the compressed layout). */
+  def appendToIvfAdcIndex(deltaVq64: DataFrame, dsub: Int, dir: String): Unit = {
+    val s = deltaVq64.sparkSession
+    import s.implicits._
+    val root = IndexStore.currentPath(dir)
+    encodeIvfAdc(deltaVq64,
+        s.read.parquet(s"$root/coarse"), s.read.parquet(s"$root/books"), dsub)
+      .repartition($"cluster_id").sortWithinPartitions($"vec_id")
+      .write.mode("append").partitionBy("cluster_id").parquet(s"$root/codes")
+  }
+
+  /** Serve ADC top-k from a persisted [[writeIvfAdcIndex]] layout with
+    * probe-time partition pruning (the s17 literal-isin discipline:
+    * probed cluster ids are a ≤ nprobe·|Q| model-artifact-sized
+    * collect). Bit-identical to the in-plan s13 for the same
+    * quantizers: codes are integers, residual/table arithmetic is
+    * 6dp-decimal-exact, and doubles round-trip parquet exactly. */
+  def ivfAdcTopKFromIndex(s: SparkSession, dir: String, qVq64: DataFrame,
+                          dsub: Int, nprobe: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val root = IndexStore.currentPath(dir)
+    val coarse = s.read.parquet(s"$root/coarse")
+    val books = s.read.parquet(s"$root/books")
+    val wp = Window.partitionBy($"q_id").orderBy($"d2".asc, $"cid".asc)
+    val probedIds = qVq64
+      .select($"vec_id".as("q_id"), $"sv".as("qsv"), $"sub")
+      .join(broadcast(coarse), Seq("sub"))
+      .select($"q_id", $"cid", d2($"qsv", $"cv").as("d2"))
+      .withColumn("c_rank", row_number().over(wp))
+      .filter($"c_rank" <= nprobe)
+      .select($"cid").distinct().as[Int].collect().sorted
+    val codes = s.read.parquet(s"$root/codes")
+      .filter($"cluster_id".isin(probedIds.map(Int.box): _*))
+    ivfAdcServe(codes, coarse, books, qVq64, dsub, nprobe, k)
+  }
+
+  /** Registered: train both quantizers, build the artifact in a temp
+    * dir in-plan (the s17/c12 oracle-self-containment discipline) and
+    * serve s13's exact query through it — ≡ s13 bit-identically, so
+    * the driver hash-checks the whole persisted round-trip against
+    * s13's OWN golden (the s17≡s03 precedent on the compressed
+    * layout). Production writes once and serves per run. */
+  def s27IvfAdcPersisted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (kc, dsub, kpq, iters, nprobe) = (5, 4, 16, 2, 2)
+    val vq64 = pqSubvectors(corpus(s, d).select($"vec_id", $"v"), 64).cache()
+    try {
+      val coarse = trainedPqCodebooks(s, d, 64, kc, iters)
+      val books = {
+        val rows = ivfadcStore.getOrElseUpdate((d, kc, dsub, kpq, iters), {
+          val rsv = coarseResiduals(vq64, coarse)
+            .select($"vec_id", posexplode(subSplit($"r", dsub)))
+            .toDF("vec_id", "sub", "sv")
+          pqCodebooks(rsv, kpq, iters)
+            .collect().toSeq.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        })
+        rows.toDF("sub", "cid", "cv")
+      }
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft-s27-index").toString
+      s17CleanupHook
+      writeIvfAdcIndex(vq64, coarse, books, dsub, dir)
+      val served = ivfAdcTopKFromIndex(s, dir,
+        vq64.filter($"vec_id" < 20), dsub, nprobe, k = 3)
+        .localCheckpoint()
+      s17Admit(dir)
+      served
     } finally { vq64.unpersist(); () }
   }
 
@@ -2324,6 +2453,7 @@ object Similarity {
       |  AND list_dot_product(q.v, c.v) / (q.nrm * c.nrm) >= 0.3""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s27_ivfadc_persisted"  -> (s27IvfAdcPersisted _),
     "s26_semdedup_collapsed" -> (s26SemDedupCollapsed _),
     "s23_semdedup"          -> (s23SemDedup _),
     "s25_filtered_topk"     -> (s25FilteredTopK _),
@@ -2355,6 +2485,11 @@ object Similarity {
   // def, not val: the golden-snapshot oracle resolves the sf tag at
   // dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // s27 ≡ s13 bit-identically (same frozen quantizers; integer codes
+    // + 6dp decimal arithmetic; doubles round-trip parquet exactly) →
+    // s13's own golden independently hash-checks that the persisted
+    // compressed layout preserves the answer (the s17≡s03 precedent)
+    "s27_ivfadc_persisted"  -> graft.GoldenGen.oracle("s13_ivfadc_topk"),
     // s26 ≡ s23 for ANY corpus (exact pre-collapse is answer-
     // preserving: identical vectors share cluster, pairs and component
     // — see the s26 scaladoc) → s23's own SQL oracle hash-checks that

@@ -52,7 +52,8 @@ object PlanAudit {
         "c19_quality_sweep", "m11_perceptual_clusters",
         "m12_cdc_neardup", "q73_markov_transitions",
         "s26_semdedup_collapsed", "t38_repetition_signals",
-        "m13_storage_dedup", "m14_cdc_storage_dedup").foreach(show)
+        "m13_storage_dedup", "m14_cdc_storage_dedup",
+        "s27_ivfadc_persisted").foreach(show)
     spark.stop()
   }
 }

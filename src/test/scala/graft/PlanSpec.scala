@@ -572,6 +572,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(400))
   }
 
+  test("s27: persisted IVFADC serve — probed-list partition pruning, models broadcast") {
+    // the compressed-layout twin of the s17 pin: probe ids must reach
+    // the CODES scan as a partition filter, and both model lanes join
+    // as broadcasts — the corpus-sized side never shuffles for a model
+    import spark.implicits._
+    import org.apache.spark.sql.functions.posexplode
+    import graft.operators.Similarity
+    val (kc, dsub, kpq, iters) = (5, 4, 16, 2)
+    val vq64 = Similarity.pqSubvectors(
+      Tables.embeddings(spark, sf001)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")), 64)
+    val coarse = Similarity.trainedPqCodebooks(spark, sf001, 64, kc, iters)
+    val rsv = Similarity.coarseResidualsForSpec(vq64, coarse)
+      .select($"vec_id", posexplode(Similarity.subSplit($"r", dsub)))
+      .toDF("vec_id", "sub", "sv")
+    val books = Similarity.pqCodebooks(rsv, kpq, iters)
+    val dir = java.nio.file.Files.createTempDirectory("s27-plan-idx").toString
+    val p = try {
+      Similarity.writeIvfAdcIndex(vq64, coarse, books, dsub, dir)
+      Similarity.ivfAdcTopKFromIndex(spark, dir,
+          vq64.filter($"vec_id" < 20), dsub, nprobe = 2, k = 3)
+        .queryExecution.executedPlan.toString
+    } finally graft.BenchUtil.rmTree(dir)
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(l => l.contains("cluster_id") && !l.contains("[]")),
+      s"probe filter not pushed to partition pruning: ${pf.getOrElse("no line")}")
+    assert(p.contains("BroadcastHashJoin"), "model lanes must broadcast")
+  }
+
   test("m06/m12: payload near-dup — equi-joins only, payload bytes never cross an exchange") {
     // the collapsedChunkSetPairs contract: candidates come from chunk-
     // value equi-joins over DISTINCT payloads' chunk sets, the df-cap

@@ -1079,4 +1079,48 @@ class SimilaritySpec extends SparkSpec {
       assert(got === Set((0L, 30L, 1), (0L, 31L, 2), (1L, 25L, 1)), got.toString)
     } finally graft.BenchUtil.rmTree(dir)
   }
+
+  test("s27 persisted IVFADC: serve ≡ in-plan s13; append ≡ rebuild at any boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (kc, dsub, kpq, iters, nprobe) = (5, 4, 16, 2, 2)
+    val vq64 = Similarity.pqSubvectors(
+      Tables.embeddings(spark, sf001)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")), 64)
+      .cache()
+    try {
+      val coarse = Similarity.trainedPqCodebooks(spark, sf001, 64, kc, iters)
+      val rsv = Similarity.coarseResidualsForSpec(vq64, coarse)
+        .select($"vec_id", posexplode(Similarity.subSplit($"r", dsub)))
+        .toDF("vec_id", "sub", "sv")
+      val books = Similarity.pqCodebooks(rsv, kpq, iters).cache()
+      def serve(dir: String) =
+        Similarity.ivfAdcTopKFromIndex(spark, dir,
+            vq64.filter($"vec_id" < 20), dsub, nprobe, k = 3)
+          .as[(Long, Long, Int, Double)].collect().toSet
+      // registered entry (the s13-golden-checked path) vs a direct build
+      val viaEntry = Similarity.s27IvfAdcPersisted(spark, sf001)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val inPlan = Similarity.s13IvfAdcTopK(spark, sf001)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(viaEntry === inPlan, "persisted serve diverges from in-plan s13")
+      // append ≡ rebuild: split the ENCODING set (quantizers frozen —
+      // per-vector independent assignment + total-ordered windows make
+      // arrival order invisible)
+      val maxId = vq64.agg(max($"vec_id")).head().getLong(0)
+      val full = java.nio.file.Files.createTempDirectory("s27-full").toString
+      val appended = java.nio.file.Files.createTempDirectory("s27-app").toString
+      try {
+        Similarity.writeIvfAdcIndex(vq64, coarse, books, dsub, full)
+        val boundary = maxId / 2
+        Similarity.writeIvfAdcIndex(
+          vq64.filter($"vec_id" <= boundary), coarse, books, dsub, appended)
+        Similarity.appendToIvfAdcIndex(
+          vq64.filter($"vec_id" > boundary), dsub, appended)
+        assert(serve(appended) === serve(full),
+          "appended IVFADC index diverges from rebuild")
+        assert(serve(full) === inPlan)
+      } finally { graft.BenchUtil.rmTree(full); graft.BenchUtil.rmTree(appended) }
+    } finally { vq64.unpersist(); () }
+  }
 }
