@@ -1216,6 +1216,26 @@ object Similarity {
       .write.mode("append").partitionBy("cluster_id").parquet(s"$root/codes")
   }
 
+  /** Compact a standing IVFADC artifact: fold each cluster's append
+    * files into one (repartition on cluster_id, build-path sort) and
+    * carry the model lanes forward into the new generation —
+    * row-preserving, served answers identical; live-reader-safe via
+    * [[IndexStore]] (the compactIvfIndex contract on the compressed
+    * layout). */
+  def compactIvfAdcIndex(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val src = IndexStore.currentPath(dir)
+    val g = IndexStore.nextGen(dir)
+    val root = IndexStore.genPath(dir, g)
+    s.read.parquet(s"$src/coarse").write.mode("overwrite").parquet(s"$root/coarse")
+    s.read.parquet(s"$src/books").write.mode("overwrite").parquet(s"$root/books")
+    s.read.parquet(s"$src/codes")
+      .repartition($"cluster_id").sortWithinPartitions($"vec_id")
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$root/codes")
+    IndexStore.publish(dir, g)
+    IndexStore.sweep(dir)
+  }
+
   /** Serve ADC top-k from a persisted [[writeIvfAdcIndex]] layout with
     * probe-time partition pruning (the s17 literal-isin discipline:
     * probed cluster ids are a ≤ nprobe·|Q| model-artifact-sized

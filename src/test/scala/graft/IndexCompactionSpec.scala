@@ -103,6 +103,46 @@ class IndexCompactionSpec extends SparkSpec {
     } finally graft.BenchUtil.rmTree(dir)
   }
 
+  test("IVFADC index: appends then compact — served ADC top-k identical, files bounded") {
+    import spark.implicits._
+    val (kc, dsub, kpq, iters, nprobe) = (5, 4, 16, 2, 2)
+    val vq64 = Similarity.pqSubvectors(
+      Tables.embeddings(spark, sf0001)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")), 64)
+      .cache()
+    try {
+      val coarse = Similarity.trainedPqCodebooks(spark, sf0001, 64, kc, iters)
+      val rsv = Similarity.coarseResidualsForSpec(vq64, coarse)
+        .select($"vec_id", posexplode(Similarity.subSplit($"r", dsub)))
+        .toDF("vec_id", "sub", "sv")
+      val books = Similarity.pqCodebooks(rsv, kpq, iters).cache()
+      def serve(dir: String) =
+        Similarity.ivfAdcTopKFromIndex(spark, dir,
+            vq64.filter($"vec_id" < 20), dsub, nprobe, k = 3)
+          .as[(Long, Long, Int, Double)].collect().toSet
+      val maxId = vq64.agg(max($"vec_id")).head().getLong(0)
+      val dir = java.nio.file.Files.createTempDirectory("compact-adc").toString
+      try {
+        val bounds = (0 to 10).map(i => maxId * i / 10)
+        Similarity.writeIvfAdcIndex(
+          vq64.filter($"vec_id" <= bounds(1)), coarse, books, dsub, dir)
+        (1 until 10).foreach { i =>
+          Similarity.appendToIvfAdcIndex(
+            vq64.filter($"vec_id" > bounds(i) && $"vec_id" <= bounds(i + 1)),
+            dsub, dir)
+        }
+        val before = serve(dir)
+        val filesBefore = parquetFiles(dir).size
+        Similarity.compactIvfAdcIndex(spark, dir)
+        val filesAfter = parquetFiles(IndexStore.currentPath(dir)).size
+        assert(filesAfter * 3 <= filesBefore,
+          s"compaction barely folded: $filesBefore -> $filesAfter")
+        assert(serve(dir) === before, "compaction changed served results")
+        assert(before.nonEmpty)
+      } finally graft.BenchUtil.rmTree(dir)
+    } finally { vq64.unpersist(); () }
+  }
+
   test("payload index: appends then compact — probe identical, files bounded") {
     import spark.implicits._
     val all = Tables.documents(spark, sf0001)
