@@ -293,6 +293,61 @@ object Curation {
     * Scale: the score is a per-row expression; the sweep replicates
     * each doc once per candidate τ (5×) and reduces by τ — a
     * 5-key aggregate with map-side combine, no joins, no windows. */
+  /** c20: mixture-diversity datasheet — how concentrated the corpus's
+    * token mass is across sources, read BEFORE c03/c08 decide weights
+    * (a mixture already dominated by one source needs rebalancing;
+    * one already flat doesn't). Concentration is the Simpson index
+    * λ = Σ_s p_s² over token shares — chosen over Shannon entropy
+    * deliberately: λ's numerator is the EXACT integer Σ tok_s² against
+    * denominator T², so the one final division (+ round 6) is
+    * parallelism- and engine-proof (the t36 TVD discipline; entropy's
+    * logs are transcendental → cross-engine unsafe, the t21/t25
+    * lesson). Reported with its standard readings: 1/λ = effective
+    * source count (the "how many sources does this mixture really
+    * have" number), max share, and the Herfindahl-style top-1 ratio.
+    *
+    * Scale: one explode-free scan (token counts are per-row size()),
+    * one map-side-combined per-source aggregate over |sources| rows,
+    * one single-row reduce — no join, no window, nothing
+    * corpus-quadratic. BIGINT bound: Σ tok_s² ≤ T² needs DECIMAL(38,0)
+    * past T ~ 3·10^9 tokens per source; exact at fixture scale. */
+  def c20MixtureDiversity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perSource = documents(s, d)
+      .select($"source", size(split($"text", " ")).cast("long").as("n_tok"))
+      .groupBy($"source").agg(sum($"n_tok").as("tok_s"))
+    perSource.agg(
+        count(lit(1)).as("n_sources"),
+        sum($"tok_s").as("total_tokens"),
+        sum($"tok_s" * $"tok_s").as("sq"),
+        max($"tok_s").as("max_tok"))
+      .select($"n_sources", $"total_tokens",
+        round($"sq".cast("double") / ($"total_tokens" * $"total_tokens"), 6)
+          .as("simpson_r"),
+        round(($"total_tokens" * $"total_tokens").cast("double") / $"sq", 6)
+          .as("effective_sources_r"),
+        round($"max_tok".cast("double") / $"total_tokens", 6)
+          .as("max_share_r"))
+  }
+
+  val c20Sql: String =
+    """WITH ps AS (
+      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_s
+      |  FROM documents GROUP BY 1
+      |), agg AS (
+      |  SELECT COUNT(*) AS n_sources,
+      |    CAST(SUM(tok_s) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(tok_s * tok_s) AS BIGINT) AS sq,
+      |    MAX(tok_s) AS max_tok
+      |  FROM ps
+      |)
+      |SELECT n_sources, total_tokens,
+      |  ROUND(CAST(sq AS DOUBLE) / (total_tokens * total_tokens), 6) AS simpson_r,
+      |  ROUND(CAST(total_tokens * total_tokens AS DOUBLE) / sq, 6)
+      |    AS effective_sources_r,
+      |  ROUND(CAST(max_tok AS DOUBLE) / total_tokens, 6) AS max_share_r
+      |FROM agg""".stripMargin
+
   def c19QualitySweep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val taus = Seq(0.3, 0.4, 0.5, 0.6, 0.7)
@@ -1785,6 +1840,7 @@ object Curation {
     "t11_repetition"      -> (t11RepetitionRatio _),
     "t12_token_packing"   -> (t12TokenPacking _),
     "c18_sequence_manifest" -> (c18SequenceManifest _),
+    "c20_mixture_diversity" -> (c20MixtureDiversity _),
     "c19_quality_sweep"     -> (c19QualitySweep _),
   )
 
@@ -1842,6 +1898,7 @@ object Curation {
     "t11_repetition"      -> t11Sql,
     "t12_token_packing"   -> t12Sql,
     "c18_sequence_manifest" -> c18Sql,
+    "c20_mixture_diversity" -> c20Sql,
     "c19_quality_sweep"     -> c19Sql,
   )
 }

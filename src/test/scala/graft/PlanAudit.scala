@@ -53,7 +53,7 @@ object PlanAudit {
         "m12_cdc_neardup", "q73_markov_transitions",
         "s26_semdedup_collapsed", "t38_repetition_signals",
         "m13_storage_dedup", "m14_cdc_storage_dedup",
-        "s27_ivfadc_persisted").foreach(show)
+        "s27_ivfadc_persisted", "c20_mixture_diversity").foreach(show)
     spark.stop()
   }
 }
