@@ -356,6 +356,37 @@ object ScaleProbe {
     row("c18_sequence_manifest",
       t2(operators.Curation.c18SequenceManifest(spark, docsAt("x1")).count()),
       t2(operators.Curation.c18SequenceManifest(spark, docsAt("x10")).count()))
+    // s26 (r14): s23's collapsed production form measured on the SAME
+    // dup-storm corpus as the s23 row above — byte-exact copies
+    // collapse to one rep each, so the within-cluster pair join runs
+    // at distinct-vector cardinality while s23's uncapped form pays
+    // the ~100× candidate pileup; the two rows together price the
+    // guard (answers identical by the s26 contract)
+    row("s26_semdedup_collapsed",
+      t2(Similarity.s26SemDedupCollapsed(spark, docsAt("x1")).count()),
+      t2(Similarity.s26SemDedupCollapsed(spark, docsAt("x10")).count()))
+    // s27 (r14): train (memoized) + encode + persist + pruned serve —
+    // encode is linear, serve bounded by probed lists
+    row("s27_ivfadc_persisted",
+      t2(Similarity.s27IvfAdcPersisted(spark, docsAt("x1")).count()),
+      t2(Similarity.s27IvfAdcPersisted(spark, docsAt("x10")).count()))
+    // t38 (r14): nine doc-keyed explode/count/reduce branches — t34's
+    // linear shape ×9
+    row("t38_repetition_signals",
+      t2(operators.TextAnalysis.t38RepetitionSignals(spark, docsAt("x1")).count()),
+      t2(operators.TextAnalysis.t38RepetitionSignals(spark, docsAt("x10")).count()))
+    // m13/m14 (r14): one narrow chunk pass + map-side-combined
+    // distincts and rollups — linear in chunk mass
+    row("m13_storage_dedup",
+      t2(Multimodal.m13StorageDedup(spark, docsAt("x1")).count()),
+      t2(Multimodal.m13StorageDedup(spark, docsAt("x10")).count()))
+    row("m14_cdc_storage_dedup",
+      t2(Multimodal.m14CdcStorageDedup(spark, docsAt("x1")).count()),
+      t2(Multimodal.m14CdcStorageDedup(spark, docsAt("x10")).count()))
+    // c20 (r14): one per-source aggregate + a single-row reduce — flat
+    row("c20_mixture_diversity",
+      t2(operators.Curation.c20MixtureDiversity(spark, docsAt("x1")).count()),
+      t2(operators.Curation.c20MixtureDiversity(spark, docsAt("x10")).count()))
     // t28: two hash aggs over token/hash mass — the linear floor
     row("t28_sketch_profile",
       t2(operators.TextAnalysis.t28SketchProfile(spark, docsAt("x1")).count()),
