@@ -1764,7 +1764,20 @@ object Curation {
     * none in a full run's f2. [[graft.streaming.StreamingCuration
     * .pipelineAdmission]] folds this per micro-batch. */
   private[graft] def admitDeltaState(state: DataFrame, delta: DataFrame,
-                                     bench: DataFrame): DataFrame = {
+                                     bench: DataFrame): DataFrame =
+    admitDeltaStateWith(state, delta, bench,
+      (stSh, dSh) => Dedup.deltaPairsFromShingled(stSh, dSh, 0.8))
+
+  /** [[admitDeltaState]] with a pluggable near-dup pair source
+    * `pairFn(standingSh, deltaSh)`: the registered c12 entry keeps the
+    * EXACT prefix join (self-contained against its DuckDB oracle);
+    * [[graft.streaming.StreamingCuration.admitPipelineBatch]] passes
+    * the persisted-banded-lane probe ([[Dedup.probeLshFromShingled]])
+    * so a long-running admission loop never re-derives standing
+    * shingle structure per micro-batch. */
+  private[graft] def admitDeltaStateWith(state: DataFrame, delta: DataFrame,
+      bench: DataFrame,
+      pairFn: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val s = delta.sparkSession
     import s.implicits._
     val standingHashes = state.select($"th")
@@ -1774,17 +1787,26 @@ object Curation {
       .filter(TextAnalysis.langPredCol($"text") === "en" && score >= 0.5)
       .withColumn("quality", round(score, 6))
       .withColumn("th", sha2($"text", 256))
+    // exact-dup membership as a SCAN of the standing hash column, never
+    // a standing-side shuffle or broadcast: the standing `th` lane
+    // streams map-side past the broadcast delta hash set (left-semi),
+    // and only the HIT set — ≤ |delta| distinct hashes — broadcasts
+    // into the anti-join. (A direct left-anti would make Spark either
+    // broadcast the UNBOUNDED standing side or shuffle both.)
+    val hitTh = standingHashes
+      .join(broadcast(dF1.select($"th").distinct()), Seq("th"), "left_semi")
+      .distinct()
     val wTxt = Window.partitionBy($"th").orderBy($"doc_id")
     val dF2 = dF1
       .withColumn("rn", row_number().over(wTxt)).filter($"rn" === 1)
-      .join(standingHashes, Seq("th"), "left_anti")
+      .join(broadcast(hitTh), Seq("th"), "left_anti")
       .select($"doc_id", $"quality", $"th",
         array_sort(Dedup.shingleHashes($"text")).as("sh"))
     val dSh = dF2.select($"doc_id", $"sh").filter(size($"sh") > 0)
     // every delta-touching pair's GREATER endpoint is a delta doc (the
     // ids-sort-after-state contract), so d2 is the doc to kill — no
     // boundary filter needed
-    val nearKilled = Dedup.deltaPairsFromShingled(standingF2Sh, dSh, 0.8)
+    val nearKilled = pairFn(standingF2Sh, dSh)
       .select($"d2".as("doc_id")).distinct()
     val benchEx = bench.select($"doc_id".as("bench_id"),
       explode(Dedup.shingleHashes($"text")).as("sg"))

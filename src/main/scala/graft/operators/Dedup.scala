@@ -1008,8 +1008,10 @@ object Dedup {
 
   /** (doc_id, band_id, band_hash) banding of a shingle frame — the
     * index's candidate lane, the same native signature/band
-    * expressions d04 runs in-plan. */
-  private def bandedOf(sh: DataFrame): DataFrame = {
+    * expressions d04 runs in-plan. private[graft]: the streaming
+    * admission loop persists per-batch banded lanes with exactly
+    * these rows ([[graft.streaming.StreamingCuration]]). */
+  private[graft] def bandedOf(sh: DataFrame): DataFrame = {
     val s = sh.sparkSession
     import s.implicits._
     sh.select($"doc_id", posexplode(bandKeys(minhashSignature($"sh"))))
@@ -1061,7 +1063,7 @@ object Dedup {
     * standing banded table: the bucket-cap key set comes from summing
     * THESE rows (one tiny row per touched bucket per batch), not from
     * a window over standing band rows. */
-  private def bandedOf_counts(banded: DataFrame): DataFrame = {
+  private[graft] def bandedOf_counts(banded: DataFrame): DataFrame = {
     import banded.sparkSession.implicits._
     banded.groupBy($"band_id", $"band_hash").agg(count(lit(1)).as("n"))
   }
@@ -1174,15 +1176,26 @@ object Dedup {
     * LshProbeScale in IncrementalProbe / SCALE.md). */
   private[graft] def probeLshFrames(standingBanded: DataFrame,
       standingCounts: DataFrame, standingSh: DataFrame, delta: DataFrame,
+      threshold: Double, maxBucket: Int): DataFrame =
+    probeLshFromShingled(standingBanded, standingCounts, standingSh,
+      shingleFrame(delta), threshold, maxBucket)
+
+  /** Pre-shingled form of the probe: callers that already hold the
+    * delta's (doc_id, sh) frame (the streaming admission loop stores
+    * sorted shingle arrays in its history rows) skip re-shingling.
+    * Shingle-array sort order is irrelevant to every consumer here
+    * (minhash is a min over permutations; verify is array_intersect). */
+  private[graft] def probeLshFromShingled(standingBanded: DataFrame,
+      standingCounts: DataFrame, standingSh: DataFrame, deltaSh: DataFrame,
       threshold: Double, maxBucket: Int): DataFrame = {
-    val s = delta.sparkSession
+    val s = deltaSh.sparkSession
     import s.implicits._
     // the delta frames are consumed by ~6 plan branches (counts,
     // over-cap anti-joins, both candidate joins, id anti-joins, the
     // verify union) — materialize them ONCE (delta-sized by premise;
     // localCheckpoint blocks, no disk artifact) instead of running the
     // 128-perm signature expression once per consumer
-    val dSh = shingleFrame(delta).localCheckpoint()
+    val dSh = deltaSh.filter(size($"sh") > 0).localCheckpoint()
     val dBand = bandedOf(dSh).localCheckpoint()
     val dIds = dSh.select($"doc_id")
     // idempotence guard: drop the delta's own rows from the standing

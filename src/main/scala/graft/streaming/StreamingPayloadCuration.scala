@@ -24,25 +24,43 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructFiel
   * non-decreasing across batches (ingestion order).
   *
   * Mechanics per micro-batch: hash payloads in-plan (one narrow
-  * pass), keep-first within the batch (window on the 256-bit hash),
-  * one broadcast-friendly anti-join against the history's sha column
-  * — ~50 B/payload of standing state, payload BYTES never reread,
-  * never shuffled — then append under `batch=<id>` (replay overwrites
-  * exactly that subdir; the history read excludes it, so a replay can
-  * never race its own overwrite — the family's idempotence design). */
+  * pass), keep-first within the batch (min-id per hash — a groupBy
+  * with map-side combine, NOT a window: a mass-duplicated payload
+  * batch would concentrate its whole clique on one window task),
+  * then membership against the standing sha column as a SCAN: the
+  * history's `payload_sha256` lane streams map-side past the
+  * broadcast batch hash set (left-semi) and only the HIT set —
+  * ≤ |batch| hashes — broadcasts into the batch-side anti-join.
+  * ~50 B/payload of standing state, payload BYTES never reread,
+  * nothing standing ever shuffled. The batch appends under
+  * `batch=<id>` (replay overwrites exactly that subdir; the history
+  * read excludes it, so a replay can never race its own overwrite —
+  * the family's idempotence design), and `compactEvery` folds retired
+  * batch dirs through [[StreamingHistory]] generations so file count
+  * stays bounded at production cadence. */
 object StreamingPayloadCuration {
 
   /** Start the admission query over a streaming (doc_id, payload)
-    * frame — `payload` a binary column. */
+    * frame — `payload` a binary column. `compactEvery` > 0 folds the
+    * history every that-many batches ([[compactHistory]]). */
   def exactDedupAdmission(payloads: DataFrame, historyDir: String,
-                          checkpointDir: String): StreamingQuery =
+                          checkpointDir: String,
+                          compactEvery: Int = 0): StreamingQuery =
     payloads.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitBatch(batch, historyDir, batchId)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactHistory(batch.sparkSession, historyDir, uptoExclusive = batchId)
         ()
       }
       .start()
+
+  /** Fold retired `batch=` dirs into a generation (rows only — this
+    * leg has no side lanes); see [[StreamingHistory.compact]]. */
+  def compactHistory(spark: SparkSession, dir: String,
+                     uptoExclusive: Long): Unit =
+    StreamingHistory.compact(spark, dir, uptoExclusive)
 
   /** One admission step — exposed for bounded deltas and tests. */
   def admitBatch(batch0: DataFrame, historyDir: String, batchId: Long): Unit = {
@@ -54,11 +72,16 @@ object StreamingPayloadCuration {
     try {
       val hist = StreamingCuration.readHistory(spark, historyDir,
         HistorySchema, excludeBatch = Some(batchId))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"payload_sha256").orderBy($"doc_id")
+      // standing membership as a scan (see object doc): semi-probe the
+      // history lane with the broadcast batch set, anti-join the small
+      // hit set back — never broadcast or shuffle the standing side
+      val hitShas = hist.select($"payload_sha256")
+        .join(broadcast(batch.select($"payload_sha256").distinct()),
+          Seq("payload_sha256"), "left_semi")
+        .distinct()
       val firstInBatch = batch
-        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .join(hist.select($"payload_sha256"), Seq("payload_sha256"), "left_anti")
+        .groupBy($"payload_sha256").agg(min($"doc_id").as("doc_id"))
+        .join(broadcast(hitShas), Seq("payload_sha256"), "left_anti")
         .select($"doc_id")
       batch
         .join(firstInBatch.withColumn("adm", lit(true)), Seq("doc_id"), "left_outer")

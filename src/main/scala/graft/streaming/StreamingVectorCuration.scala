@@ -25,20 +25,37 @@ import graft.operators.Similarity
   * batch against the history — cost |batch| · |corpus| spread evenly
   * over block tasks, never |corpus|² — then append the batch under
   * `batch=<id>` (replay overwrites exactly that subdir; the history
-  * read excludes it, so a replay can never race its own overwrite). */
+  * read excludes it, so a replay can never race its own overwrite).
+  * The exact-cosine contract makes the standing-side scan inherent
+  * (every standing vector must be dotted against the batch; an
+  * IVF-probed variant exists in batch form as s18 for callers that
+  * accept approximation), but the standing side only ever STREAMS —
+  * no shuffle, no window — and the history layout is the shared
+  * [[StreamingHistory]] one, so `compactEvery` bounds file count at
+  * production cadence the same way the text leg's does. */
 object StreamingVectorCuration {
 
   /** Start the admission query over a streaming (vec_id, v) frame —
-    * `v` an array<double> embedding. */
+    * `v` an array<double> embedding. `compactEvery` > 0 folds the
+    * history every that-many batches ([[compactHistory]]). */
   def nearDupAdmission(vecs: DataFrame, historyDir: String, tau: Double,
-                       checkpointDir: String): StreamingQuery =
+                       checkpointDir: String,
+                       compactEvery: Int = 0): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitBatch(batch, historyDir, tau, batchId)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactHistory(batch.sparkSession, historyDir, uptoExclusive = batchId)
         ()
       }
       .start()
+
+  /** Fold retired `batch=` dirs into a generation (rows only — this
+    * leg has no side lanes); see [[StreamingHistory.compact]]. */
+  def compactHistory(spark: SparkSession, dir: String,
+                     uptoExclusive: Long): Unit =
+    StreamingHistory.compact(spark, dir, uptoExclusive)
 
   /** One admission step — exposed for bounded deltas and tests. */
   def admitBatch(batch0: DataFrame, historyDir: String, tau: Double,
