@@ -109,11 +109,24 @@ object Bench {
         while (es.read(buf) >= 0) ()
       })
       drain.setDaemon(true); drain.start()
-      val out = scala.io.Source.fromInputStream(proc.getInputStream)
-        .getLines().find(_.startsWith("""{"metric":"copy_isolated""""))
+      // read stdout on a daemon thread too: a blocking getLines() HERE
+      // would wait forever on a child that hangs without closing its
+      // stdout, so the 600 s waitFor below would never be reached —
+      // capture asynchronously, then waitFor with timeout and kill
+      val outHolder = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val outDrain = new Thread(() => {
+        try scala.io.Source.fromInputStream(proc.getInputStream)
+          .getLines()
+          .find(_.startsWith("""{"metric":"copy_isolated""""))
+          .foreach(outHolder.set)
+        catch { case _: Throwable => () }
+      })
+      outDrain.setDaemon(true); outDrain.start()
       if (!proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS))
         proc.destroyForcibly()
-      out.getOrElse("""{"metric":"copy_isolated","error":"no output"}""")
+      outDrain.join(5000)
+      Option(outHolder.get())
+        .getOrElse("""{"metric":"copy_isolated","error":"no output"}""")
     } catch {
       case e: Throwable =>
         s"""{"metric":"copy_isolated","error":"${e.getClass.getSimpleName}"}"""
@@ -176,6 +189,16 @@ object Bench {
     // row count from metadata-only scans — does NOT warm the copy shuffle
     val nDocs = Tables.events(spark, sfDir).count() +
       Tables.lineitem(spark, sfDir).count()
+    // protocol symmetry with CopyBench (r14 verdict #3): one unrecorded
+    // warmup write so both measurements start from the same warmed
+    // sink/codegen state — the isolated fork had this, the in-suite
+    // attempts didn't, which left a protocol asymmetry inside the
+    // path-vs-context bracket the two numbers exist to form
+    locally {
+      val warmDir = java.nio.file.Files.createTempDirectory("graft-bench-copywarm").toString
+      ingest.EsBulkSink.write(mkCopyRecords(), warmDir)
+      rmTree(warmDir)
+    }
     val copyAttempts = (1 to 3).map { i =>
       val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-sink$i").toString
       System.gc(); Thread.sleep(2000)
@@ -291,7 +314,14 @@ object Bench {
       // r13 additions run CC too (multi-job, same variance profile)
       "m11_perceptual_clusters", "s23_semdedup",
       // r14: s23's collapsed production twin — same CC stage
-      "s26_semdedup_collapsed")
+      "s26_semdedup_collapsed",
+      // r15: c12 — not CC, but the same many-jobs profile (state write
+      // + multi-stage admission): its OFFICIAL number rose three rounds
+      // (4.21 → 5.31 → 6.20 s) while its isolated bracket sat flat at
+      // ~5.3, i.e. the suite's warm min-of-2 was billing suite context
+      // to the p100 headline. The settled median-of-3 is the protocol
+      // built for exactly that (r14 verdict #2).
+      "c12_incremental_curation")
     val ccAttempts = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = queries.map { case (name, fn) =>
       // settle GC debt from the previous query so its collection pause

@@ -309,22 +309,33 @@ object Curation {
     * Scale: one explode-free scan (token counts are per-row size()),
     * one map-side-combined per-source aggregate over |sources| rows,
     * one single-row reduce — no join, no window, nothing
-    * corpus-quadratic. BIGINT bound: Σ tok_s² ≤ T² needs DECIMAL(38,0)
-    * past T ~ 3·10^9 tokens per source; exact at fixture scale. */
+    * corpus-quadratic. The squared terms (Σ tok_s², T²) run in
+    * DECIMAL(38,0) — BIGINT wraps (or, under ANSI, throws) past
+    * ~3·10^9 tokens per source, and a 100 TB corpus holds ~10^13; the
+    * decimal lane is exact to 10^38, i.e. ~10^19 tokens per source.
+    * DuckDB computes the same numerator in HUGEINT, and every integer
+    * here is far below 2^53, so the one final double division matches
+    * bit-for-bit. Per-source totals themselves stay BIGINT (linear in
+    * corpus mass: safe to ~9·10^18). */
   def c20MixtureDiversity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val perSource = documents(s, d)
       .select($"source", size(split($"text", " ")).cast("long").as("n_tok"))
       .groupBy($"source").agg(sum($"n_tok").as("tok_s"))
+    val dec = $"tok_s".cast("decimal(38,0)")
     perSource.agg(
         count(lit(1)).as("n_sources"),
         sum($"tok_s").as("total_tokens"),
-        sum($"tok_s" * $"tok_s").as("sq"),
+        sum(dec * dec).as("sq"),
         max($"tok_s").as("max_tok"))
       .select($"n_sources", $"total_tokens",
-        round($"sq".cast("double") / ($"total_tokens" * $"total_tokens"), 6)
+        round($"sq".cast("double") /
+          ($"total_tokens".cast("decimal(38,0)") *
+           $"total_tokens".cast("decimal(38,0)")).cast("double"), 6)
           .as("simpson_r"),
-        round(($"total_tokens" * $"total_tokens").cast("double") / $"sq", 6)
+        round(($"total_tokens".cast("decimal(38,0)") *
+               $"total_tokens".cast("decimal(38,0)")).cast("double") /
+          $"sq".cast("double"), 6)
           .as("effective_sources_r"),
         round($"max_tok".cast("double") / $"total_tokens", 6)
           .as("max_share_r"))

@@ -1072,8 +1072,15 @@ object Dedup {
     * files land beside the standing ones, which stay byte-untouched.
     * The counts lane appends PARTIAL rows for the buckets this batch
     * touches only (readers sum per key), so the incremental update
-    * cost is delta-proportional on all three lanes. */
-  def appendToLshIndex(delta: DataFrame, dir: String): Unit = {
+    * cost is delta-proportional on all three lanes.
+    *
+    * `compactEvery` > 0 runs [[compactLshIndex]] automatically every
+    * that-many appends (counter = the artifact's `_appends` file; same
+    * single-writer contract as the append itself) — the maintenance
+    * cadence a long-lived index needs without a separate scheduler.
+    * 0 keeps compaction manual. */
+  def appendToLshIndex(delta: DataFrame, dir: String,
+                       compactEvery: Int = 0): Unit = {
     val root = IndexStore.currentPath(dir)
     val sh = shingleFrame(delta)
     sh.write.mode("append").parquet(s"$root/shingles")
@@ -1083,6 +1090,8 @@ object Dedup {
       bandedOf_counts(banded).write.mode("append")
         .parquet(s"$root/bucket_counts")
     } finally { banded.unpersist(); () }
+    if (compactEvery > 0 && IndexStore.bumpAppends(dir) % compactEvery == 0)
+      compactLshIndex(delta.sparkSession, dir)
   }
 
   /** Compact a standing LSH index: fold each lane's accumulated small
@@ -1101,6 +1110,7 @@ object Dedup {
     * the index lanes — independent of corpus text, ~16 rows × 12 B +
     * one shingle array per doc. */
   def compactLshIndex(s: SparkSession, dir: String): Unit = {
+    IndexStore.adoptLegacy(dir) // flat pre-generation dirs migrate once
     val src = IndexStore.currentPath(dir)
     val g = IndexStore.nextGen(dir)
     val dst = IndexStore.genPath(dir, g)

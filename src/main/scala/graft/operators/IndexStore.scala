@@ -64,10 +64,22 @@ object IndexStore {
     Files.move(tmp, currentFile(dir), StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Delete retired generations older than current−1 (the grace
-    * window) plus any dangling unpublished generation NEWER than
-    * current (a crashed compaction's debris). */
-  def sweep(dir: String): Unit =
+  /** How stale a dangling unpublished generation (gen > current) must
+    * be before [[sweep]] treats it as crash debris. A generation NEWER
+    * than `_current` is either a crashed compaction's leftovers or a
+    * compaction MID-BUILD: deleting it unconditionally would let a
+    * sweep (or an accidental second maintainer) destroy a build in
+    * progress — the documented single-writer contract made that
+    * "acceptable", but an mtime grace makes the failure mode impossible
+    * to hit by accident at the cost of debris lingering one window. */
+  val DanglingGraceMs: Long = 15L * 60 * 1000
+
+  /** Delete retired generations older than current−1 (the live-reader
+    * grace window) plus any dangling unpublished generation NEWER than
+    * current (a crashed compaction's debris) whose tree has been
+    * untouched for [[DanglingGraceMs]] — a gen still being written has
+    * recent file mtimes and survives. */
+  def sweep(dir: String, danglingGraceMs: Long = DanglingGraceMs): Unit =
     currentGen(dir).foreach { cur =>
       val d = Paths.get(dir)
       if (Files.isDirectory(d)) {
@@ -79,7 +91,8 @@ object IndexStore {
               val n = p.getFileName.toString
               if (n.startsWith("gen="))
                 scala.util.Try(n.stripPrefix("gen=").toLong).toOption
-                  .filter(g => g < cur - 1 || g > cur)
+                  .filter(g => g < cur - 1 ||
+                    (g > cur && ageMs(p) > danglingGraceMs))
                   .foreach(_ => b += p)
             }
             b.toSeq
@@ -88,4 +101,72 @@ object IndexStore {
         doomed.foreach(p => graft.BenchUtil.rmTree(p.toString))
       }
     }
+
+  /** Milliseconds since the newest mtime anywhere under `p` — the
+    * "is anyone still writing here" signal for the dangling-gen grace. */
+  private def ageMs(p: Path): Long = {
+    var newest = 0L
+    val st = Files.walk(p)
+    try st.forEach { q =>
+      val t = Files.getLastModifiedTime(q).toMillis
+      if (t > newest) newest = t
+    } finally st.close()
+    System.currentTimeMillis() - newest
+  }
+
+  /** Bump the artifact's append counter and return the new total — the
+    * cadence source for the every-K-appends auto-compaction knob each
+    * append API takes. A plain text file under the dir root (invisible
+    * to Spark's listing), read-modify-write under the artifact's
+    * existing single-writer contract; it survives compactions (it
+    * lives beside `_current`, not inside a generation). */
+  def bumpAppends(dir: String): Long = {
+    val f = Paths.get(dir, "_appends")
+    Files.createDirectories(Paths.get(dir))
+    val n = (if (Files.exists(f))
+               new String(Files.readAllBytes(f), "UTF-8").trim.toLong
+             else 0L) + 1
+    Files.write(f, n.toString.getBytes("UTF-8"))
+    n
+  }
+
+  /** One-time migration of a legacy FLAT index dir (written before the
+    * generation layout existed: lanes at top level, no `_current`)
+    * into the generation layout: MOVE every top-level entry into
+    * `gen=0` and publish it. Without this, the first compaction of a
+    * legacy dir would write `gen=1` BESIDE the flat files — the flat
+    * lanes would never be swept (sweep only removes `gen=*`), and any
+    * external reader of the flat path would hit Spark
+    * partition-discovery conflicts on the mixed layout (round-14
+    * advice). Renames are same-filesystem moves (no data copy);
+    * single-maintainer, like the compactions that call it — external
+    * readers of the dir should resolve through [[currentPath]] from
+    * then on, as every probe API here does. No-op when `_current`
+    * exists or the dir is empty/missing. */
+  def adoptLegacy(dir: String): Unit = {
+    val d = Paths.get(dir)
+    if (currentGen(dir).isEmpty && Files.isDirectory(d)) {
+      val entries = {
+        val st = Files.list(d)
+        try {
+          val b = scala.collection.mutable.ArrayBuffer[Path]()
+          st.forEach { p =>
+            val n = p.getFileName.toString
+            // `_`/`.`-prefixed root entries stay put: they are layout
+            // metadata (_appends, a stale _SUCCESS marker), invisible
+            // to Spark's listing either way
+            if (!n.startsWith("gen=") && !n.startsWith("_") &&
+                !n.startsWith(".")) b += p
+          }
+          b.toSeq
+        } finally st.close()
+      }
+      if (entries.nonEmpty) {
+        val g0 = Paths.get(genPath(dir, 0L))
+        Files.createDirectories(g0)
+        entries.foreach(p => Files.move(p, g0.resolve(p.getFileName)))
+        publish(dir, 0L)
+      }
+    }
+  }
 }

@@ -536,10 +536,16 @@ object Multimodal {
   }
 
   /** Admit a delta batch into a standing index: append-only — new
-    * files land beside the standing ones, which stay byte-untouched. */
-  def appendToPayloadIndex(delta: DataFrame, dir: String): Unit =
+    * files land beside the standing ones, which stay byte-untouched.
+    * `compactEvery` > 0 auto-folds every that-many appends (the
+    * appendToLshIndex knob; `_appends` counter, single-writer). */
+  def appendToPayloadIndex(delta: DataFrame, dir: String,
+                           compactEvery: Int = 0): Unit = {
     payloadBands(delta).write.mode("append")
       .parquet(s"${IndexStore.currentPath(dir)}/bands")
+    if (compactEvery > 0 && IndexStore.bumpAppends(dir) % compactEvery == 0)
+      compactPayloadIndex(delta.sparkSession, dir)
+  }
 
   /** Compact a standing payload index: fold the band lane's append
     * files into few large ones — a row-preserving rewrite, so probe
@@ -547,6 +553,7 @@ object Multimodal {
     * generations (atomic flip, one-cycle sweep grace) — the d21/s17
     * compaction contract on the payload modality. */
   def compactPayloadIndex(s: SparkSession, dir: String): Unit = {
+    IndexStore.adoptLegacy(dir) // flat pre-generation dirs migrate once
     val src = IndexStore.currentPath(dir)
     val g = IndexStore.nextGen(dir)
     val in = s.read.parquet(s"$src/bands")
@@ -728,7 +735,13 @@ object Multimodal {
     * chunks shared ACROSS sources (mirrored docs, cross-source
     * boilerplate) dedupe only there, which is where most of the
     * fixture's savings live. Corpus-wide distinctness is one extra
-    * distinct + rollup over the same chunk rows. */
+    * distinct + rollup over the same chunk rows.
+    *
+    * Integer bounds (the c20/t36 audit): every sum here is LINEAR in
+    * payload mass — total_bytes / unique_bytes are Σ of per-payload
+    * byte counts, never products — so BIGINT is exact to ~9.2 EB
+    * (2^63 bytes), five orders past the 100 TB design point. No
+    * decimal lane needed. */
   private def storageReport(payloadBytes: DataFrame, chunks: DataFrame,
                             nDistinctCol: String, ratioCol: String): DataFrame = {
     val s = payloadBytes.sparkSession

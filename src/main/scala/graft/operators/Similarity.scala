@@ -1206,7 +1206,8 @@ object Similarity {
     * and append new files into the matching list directories —
     * standing files byte-untouched, cost ∝ |delta| (the s18 contract
     * on the compressed layout). */
-  def appendToIvfAdcIndex(deltaVq64: DataFrame, dsub: Int, dir: String): Unit = {
+  def appendToIvfAdcIndex(deltaVq64: DataFrame, dsub: Int, dir: String,
+                          compactEvery: Int = 0): Unit = {
     val s = deltaVq64.sparkSession
     import s.implicits._
     val root = IndexStore.currentPath(dir)
@@ -1214,6 +1215,9 @@ object Similarity {
         s.read.parquet(s"$root/coarse"), s.read.parquet(s"$root/books"), dsub)
       .repartition($"cluster_id").sortWithinPartitions($"vec_id")
       .write.mode("append").partitionBy("cluster_id").parquet(s"$root/codes")
+    // every-K-appends auto-compaction (the appendToLshIndex knob)
+    if (compactEvery > 0 && IndexStore.bumpAppends(dir) % compactEvery == 0)
+      compactIvfAdcIndex(s, dir)
   }
 
   /** Compact a standing IVFADC artifact: fold each cluster's append
@@ -1224,6 +1228,7 @@ object Similarity {
     * layout). */
   def compactIvfAdcIndex(s: SparkSession, dir: String): Unit = {
     import s.implicits._
+    IndexStore.adoptLegacy(dir) // flat pre-generation dirs migrate once
     val src = IndexStore.currentPath(dir)
     val g = IndexStore.nextGen(dir)
     val root = IndexStore.genPath(dir, g)
@@ -1697,6 +1702,7 @@ object Similarity {
     * vectors), never the source corpus. */
   def compactIvfIndex(s: SparkSession, indexDir: String): Unit = {
     import s.implicits._
+    IndexStore.adoptLegacy(indexDir) // flat pre-generation dirs migrate once
     val src = IndexStore.currentPath(indexDir)
     val g = IndexStore.nextGen(indexDir)
     s.read.parquet(src)
@@ -1838,9 +1844,13 @@ object Similarity {
     * and the registered entry hash-checks against s03's golden — the
     * third same-answer check on this path after rebuild ≡ in-plan). */
   def appendToIvfIndex(delta: DataFrame, centroids: DataFrame,
-                       indexDir: String): Unit =
+                       indexDir: String, compactEvery: Int = 0): Unit = {
     writeIvfLists(delta, centroids, IndexStore.currentPath(indexDir),
       org.apache.spark.sql.SaveMode.Append)
+    // every-K-appends auto-compaction (the appendToLshIndex knob)
+    if (compactEvery > 0 && IndexStore.bumpAppends(indexDir) % compactEvery == 0)
+      compactIvfIndex(delta.sparkSession, indexDir)
+  }
 
   /** Registered: standing index (first ~80% of the id range) + delta
     * append (last ~20%), then s03's exact query served through the

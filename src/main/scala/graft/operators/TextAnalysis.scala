@@ -1799,9 +1799,13 @@ object TextAnalysis {
     * M_s = Σ_{w∈s} c_w covers the words s never emits (each
     * contributes q(w) alone). Integer sums are order-free, so the one
     * division at the end (+ round 6) is deterministic at any
-    * parallelism — full SQL oracle, no golden needed. BIGINT bounds:
-    * c_ws·N ≤ 10^19 needs care at extreme scale — swap the numerator
-    * to DECIMAL(38,0) there; at fixture scale ≤ 10^11.
+    * parallelism — full SQL oracle, no golden needed. The numerator
+    * products (c_ws·N, c_w·N_s, (N−M_s)·N_s) run in DECIMAL(38,0):
+    * BIGINT wraps (or, under ANSI, throws) once c_ws·N crosses ~10^19
+    * — true at the declared 100 TB design point (N ~ 10^14) — while
+    * the decimal lane is exact to 10^38. DuckDB's side computes the
+    * same products in HUGEINT, and the final division happens in
+    * double on both engines, so fixture hashes are unchanged.
     *
     * Scale: one explode + two partial-aggregated groupBys (by
     * (source, w) and by w) + one equi-join on the word — all linear in
@@ -1820,16 +1824,18 @@ object TextAnalysis {
     // DataFrame-construction time, which both re-ran the token
     // explode eagerly per invocation and NPE'd on an empty corpus
     val tot = cw.agg(sum($"c_w").as("n_tot"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     sw.join(cw, Seq("w"))
       .join(ns, Seq("source"))
       .crossJoin(broadcast(tot))
       .groupBy($"source")
       .agg(max($"n_s").as("n_tokens"),
-        sum(abs($"c_ws" * $"n_tot" - $"c_w" * $"n_s")).as("present_num"),
+        sum(abs(dec($"c_ws") * dec($"n_tot") - dec($"c_w") * dec($"n_s")))
+          .as("present_num"),
         sum($"c_w").as("m_s"),
         max($"n_tot").as("n_tot"))
       .select($"source", $"n_tokens",
-        round(($"present_num" + ($"n_tot" - $"m_s") * $"n_tokens")
+        round(($"present_num" + dec($"n_tot" - $"m_s") * dec($"n_tokens"))
           .cast("double") / (lit(2.0) * $"n_tokens" * $"n_tot"), 6).as("tvd_r"))
   }
 

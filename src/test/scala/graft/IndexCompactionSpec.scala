@@ -173,4 +173,98 @@ class IndexCompactionSpec extends SparkSpec {
       assert(after === before, "compaction changed the probe answer")
     } finally graft.BenchUtil.rmTree(dir)
   }
+
+  test("auto-compaction knob: 20 appends at compactEvery=5 fold unattended, probe ≡ manual twin") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+    val cut = (maxId * 4) / 5
+    val standing = docs.filter($"doc_id" <= cut)
+    val delta = docs.filter($"doc_id" > cut)
+    val auto = java.nio.file.Files.createTempDirectory("auto-lsh").toString
+    val manual = java.nio.file.Files.createTempDirectory("manual-lsh").toString
+    try {
+      val bounds = (0 to 21).map(i => 1 + cut * i / 21)
+      Dedup.writeLshIndex(standing.filter($"doc_id" < bounds(1)), auto)
+      Dedup.writeLshIndex(standing.filter($"doc_id" < bounds(1)), manual)
+      (1 until 21).foreach { i =>
+        val slice = standing
+          .filter($"doc_id" >= bounds(i) && $"doc_id" < bounds(i + 1))
+        Dedup.appendToLshIndex(slice, auto, compactEvery = 5)
+        Dedup.appendToLshIndex(slice, manual)
+      }
+      // 20 counted appends at cadence 5 → four unattended folds
+      assert(IndexStore.currentGen(auto).get === 4L,
+        s"expected 4 auto-folds, generation is ${IndexStore.currentGen(auto)}")
+      val a = Dedup.probeLshIndex(spark, auto, delta, 0.8)
+        .as[(Long, Long, Double)].collect().toSet
+      val m = Dedup.probeLshIndex(spark, manual, delta, 0.8)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(a === m && a.nonEmpty, "auto-compacted probe diverged")
+      assert(parquetFiles(IndexStore.currentPath(auto)).size <
+        parquetFiles(IndexStore.currentPath(manual)).size,
+        "auto path must hold fewer live files than the never-compacted twin")
+    } finally { graft.BenchUtil.rmTree(auto); graft.BenchUtil.rmTree(manual) }
+  }
+
+  test("legacy flat dir: first compaction adopts it into gen=0 — no mixed layout, probe unchanged") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+    val cut = (maxId * 4) / 5
+    val delta = docs.filter($"doc_id" > cut)
+    val dir = java.nio.file.Files.createTempDirectory("legacy-lsh").toString
+    try {
+      // manufacture a pre-generation artifact: build normally, then
+      // flatten gen=0 to the top level and drop _current (a round-13
+      // index looked exactly like this)
+      Dedup.writeLshIndex(docs.filter($"doc_id" <= cut), dir)
+      val g0 = java.nio.file.Paths.get(IndexStore.genPath(dir, 0L))
+      val st = java.nio.file.Files.list(g0)
+      try st.forEach { p =>
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(dir, p.getFileName.toString))
+      } finally st.close()
+      java.nio.file.Files.delete(g0)
+      java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_current"))
+      val before = Dedup.probeLshIndex(spark, dir, delta, 0.8)
+        .as[(Long, Long, Double)].collect().toSet
+      Dedup.compactLshIndex(spark, dir)
+      // adoption migrated the flat lanes: nothing parquet-bearing left
+      // at the top level, so no partition-discovery mixing is possible
+      val topLevel = {
+        val s2 = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try {
+          import scala.jdk.CollectionConverters._
+          s2.iterator().asScala.map(_.getFileName.toString).toSet
+        } finally s2.close()
+      }
+      assert(topLevel.forall(n => n.startsWith("gen=") || n.startsWith("_")),
+        s"flat lanes must migrate into generations, found $topLevel")
+      assert(IndexStore.currentGen(dir).contains(1L),
+        "adoption publishes gen 0, compaction folds into gen 1")
+      val after = Dedup.probeLshIndex(spark, dir, delta, 0.8)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(after === before && after.nonEmpty,
+        "legacy adoption changed the probe answer")
+    } finally graft.BenchUtil.rmTree(dir)
+  }
+
+  test("sweep grace: a fresh dangling gen (compaction mid-build) survives; an aged one is debris") {
+    val dir = java.nio.file.Files.createTempDirectory("sweep-grace").toString
+    try {
+      IndexStore.publish(dir, 0L)
+      // a second maintainer (or crashed compaction) left gen=1 unpublished
+      val dangling = java.nio.file.Paths.get(IndexStore.genPath(dir, 1L))
+      java.nio.file.Files.createDirectories(dangling)
+      java.nio.file.Files.write(dangling.resolve("part-0.parquet"),
+        Array[Byte](1, 2, 3))
+      IndexStore.sweep(dir) // default grace: fresh mtime → mid-build, keep
+      assert(java.nio.file.Files.exists(dangling),
+        "a freshly-written dangling generation must survive the sweep")
+      IndexStore.sweep(dir, danglingGraceMs = 0L) // aged out → crash debris
+      assert(!java.nio.file.Files.exists(dangling),
+        "an aged dangling generation must be swept")
+    } finally graft.BenchUtil.rmTree(dir)
+  }
 }
