@@ -1,6 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
-/** Prints formatted physical plans for scale-critical queries. */
+/** Regenerates PLANS.md: formatted physical plans for the
+  * scale-critical queries. Writes the file DIRECTLY (first line = the
+  * first plan header) instead of relying on stdout capture — the
+  * committed artifact used to open with ~45 lines of sbt/log4j boot
+  * noise and an `[info] ` prefix on all 21,914 lines (round-14 advice).
+  *
+  *   sbt "Test/runMain graft.PlanAudit"            → PLANS.md
+  *   sbt "Test/runMain graft.PlanAudit q01_...,d03_..."  (subset, stdout only)
+  */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -10,10 +18,12 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
     val targets = args.headOption.map(_.split(",").toSet)
+    val out = new StringBuilder
     def show(name: String): Unit = if (targets.forall(_.contains(name))) {
-      println(s"\n=============== $name ===============")
-      println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      out ++= s"=============== $name ===============\n"
+      out ++= SparkEntry.queries(name)(spark, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      out ++= "\n"
     }
     Seq("q01_pricing_summary","q03_top_revenue","q05_region_revenue",
         "q06_revenue_filter","d01_exact_dedup","d03_ngram_jaccard",
@@ -54,6 +64,11 @@ object PlanAudit {
         "s26_semdedup_collapsed", "t38_repetition_signals",
         "m13_storage_dedup", "m14_cdc_storage_dedup",
         "s27_ivfadc_persisted", "c20_mixture_diversity").foreach(show)
+    if (targets.isEmpty) {
+      java.nio.file.Files.write(java.nio.file.Paths.get("PLANS.md"),
+        out.toString.getBytes("UTF-8"))
+      println(s"wrote PLANS.md (${out.toString.linesIterator.size} lines)")
+    } else println(out.toString)
     spark.stop()
   }
 }
