@@ -98,7 +98,11 @@ object GoldenGen {
       "m12_cdc_neardup",
       // m14: gear chunk SPANS share m12's kernel (same cut points,
       // lengths added) and the report is integer rollups — golden
-      "m14_cdc_storage_dedup")
+      "m14_cdc_storage_dedup",
+      // s28: composes s13's golden-safe ADC ranking with the exact s01
+      // ranking; hit counts are integers, cosine masses go through
+      // decimal(18,6) on 6dp-rounded values — deterministic like s13
+      "s28_adc_recall_audit")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

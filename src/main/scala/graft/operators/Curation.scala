@@ -359,6 +359,71 @@ object Curation {
       |  ROUND(CAST(max_tok AS DOUBLE) / total_tokens, 6) AS max_share_r
       |FROM agg""".stripMargin
 
+  // ---- c21: per-source token-mass yield through the curation funnel ----
+
+  /** c21: the curation funnel in TOKEN terms, per source — token mass
+    * entering each c01 stage and surviving it (raw → f1 lang+quality →
+    * f2 exact-dedup → f3 near-dup → kept), plus the end-to-end yield
+    * ratio. c02/c13 count DOCUMENTS; but mixing and budget decisions
+    * (c03/c08/c10) are denominated in TOKENS, and the two tell
+    * different stories whenever rejection correlates with length —
+    * near-dup kills boilerplate (short), quality kills fragments, so a
+    * source's doc yield and token yield can differ by 2×. This is the
+    * table a capacity plan actually multiplies.
+    *
+    * Scale: rides [[c01CurationPipeline]]'s marks frame (one pipeline
+    * pass — the stages are computed once, not once per stage column);
+    * the rollup is a |sources|-key integer aggregate with map-side
+    * combine. Token counts are per-row size(); sums are linear BIGINT
+    * (exact to ~9·10^18 tokens). One double division per source at the
+    * end, round 6 — full SQL oracle over the shared curation CTEs. */
+  def c21TokenYield(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = documents(s, d).select($"doc_id", $"source", $"text")
+    val marks = curationMarksOf(
+      all.filter($"doc_id" >= 20), all.filter($"doc_id" < 20))
+    val nTok = size(split($"text", " ")).cast("long")
+    def tokIf(m: org.apache.spark.sql.Column) =
+      sum(when(m, nTok).otherwise(0L))
+    marks.groupBy($"source")
+      .agg(sum(nTok).as("tok_raw"),
+        tokIf($"m_f1").as("tok_f1"),
+        tokIf($"m_f2").as("tok_f2"),
+        tokIf($"m_f3").as("tok_f3"),
+        tokIf($"m_surv").as("tok_kept"))
+      .select($"source", $"tok_raw", $"tok_f1", $"tok_f2", $"tok_f3",
+        $"tok_kept",
+        round($"tok_kept".cast("double") / $"tok_raw", 6).as("yield_r"))
+  }
+
+  // def: curationCtes initializes further down the object — a val here
+  // would capture null at object init (the oracles map is itself a def)
+  def c21Sql: String =
+    s"""$curationCtes
+       |, tok AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents d WHERE d.doc_id >= 20
+       |)
+       |SELECT source,
+       |  CAST(SUM(n_tok) AS BIGINT) AS tok_raw,
+       |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM f1)
+       |      THEN n_tok ELSE 0 END) AS BIGINT) AS tok_f1,
+       |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM f2)
+       |      THEN n_tok ELSE 0 END) AS BIGINT) AS tok_f2,
+       |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM f2)
+       |       AND doc_id NOT IN (SELECT doc_id FROM near_rejected)
+       |      THEN n_tok ELSE 0 END) AS BIGINT) AS tok_f3,
+       |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM f2)
+       |       AND doc_id NOT IN (SELECT doc_id FROM near_rejected)
+       |       AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |      THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept,
+       |  ROUND(CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM f2)
+       |       AND doc_id NOT IN (SELECT doc_id FROM near_rejected)
+       |       AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |      THEN n_tok ELSE 0 END) AS DOUBLE) / SUM(n_tok), 6) AS yield_r
+       |FROM tok GROUP BY source""".stripMargin
+
   def c19QualitySweep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val taus = Seq(0.3, 0.4, 0.5, 0.6, 0.7)
@@ -1874,6 +1939,7 @@ object Curation {
     "t12_token_packing"   -> (t12TokenPacking _),
     "c18_sequence_manifest" -> (c18SequenceManifest _),
     "c20_mixture_diversity" -> (c20MixtureDiversity _),
+    "c21_token_yield"       -> (c21TokenYield _),
     "c19_quality_sweep"     -> (c19QualitySweep _),
   )
 
@@ -1932,6 +1998,7 @@ object Curation {
     "t12_token_packing"   -> t12Sql,
     "c18_sequence_manifest" -> c18Sql,
     "c20_mixture_diversity" -> c20Sql,
+    "c21_token_yield"       -> c21Sql,
     "c19_quality_sweep"     -> c19Sql,
   )
 }

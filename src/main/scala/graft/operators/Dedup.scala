@@ -1493,7 +1493,108 @@ object Dedup {
        |SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
   }
 
+  // ---- d22: near-dup survival curve (the τ-commit decision table) ----
+
+  /** d22: survivors and token mass under each candidate near-dup
+    * threshold τ, in ONE pair pass — the near-dup twin of c19's
+    * quality-threshold sweep. c01 hard-codes τ = 0.8; before committing
+    * a different cut a curation review reads exactly this table (docs
+    * killed, token mass killed, survivor fraction per τ) instead of
+    * re-running the whole dedup per candidate.
+    *
+    * Semantics compose with the pipeline's keep-first rule by
+    * construction: at threshold τ, keep-first kills exactly the docs
+    * that are d2 (greater id) of some J ≥ τ pair — so a doc's fate
+    * under EVERY τ is determined by one number, its maximum incoming
+    * jaccard max{J(d1, d) : d1 < d}. One exact pair join at the LOWEST
+    * candidate τ (0.7), one per-doc max, and the τ axis rides as a
+    * tiny broadcast dimension over |killable docs| rows.
+    *
+    * Scale: the pair join is [[ngramJaccardPairs]]'s prefix join (at
+    * τ = 0.7 the prefix is ~0.3·|sh| — same shape, slightly heavier
+    * than d03's 0.2); everything after is a |docs|-row aggregate with
+    * map-side combine. Integer counts and token sums; the survivor
+    * fraction is one integer division, round 6 — full SQL oracle. */
+  def d22SurvivalCurve(s: SparkSession, d: String): DataFrame =
+    survivalCurve(documents(s, d).select(col("doc_id"), col("text")),
+      Seq(0.7, 0.75, 0.8, 0.85, 0.9, 0.95, 1.0))
+
+  /** The curve over any (doc_id, text) frame and candidate τ grid —
+    * see [[d22SurvivalCurve]]. */
+  def survivalCurve(docsIn: DataFrame, taus: Seq[Double]): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    require(taus.nonEmpty && taus.forall(t => t > 0.0 && t <= 1.0))
+    val docs = docsIn
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"),
+      sum($"n_tok").as("tot_tokens"))
+    val worst = ngramJaccardPairs(
+        docsIn.select($"doc_id", $"text"), taus.min)
+      .groupBy($"d2".as("doc_id")).agg(max($"jaccard").as("mj"))
+      .join(docs, Seq("doc_id"))
+    val tauDf = taus.toDF("tau")
+    val killed = worst.join(broadcast(tauDf), $"mj" >= $"tau")
+      .groupBy($"tau")
+      .agg(count(lit(1)).as("k"), sum($"n_tok").as("kt"))
+    tauDf.join(killed, Seq("tau"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select($"tau",
+        coalesce($"k", lit(0L)).as("n_killed"),
+        coalesce($"kt", lit(0L)).as("killed_tokens"),
+        ($"n_docs" - coalesce($"k", lit(0L))).as("n_survivors"),
+        round(($"n_docs" - coalesce($"k", lit(0L))).cast("double") /
+          $"n_docs", 6).as("surv_frac_r"),
+        round(($"tot_tokens" - coalesce($"kt", lit(0L))).cast("double") /
+          $"tot_tokens", 6).as("tok_kept_frac_r"))
+  }
+
+  val d22Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |           for i in range(1, len(t)-1)]) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+      |), inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter,
+      |         any_value(a.n) AS n1, any_value(b.n) AS n2
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), worst AS (
+      |  SELECT d2 AS doc_id, MAX(CAST(inter AS DOUBLE) / (n1 + n2 - inter)) AS mj
+      |  FROM inter
+      |  WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.7
+      |  GROUP BY 1
+      |), tok AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |), tot AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tot_tokens FROM tok
+      |), taus AS (
+      |  -- DOUBLE, not DuckDB's default DECIMAL list element type:
+      |  -- the Spark side's tau column is double
+      |  SELECT CAST(unnest([0.7, 0.75, 0.8, 0.85, 0.9, 0.95, 1.0]) AS DOUBLE)
+      |    AS tau
+      |), killed AS (
+      |  SELECT tau, COUNT(*) AS k, CAST(SUM(n_tok) AS BIGINT) AS kt
+      |  FROM taus JOIN worst ON worst.mj >= taus.tau
+      |  JOIN tok USING (doc_id)
+      |  GROUP BY 1
+      |)
+      |SELECT tau,
+      |  COALESCE(k, 0) AS n_killed,
+      |  COALESCE(kt, 0) AS killed_tokens,
+      |  n_docs - COALESCE(k, 0) AS n_survivors,
+      |  ROUND(CAST(n_docs - COALESCE(k, 0) AS DOUBLE) / n_docs, 6)
+      |    AS surv_frac_r,
+      |  ROUND(CAST(tot_tokens - COALESCE(kt, 0) AS DOUBLE) / tot_tokens, 6)
+      |    AS tok_kept_frac_r
+      |FROM taus LEFT JOIN killed USING (tau) CROSS JOIN tot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_survival_curve" -> (d22SurvivalCurve _),
     "d01_exact_dedup"   -> (d01ExactDedup _),
     "d02_keep_latest"   -> (d02KeepLatest _),
     "d03_ngram_jaccard" -> (d03NgramJaccard _),
@@ -1516,6 +1617,7 @@ object Dedup {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    "d22_survival_curve" -> d22Sql,
     "d01_exact_dedup"   -> d01Sql,
     "d02_keep_latest"   -> d02Sql,
     "d03_ngram_jaccard" -> d03Sql,

@@ -827,7 +827,76 @@ object Multimodal {
       "n_distinct_chunks", "cdc_dedup_ratio_r")
   }
 
+  // ---- m15: payload byte-profile (binary/garbage admission signal) ----
+
+  /** m15: per-payload byte-distribution profile — total bytes, distinct
+    * byte values, top-byte share, printable-ASCII fraction. The cheap
+    * FIRST filter of a multimodal ingest: mis-decoded text, truncated
+    * containers, encrypted/compressed junk and zero-padded blobs all
+    * separate from honest content on exactly these numbers (junk ≈
+    * uniform bytes → distinct ~256 and printable ~0.37; padding →
+    * top-byte share ~1; text → printable ~1), BEFORE any decode /
+    * feature / perceptual stage spends compute. Deliberately integer
+    * statistics, not byte entropy: entropy's logs are transcendental
+    * (cross-engine unsafe — the t21/t25 lesson) and these four numbers
+    * carry the same decision boundary.
+    *
+    * Scale: one narrow pass cuts payloads into (doc_id, byte) rows;
+    * the histogram keys are content-uniform (≤ 256 values per doc),
+    * both aggregates map-side combine, payload bytes shuffle once as
+    * hex pairs keyed by doc — no join, no window, nothing quadratic.
+    * Integer counts + 6dp ratios → full SQL oracle. */
+  def m15PayloadByteProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    byteProfile(documents(s, d)
+      .select($"doc_id", encode($"text", "utf-8").as("payload")))
+  }
+
+  /** The profile over any (doc_id, payload binary) frame — see
+    * [[m15PayloadByteProfile]]. */
+  def byteProfile(payloads: DataFrame): DataFrame = {
+    val s = payloads.sparkSession
+    import s.implicits._
+    val p = payloads
+      .select($"doc_id", hex($"payload").as("hx"))
+      .filter(length($"hx") > 0)
+    val n = (length($"hx") / 2).cast("long")
+    val bytes = p
+      .select($"doc_id", $"hx", explode(sequence(lit(0L), n - 1)).as("i"))
+      .select($"doc_id",
+        expr("substring(hx, cast(i * 2 + 1 as int), 2)").as("b"))
+    bytes.groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_bytes"),
+        count(lit(1)).as("n_distinct_bytes"),
+        max($"c").as("top_c"),
+        sum(when($"b" >= "20" && $"b" <= "7E", $"c").otherwise(0L)).as("pr"))
+      .select($"doc_id", $"n_bytes", $"n_distinct_bytes",
+        round($"top_c".cast("double") / $"n_bytes", 6).as("top_byte_share_r"),
+        round($"pr".cast("double") / $"n_bytes", 6).as("printable_frac_r"))
+  }
+
+  val m15Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, upper(hex(encode(text))) AS hx FROM documents
+      |  WHERE len(text) > 0
+      |), bx AS (
+      |  SELECT doc_id, unnest([substr(hx, 1 + 2*i, 2)
+      |           for i in range(0, CAST(len(hx) / 2 AS BIGINT))]) AS b
+      |  FROM h
+      |), hist AS (
+      |  SELECT doc_id, b, COUNT(*) AS c FROM bx GROUP BY 1, 2
+      |)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_bytes,
+      |  COUNT(*) AS n_distinct_bytes,
+      |  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_byte_share_r,
+      |  ROUND(CAST(SUM(CASE WHEN b >= '20' AND b <= '7E' THEN c ELSE 0 END)
+      |    AS DOUBLE) / SUM(c), 6) AS printable_frac_r
+      |FROM hist GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m15_byte_profile"  -> (m15PayloadByteProfile _),
     "m14_cdc_storage_dedup" -> (m14CdcStorageDedup _),
     "m13_storage_dedup" -> (m13StorageDedup _),
     "m11_perceptual_clusters" -> (m11PerceptualClusters _),
@@ -860,6 +929,7 @@ object Multimodal {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    "m15_byte_profile"  -> m15Sql,
     "m13_storage_dedup" -> m13Sql,
     // m14: gear chunk spans are engine-side but a sequential pure
     // function per row (the m12 argument) and the rollups are integer

@@ -2232,6 +2232,60 @@ object Similarity {
       |FROM q CROSS JOIN np
       |LEFT JOIN hits ON hits.q_id = q.q_id AND hits.nprobe = np.nprobe""".stripMargin
 
+  // ---- s28: ADC quantization-loss audit (compression's price tag) ----
+
+  /** s28: the audit row the compressed lane was missing — measured
+    * recall@3 and retained cosine mass of the IVFADC ranking (s13:
+    * coarse probe + 32×-compressed ADC scores) against the EXACT s01
+    * ranking, per query. The audit set now prices every dial of the
+    * serving ladder the same way: s05 int8, s16 the 1-bit lane, s20
+    * dimension drop, s22 probe depth, s28 PRODUCT QUANTIZATION — the
+    * dial a deployment turns when the float corpus stops fitting
+    * (s12→s13's premise) and otherwise tunes blind. Two readings per
+    * query: n_hits/recall (rank agreement) and cos_captured_r = exact
+    * cosine mass of the ADC picks over the exact top-3 mass — the
+    * second catches the benign miss (picked a near-tie) that recall
+    * alone cannot distinguish from a real one.
+    *
+    * Scale: s13's serving plan (broadcast-model joins; see its
+    * scaladoc) + one broadcast lookup of ≤ |Q|·k exact cosines — the
+    * corpus is scanned, never shuffled beyond s13's own final sum.
+    * Per-query cosine sums go through decimal(18,6) on 6dp-rounded
+    * values, so the division is parallelism-proof. Engine-side
+    * quantizers (fixed-seed Lloyd's) → golden-snapshot oracle, the
+    * s12/s13 discipline; determinism inherited from s13's own
+    * PartitionInvariance pin. */
+  def s28AdcRecallAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d).withColumn("nrm", norm($"v"))
+    val q = c.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    // exact 6dp cosine of an arbitrary (q_id, n_id) pick set: corpus
+    // streams past the broadcast picks — ≤ |Q|·k rows survive
+    def exactCos(picks: DataFrame) = c
+      .select($"vec_id".as("n_id"), $"v".as("nv"), $"nrm".as("nn"))
+      .join(broadcast(picks), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select($"q_id", $"n_id",
+        round(dot($"nv", $"qv") / ($"nn" * $"qn"), 6)
+          .cast("decimal(18,6)").as("ec"))
+    val adc = s13IvfAdcTopK(s, d).select($"q_id", $"n_id")
+    val exact = s01CosineTopK(s, d).select($"q_id", $"n_id")
+    val hits = adc.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as("h"))
+    val adcMass = exactCos(adc).groupBy($"q_id").agg(sum($"ec").as("am"))
+    val exMass = exactCos(exact).groupBy($"q_id").agg(sum($"ec").as("em"))
+    q.select($"q_id")
+      .join(hits, Seq("q_id"), "left_outer")
+      .join(adcMass, Seq("q_id"), "left_outer")
+      .join(exMass, Seq("q_id"), "left_outer")
+      .select($"q_id",
+        coalesce($"h", lit(0L)).as("n_hits"),
+        round(coalesce($"h", lit(0L)) / lit(3.0), 6).as("recall_r"),
+        round(coalesce($"am", lit(java.math.BigDecimal.ZERO)).cast("double") /
+          $"em".cast("double"), 6).as("cos_captured_r"))
+  }
+
   // ---- s25: attribute-filtered top-k (filtered ANN) ----
 
   /** s25: top-k nearest neighbors UNDER A METADATA FILTER — each query
@@ -2489,6 +2543,7 @@ object Similarity {
     "s25_filtered_topk"     -> (s25FilteredTopK _),
     "s24_range_search"      -> (s24RangeSearch _),
     "s22_ivf_recall_audit"  -> (s22IvfRecallAudit _),
+    "s28_adc_recall_audit"  -> (s28AdcRecallAudit _),
     "s21_probed_decontamination" -> (s21ProbedDecontamination _),
     "s20_matryoshka_audit"  -> (s20MatryoshkaAudit _),
     "s19_bench_decontamination" -> (s19BenchDecontamination _),
@@ -2531,6 +2586,10 @@ object Similarity {
     // s22: integer hit counts + total-ordered windows over the seed
     // quantizer — the whole audit is SQL-replicable
     "s22_ivf_recall_audit"  -> s22Sql,
+    // s28 composes s13's engine-side quantizers with the exact s01
+    // ranking — deterministic like s13 (decimal-exact Lloyd's + exact
+    // decimal sums) → golden-snapshot oracle, the s12/s13 discipline
+    "s28_adc_recall_audit"  -> graft.GoldenGen.oracle("s28_adc_recall_audit"),
     // s21: approximate RECALL, deterministic SQL-replicable mechanism
     // (seed quantizer + probe joins) — the s08 oracle discipline
     "s21_probed_decontamination" -> s21Sql,

@@ -496,4 +496,23 @@ class DedupSpec extends SparkSpec {
     assert(d12 === d08, "collapse route diverged from exact clusters")
     assert(d17.nonEmpty)
   }
+
+  test("d22: survival curve reconciles with keep-first at every tau and is monotone") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val taus = Seq(0.7, 0.8, 0.9, 1.0)
+    val curve = Dedup.survivalCurve(docs, taus)
+      .select($"tau", $"n_survivors").as[(Double, Long)].collect().toMap
+    val n = docs.count()
+    taus.foreach { t =>
+      val killed = Dedup.ngramJaccardPairs(docs, t)
+        .select($"d2").distinct().count()
+      assert(curve(t) === n - killed, s"tau=$t diverges from keep-first")
+    }
+    // survivors can only grow as the threshold tightens
+    val ordered = taus.sorted.map(curve)
+    assert(ordered === ordered.sorted, s"curve not monotone: $ordered")
+    assert(curve(0.7) < n, "fixture must contain near-dups at the loosest cut")
+  }
+
 }

@@ -410,4 +410,20 @@ class MultimodalSpec extends SparkSpec {
       .count()
     assert(cdcUncapped >= 100L * 99L / 2, s"cdc uncapped pairs: $cdcUncapped")
   }
+
+  test("m15: byte profile on hand payloads — constant, binary, and mixed bytes") {
+    import spark.implicits._
+    val payloads = Seq(
+      (1L, Array[Byte](65, 65, 65, 65)),              // "AAAA"
+      (2L, Array[Byte](0, 1, 2, 3)),                  // pure binary junk
+      (3L, Array[Byte](65, 66, 0, 0))                 // half printable
+    ).toDF("doc_id", "payload")
+    val rows = Multimodal.byteProfile(payloads)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows(1L) === ((1L, 4L, 1L, 1.0, 1.0)))
+    assert(rows(2L) === ((2L, 4L, 4L, 0.25, 0.0)))
+    assert(rows(3L) === ((3L, 4L, 3L, 0.5, 0.5)))
+  }
+
 }

@@ -1123,4 +1123,23 @@ class SimilaritySpec extends SparkSpec {
       } finally { graft.BenchUtil.rmTree(full); graft.BenchUtil.rmTree(appended) }
     } finally { vq64.unpersist(); () }
   }
+
+  test("s28: ADC audit is calibrated — full-recall rows capture full mass, all readings bounded") {
+    import spark.implicits._
+    val rows = Similarity.s28AdcRecallAudit(spark, sf0001)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty && rows.length === 20)
+    rows.foreach { case (q, h, r, cm) =>
+      assert(h >= 0 && h <= 3, s"q=$q hits=$h")
+      assert(r >= 0.0 && r <= 1.0 && math.abs(r - h / 3.0) < 1e-6)
+      assert(cm >= 0.0 && cm <= 1.000001, s"q=$q captured=$cm")
+      // same pick SET implies identical exact-cosine mass
+      if (h == 3) assert(cm === 1.0, s"q=$q full recall must capture full mass")
+    }
+    // the audit must measure a real trade: compression loses SOMETHING
+    // somewhere, and keeps most of the mass overall
+    assert(rows.exists(_._2 < 3), "fixture shows no quantization loss at all?")
+    assert(rows.map(_._4).sum / rows.length > 0.5, "ADC lost most cosine mass")
+  }
+
 }

@@ -1371,4 +1371,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!d1.getBoolean(10), "stuck phrase must fail the composite")
     assert(got(2L).getBoolean(10), "varied doc must pass all nine rules")
   }
+
+  test("c21: token yield reconciles with c01 survivors and the funnel is monotone") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val rows = Curation.c21TokenYield(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, raw, f1, f2, f3, kept, y) =>
+      assert(raw >= f1 && f1 >= f2 && f2 >= f3 && f3 >= kept,
+        s"$src funnel not monotone: $raw $f1 $f2 $f3 $kept")
+      assert(math.abs(y - kept.toDouble / raw) < 1e-6, s"$src yield off")
+    }
+    // cross-check the kept mass against c01's own survivor set
+    val survivors = Curation.c01CurationPipeline(spark, sf0001)
+      .select($"doc_id").as[Long].collect().toSet
+    val expectedKept = Tables.documents(spark, sf0001)
+      .filter($"doc_id".isin(survivors.toSeq: _*))
+      .select(size(split($"text", " ")).cast("long").as("n"))
+      .as[Long].collect().sum
+    assert(rows.map(_._6).sum === expectedKept,
+      "sum of per-source kept tokens must equal c01 survivor token mass")
+  }
+
 }
