@@ -63,7 +63,9 @@ object PlanAudit {
         "m12_cdc_neardup", "q73_markov_transitions",
         "s26_semdedup_collapsed", "t38_repetition_signals",
         "m13_storage_dedup", "m14_cdc_storage_dedup",
-        "s27_ivfadc_persisted", "c20_mixture_diversity").foreach(show)
+        "s27_ivfadc_persisted", "c20_mixture_diversity",
+        "d22_survival_curve", "s28_adc_recall_audit",
+        "m15_byte_profile", "c21_token_yield").foreach(show)
     if (targets.isEmpty) {
       java.nio.file.Files.write(java.nio.file.Paths.get("PLANS.md"),
         out.toString.getBytes("UTF-8"))

@@ -628,4 +628,36 @@ class PlanSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("m15: byte profile is one codegen'd scan->project pass — no shuffle, no explode") {
+    val p = plan("m15_byte_profile")
+    assert(!p.contains("Join") && !p.contains("Exchange") &&
+           !p.contains("Generate") && !p.contains("Window"), p.take(800))
+    assert(p.contains("byte_payload_profile"), "native expression missing")
+    // `*(1)` = the one whole-stage-codegen stage (executedPlan.toString
+    // marks codegen'd spans with `*`; the literal node name only shows
+    // in formatted mode)
+    assert(p.linesIterator.exists(l =>
+      l.contains("*(1) Project") && l.contains("byte_payload_profile")),
+      "profile must run inside the codegen'd project")
+  }
+
+  test("d22: one pair join drives the whole tau grid; tau axis is a broadcast dimension") {
+    val p = plan("d22_survival_curve")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the tau fan-out must ride a BroadcastNestedLoopJoin over the
+    // 7-row tau frame (an inequality join on a broadcast dimension is
+    // the intended shape), never a shuffled join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")), "global window")
+  }
+
+  test("c21: token yield rides the marks frame — equi-joins only, one rollup") {
+    val p = plan("c21_token_yield")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
 }
