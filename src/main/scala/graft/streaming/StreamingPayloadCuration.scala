@@ -114,4 +114,19 @@ object StreamingPayloadCuration {
       .filter($"admitted")
       .select($"doc_id", $"payload_sha256")
   }
+
+  /** Per-batch admission funnel — the text leg's admissionStats on the
+    * payload modality (a rejection-rate spike here is a re-crawl storm
+    * caught before any decode spends compute). Same tolerant-read
+    * contract as the other legs. */
+  def admissionStats(spark: SparkSession, historyDir: String): DataFrame = {
+    import spark.implicits._
+    StreamingCuration.readHistory(spark, historyDir, HistorySchema,
+        excludeBatch = None, keepBatch = true, tolerant = true)
+      .groupBy($"batch".cast("long").as("batch"))
+      .agg(count(lit(1)).as("n_payloads"),
+        sum($"admitted".cast("long")).as("n_admitted"),
+        (count(lit(1)) - sum($"admitted".cast("long"))).as("n_rejected"))
+      .orderBy($"batch")
+  }
 }

@@ -113,4 +113,19 @@ object StreamingVectorCuration {
       .filter($"admitted")
       .select($"vec_id", $"v")
   }
+
+  /** Per-batch admission funnel — the text leg's admissionStats on the
+    * vector modality (batch −1 = the seed; ids survive folding). Same
+    * tolerant-read contract: concurrent replays/compactions yield a
+    * transiently partial count, never a failed job. */
+  def admissionStats(spark: SparkSession, historyDir: String): DataFrame = {
+    import spark.implicits._
+    StreamingCuration.readHistory(spark, historyDir, HistorySchema,
+        excludeBatch = None, keepBatch = true, tolerant = true)
+      .groupBy($"batch".cast("long").as("batch"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum($"admitted".cast("long")).as("n_admitted"),
+        (count(lit(1)) - sum($"admitted".cast("long"))).as("n_rejected"))
+      .orderBy($"batch")
+  }
 }

@@ -387,26 +387,33 @@ object ScaleProbe {
     row("c20_mixture_diversity",
       t2(operators.Curation.c20MixtureDiversity(spark, docsAt("x1")).count()),
       t2(operators.Curation.c20MixtureDiversity(spark, docsAt("x10")).count()))
+    // r15 rows: toRdd.count, not count() — count() lets Catalyst
+    // ELIMINATE the work these rows exist to measure (d22's final
+    // left join has a provably-unique right key so the whole pair
+    // join drops out of a count; m15's profile column prunes to a
+    // metadata count)
+    def mat(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     // s28 (r15): s13's serving plan + one broadcast exact-cosine
     // lookup of <= |Q|*k pairs — tracks s13's own scaling
     row("s28_adc_recall_audit",
-      t2(Similarity.s28AdcRecallAudit(spark, docsAt("x1")).count()),
-      t2(Similarity.s28AdcRecallAudit(spark, docsAt("x10")).count()))
+      t2(mat(Similarity.s28AdcRecallAudit(spark, docsAt("x1")))),
+      t2(mat(Similarity.s28AdcRecallAudit(spark, docsAt("x10")))))
     // d22 (r15): one exact pair join at tau=0.7 + a per-doc max + a
     // 7-row broadcast tau axis — the pair join dominates, d03's shape
     row("d22_survival_curve",
-      t2(Dedup.d22SurvivalCurve(spark, docsAt("x1")).count()),
-      t2(Dedup.d22SurvivalCurve(spark, docsAt("x10")).count()))
+      t2(mat(Dedup.d22SurvivalCurve(spark, docsAt("x1")))),
+      t2(mat(Dedup.d22SurvivalCurve(spark, docsAt("x10")))))
     // m15 (r15): one codegen'd per-row byte fold — the linear floor,
     // bounded by payload scan I/O
     row("m15_byte_profile",
-      t2(Multimodal.m15PayloadByteProfile(spark, docsAt("x1")).count()),
-      t2(Multimodal.m15PayloadByteProfile(spark, docsAt("x10")).count()))
+      t2(mat(Multimodal.m15PayloadByteProfile(spark, docsAt("x1")))),
+      t2(mat(Multimodal.m15PayloadByteProfile(spark, docsAt("x10")))))
     // c21 (r15): c01's marks frame + a |sources|-key rollup — tracks
     // the c01 pipeline's own scaling
     row("c21_token_yield",
-      t2(operators.Curation.c21TokenYield(spark, docsAt("x1")).count()),
-      t2(operators.Curation.c21TokenYield(spark, docsAt("x10")).count()))
+      t2(mat(operators.Curation.c21TokenYield(spark, docsAt("x1")))),
+      t2(mat(operators.Curation.c21TokenYield(spark, docsAt("x10")))))
     // t28: two hash aggs over token/hash mass — the linear floor
     row("t28_sketch_profile",
       t2(operators.TextAnalysis.t28SketchProfile(spark, docsAt("x1")).count()),

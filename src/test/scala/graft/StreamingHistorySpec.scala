@@ -247,4 +247,63 @@ class StreamingHistorySpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/batch=0")),
       "debris must be swept by the next compact")
   }
+
+  test("auto-compaction through the streaming query: compactEvery folds while the stream runs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = corpus
+    val expected = keepFirst(docs, 0.8)
+    val histDir = tmp("auto-hist")
+    val ckpt = tmp("auto-ckpt")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingCuration.nearDupAdmission(
+      input.toDF().toDF("doc_id", "text"), histDir, 0.8, ckpt,
+      compactEvery = 2)
+    try {
+      docs.grouped(3).foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+      assert(StreamingCuration.admittedDocs(spark, histDir)
+        .select($"doc_id").as[Long].collect().toSet === expected)
+      // the stream itself compacted: a generation exists and only the
+      // batches above the watermark are still hot
+      assert(StreamingHistory.foldedThrough(histDir).exists(_ >= 0L),
+        "compactEvery must have folded at least one generation")
+      assert(StreamingHistory.hotBatchIds(histDir).size <= 3,
+        s"hot dirs unbounded: ${StreamingHistory.hotBatchIds(histDir)}")
+    } finally q.stop()
+  }
+
+  test("vector and payload admissionStats reconcile with their admitted outputs") {
+    import spark.implicits._
+    val vdir = tmp("vec-stats")
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 9L).map(i =>
+      (i, if (i % 3 == 0) Seq(1.0, 0.0, 0.0, 0.0) else Seq.fill(4)(rnd.nextGaussian())))
+    vecs.grouped(3).zipWithIndex.foreach { case (b, i) =>
+      StreamingVectorCuration.admitBatch(b.toDF("vec_id", "v"), vdir, 0.999, i.toLong)
+    }
+    val vstats = StreamingVectorCuration.admissionStats(spark, vdir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(vstats.map(_._2).sum === 9L)
+    assert(vstats.map(_._3).sum ===
+      StreamingVectorCuration.admittedVecs(spark, vdir).count())
+    vstats.foreach { case (b, n, a, r) => assert(n === a + r, s"batch $b") }
+
+    val pdir = tmp("pay-stats")
+    val payloads = (0L until 9L).map(i =>
+      (i, (if (i % 3 == 0) "same" else s"p$i").getBytes("UTF-8")))
+    payloads.grouped(3).zipWithIndex.foreach { case (b, i) =>
+      StreamingPayloadCuration.admitBatch(b.toDF("doc_id", "payload"), pdir, i.toLong)
+    }
+    val pstats = StreamingPayloadCuration.admissionStats(spark, pdir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(pstats.map(_._2).sum === 9L)
+    assert(pstats.map(_._3).sum ===
+      StreamingPayloadCuration.admittedDocs(spark, pdir).count())
+    pstats.foreach { case (b, n, a, r) => assert(n === a + r, s"batch $b") }
+  }
+
 }
