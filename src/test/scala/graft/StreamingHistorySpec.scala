@@ -306,4 +306,50 @@ class StreamingHistorySpec extends SparkSpec {
     pstats.foreach { case (b, n, a, r) => assert(n === a + r, s"batch $b") }
   }
 
+
+  test("property: random slicings, fold points, and replays never change the admitted set") {
+    import spark.implicits._
+    (40 to 42).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("ax", "bx", "cx", "dx", "ex", "fx", "gx", "hx", "ix", "jx")
+      def doc(): String =
+        Seq.fill(18 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      def mutate(t: String): String = {
+        val w = t.split(' ')
+        w.updated(rnd.nextInt(w.length), vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val base = Seq.fill(10)(doc())
+      val docs = (base ++ base.take(5).map(mutate)).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      // random slicing into 1..5-doc batches
+      val batches = {
+        var rest = docs
+        val b = scala.collection.mutable.ArrayBuffer[Seq[(Long, String)]]()
+        while (rest.nonEmpty) {
+          val (h, t) = rest.splitAt(1 + rnd.nextInt(5))
+          b += h; rest = t
+        }
+        b.toSeq
+      }
+      val plain = tmp(s"prop-plain$seed")
+      val folded = tmp(s"prop-fold$seed")
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val df = b.toDF("doc_id", "text")
+        StreamingCuration.admitBatch(df, plain, 0.8, i.toLong)
+        StreamingCuration.admitBatch(df, folded, 0.8, i.toLong)
+        // random replay of the in-flight batch (failure recovery)
+        if (rnd.nextInt(3) == 0)
+          StreamingCuration.admitBatch(df, folded, 0.8, i.toLong)
+        // random fold point (always < in-flight, as the knob does)
+        if (i > 0 && rnd.nextInt(3) == 0)
+          StreamingCuration.compactHistory(spark, folded, uptoExclusive = i.toLong)
+      }
+      val a = StreamingCuration.admittedDocs(spark, plain)
+        .select($"doc_id").as[Long].collect().toSet
+      val f = StreamingCuration.admittedDocs(spark, folded)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(f === a, s"seed=$seed: folded/replayed run diverged")
+    }
+  }
+
 }
