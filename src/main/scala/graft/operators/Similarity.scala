@@ -2338,6 +2338,83 @@ object Similarity {
       |SELECT q_id, n_id, rank, ROUND(cosine, 6) AS cosine_r
       |FROM scored WHERE rank <= 3""".stripMargin
 
+  // ---- s29: filtered serving from a label-partitioned persisted index ----
+
+  /** Write the corpus as a (label, cluster_id)-partitioned exact-vector
+    * layout — the persisted form of s25's filtered search, closing the
+    * composition s25's scaladoc promises: the filter attribute becomes
+    * the OUTER partition key, so a filtered query prunes to its label's
+    * directory subtree at planning time, and within a label the s17
+    * probe machinery applies unchanged on the inner cluster_id key.
+    * [[IndexStore]] generations, the writeIvfIndex discipline. */
+  def writeLabeledIvfIndex(vecs: DataFrame, centroids: DataFrame,
+                           dir: String): Unit = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val g = IndexStore.nextGen(dir)
+    val wc = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"cluster_id".asc)
+    vecs.withColumn("nrm", norm($"v"))
+      .crossJoin(broadcast(centroids))
+      .select($"vec_id", $"label", $"v", $"nrm", $"cluster_id",
+        (dot($"v", $"cv") / ($"nrm" * $"cn")).as("c_cos"))
+      .withColumn("rn", row_number().over(wc))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"label", $"v", $"nrm", $"cluster_id")
+      .repartition($"label", $"cluster_id")
+      .sortWithinPartitions($"vec_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("label", "cluster_id")
+      .parquet(IndexStore.genPath(dir, g))
+    IndexStore.publish(dir, g)
+    IndexStore.sweep(dir)
+  }
+
+  /** Exact filtered top-k served from the labeled layout: the query
+    * set's labels collect to a literal `isin` partition filter (≤ the
+    * label vocabulary — a model-artifact-sized fetch, the s17
+    * literal-isin discipline), so ONLY the queried labels' subtrees
+    * are planned or read; within a label the scan is exhaustive, so
+    * answers are EXACT ≡ [[s25FilteredTopK]] (probed approximate
+    * serving within a label is [[ivfTopKFromIndex]]'s machinery on the
+    * inner key — mechanical, deliberately not fused here so the exact
+    * form keeps s25's oracle). */
+  def filteredTopKFromIndex(s: SparkSession, dir: String,
+                            queries: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val qLabels = queries.select($"label").distinct()
+      .as[Int].collect().sorted
+    val index = s.read.parquet(IndexStore.currentPath(dir))
+      .filter($"label".isin(qLabels.map(Int.box): _*))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
+    index.join(broadcast(queries), Seq("label"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        (dot($"v", $"qv") / ($"nrm" * $"qn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"q_id", $"n_id", $"rank", round($"cosine", 6).as("cosine_r"))
+  }
+
+  /** Registered: build the labeled index in-plan (oracle
+    * self-containment — the s17/c12 discipline; temp dir under the
+    * shared FIFO) and serve s25's exact query through it — the driver
+    * hash-checks the persisted filtered layout against s25's OWN
+    * oracle, the s17≡s03 precedent on the filtered modality. */
+  def s29LabeledIndexServe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d).withColumn("nrm", norm($"v"))
+    val centroids = trainedCentroids(s, d, k = 5, iters = 2)
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("graft-s29-index").toString
+    s17CleanupHook
+    writeLabeledIvfIndex(c.select($"vec_id", $"label", $"v"), centroids, indexDir)
+    val q = c.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"label", $"v".as("qv"), $"nrm".as("qn"))
+    val served = filteredTopKFromIndex(s, indexDir, q, k = 3).localCheckpoint()
+    s17Admit(indexDir)
+    served
+  }
+
   // ---- s23: SemDeDup — semantic dedup via cluster-bucketed cosine ----
 
   /** s23: SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
@@ -2544,6 +2621,7 @@ object Similarity {
     "s24_range_search"      -> (s24RangeSearch _),
     "s22_ivf_recall_audit"  -> (s22IvfRecallAudit _),
     "s28_adc_recall_audit"  -> (s28AdcRecallAudit _),
+    "s29_labeled_index_serve" -> (s29LabeledIndexServe _),
     "s21_probed_decontamination" -> (s21ProbedDecontamination _),
     "s20_matryoshka_audit"  -> (s20MatryoshkaAudit _),
     "s19_bench_decontamination" -> (s19BenchDecontamination _),
@@ -2590,6 +2668,11 @@ object Similarity {
     // ranking — deterministic like s13 (decimal-exact Lloyd's + exact
     // decimal sums) → golden-snapshot oracle, the s12/s13 discipline
     "s28_adc_recall_audit"  -> graft.GoldenGen.oracle("s28_adc_recall_audit"),
+    // s29 ≡ s25 exactly (exhaustive scan within the pruned label
+    // partitions; doubles round-trip parquet exactly) → s25's own SQL
+    // oracle hash-checks the persisted filtered layout, the s17≡s03
+    // precedent
+    "s29_labeled_index_serve" -> s25Sql,
     // s21: approximate RECALL, deterministic SQL-replicable mechanism
     // (seed quantizer + probe joins) — the s08 oracle discipline
     "s21_probed_decontamination" -> s21Sql,

@@ -660,4 +660,27 @@ class PlanSpec extends SparkSpec {
            !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+
+  test("s29: labeled-index serve — label partition filter reaches the scan, queries broadcast") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    val centroids = Similarity.trainedCentroids(spark, sf001, k = 5, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("s29-plan-idx").toString
+    val p = try {
+      Similarity.writeLabeledIvfIndex(emb, centroids, dir)
+      val q = emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("q_id"), $"label", $"v".as("qv"),
+          Similarity.norm($"v").as("qn"))
+      Similarity.filteredTopKFromIndex(spark, dir, q, k = 3)
+        .queryExecution.executedPlan.toString
+    } finally graft.BenchUtil.rmTree(dir)
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(l => l.contains("label")),
+      s"label must prune partitions at planning time: ${pf.getOrElse(p.take(400))}")
+    assert(p.contains("BroadcastHashJoin"), "queries must broadcast")
+  }
+
 }

@@ -1142,4 +1142,15 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_._4).sum / rows.length > 0.5, "ADC lost most cosine mass")
   }
 
+
+  test("s29: persisted filtered serve ≡ in-plan s25 exactly") {
+    import spark.implicits._
+    val a = Similarity.s29LabeledIndexServe(spark, sf0001)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val b = Similarity.s25FilteredTopK(spark, sf0001)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(a === b && a.nonEmpty,
+      "labeled-index serve must reproduce s25 bit-identically")
+  }
+
 }
