@@ -141,7 +141,8 @@ object StreamingCuration {
     * construction; [[graft.StreamingCurationSpec]] pins it. */
   def compactHistory(spark: SparkSession, dir: String,
                      uptoExclusive: Long): Unit =
-    StreamingHistory.compact(spark, dir, uptoExclusive, lshLaneFold(spark, dir))
+    StreamingHistory.compact(spark, dir, uptoExclusive, lshLaneFold(spark, dir),
+      rowsSchema = Some(HistorySchema))
 
   // ---- the LSH lanes (shared by the near-dup and pipeline legs) ----
 
@@ -182,21 +183,28 @@ object StreamingCuration {
     val hotIds = StreamingHistory.hotBatchIds(dir).filterNot(_ == excludeBatch)
     val (laned, legacy) = hotIds.partition(id =>
       Files.isDirectory(Paths.get(StreamingHistory.lanePath(dir, "banded", id))))
-    def readLane(lane: String): Option[DataFrame] =
+    // schema-explicit reads everywhere: an all-shingle-less (or empty)
+    // batch writes FILE-LESS lane dirs, where schema inference throws
+    // and an explicit schema yields the correct empty frame
+    def readLane(lane: String, schema: StructType): Option[DataFrame] =
       if (laned.isEmpty) None
       else Some(spark.read
+        .schema(StructType(schema.fields :+ StructField("batch", LongType)))
         .option("basePath", s"$dir/_lanes/$lane")
         .parquet(laned.map(id => StreamingHistory.lanePath(dir, lane, id)): _*)
         .drop("batch"))
     val legacySh = StreamingHistory.readHotBatches(spark, dir, legacy)
       .map(_.select($"doc_id", $"sh").filter(size($"sh") > 0))
     val legacyBanded = legacySh.map(Dedup.bandedOf)
-    val banded = (StreamingHistory.foldedLane(spark, dir, "banded").toSeq ++
-        readLane("banded").toSeq ++ legacyBanded.toSeq)
+    val banded = (StreamingHistory.foldedLane(spark, dir, "banded",
+          Some(BandedSchema)).toSeq ++
+        readLane("banded", BandedSchema).toSeq ++ legacyBanded.toSeq)
       .reduceOption(_.unionByName(_))
       .getOrElse(emptyFrame(spark, BandedSchema))
-    val counts = (StreamingHistory.foldedLane(spark, dir, "counts").toSeq ++
-        readLane("counts").toSeq ++ legacyBanded.map(Dedup.bandedOf_counts).toSeq)
+    val counts = (StreamingHistory.foldedLane(spark, dir, "counts",
+          Some(CountsSchema)).toSeq ++
+        readLane("counts", CountsSchema).toSeq ++
+        legacyBanded.map(Dedup.bandedOf_counts).toSeq)
       .reduceOption(_.unionByName(_))
       .getOrElse(emptyFrame(spark, CountsSchema))
     (banded, counts)
@@ -210,24 +218,28 @@ object StreamingCuration {
     import spark.implicits._
     val (laned, legacy) = foldIds.partition(id =>
       Files.isDirectory(Paths.get(StreamingHistory.lanePath(dir, "banded", id))))
-    def readLane(lane: String): Option[DataFrame] =
+    def readLane(lane: String, schema: StructType): Option[DataFrame] =
       if (laned.isEmpty) None
       else Some(spark.read
+        .schema(StructType(schema.fields :+ StructField("batch", LongType)))
         .option("basePath", s"$dir/_lanes/$lane")
         .parquet(laned.map(id => StreamingHistory.lanePath(dir, lane, id)): _*)
         .drop("batch"))
     val legacySh = StreamingHistory.readHotBatches(spark, dir, legacy)
       .map(_.select($"doc_id", $"sh").filter(size($"sh") > 0))
     val legacyBanded = legacySh.map(Dedup.bandedOf)
-    val bandedParts = StreamingHistory.foldedLane(spark, dir, "banded").toSeq ++
-      readLane("banded").toSeq ++ legacyBanded.toSeq
+    val bandedParts = StreamingHistory.foldedLane(spark, dir, "banded",
+        Some(BandedSchema)).toSeq ++
+      readLane("banded", BandedSchema).toSeq ++ legacyBanded.toSeq
     val banded = bandedParts.reduceOption(_.unionByName(_))
       .getOrElse(emptyFrame(spark, BandedSchema))
     val nFiles = math.max(1,
       bandedParts.map(p => scala.util.Try(p.inputFiles.length).getOrElse(1)).sum / 16)
     banded.coalesce(nFiles).write.mode("overwrite").parquet(s"$dst/banded")
-    val counts = (StreamingHistory.foldedLane(spark, dir, "counts").toSeq ++
-        readLane("counts").toSeq ++ legacyBanded.map(Dedup.bandedOf_counts).toSeq)
+    val counts = (StreamingHistory.foldedLane(spark, dir, "counts",
+        Some(CountsSchema)).toSeq ++
+        readLane("counts", CountsSchema).toSeq ++
+        legacyBanded.map(Dedup.bandedOf_counts).toSeq)
       .reduceOption(_.unionByName(_))
       .getOrElse(emptyFrame(spark, CountsSchema))
     counts.groupBy($"band_id", $"band_hash").agg(sum($"n").as("n"))
@@ -292,7 +304,8 @@ object StreamingCuration {
         (stSh, dSh) => Dedup.probeLshFromShingled(
           sBanded, sCounts, stSh, dSh, 0.8, NoBucketCap))
       .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
-    val outSh = spark.read.parquet(s"$stateDir/batch=$batchId")
+    val outSh = spark.read.schema(StateSchema)
+      .parquet(s"$stateDir/batch=$batchId")
       .select($"doc_id", $"sh").filter(size($"sh") > 0)
     writeLshLanes(outSh, stateDir, batchId)
   }
@@ -302,7 +315,7 @@ object StreamingCuration {
   def compactPipelineState(spark: SparkSession, stateDir: String,
                            uptoExclusive: Long): Unit =
     StreamingHistory.compact(spark, stateDir, uptoExclusive,
-      lshLaneFold(spark, stateDir))
+      lshLaneFold(spark, stateDir), rowsSchema = Some(StateSchema))
 
   /** Seed the state with an already-curated standing corpus (the
     * previous batch run's [[graft.operators.Curation.curationState]]). */

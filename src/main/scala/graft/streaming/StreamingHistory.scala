@@ -109,27 +109,45 @@ object StreamingHistory {
     ids.filter(id => ft.forall(id > _)).sorted
   }
 
-  /** The published generation's rows lane, if a fold has happened. */
-  def foldedRows(spark: SparkSession, dir: String): Option[DataFrame] =
-    foldedLane(spark, dir, "rows")
+  /** The published generation's rows lane, if a fold has happened.
+    * `schema` = data columns + the long `batch` column the fold
+    * materialized (see [[readHotBatches]] for why explicit schemas
+    * matter: a fold of only-empty batches is a file-less lane). */
+  def foldedRows(spark: SparkSession, dir: String,
+                 schema: Option[StructType] = None): Option[DataFrame] =
+    foldedLane(spark, dir, "rows",
+      schema.map(sc => StructType(sc.fields :+ StructField("batch", LongType))))
 
   /** A lane of the published generation, if present. */
-  def foldedLane(spark: SparkSession, dir: String, lane: String): Option[DataFrame] =
+  def foldedLane(spark: SparkSession, dir: String, lane: String,
+                 schema: Option[StructType] = None): Option[DataFrame] =
     IndexStore.currentGen(foldedDir(dir)).flatMap { g =>
       val p = s"${IndexStore.genPath(foldedDir(dir), g)}/$lane"
-      if (Files.isDirectory(Paths.get(p))) Some(spark.read.parquet(p)) else None
+      if (Files.isDirectory(Paths.get(p)))
+        Some(schema.fold(spark.read)(spark.read.schema(_)).parquet(p))
+      else None
     }
 
   /** Read selected hot batch dirs as one frame with a long `batch`
     * column (basePath keeps partition discovery scoped to the given
-    * dirs, so the `_`-prefixed siblings never confuse it). */
+    * dirs, so the `_`-prefixed siblings never confuse it).
+    *
+    * Pass `schema` (the DATA columns; `batch` is appended here) whenever
+    * the caller knows it — an EMPTY micro-batch writes a dir with no
+    * part files (Spark skips file creation for row-less tasks), and
+    * schema INFERENCE over a file-less path set throws where an
+    * explicit schema yields the correct empty frame. It also skips the
+    * per-batch footer reads inference costs. */
   def readHotBatches(spark: SparkSession, dir: String, ids: Seq[Long],
-                     tolerant: Boolean = false): Option[DataFrame] =
+                     tolerant: Boolean = false,
+                     schema: Option[StructType] = None): Option[DataFrame] =
     if (ids.isEmpty) None
     else {
-      val reader =
+      val reader0 =
         if (tolerant) spark.read.option("ignoreMissingFiles", "true")
         else spark.read
+      val reader = schema.fold(reader0)(sc => reader0.schema(
+        StructType(sc.fields :+ StructField("batch", LongType))))
       Some(reader.option("basePath", dir)
         .parquet(ids.map(id => s"$dir/batch=$id"): _*)
         .withColumn("batch", col("batch").cast(LongType)))
@@ -145,8 +163,8 @@ object StreamingHistory {
                excludeBatch: Option[Long], keepBatch: Boolean = false,
                tolerant: Boolean = false): DataFrame = {
     val hotIds = hotBatchIds(dir).filterNot(id => excludeBatch.contains(id))
-    val hot = readHotBatches(spark, dir, hotIds, tolerant)
-    val folded = foldedRows(spark, dir)
+    val hot = readHotBatches(spark, dir, hotIds, tolerant, Some(emptySchema))
+    val folded = foldedRows(spark, dir, Some(emptySchema))
       .map(df => excludeBatch.fold(df)(b => df.filter(col("batch") =!= b)))
     val frames = hot.toSeq ++ folded.toSeq
     if (frames.isEmpty) {
@@ -171,14 +189,15 @@ object StreamingHistory {
     * fold its side lanes into the same generation before publish (the
     * text leg's banded/counts). No-op when nothing is foldable. */
   def compact(spark: SparkSession, dir: String, uptoExclusive: Long,
-              extraLanes: (String, Seq[Long]) => Unit = (_, _) => ()): Unit = {
+              extraLanes: (String, Seq[Long]) => Unit = (_, _) => (),
+              rowsSchema: Option[StructType] = None): Unit = {
     val fd = foldedDir(dir)
     val foldIds = hotBatchIds(dir).filter(_ < uptoExclusive)
     if (foldIds.isEmpty) { sweepDebris(dir); return }
     val g = IndexStore.nextGen(fd)
     val dst = IndexStore.genPath(fd, g)
-    val prev = foldedRows(spark, dir)
-    val hot = readHotBatches(spark, dir, foldIds)
+    val prev = foldedRows(spark, dir, rowsSchema)
+    val hot = readHotBatches(spark, dir, foldIds, schema = rowsSchema)
     val frames = prev.toSeq ++ hot.toSeq
     val head = frames.head
     val rows = frames.map(_.select(head.columns.map(col): _*))

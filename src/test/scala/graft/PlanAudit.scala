@@ -65,7 +65,8 @@ object PlanAudit {
         "m13_storage_dedup", "m14_cdc_storage_dedup",
         "s27_ivfadc_persisted", "c20_mixture_diversity",
         "d22_survival_curve", "s28_adc_recall_audit",
-        "m15_byte_profile", "c21_token_yield").foreach(show)
+        "m15_byte_profile", "c21_token_yield",
+        "s29_labeled_index_serve").foreach(show)
     if (targets.isEmpty) {
       java.nio.file.Files.write(java.nio.file.Paths.get("PLANS.md"),
         out.toString.getBytes("UTF-8"))

@@ -352,4 +352,44 @@ class StreamingHistorySpec extends SparkSpec {
     }
   }
 
+
+  test("empty / all-rejected / shingle-less batches leave readable history (file-less dirs)") {
+    import spark.implicits._
+    // text leg: an EMPTY batch and an all-shingle-less batch both write
+    // dirs with zero part files (Spark skips row-less tasks) — every
+    // later read must see them as empty frames, not schema-inference
+    // failures
+    val dir = tmp("hist-empty")
+    StreamingCuration.admitBatch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), dir, 0.8, 0L)
+    StreamingCuration.admitBatch(
+      Seq((5L, "ab")).toDF("doc_id", "text"), dir, 0.8, 1L) // < 3 words: no shingles
+    val t = "alpha beta gamma delta eps zeta eta theta iota kappa " * 2
+    StreamingCuration.admitBatch(
+      Seq((10L, t), (11L, t + "x")).toDF("doc_id", "text"), dir, 0.8, 2L)
+    assert(StreamingCuration.admittedDocs(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet === Set(5L, 10L),
+      "near-copy 11 must reject; empty/shingle-less batches must not break reads")
+    // folding across the file-less dirs works too
+    StreamingCuration.compactHistory(spark, dir, uptoExclusive = 3L)
+    assert(StreamingCuration.admittedDocs(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet === Set(5L, 10L))
+    assert(StreamingCuration.admissionStats(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().map(_._2).sum === 3L)
+
+    // pipeline leg: a batch rejected ENTIRELY at the language/quality
+    // stage writes a file-less state dir; the read-back for its lanes
+    // and the next batch's admission must both survive
+    val pdir = tmp("pipe-empty")
+    val bench = Seq((1L, "bench doc words alpha beta gamma")).toDF("doc_id", "text")
+    StreamingCuration.admitPipelineBatch(
+      Seq((20L, "zzz")).toDF("doc_id", "text"), bench, pdir, 0L) // fails quality
+    StreamingCuration.admitPipelineBatch(
+      Seq((30L, "the quick brown fox jumps over the lazy dog and keeps running onward")).toDF("doc_id", "text"),
+      bench, pdir, 1L)
+    assert(StreamingCuration.curatedDocs(spark, pdir).count() >= 0L)
+    StreamingCuration.compactPipelineState(spark, pdir, uptoExclusive = 2L)
+    assert(StreamingCuration.curatedDocs(spark, pdir).count() >= 0L)
+  }
+
 }
