@@ -102,7 +102,11 @@ object GoldenGen {
       // s28: composes s13's golden-safe ADC ranking with the exact s01
       // ranking; hit counts are integers, cosine masses go through
       // decimal(18,6) on 6dp-rounded values — deterministic like s13
-      "s28_adc_recall_audit")
+      "s28_adc_recall_audit",
+      // s30: s13's golden-safe shortlist re-ranked by exact per-row
+      // cosine (sequential array dot — order-fixed) with total-order
+      // ties — deterministic by the same composition argument as s28
+      "s30_refined_topk")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

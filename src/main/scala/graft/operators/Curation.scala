@@ -424,6 +424,156 @@ object Curation {
        |      THEN n_tok ELSE 0 END) AS DOUBLE) / SUM(n_tok), 6) AS yield_r
        |FROM tok GROUP BY source""".stripMargin
 
+  // ---- c22: PII scrub audit via planted canaries ----
+
+  /** The four detector classes c22 audits (kept, like t10's patterns, in
+    * the RE2 ∩ java.util.regex dialect so the DuckDB oracle runs them
+    * verbatim). t10 is the per-document scrub OPERATOR; c22 is the
+    * CONTROL on top of it — the measurement that tells you the scrub
+    * pipeline actually works before you trust it with a corpus. */
+  private val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  private val Ipv4Re  = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private val SsnRe   = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** c22: PII scrub audit — canary-based recall measurement for the
+    * redaction pipeline (the standard production control: plant KNOWN
+    * synthetic PII, run the scrubber, verify every canary was caught and
+    * nothing survives the scrub). Four detector classes (email, phone,
+    * IPv4, SSN-shaped); canaries are planted deterministically from
+    * doc_id (moduli 3/7/11/13 — coprime with the source cycle so every
+    * source receives every class), so planted-vs-found is an exact
+    * integer reconciliation, not a sample. Reported per source: docs,
+    * planted/found per class, residual matches AFTER the scrub (the
+    * "did anything leak" column — 0 on a correct scrubber), redacted
+    * char mass, and overall recall. The injected-canary frame is the
+    * audit fixture; on a real corpus the same detect/scrub columns run
+    * on the raw text (t10's path) and `found - planted` reads as
+    * organic PII incidence.
+    *
+    * The four patterns are mutually non-overlapping by construction
+    * (phone 3-3-4 vs SSN 3-2-4 dash shapes reject each other at the
+    * second group; IPv4 needs dots, emails need '@'), so scrub order
+    * does not affect counts.
+    *
+    * Scale: one narrow (doc_id, source, text) scan; canary injection,
+    * all eight regexp_counts, and the four-stage scrub are per-row
+    * expressions inside WholeStageCodegen — the corpus never shuffles;
+    * the only exchange is the final map-side-combined |sources|-key
+    * aggregate. Counts are linear BIGINT sums (exact to ~9·10^18). */
+  def c22PiiCanaryAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val canaryEmail = when($"doc_id" % 3 === 0,
+      concat(lit(" contact user"), $"doc_id".cast("string"),
+        lit("@example.com"))).otherwise(lit(""))
+    val canaryPhone = when($"doc_id" % 7 === 0,
+      concat(lit(" call 555-867-"),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0"))).otherwise(lit(""))
+    val canaryIp = when($"doc_id" % 11 === 0,
+      concat(lit(" host 10.0."), ($"doc_id" % 256).cast("string"),
+        lit("."), ($"doc_id" % 250).cast("string"))).otherwise(lit(""))
+    val canarySsn = when($"doc_id" % 13 === 0,
+      lit(" ssn 123-45-6789")).otherwise(lit(""))
+    val dirty = concat($"text", canaryEmail, canaryPhone, canaryIp, canarySsn)
+    val clean =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(dirty, SsnRe, "<SSN>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>"),
+        EmailRe, "<EMAIL>")
+    def plantedC(m: Int) = sum(when($"doc_id" % m === 0, 1L).otherwise(0L))
+    def foundC(re: String, col: Column) =
+      sum(regexp_count(col, lit(re)).cast("long"))
+    val marked = documents(s, d)
+      .select($"doc_id", $"source", dirty.as("dirty"), clean.as("clean"))
+    marked.groupBy($"source").agg(
+        count(lit(1)).as("docs"),
+        plantedC(3).as("planted_email"),
+        foundC(EmailRe, $"dirty").as("found_email"),
+        plantedC(7).as("planted_phone"),
+        foundC(PhoneRe, $"dirty").as("found_phone"),
+        plantedC(11).as("planted_ip"),
+        foundC(Ipv4Re, $"dirty").as("found_ip"),
+        plantedC(13).as("planted_ssn"),
+        foundC(SsnRe, $"dirty").as("found_ssn"),
+        (foundC(EmailRe, $"clean") + foundC(PhoneRe, $"clean") +
+         foundC(Ipv4Re, $"clean") + foundC(SsnRe, $"clean"))
+          .as("residual_after_scrub"),
+        sum(length($"dirty") - length($"clean")).cast("long")
+          .as("redacted_chars"))
+      .withColumn("recall_r",
+        when($"planted_email" + $"planted_phone" + $"planted_ip" +
+             $"planted_ssn" > 0,
+          round(($"found_email" + $"found_phone" + $"found_ip" +
+                 $"found_ssn").cast("double") /
+            ($"planted_email" + $"planted_phone" + $"planted_ip" +
+             $"planted_ssn"), 6)))
+  }
+
+  def c22Sql: String =
+    s"""WITH marked AS (
+       |  SELECT doc_id, source,
+       |    text
+       |      || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+       |           || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+       |      || CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-'
+       |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |      || CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.'
+       |           || CAST(doc_id % 256 AS VARCHAR) || '.'
+       |           || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+       |      || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+       |      AS dirty
+       |  FROM documents
+       |), scrubbed AS (
+       |  SELECT doc_id, source, dirty,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      dirty, '$SsnRe', '<SSN>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g'),
+       |      '$Ipv4Re', '<IP>', 'g'),
+       |      '$EmailRe', '<EMAIL>', 'g') AS clean
+       |  FROM marked
+       |)
+       |SELECT source,
+       |  COUNT(*) AS docs,
+       |  CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS planted_email,
+       |  CAST(SUM(len(regexp_extract_all(dirty, '$EmailRe'))) AS BIGINT)
+       |    AS found_email,
+       |  CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS planted_phone,
+       |  CAST(SUM(len(regexp_extract_all(dirty, '$PhoneRe'))) AS BIGINT)
+       |    AS found_phone,
+       |  CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS planted_ip,
+       |  CAST(SUM(len(regexp_extract_all(dirty, '$Ipv4Re'))) AS BIGINT)
+       |    AS found_ip,
+       |  CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS planted_ssn,
+       |  CAST(SUM(len(regexp_extract_all(dirty, '$SsnRe'))) AS BIGINT)
+       |    AS found_ssn,
+       |  CAST(SUM(len(regexp_extract_all(clean, '$EmailRe'))
+       |     + len(regexp_extract_all(clean, '$PhoneRe'))
+       |     + len(regexp_extract_all(clean, '$Ipv4Re'))
+       |     + len(regexp_extract_all(clean, '$SsnRe'))) AS BIGINT)
+       |    AS residual_after_scrub,
+       |  CAST(SUM(len(dirty) - len(clean)) AS BIGINT) AS redacted_chars,
+       |  CASE WHEN SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+       |          + SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+       |          + SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)
+       |          + SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) > 0
+       |    THEN ROUND(CAST(
+       |        SUM(len(regexp_extract_all(dirty, '$EmailRe')))
+       |      + SUM(len(regexp_extract_all(dirty, '$PhoneRe')))
+       |      + SUM(len(regexp_extract_all(dirty, '$Ipv4Re')))
+       |      + SUM(len(regexp_extract_all(dirty, '$SsnRe'))) AS DOUBLE) /
+       |      (SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+       |     + SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+       |     + SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)
+       |     + SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)), 6)
+       |  END AS recall_r
+       |FROM scrubbed GROUP BY source""".stripMargin
+
   def c19QualitySweep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val taus = Seq(0.3, 0.4, 0.5, 0.6, 0.7)
@@ -1940,6 +2090,7 @@ object Curation {
     "c18_sequence_manifest" -> (c18SequenceManifest _),
     "c20_mixture_diversity" -> (c20MixtureDiversity _),
     "c21_token_yield"       -> (c21TokenYield _),
+    "c22_pii_canary_audit"  -> (c22PiiCanaryAudit _),
     "c19_quality_sweep"     -> (c19QualitySweep _),
   )
 
@@ -1999,6 +2150,7 @@ object Curation {
     "c18_sequence_manifest" -> c18Sql,
     "c20_mixture_diversity" -> c20Sql,
     "c21_token_yield"       -> c21Sql,
+    "c22_pii_canary_audit"  -> c22Sql,
     "c19_quality_sweep"     -> c19Sql,
   )
 }

@@ -892,7 +892,89 @@ object Multimodal {
       |    AS DOUBLE) / SUM(c), 6) AS printable_frac_r
       |FROM hist GROUP BY doc_id""".stripMargin
 
+  // ---- m16: container sniff & declared-modality mismatch audit ----
+
+  /** m16: container-magic sniffing vs the DECLARED modality — the
+    * mislabeled-asset gate every multimodal crawl needs: upstream
+    * metadata lies (a .png that is a JPEG, an "image" that is RIFF
+    * audio, HTML error pages served as media), and decode stages crash
+    * or silently garbage on the lie. Sniffing reads NOTHING but the
+    * first 8 payload bytes (PNG/JPEG/RIFF signatures — the standard
+    * public magic numbers); the report is the (declared, sniffed)
+    * confusion matrix with payload counts and byte mass, the artifact
+    * that tells you which source's labels to distrust before routing
+    * payloads to decoders.
+    *
+    * Fixture: the corpus has no real containers, so — the c22 canary
+    * discipline — declared labels and actual container prefixes are
+    * planted deterministically from doc_id, with doc_id % 17 rows
+    * mislabeled (actual class rotated one step from the declared one),
+    * so the matrix has exact expected off-diagonal mass and the sniff
+    * arithmetic is oracle-checked for real. On a real corpus the same
+    * sniff column runs against the stored payload and its metadata
+    * column.
+    *
+    * Scale: payload construction + the 8-byte prefix sniff are per-row
+    * codegen expressions (the sniff never hexes more than 8 bytes on
+    * the Spark side); the only exchange is the ≤ |types|²-key rollup.
+    * Byte mass sums are linear BIGINT. */
+  def m16ModalitySniff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val types  = typedLit(Seq("png", "jpeg", "riff", "raw"))
+    val magics = typedLit(Seq("89504E470D0A1A0A", "FFD8FF", "52494646", ""))
+    val declaredIdx = ($"doc_id" % 4).cast("int")
+    val actualIdx = when($"doc_id" % 17 === 0,
+      (($"doc_id" % 4) + 1) % 4).otherwise($"doc_id" % 4).cast("int")
+    val payload = concat(unhex(element_at(magics, actualIdx + 1)),
+      encode($"text", "utf-8"))
+    val prefix = substring(upper(hex(substring($"payload", 1, 8))), 1, 16)
+    val sniffed = when(prefix.startsWith("89504E470D0A1A0A"), "png")
+      .when(prefix.startsWith("FFD8FF"), "jpeg")
+      .when(prefix.startsWith("52494646"), "riff")
+      .otherwise("raw")
+    documents(s, d)
+      .select(element_at(types, declaredIdx + 1).as("declared"),
+        payload.as("payload"))
+      .select($"declared", sniffed.as("sniffed"), length($"payload").as("nb"))
+      .groupBy($"declared", $"sniffed")
+      .agg(count(lit(1)).as("n_payloads"),
+        sum($"nb").cast("long").as("byte_mass"))
+      .withColumn("mismatch", $"declared" =!= $"sniffed")
+  }
+
+  val m16Sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, text,
+      |    ['png','jpeg','riff','raw'][CAST(doc_id % 4 AS INTEGER) + 1]
+      |      AS declared,
+      |    CASE WHEN doc_id % 17 = 0
+      |      THEN CAST((doc_id % 4 + 1) % 4 AS INTEGER)
+      |      ELSE CAST(doc_id % 4 AS INTEGER) END AS aidx
+      |  FROM documents
+      |), p AS (
+      |  SELECT declared,
+      |    unhex(['89504E470D0A1A0A','FFD8FF','52494646',''][aidx + 1])
+      |      || encode(text) AS payload
+      |  FROM planted
+      |), sn AS (
+      |  SELECT declared, octet_length(payload) AS nb,
+      |    CASE
+      |      WHEN starts_with(substr(upper(hex(payload)), 1, 16),
+      |                       '89504E470D0A1A0A') THEN 'png'
+      |      WHEN starts_with(substr(upper(hex(payload)), 1, 16),
+      |                       'FFD8FF') THEN 'jpeg'
+      |      WHEN starts_with(substr(upper(hex(payload)), 1, 16),
+      |                       '52494646') THEN 'riff'
+      |      ELSE 'raw' END AS sniffed
+      |  FROM p
+      |)
+      |SELECT declared, sniffed, COUNT(*) AS n_payloads,
+      |  CAST(SUM(nb) AS BIGINT) AS byte_mass,
+      |  declared <> sniffed AS mismatch
+      |FROM sn GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m16_modality_sniff" -> (m16ModalitySniff _),
     "m15_byte_profile"  -> (m15PayloadByteProfile _),
     "m14_cdc_storage_dedup" -> (m14CdcStorageDedup _),
     "m13_storage_dedup" -> (m13StorageDedup _),
@@ -926,6 +1008,7 @@ object Multimodal {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    "m16_modality_sniff" -> m16Sql,
     "m15_byte_profile"  -> m15Sql,
     "m13_storage_dedup" -> m13Sql,
     // m14: gear chunk spans are engine-side but a sequential pure

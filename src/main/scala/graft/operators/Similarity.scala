@@ -1089,7 +1089,13 @@ object Similarity {
     * no pair term, nothing quadratic. The distance-table join's
     * equi-keys include the probed cluster_id, so a candidate row fans
     * out only to queries actually probing its bucket. */
-  def s13IvfAdcTopK(s: SparkSession, d: String): DataFrame = {
+  def s13IvfAdcTopK(s: SparkSession, d: String): DataFrame =
+    ivfAdcStack(s, d, k = 3)
+
+  /** The whole s13 train→encode→serve program with the shortlist depth
+    * exposed — s13 serves it at k=3 directly; s30 serves a deeper
+    * shortlist and re-ranks it exactly. */
+  private def ivfAdcStack(s: SparkSession, d: String, k: Int): DataFrame = {
     import s.implicits._
     // kc=5 matches s03's coarse granularity on the 500-vector fixture
     // (~100/bucket); dsub=4, kpq=16 are s12's measured accuracy point;
@@ -1112,8 +1118,42 @@ object Similarity {
       // corpus as the IVFADC serving layout: (cluster_id, vec_id, codes)
       val codes = encodeIvfAdc(vq64, coarse, books, dsub)
       ivfAdcServe(codes, coarse, books,
-        vq64.filter($"vec_id" < 20), dsub, nprobe, k = 3)
+        vq64.filter($"vec_id" < 20), dsub, nprobe, k = k)
     } finally { vq64.unpersist(); () }
+  }
+
+  /** s30: refine re-rank (Jégou et al. 2011 §V's "IVFADC+R") — the
+    * two-stage serving shape production ANN actually runs: the
+    * compressed stack (s13) retrieves a DEEPER shortlist (kexp = 10)
+    * from codes alone, then only those |Q|·kexp candidates have their
+    * raw vectors fetched and re-scored with EXACT cosine, and the final
+    * k = 3 comes from the exact scores. Quantization error decides only
+    * who makes the shortlist, never the final order — ADC ties and
+    * near-ties are broken by true distance, at the cost of one
+    * query-proportional (never corpus-proportional) raw-vector lookup.
+    *
+    * Plan shape: everything s13 does, plus one broadcast join of the
+    * tiny shortlist INTO the raw-vector scan (the corpus never
+    * shuffles for the refine; the |Q|·kexp candidate set does), one
+    * per-row exact cosine, one |Q|·kexp-row top-k window. At 100 TB the
+    * refine reads kexp rows per query from the raw store — point
+    * lookups against the s17-style vec_id layout, not a scan. */
+  def s30RefinedTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kexp = 10
+    val shortlist = ivfAdcStack(s, d, kexp).select($"q_id", $"n_id")
+    val c = corpus(s, d).withColumn("nrm", norm($"v"))
+    val qv = c.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
+    c.select($"vec_id".as("n_id"), $"v", $"nrm")
+      .join(broadcast(shortlist), "n_id")
+      .join(broadcast(qv), "q_id")
+      .select($"q_id", $"n_id",
+        (dot($"v", $"qv") / ($"nrm" * $"qn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"n_id", $"rank", round($"cosine", 6).as("cosine_r"))
   }
 
   /** Spec-facing alias of [[coarseResiduals]] (PlanSpec/SimilaritySpec
@@ -2622,6 +2662,7 @@ object Similarity {
     "s22_ivf_recall_audit"  -> (s22IvfRecallAudit _),
     "s28_adc_recall_audit"  -> (s28AdcRecallAudit _),
     "s29_labeled_index_serve" -> (s29LabeledIndexServe _),
+    "s30_refined_topk"      -> (s30RefinedTopK _),
     "s21_probed_decontamination" -> (s21ProbedDecontamination _),
     "s20_matryoshka_audit"  -> (s20MatryoshkaAudit _),
     "s19_bench_decontamination" -> (s19BenchDecontamination _),
@@ -2668,6 +2709,7 @@ object Similarity {
     // ranking — deterministic like s13 (decimal-exact Lloyd's + exact
     // decimal sums) → golden-snapshot oracle, the s12/s13 discipline
     "s28_adc_recall_audit"  -> graft.GoldenGen.oracle("s28_adc_recall_audit"),
+    "s30_refined_topk"      -> graft.GoldenGen.oracle("s30_refined_topk"),
     // s29 ≡ s25 exactly (exhaustive scan within the pruned label
     // partitions; doubles round-trip parquet exactly) → s25's own SQL
     // oracle hash-checks the persisted filtered layout, the s17≡s03

@@ -1863,7 +1863,67 @@ object TextAnalysis {
       |FROM sw JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN tot
       |GROUP BY sw.source, ns.n_s, tot.n""".stripMargin
 
+  /** t39: unigram-surprisal fluency score — the CCNet-style "how
+    * LM-plausible is this document" quality signal, scored against a
+    * unigram model fit on the corpus itself. Per token the model cost
+    * is −log2 p(w) = log2(N/c_w); the classic form is transcendental
+    * (cross-engine unsafe, the t21/t25 lesson), so t39 scores each
+    * token with the integer class ⌊log2 N⌋ − ⌊log2 c_w⌋ — computed as
+    * length(bin(N)) − length(bin(c_w)), exact in ANY engine with a
+    * binary-string primitive and within ±1 bit of true log2(N/c_w).
+    * Rare-token-heavy gibberish scores high, stopword soup scores near
+    * zero; per-doc output is (n_tok, surprisal_sum, mean) with the sum
+    * an exact BIGINT (≤ 64·n_tok, safe past 10^17 tokens/doc).
+    *
+    * Scale: per-(doc,token) counts first (map-side combine collapses
+    * each doc's repeats before anything shuffles), vocab as a second
+    * partial aggregate OVER that frame (no second corpus scan), N as a
+    * broadcast 1-row aggregate (the t36 discipline — no driver
+    * action). The token-keyed model join is Zipf-skewed by nature;
+    * stopword keys are exactly what AQE skew-join splits, and the
+    * per-doc rollup restores doc_id keying. No global sort, no window,
+    * no collect: a 10^8-row vocab at 100 TB stays a distributed join
+    * side, never a broadcast or a driver structure. */
+  def t39UnigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perDocTok = documents(s, d)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("k"))
+    val vocab = perDocTok.groupBy($"tok").agg(sum($"k").as("c"))
+    val tot = vocab.agg(sum($"c").as("n_total"))
+    perDocTok.join(vocab, "tok")
+      .crossJoin(broadcast(tot))
+      .select($"doc_id", $"k",
+        (length(bin($"n_total")) - length(bin($"c"))).cast("long").as("s_cls"))
+      .groupBy($"doc_id")
+      .agg(sum($"k").as("n_tok"), sum($"k" * $"s_cls").as("surprisal_sum"))
+      .select($"doc_id", $"n_tok", $"surprisal_sum",
+        round($"surprisal_sum".cast("double") / $"n_tok", 6)
+          .as("mean_surprisal_r"))
+  }
+
+  val t39Sql: String =
+    """WITH pdt AS (
+      |  SELECT doc_id, tok, COUNT(*) AS k
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2
+      |), vocab AS (
+      |  SELECT tok, CAST(SUM(k) AS BIGINT) AS c FROM pdt GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM vocab
+      |)
+      |SELECT p.doc_id,
+      |  CAST(SUM(p.k) AS BIGINT) AS n_tok,
+      |  CAST(SUM(p.k * (len(bin(t.n_total)) - len(bin(v.c)))) AS BIGINT)
+      |    AS surprisal_sum,
+      |  ROUND(CAST(SUM(p.k * (len(bin(t.n_total)) - len(bin(v.c))))
+      |          AS DOUBLE) / SUM(p.k), 6) AS mean_surprisal_r
+      |FROM pdt p JOIN vocab v USING (tok) CROSS JOIN tot t
+      |GROUP BY p.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t39_unigram_surprisal" -> (t39UnigramSurprisal _),
     "t38_repetition_signals" -> (t38RepetitionSignals _),
     "t34_gopher_rules"   -> (t34GopherRules _),
     "t35_ngram_novelty"  -> (t35NgramNovelty _),
@@ -1902,6 +1962,7 @@ object TextAnalysis {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    "t39_unigram_surprisal" -> t39Sql,
     "t38_repetition_signals" -> t38Sql,
     "t34_gopher_rules"   -> t34Sql,
     "t35_ngram_novelty"  -> t35Sql,

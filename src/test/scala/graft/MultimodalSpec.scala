@@ -426,4 +426,30 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(3L) === ((3L, 4L, 3L, 0.5, 0.5)))
   }
 
+  test("m16: sniff matrix reconciles exactly with the planted mislabel rule") {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sf0001)
+      .select($"doc_id").as[Long].collect()
+    val types = Array("png", "jpeg", "riff", "raw")
+    // local ground truth of the planting rule
+    val expected = ids.groupBy { id =>
+      val dec = types((id % 4).toInt)
+      val sn  = if (id % 17 == 0) types(((id % 4 + 1) % 4).toInt) else dec
+      (dec, sn)
+    }.map { case (k, v) => k -> v.length.toLong }
+    val got = Multimodal.m16ModalitySniff(spark, sf0001)
+      .select($"declared", $"sniffed", $"n_payloads", $"mismatch").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got.keySet === expected.keySet, "confusion-matrix cells")
+    expected.foreach { case (cell, n) =>
+      assert(got(cell)._1 === n, s"cell $cell count")
+      assert(got(cell)._2 === (cell._1 != cell._2), s"cell $cell mismatch flag")
+    }
+    // the fixture must exercise BOTH planes: clean diagonal + mislabels
+    assert(expected.keys.exists { case (a, b) => a == b })
+    assert(expected.keys.exists { case (a, b) => a != b },
+      "no mislabeled rows planted — the audit is vacuous")
+  }
+
 }

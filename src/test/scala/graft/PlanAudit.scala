@@ -66,7 +66,9 @@ object PlanAudit {
         "s27_ivfadc_persisted", "c20_mixture_diversity",
         "d22_survival_curve", "s28_adc_recall_audit",
         "m15_byte_profile", "c21_token_yield",
-        "s29_labeled_index_serve").foreach(show)
+        "s29_labeled_index_serve",
+        "c22_pii_canary_audit", "t39_unigram_surprisal",
+        "s30_refined_topk", "m16_modality_sniff").foreach(show)
     if (targets.isEmpty) {
       java.nio.file.Files.write(java.nio.file.Paths.get("PLANS.md"),
         out.toString.getBytes("UTF-8"))

@@ -661,6 +661,33 @@ class PlanSpec extends SparkSpec {
   }
 
 
+  test("c22: pii audit is one codegen'd scan + one rollup exchange — no join, no window") {
+    val p = plan("c22_pii_canary_audit")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
+    // exactly one shuffle: the |sources|-key aggregate
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      "regex/scrub work must stay per-row ahead of a single rollup exchange")
+  }
+
+  test("t39: surprisal model join is equi-keyed; N rides in-plan as a broadcast 1-row agg") {
+    val p = plan("t39_unigram_surprisal")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")), "global window")
+    // the 1-row N total must broadcast (the t36 discipline), never shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "corpus total must ride a broadcast")
+  }
+
+  test("s30: refine joins are broadcast-asymmetric — shortlist and queries broadcast, corpus never shuffles for the refine") {
+    val p = plan("s30_refined_topk")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // both refine joins (shortlist→raw-vector fetch, query side) are
+    // explicit broadcast()s in the operator — the corpus-sized scan
+    // side must never appear under a shuffled join for the re-rank
+    assert(p.contains("BroadcastHashJoin"), "refine must broadcast the shortlist")
+  }
+
   test("s29: labeled-index serve — label partition filter reaches the scan, queries broadcast") {
     import spark.implicits._
     import graft.operators.Similarity

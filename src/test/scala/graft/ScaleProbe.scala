@@ -414,6 +414,27 @@ object ScaleProbe {
     row("c21_token_yield",
       t2(mat(operators.Curation.c21TokenYield(spark, docsAt("x1")))),
       t2(mat(operators.Curation.c21TokenYield(spark, docsAt("x10")))))
+    // c22 (r15): per-row regex work inside codegen + a |sources|-key
+    // rollup — the linear floor, bounded by the text scan
+    row("c22_pii_canary_audit",
+      t2(mat(operators.Curation.c22PiiCanaryAudit(spark, docsAt("x1")))),
+      t2(mat(operators.Curation.c22PiiCanaryAudit(spark, docsAt("x10")))))
+    // t39 (r15): per-(doc,token) counts → vocab partial agg → Zipf-
+    // skewed model join → doc rollup; the ~c suffixing grows vocab 10×
+    // too, the worst case for the model-join side
+    row("t39_unigram_surprisal",
+      t2(mat(operators.TextAnalysis.t39UnigramSurprisal(spark, docsAt("x1")))),
+      t2(mat(operators.TextAnalysis.t39UnigramSurprisal(spark, docsAt("x10")))))
+    // s30 (r15): s13's stack at depth 10 + a query-proportional
+    // broadcast raw-vector lookup — tracks s13's own scaling
+    row("s30_refined_topk",
+      t2(mat(Similarity.s30RefinedTopK(spark, docsAt("x1")))),
+      t2(mat(Similarity.s30RefinedTopK(spark, docsAt("x10")))))
+    // m16 (r15): per-row payload build + 8-byte prefix sniff, one
+    // <= |types|^2-key rollup — the linear floor
+    row("m16_modality_sniff",
+      t2(mat(Multimodal.m16ModalitySniff(spark, docsAt("x1")))),
+      t2(mat(Multimodal.m16ModalitySniff(spark, docsAt("x10")))))
     // t28: two hash aggs over token/hash mass — the linear floor
     row("t28_sketch_profile",
       t2(operators.TextAnalysis.t28SketchProfile(spark, docsAt("x1")).count()),

@@ -1143,6 +1143,48 @@ class SimilaritySpec extends SparkSpec {
   }
 
 
+  test("s30: exact re-rank dominates the compressed ranking on exact-cosine mass") {
+    import spark.implicits._
+    val refined = Similarity.s30RefinedTopK(spark, sf0001)
+      .as[(Long, Long, Int, Double)].collect()
+    val adc = Similarity.s13IvfAdcTopK(spark, sf0001)
+      .as[(Long, Long, Int, Double)].collect()
+    val byQ = refined.groupBy(_._1)
+    assert(byQ.nonEmpty && byQ.values.forall(_.map(_._3).sorted.sameElements(Seq(1, 2, 3))),
+      "each query serves exactly ranks 1..3")
+    // exact ground-truth cosines for arbitrary pairs (fixture-sized)
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      val d = x.indices.map(i => x(i) * y(i)).sum
+      d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    refined.foreach { case (q, n, _, cr) =>
+      assert(math.abs(cr - cos(q, n)) < 1e-5,
+        s"s30 cosine for ($q,$n) is not the exact score")
+    }
+    // s13's 3 picks are a subset of s30's depth-10 shortlist (same stack,
+    // deeper k), and s30 keeps the exact-top-3 of that shortlist — so per
+    // query the refined exact mass must dominate the compressed picks'
+    val adcByQ = adc.groupBy(_._1)
+    byQ.foreach { case (q, rs) =>
+      val refinedMass = rs.map { case (_, n, _, _) => cos(q, n) }.sum
+      val adcMass = adcByQ(q).map { case (_, n, _, _) => cos(q, n) }.sum
+      assert(refinedMass >= adcMass - 1e-9,
+        s"q=$q refine lost exact mass: $refinedMass < $adcMass")
+    }
+    // and the fixture must show the refine actually changing something
+    // (s28 already proves quantization loses picks on this corpus)
+    val changed = byQ.exists { case (q, rs) =>
+      rs.sortBy(_._3).map(_._2).toSeq !=
+        adcByQ(q).sortBy(_._3).map(_._2).toSeq
+    }
+    assert(changed, "refine never changed any query's picks or order")
+  }
+
   test("s29: persisted filtered serve ≡ in-plan s25 exactly") {
     import spark.implicits._
     val a = Similarity.s29LabeledIndexServe(spark, sf0001)

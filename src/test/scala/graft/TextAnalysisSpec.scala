@@ -1394,4 +1394,93 @@ class TextAnalysisSpec extends SparkSpec {
       "sum of per-source kept tokens must equal c01 survivor token mass")
   }
 
+  test("t39: surprisal classes are the exact bit-length arithmetic on a hand corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("t39-docs").toString
+    // vocab: a:5 b:1 c:1 d:1, N=8 → len(bin(8))=4
+    // class(a) = 4 - len(bin(5)) = 4-3 = 1; class(b|c|d) = 4-1 = 3
+    // doc 1 ("a a a a"): sum = 4·1 = 4, mean 1.0
+    // doc 2 ("a b c d"): sum = 1+3+3+3 = 10, mean 2.5
+    Seq((1L, "a a a a"), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val got = operators.TextAnalysis.t39UnigramSurprisal(spark, dir)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+      assert(got(0) === ((1L, 4L, 4L, 1.0)))
+      assert(got(1) === ((2L, 4L, 10L, 2.5)))
+    } finally graft.BenchUtil.rmTree(dir)
+  }
+
+  test("t39 on the corpus: totals reconcile and rare-token docs score higher than stopword soup") {
+    import spark.implicits._
+    val rows = operators.TextAnalysis.t39UnigramSurprisal(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(rows.length === nDocs, "one score per document")
+    rows.foreach { case (id, n, sum, mean) =>
+      assert(n > 0 && sum >= 0 && sum <= 64L * n, s"doc $id bounds")
+      assert(math.abs(mean - sum.toDouble / n) < 1e-6, s"doc $id mean")
+    }
+  }
+
+  test("c22: every planted PII canary is found and nothing survives the scrub") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val rows = Curation.c22PiiCanaryAudit(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    var planted = 0L
+    rows.foreach { r =>
+      val src = r.getString(0)
+      // exact reconciliation per class: detection recall is 1.0 and
+      // precision is 1.0 (the base corpus carries no organic PII)
+      Seq(("email", 2, 3), ("phone", 4, 5), ("ip", 6, 7), ("ssn", 8, 9))
+        .foreach { case (cls, p, f) =>
+          assert(r.getLong(p) === r.getLong(f), s"$src $cls planted!=found")
+          planted += r.getLong(p)
+        }
+      assert(r.getLong(10) === 0L, s"$src residual PII after scrub")
+      if (!r.isNullAt(12)) assert(r.getDouble(12) === 1.0, s"$src recall")
+      // every redaction replaces a canary longer than its tag, so
+      // scrubbed mass is strictly positive wherever anything was planted
+      if (r.getLong(2) + r.getLong(4) + r.getLong(6) + r.getLong(8) > 0)
+        assert(r.getLong(11) > 0L, s"$src redacted_chars")
+    }
+    assert(planted > 0L, "fixture must actually plant canaries")
+  }
+
+  test("c22 detectors: boundary near-misses stay unmatched, true hits match once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Curation
+    val dir = java.nio.file.Files.createTempDirectory("c22-docs").toString
+    // doc_id 30 hits only the %3 email canary; doc_id 1003 hits no
+    // modulus (1003 % {3,7,11,13} = 1,2,2,2). The shared base text is
+    // all boundary near-misses: a phone/IP shape glued to letters (no
+    // \b at the digit edge) and an SSN shape whose last group runs 5
+    // digits (the trailing \b fails inside the digit run).
+    val nearMiss = "id a1234-567-8901z ver x10.0.0.1y code 123-45-67890"
+    Seq((30L, nearMiss), (1003L, nearMiss))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val got = Curation.c22PiiCanaryAudit(spark, dir).collect()
+      assert(got.length === 1)
+      val r = got(0)
+      // doc 30 plants exactly one email; nothing else anywhere — the
+      // glued-to-letters near-misses must not fire any detector
+      assert(r.getLong(2) === 1L && r.getLong(3) === 1L, "email")
+      Seq(4, 5, 6, 7, 8, 9).foreach(i =>
+        assert(r.getLong(i) === 0L, s"near-miss fired detector col $i"))
+      assert(r.getLong(10) === 0L, "residual")
+      assert(r.getDouble(12) === 1.0, "recall")
+    } finally graft.BenchUtil.rmTree(dir)
+  }
+
 }
