@@ -574,6 +574,91 @@ object Curation {
        |  END AS recall_r
        |FROM scrubbed GROUP BY source""".stripMargin
 
+  // ---- c23: quality-filter agreement audit (Cohen's kappa) ----
+
+  /** c23: inter-filter agreement — Cohen's κ between two independent
+    * quality filters (t02's weighted-ratio score at its 0.5 keep cut vs
+    * t34's Gopher composite), per source plus the '*' corpus row (the
+    * m13 rollup shape). The question a curation owner asks before
+    * swapping or stacking filters: do they agree beyond chance, and on
+    * WHICH sources do they diverge (a source where κ collapses is where
+    * one filter is measuring something the other can't see). The full
+    * 2×2 confusion mass (n11/n10/n01/n00) ships alongside κ so the
+    * disagreement is inspectable, not just summarized.
+    *
+    * Exactness: κ = (p_o − p_e)/(1 − p_e) is computed through the
+    * integer identity κ = (n·(n11+n00) − B) / (n² − B) with
+    * B = (n11+n10)(n11+n01) + (n01+n00)(n10+n00) — every term an exact
+    * integer in DECIMAL(38,0) (the c20 discipline: n² wraps BIGINT past
+    * ~3·10⁹ docs/source), one final double division, round 6. The
+    * degenerate p_e = 1 case (both filters constant) yields NULL on
+    * both engines.
+    *
+    * Scale: both filter columns are per-row/per-doc-histogram work the
+    * corpus already runs (t02 is one expression; t34 is one doc-keyed
+    * histogram aggregate); c23 adds two doc_id-keyed equi-joins and a
+    * |sources|-key rollup. Nothing pairwise, nothing corpus². */
+  def c23FilterAgreement(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qa = TextAnalysis.t02QualityScore(s, d).select($"doc_id", $"keep".as("fa"))
+    val gb = TextAnalysis.t34GopherRules(s, d)
+      .select($"doc_id", $"gopher_pass".as("fb"))
+    val joined = documents(s, d).select($"doc_id", $"source")
+      .join(qa, "doc_id").join(gb, "doc_id")
+    def rollup(srcCol: Column) = joined.groupBy(srcCol.as("source")).agg(
+      count(lit(1)).as("n"),
+      sum(when($"fa" && $"fb", 1L).otherwise(0L)).as("n11"),
+      sum(when($"fa" && !$"fb", 1L).otherwise(0L)).as("n10"),
+      sum(when(!$"fa" && $"fb", 1L).otherwise(0L)).as("n01"),
+      sum(when(!$"fa" && !$"fb", 1L).otherwise(0L)).as("n00"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val b = dec($"n11" + $"n10") * dec($"n11" + $"n01") +
+      dec($"n01" + $"n00") * dec($"n10" + $"n00")
+    rollup($"source").unionByName(rollup(lit("*")))
+      .select($"source", $"n", $"n11", $"n10", $"n01", $"n00",
+        round(($"n11" + $"n00").cast("double") / $"n", 6).as("po_r"),
+        round(b.cast("double") / (dec($"n") * dec($"n")).cast("double"), 6)
+          .as("pe_r"),
+        when(dec($"n") * dec($"n") =!= b,
+          round((dec($"n") * dec($"n11" + $"n00") - b).cast("double") /
+            (dec($"n") * dec($"n") - b).cast("double"), 6)).as("kappa_r"))
+  }
+
+  /** Both filter definitions ride in VERBATIM as CTE subqueries (t02Sql
+    * / t34Sql) — the agreement audit can never drift from the filters
+    * it audits. */
+  def c23Sql: String = {
+    val bSql = "(n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)"
+    s"""WITH qa AS (SELECT doc_id, keep AS fa FROM (${TextAnalysis.t02Sql})),
+       |tb AS (SELECT doc_id, gopher_pass AS fb FROM (${TextAnalysis.t34Sql})),
+       |j AS (
+       |  SELECT d.source, fa, fb
+       |  FROM documents d JOIN qa USING (doc_id) JOIN tb USING (doc_id)
+       |), g AS (
+       |  SELECT source, COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+       |    CAST(SUM(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |    CAST(SUM(CASE WHEN NOT fa AND fb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |    CAST(SUM(CASE WHEN NOT fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT) AS n00
+       |  FROM j GROUP BY source
+       |  UNION ALL
+       |  SELECT '*', COUNT(*),
+       |    CAST(SUM(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(SUM(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(SUM(CASE WHEN NOT fa AND fb THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(SUM(CASE WHEN NOT fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT)
+       |  FROM j
+       |)
+       |SELECT source, n, n11, n10, n01, n00,
+       |  ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po_r,
+       |  ROUND(CAST($bSql AS DOUBLE) / (CAST(n AS HUGEINT) * n), 6) AS pe_r,
+       |  CASE WHEN CAST(n AS HUGEINT) * n <> ($bSql)
+       |    THEN ROUND(CAST(CAST(n AS HUGEINT) * (n11 + n00) - ($bSql) AS DOUBLE)
+       |         / CAST(CAST(n AS HUGEINT) * n - ($bSql) AS DOUBLE), 6)
+       |  END AS kappa_r
+       |FROM g""".stripMargin
+  }
+
   def c19QualitySweep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val taus = Seq(0.3, 0.4, 0.5, 0.6, 0.7)
@@ -2091,6 +2176,7 @@ object Curation {
     "c20_mixture_diversity" -> (c20MixtureDiversity _),
     "c21_token_yield"       -> (c21TokenYield _),
     "c22_pii_canary_audit"  -> (c22PiiCanaryAudit _),
+    "c23_filter_agreement"  -> (c23FilterAgreement _),
     "c19_quality_sweep"     -> (c19QualitySweep _),
   )
 
@@ -2151,6 +2237,7 @@ object Curation {
     "c20_mixture_diversity" -> c20Sql,
     "c21_token_yield"       -> c21Sql,
     "c22_pii_canary_audit"  -> c22Sql,
+    "c23_filter_agreement"  -> c23Sql,
     "c19_quality_sweep"     -> c19Sql,
   )
 }

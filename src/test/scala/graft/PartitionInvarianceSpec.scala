@@ -358,4 +358,27 @@ class PartitionInvarianceSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet)
     assert(at(3) === at(29), "m12 CDC pairs diverge across parallelism")
   }
+
+  test("c22 audit, t39 surprisal, s30 refine, m16 sniff are shuffle-partition invariant") {
+    // the r15 operators: c22/m16 are integer counts + 6dp ratios over
+    // per-row regex/prefix work; t39's classes are integer bit-length
+    // arithmetic; s30 composes s13's invariant stack with per-row
+    // sequential dots and total-order ties — all four must hold the
+    // 100 TB portability property their scaladocs claim
+    def at(n: Int) = withShuffle(n)((
+      operators.Curation.c22PiiCanaryAudit(spark, sf001)
+        .collect().map(_.toSeq).toSet,
+      operators.TextAnalysis.t39UnigramSurprisal(spark, sf001)
+        .collect().map(_.toSeq).toSet,
+      operators.Similarity.s30RefinedTopK(spark, sf001)
+        .collect().map(_.toSeq).toSet,
+      operators.Multimodal.m16ModalitySniff(spark, sf001)
+        .collect().map(_.toSeq).toSet))
+    val (a3, b3, c3, d3) = at(3)
+    val (a29, b29, c29, d29) = at(29)
+    assert(a3 === a29, "c22 audit diverges across parallelism")
+    assert(b3 === b29, "t39 surprisal diverges across parallelism")
+    assert(c3 === c29, "s30 refined picks diverge across parallelism")
+    assert(d3 === d29, "m16 sniff matrix diverges across parallelism")
+  }
 }

@@ -68,7 +68,8 @@ object PlanAudit {
         "m15_byte_profile", "c21_token_yield",
         "s29_labeled_index_serve",
         "c22_pii_canary_audit", "t39_unigram_surprisal",
-        "s30_refined_topk", "m16_modality_sniff").foreach(show)
+        "s30_refined_topk", "m16_modality_sniff",
+        "c23_filter_agreement").foreach(show)
     if (targets.isEmpty) {
       java.nio.file.Files.write(java.nio.file.Paths.get("PLANS.md"),
         out.toString.getBytes("UTF-8"))

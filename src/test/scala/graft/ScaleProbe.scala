@@ -435,6 +435,11 @@ object ScaleProbe {
     row("m16_modality_sniff",
       t2(mat(Multimodal.m16ModalitySniff(spark, docsAt("x1")))),
       t2(mat(Multimodal.m16ModalitySniff(spark, docsAt("x10")))))
+    // c23 (r15): t02's expression + t34's doc histogram + two id-keyed
+    // joins + a |sources|-key rollup — tracks t34's own scaling
+    row("c23_filter_agreement",
+      t2(mat(operators.Curation.c23FilterAgreement(spark, docsAt("x1")))),
+      t2(mat(operators.Curation.c23FilterAgreement(spark, docsAt("x10")))))
     // t28: two hash aggs over token/hash mass — the linear floor
     row("t28_sketch_profile",
       t2(operators.TextAnalysis.t28SketchProfile(spark, docsAt("x1")).count()),

@@ -1428,6 +1428,51 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("c23: kappa matches a locally recomputed Cohen's kappa and the matrix reconciles") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val fa = operators.TextAnalysis.t02QualityScore(spark, sf0001)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    val fb = operators.TextAnalysis.t34GopherRules(spark, sf0001)
+      .select($"doc_id", $"gopher_pass").as[(Long, Boolean)].collect().toMap
+    val src = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    def kappaOf(ids: Iterable[Long]): (Long, Long, Long, Long, Option[Double]) = {
+      val n11 = ids.count(i => fa(i) && fb(i)).toLong
+      val n10 = ids.count(i => fa(i) && !fb(i)).toLong
+      val n01 = ids.count(i => !fa(i) && fb(i)).toLong
+      val n00 = ids.count(i => !fa(i) && !fb(i)).toLong
+      val n = n11 + n10 + n01 + n00
+      val b = BigInt(n11 + n10) * BigInt(n11 + n01) +
+        BigInt(n01 + n00) * BigInt(n10 + n00)
+      val k = if (BigInt(n) * BigInt(n) == b) None
+        else Some((BigDecimal(BigInt(n) * BigInt(n11 + n00) - b) /
+          BigDecimal(BigInt(n) * BigInt(n) - b)).toDouble)
+      (n11, n10, n01, n00, k)
+    }
+    val got = Curation.c23FilterAgreement(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val bySource = src.keys.groupBy(src) ++ Map("*" -> src.keys)
+    assert(got.keySet === bySource.keySet, "one row per source plus '*'")
+    bySource.foreach { case (s, ids) =>
+      val (n11, n10, n01, n00, k) = kappaOf(ids)
+      val r = got(s)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+        ((n11, n10, n01, n00)), s"$s confusion cells")
+      assert(r.getLong(1) === ids.size.toLong, s"$s n")
+      k match {
+        case None => assert(r.isNullAt(8), s"$s kappa must be NULL at pe=1")
+        case Some(exp) =>
+          assert(math.abs(r.getDouble(8) - exp) < 1e-5, s"$s kappa")
+          assert(r.getDouble(8) >= -1.0 - 1e-9 && r.getDouble(8) <= 1.0 + 1e-9)
+      }
+    }
+    // the corpus must exercise a real disagreement somewhere, or the
+    // audit proves nothing
+    val star = got("*")
+    assert(star.getLong(3) + star.getLong(4) > 0, "filters never disagree?")
+  }
+
   test("c22: every planted PII canary is found and nothing survives the scrub") {
     import spark.implicits._
     import graft.operators.Curation
