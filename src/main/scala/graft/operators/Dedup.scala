@@ -1493,6 +1493,69 @@ object Dedup {
        |SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
   }
 
+  // ---- d23: dup-cluster mass distribution (the redundancy read) ----
+
+  /** d23: cluster-size distribution of the near-dup graph — for each
+    * cluster size: how many clusters, how many docs, how much token
+    * mass, and the corpus shares. The redundancy-concentration artifact
+    * a curation review reads next to d22's τ curve: size-1 rows are the
+    * genuinely unique corpus; a heavy tail says the corpus is dominated
+    * by a few boilerplate cliques (and sizes the blast radius of
+    * keep-one dedup), while many size-2..3 clusters say near-dups are
+    * diffuse edits. Singletons are docs untouched by any J ≥ τ pair —
+    * folded in as size-1 clusters via a left join + coalesce(rep,
+    * doc_id), so the report partitions the WHOLE corpus exactly.
+    *
+    * Scale: rides d08's clusters (the pair join + CC the pipeline
+    * already runs — the d08/d09 shared-frame pattern applies if a run
+    * has the pair frame materialized); d23 adds one doc-keyed left
+    * join, a |clusters|-key rollup, a |sizes|-key rollup, and the
+    * corpus totals as a broadcast 1-row aggregate (t36 discipline).
+    * Integer counts/sums, two final divisions, round 6 — the full
+    * recursive-CTE oracle composes d08's verbatim. */
+  def d23ClusterMass(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = documents(s, d)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+    val cl = d08DedupClusters(s, d)
+    val per = tok.join(cl, Seq("doc_id"), "left")
+      .select($"n_tok", coalesce($"cluster_rep", $"doc_id").as("rep"))
+      .groupBy($"rep")
+      .agg(count(lit(1)).as("cluster_size"), sum($"n_tok").as("tk"))
+    val tot = tok.agg(count(lit(1)).as("nd"), sum($"n_tok").as("nt"))
+    per.groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"cluster_size").as("docs"), sum($"tk").as("tokens"))
+      .crossJoin(broadcast(tot))
+      .select($"cluster_size", $"n_clusters", $"docs", $"tokens",
+        round($"docs".cast("double") / $"nd", 6).as("doc_share_r"),
+        round($"tokens".cast("double") / $"nt", 6).as("token_share_r"))
+  }
+
+  val d23Sql: String = {
+    val clSql = d08Sql.replace("\n", "\n  ")
+    s"""WITH cl AS (
+       |  ${clSql}
+       |), tok AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |), per AS (
+       |  SELECT COALESCE(cl.cluster_rep, t.doc_id) AS rep,
+       |    COUNT(*) AS cluster_size, CAST(SUM(t.n_tok) AS BIGINT) AS tk
+       |  FROM tok t LEFT JOIN cl ON t.doc_id = cl.doc_id
+       |  GROUP BY 1
+       |), tot AS (
+       |  SELECT COUNT(*) AS nd, CAST(SUM(n_tok) AS BIGINT) AS nt FROM tok
+       |)
+       |SELECT cluster_size, COUNT(*) AS n_clusters,
+       |  CAST(SUM(cluster_size) AS BIGINT) AS docs,
+       |  CAST(SUM(tk) AS BIGINT) AS tokens,
+       |  ROUND(CAST(SUM(cluster_size) AS DOUBLE) / nd, 6) AS doc_share_r,
+       |  ROUND(CAST(SUM(tk) AS DOUBLE) / nt, 6) AS token_share_r
+       |FROM per CROSS JOIN tot
+       |GROUP BY cluster_size, nd, nt""".stripMargin
+  }
+
   // ---- d22: near-dup survival curve (the τ-commit decision table) ----
 
   /** d22: survivors and token mass under each candidate near-dup
@@ -1595,6 +1658,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_survival_curve" -> (d22SurvivalCurve _),
+    "d23_cluster_mass"   -> (d23ClusterMass _),
     "d01_exact_dedup"   -> (d01ExactDedup _),
     "d02_keep_latest"   -> (d02KeepLatest _),
     "d03_ngram_jaccard" -> (d03NgramJaccard _),
@@ -1618,6 +1682,7 @@ object Dedup {
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
     "d22_survival_curve" -> d22Sql,
+    "d23_cluster_mass"   -> d23Sql,
     "d01_exact_dedup"   -> d01Sql,
     "d02_keep_latest"   -> d02Sql,
     "d03_ngram_jaccard" -> d03Sql,

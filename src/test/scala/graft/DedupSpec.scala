@@ -515,4 +515,31 @@ class DedupSpec extends SparkSpec {
     assert(curve(0.7) < n, "fixture must contain near-dups at the loosest cut")
   }
 
+  test("d23: cluster-size histogram partitions the corpus exactly and matches d08") {
+    import spark.implicits._
+    val rows = Dedup.d23ClusterMass(spark, sf0001)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", size(split($"text", " ")).cast("long")).as[(Long, Long)]
+      .collect()
+    // the report must partition the WHOLE corpus: doc and token masses
+    // across all size rows reconcile with the raw table, shares sum to 1
+    assert(rows.map(_._3).sum === docs.length.toLong, "doc mass")
+    assert(rows.map(_._4).sum === docs.map(_._2).sum, "token mass")
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-3, "doc shares")
+    // local ground truth from d08's own cluster assignment
+    val reps = Dedup.d08DedupClusters(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val sizes = docs.map(d => reps.getOrElse(d._1, d._1))
+      .groupBy(identity).values.map(_.length.toLong)
+      .groupBy(identity).map { case (s2, cs) => s2 -> cs.size.toLong }
+    rows.foreach { case (s2, nc, dcs, _, _, _) =>
+      assert(sizes(s2) === nc, s"size $s2 cluster count")
+      assert(dcs === s2 * nc, s"size $s2 doc mass inconsistent")
+    }
+    assert(rows.exists(_._1 === 1L), "singleton row missing")
+    assert(rows.exists(_._1 > 1L), "fixture has no multi-doc cluster")
+  }
+
 }

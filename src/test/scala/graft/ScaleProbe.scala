@@ -440,6 +440,11 @@ object ScaleProbe {
     row("c23_filter_agreement",
       t2(mat(operators.Curation.c23FilterAgreement(spark, docsAt("x1")))),
       t2(mat(operators.Curation.c23FilterAgreement(spark, docsAt("x10")))))
+    // d23 (r15): d08's pair join + CC (the dominant term) + one doc-
+    // keyed left join and two small rollups — tracks d08's own scaling
+    row("d23_cluster_mass",
+      t2(mat(Dedup.d23ClusterMass(spark, docsAt("x1")))),
+      t2(mat(Dedup.d23ClusterMass(spark, docsAt("x10")))))
     // t28: two hash aggs over token/hash mass — the linear floor
     row("t28_sketch_profile",
       t2(operators.TextAnalysis.t28SketchProfile(spark, docsAt("x1")).count()),
