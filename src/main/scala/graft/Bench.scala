@@ -315,6 +315,8 @@ object Bench {
       "m11_perceptual_clusters", "s23_semdedup",
       // r14: s23's collapsed production twin — same CC stage
       "s26_semdedup_collapsed",
+      // r15: d23 rides d08's CC — same multi-job variance profile
+      "d23_cluster_mass",
       // r15: c12 — not CC, but the same many-jobs profile (state write
       // + multi-stage admission): its OFFICIAL number rose three rounds
       // (4.21 → 5.31 → 6.20 s) while its isolated bracket sat flat at

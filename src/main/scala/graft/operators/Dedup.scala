@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables._
 
@@ -1556,6 +1557,75 @@ object Dedup {
        |GROUP BY cluster_size, nd, nt""".stripMargin
   }
 
+  // ---- d24: keep-best dedup manifest (the quality-aware policy) ----
+
+  /** d24: the keep-one manifest under the KEEP-BEST policy — per
+    * near-dup cluster, keep the highest-quality member (t02's score,
+    * 6dp; ties to the lower doc_id) instead of c01's keep-FIRST
+    * (lowest id = earliest arrival). Real pipelines choose between
+    * exactly these two policies, and the choice is priced here: each
+    * row carries the keep-first pick it would have made and the
+    * quality gain keep-best buys (gain 0 rows = the policies agree; a
+    * fat positive tail = arrival order is anti-correlated with quality
+    * and keep-first is leaving quality on the floor). Singletons fold
+    * in via the d23 coalesce pattern, so the manifest covers the whole
+    * corpus: one kept doc per cluster, |clusters| rows.
+    *
+    * Scale: rides d08's clusters (the shared pair frame applies) + one
+    * doc-keyed left join against t02's per-row score; the windows are
+    * all rep-KEYED (never global). The quality sort key is the
+    * 6dp-ROUNDED score on both engines, so the keep-best argmax is a
+    * cross-engine total order (the c09/c10 discipline). */
+  def d24KeepBest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = TextAnalysis.t02QualityScore(s, d).select($"doc_id", $"quality")
+    val a = q.join(d08DedupClusters(s, d), Seq("doc_id"), "left")
+      .select($"doc_id", $"quality",
+        coalesce($"cluster_rep", $"doc_id").as("rep"))
+    val best = Window.partitionBy($"rep")
+      .orderBy($"quality".desc, $"doc_id".asc)
+    val arrival = Window.partitionBy($"rep").orderBy($"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    a.withColumn("rn", row_number().over(best))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy($"rep")).cast("long"))
+      .withColumn("first_doc_id", first($"doc_id").over(arrival))
+      .withColumn("first_quality", first($"quality").over(arrival))
+      .filter($"rn" === 1)
+      .select($"rep".as("cluster_rep"), $"cluster_size",
+        $"doc_id".as("kept_doc_id"), $"quality".as("kept_quality_r"),
+        $"first_doc_id",
+        round($"quality" - $"first_quality", 6).as("gain_vs_first_r"))
+  }
+
+  val d24Sql: String = {
+    val clSql = d08Sql.replace("\n", "\n  ")
+    s"""WITH cl AS (
+       |  ${clSql}
+       |), q AS (
+       |  SELECT doc_id, quality FROM (${TextAnalysis.t02Sql.replace("\n", "\n  ")})
+       |), a AS (
+       |  SELECT q.doc_id, q.quality, COALESCE(cl.cluster_rep, q.doc_id) AS rep
+       |  FROM q LEFT JOIN cl ON q.doc_id = cl.doc_id
+       |), r AS (
+       |  SELECT rep, doc_id, quality,
+       |    ROW_NUMBER() OVER (PARTITION BY rep
+       |      ORDER BY quality DESC, doc_id ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY rep) AS sz,
+       |    FIRST_VALUE(doc_id) OVER (PARTITION BY rep ORDER BY doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |      AS first_doc_id,
+       |    FIRST_VALUE(quality) OVER (PARTITION BY rep ORDER BY doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |      AS first_quality
+       |  FROM a
+       |)
+       |SELECT rep AS cluster_rep, CAST(sz AS BIGINT) AS cluster_size,
+       |  doc_id AS kept_doc_id, quality AS kept_quality_r,
+       |  first_doc_id, ROUND(quality - first_quality, 6) AS gain_vs_first_r
+       |FROM r WHERE rn = 1""".stripMargin
+  }
+
   // ---- d22: near-dup survival curve (the τ-commit decision table) ----
 
   /** d22: survivors and token mass under each candidate near-dup
@@ -1659,6 +1729,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_survival_curve" -> (d22SurvivalCurve _),
     "d23_cluster_mass"   -> (d23ClusterMass _),
+    "d24_keep_best"      -> (d24KeepBest _),
     "d01_exact_dedup"   -> (d01ExactDedup _),
     "d02_keep_latest"   -> (d02KeepLatest _),
     "d03_ngram_jaccard" -> (d03NgramJaccard _),
@@ -1683,6 +1754,7 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "d22_survival_curve" -> d22Sql,
     "d23_cluster_mass"   -> d23Sql,
+    "d24_keep_best"      -> d24Sql,
     "d01_exact_dedup"   -> d01Sql,
     "d02_keep_latest"   -> d02Sql,
     "d03_ngram_jaccard" -> d03Sql,

@@ -542,4 +542,35 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists(_._1 > 1L), "fixture has no multi-doc cluster")
   }
 
+  test("d24: keep-best picks the max-quality member and prices the gain over keep-first") {
+    import spark.implicits._
+    val rows = Dedup.d24KeepBest(spark, sf0001)
+      .as[(Long, Long, Long, Double, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val quality = operators.TextAnalysis.t02QualityScore(spark, sf0001)
+      .select($"doc_id", $"quality").as[(Long, Double)].collect().toMap
+    val reps = Dedup.d08DedupClusters(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val members = quality.keys.groupBy(id => reps.getOrElse(id, id))
+    assert(rows.length === members.size, "one row per cluster")
+    assert(rows.map(_._2).sum === quality.size.toLong,
+      "cluster sizes must partition the corpus")
+    rows.foreach { case (rep, sz, kept, kq, firstId, gain) =>
+      val m = members(rep)
+      assert(m.size.toLong === sz, s"rep $rep size")
+      // kept = max quality, ties to lowest id — recompute locally
+      val best = m.minBy(id => (-quality(id), id))
+      assert(kept === best, s"rep $rep kept $kept != local best $best")
+      assert(math.abs(kq - quality(best)) < 1e-9, s"rep $rep kept quality")
+      assert(firstId === m.min, s"rep $rep first pick")
+      assert(gain >= -1e-9, s"rep $rep negative gain")
+      assert(math.abs(gain - (quality(best) - quality(m.min))) < 1e-5,
+        s"rep $rep gain")
+      if (sz === 1L) assert(kept === rep && gain === 0.0, s"rep $rep singleton")
+    }
+    // the fixture must show keep-best actually diverging somewhere
+    assert(rows.exists(r => r._3 != r._5),
+      "keep-best never disagreed with keep-first on this corpus")
+  }
+
 }

@@ -445,6 +445,11 @@ object ScaleProbe {
     row("d23_cluster_mass",
       t2(mat(Dedup.d23ClusterMass(spark, docsAt("x1")))),
       t2(mat(Dedup.d23ClusterMass(spark, docsAt("x10")))))
+    // d24 (r15): d08's CC + t02's per-row score + rep-keyed windows —
+    // d23's profile with the quality join added
+    row("d24_keep_best",
+      t2(mat(Dedup.d24KeepBest(spark, docsAt("x1")))),
+      t2(mat(Dedup.d24KeepBest(spark, docsAt("x10")))))
     // t28: two hash aggs over token/hash mass — the linear floor
     row("t28_sketch_profile",
       t2(operators.TextAnalysis.t28SketchProfile(spark, docsAt("x1")).count()),
