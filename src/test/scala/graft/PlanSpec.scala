@@ -688,6 +688,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "refine must broadcast the shortlist")
   }
 
+  test("d23/d24: cluster reports — no cartesian, corpus totals broadcast, windows never global") {
+    val p23 = plan("d23_cluster_mass")
+    assert(!p23.contains("CartesianProduct"), p23.take(800))
+    // the 1-row corpus-totals frame must ride a broadcast (t36 discipline)
+    assert(p23.contains("BroadcastNestedLoopJoin") || p23.contains("BroadcastHashJoin"),
+      "corpus totals must broadcast")
+    val p24 = plan("d24_keep_best")
+    assert(!p24.contains("CartesianProduct"), p24.take(800))
+    assert(!p24.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      "d24 windows must stay rep-keyed, never global")
+  }
+
   test("s29: labeled-index serve — label partition filter reaches the scan, queries broadcast") {
     import spark.implicits._
     import graft.operators.Similarity

@@ -222,4 +222,41 @@ class SkewStressSpec extends SparkSpec {
       assert(reps === 61L, s"expected 61 distinct vectors, got $reps")
     } finally { vecs.unpersist(); () }
   }
+
+  test("t39 under the boilerplate storm: the Zipf model join stays row-linear and exact") {
+    import spark.implicits._
+    // 1200 identical docs make every boilerplate token a maximally hot
+    // model-join key (corpus count ≥ 1200 on ~33 keys). t39's shape
+    // absorbs this by construction: per-(doc, token) counts combine
+    // map-side BEFORE the join, so the hot key carries ONE row per
+    // (doc, token) — join fan-in ≈ Σ distinct tokens per doc, never
+    // Σ raw token mass — and the surprisal sum stays integer-exact.
+    val dir = java.nio.file.Files.createTempDirectory("t39-storm").toString
+    skewedCorpus
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val rows = operators.TextAnalysis.t39UnigramSurprisal(spark, dir)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(rows.length === BoilerCopies + 60, "one row per doc")
+      // all boilerplate copies share one text ⇒ identical scores, and
+      // their tokens are the corpus's most common ⇒ the storm's mean
+      // surprisal must sit strictly below the normal docs' average
+      val (storm, normal) = rows.partition(_._1 < BoilerCopies)
+      assert(storm.map(_._4).distinct.length === 1, "storm scores differ")
+      val stormMean = storm.head._4
+      val normalMean = normal.map(_._4).sum / normal.length
+      assert(stormMean < normalMean,
+        s"boilerplate ($stormMean) must score below normal docs ($normalMean)")
+      // join fan-in bound: distinct (doc, token) pairs, not token mass
+      val pdt = Tables.documents(spark, dir)
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .groupBy($"doc_id", $"tok").count().count()
+      val mass = Tables.documents(spark, dir)
+        .select(size(split($"text", " "))).as[Int].collect().map(_.toLong).sum
+      assert(pdt < mass / 2,
+        s"map-side combine must shrink the join input ($pdt vs $mass)")
+    } finally graft.BenchUtil.rmTree(dir)
+  }
 }
