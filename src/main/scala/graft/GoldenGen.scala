@@ -106,7 +106,11 @@ object GoldenGen {
       // s30: s13's golden-safe shortlist re-ranked by exact per-row
       // cosine (sequential array dot — order-fixed) with total-order
       // ties — deterministic by the same composition argument as s28
-      "s30_refined_topk")
+      "s30_refined_topk",
+      // m17: gear chunk spans are a sequential pure function per row
+      // (m12/m14's argument); the transfer report is integer rollups
+      // + hash-set membership — golden like m14
+      "m17_snapshot_transfer")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

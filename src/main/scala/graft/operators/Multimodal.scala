@@ -666,7 +666,7 @@ object Multimodal {
     * sequential pure function per row, parallelism-independent. */
   /** 6 bits spread over 10..20: P(boundary) = 1/64 per byte with each
     * mask bit drawing on a different depth of trailing-byte history. */
-  private val GearMask: Long =
+  private[graft] val GearMask: Long =
     (1L << 10) | (1L << 12) | (1L << 14) | (1L << 16) | (1L << 18) | (1L << 20)
 
   def cdcChunkHashes(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -827,6 +827,74 @@ object Multimodal {
       "n_distinct_chunks", "cdc_dedup_ratio_r")
   }
 
+  // ---- m17: snapshot transfer estimate (CDC delta bytes) ----
+
+  /** m17: how many bytes must a content-addressed store actually
+    * INGEST for the new corpus snapshot, given the old one — the
+    * rsync/restic provisioning number, and the operating cost of the
+    * c07 → m08 → re-embed incremental loop in BYTE terms. Snapshots
+    * follow c07's convention (old = doc_id % 10 ≠ 0 with the % 10 = 5
+    * docs on a stale revision; new = doc_id % 10 ≠ 1 on current text),
+    * so the delta contains added docs, removed docs, and EDITED docs —
+    * where content-defined chunking earns its keep: an edit re-syncs
+    * at the next Gear cut point, so only the touched chunks are novel,
+    * while m13's fixed grid would shift-invalidate everything after
+    * the edit. Per source + the '*' corpus row: new-snapshot byte
+    * mass, its distinct-chunk mass (within-snapshot dedup), the NOVEL
+    * chunk mass (distinct new chunks absent from the old snapshot's
+    * global chunk set — the transfer), and the two ratios that price
+    * it (novel/distinct and total savings vs shipping every byte).
+    *
+    * Scale: two narrow chunking passes (old side reduces to a distinct
+    * hash SET — ~8 B/chunk, no lengths, no payload bytes move), one
+    * hash-keyed anti-join of new distinct chunks against that set, and
+    * |sources|-key rollups. The '*' row dedups chunks globally (the
+    * m13 cross-source rule); per-source rows dedup within source.
+    * Gear spans are engine-side (the m12/m14 argument) → golden
+    * oracle. */
+  def m17SnapshotTransfer(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val oldSpans = docs.filter($"doc_id" % 10 =!= 0)
+      .select(encode(
+        when($"doc_id" % 10 === 5, concat($"text", lit(" [stale rev]")))
+          .otherwise($"text"), "utf-8").as("payload"))
+      .filter(length($"payload") > 0)
+      .select(graft.functions.GearChunkSpans($"payload", GearMask, 16, 256).as("sp"))
+    val oldSet = oldSpans.select(explode($"sp.h").as("ck")).distinct()
+    val newSp = docs.filter($"doc_id" % 10 =!= 1)
+      .select($"source", encode($"text", "utf-8").as("payload"))
+      .filter(length($"payload") > 0)
+      .select($"source", length($"payload").cast("long").as("n_bytes"),
+        graft.functions.GearChunkSpans($"payload", GearMask, 16, 256).as("sp"))
+    val newChunks = newSp
+      .select($"source", explode(arrays_zip($"sp.h", $"sp.len")).as("z"))
+      .select($"source", $"z.h".as("ck"), $"z.len".cast("long").as("len"))
+    def report(bytes: DataFrame, uq: DataFrame): DataFrame = {
+      val novel = uq.join(oldSet, Seq("ck"), "left_anti")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("novel_chunks"), sum($"len").as("novel_bytes"))
+      bytes.join(
+          uq.groupBy($"source").agg(count(lit(1)).as("n_distinct_chunks"),
+            sum($"len").as("distinct_bytes")), Seq("source"))
+        .join(novel, Seq("source"), "left")
+        .select($"source", $"new_bytes", $"n_distinct_chunks",
+          $"distinct_bytes",
+          coalesce($"novel_chunks", lit(0L)).as("novel_chunks"),
+          coalesce($"novel_bytes", lit(0L)).as("novel_bytes"),
+          round(coalesce($"novel_bytes", lit(0L)).cast("double") /
+            $"distinct_bytes", 6).as("novel_ratio_r"),
+          round(lit(1.0) - coalesce($"novel_bytes", lit(0L)).cast("double") /
+            $"new_bytes", 6).as("transfer_savings_r"))
+    }
+    report(
+      newSp.groupBy($"source").agg(sum($"n_bytes").as("new_bytes")),
+      newChunks.distinct())
+      .unionByName(report(
+        newSp.groupBy(lit("*").as("source")).agg(sum($"n_bytes").as("new_bytes")),
+        newChunks.select(lit("*").as("source"), $"ck", $"len").distinct()))
+  }
+
   // ---- m15: payload byte-profile (binary/garbage admission signal) ----
 
   /** m15: per-payload byte-distribution profile — total bytes, distinct
@@ -975,6 +1043,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m16_modality_sniff" -> (m16ModalitySniff _),
+    "m17_snapshot_transfer" -> (m17SnapshotTransfer _),
     "m15_byte_profile"  -> (m15PayloadByteProfile _),
     "m14_cdc_storage_dedup" -> (m14CdcStorageDedup _),
     "m13_storage_dedup" -> (m13StorageDedup _),
@@ -1009,6 +1078,9 @@ object Multimodal {
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
     "m16_modality_sniff" -> m16Sql,
+    // m17: Gear chunk spans are engine-side (the m12/m14 argument) and
+    // the report is integer rollups + anti-join membership — golden
+    "m17_snapshot_transfer" -> graft.GoldenGen.oracle("m17_snapshot_transfer"),
     "m15_byte_profile"  -> m15Sql,
     "m13_storage_dedup" -> m13Sql,
     // m14: gear chunk spans are engine-side but a sequential pure

@@ -426,6 +426,44 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(3L) === ((3L, 4L, 3L, 0.5, 0.5)))
   }
 
+  test("m17: transfer estimate reconciles with an independent chunk-set recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Multimodal.m17SnapshotTransfer(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.contains("*") && rows.size > 1)
+    rows.values.foreach { r =>
+      val (nb, db, nvb) = (r.getLong(1), r.getLong(3), r.getLong(5))
+      assert(nvb >= 0 && nvb <= db && db <= nb,
+        s"${r.getString(0)}: novel $nvb / distinct $db / new $nb out of order")
+      assert(math.abs(r.getDouble(6) - nvb.toDouble / db) < 1e-6)
+      assert(math.abs(r.getDouble(7) - (1.0 - nvb.toDouble / nb)) < 1e-6)
+    }
+    // independent recompute of the '*' numbers with the same kernel but
+    // a different aggregation path (local sets instead of joins)
+    val docs = Tables.documents(spark, sf0001)
+    def spansOf(df: org.apache.spark.sql.DataFrame) = df
+      .filter(length($"payload") > 0)
+      .select(graft.functions.GearChunkSpans($"payload", Multimodal.GearMask, 16, 256).as("sp"))
+      .select(explode(arrays_zip($"sp.h", $"sp.len")).as("z"))
+      .select($"z.h".as("ck"), $"z.len".cast("long").as("len"))
+      .as[(Long, Long)].collect()
+    val oldSet = spansOf(docs.filter($"doc_id" % 10 =!= 0)
+      .select(encode(when($"doc_id" % 10 === 5, concat($"text", lit(" [stale rev]")))
+        .otherwise($"text"), "utf-8").as("payload"))).map(_._1).toSet
+    val newChunks = spansOf(docs.filter($"doc_id" % 10 =!= 1)
+      .select(encode($"text", "utf-8").as("payload"))).distinct
+    val star = rows("*")
+    assert(star.getLong(2) === newChunks.length.toLong, "distinct chunk count")
+    assert(star.getLong(3) === newChunks.map(_._2).sum, "distinct chunk bytes")
+    val novel = newChunks.filterNot(c => oldSet(c._1))
+    assert(star.getLong(4) === novel.length.toLong, "novel chunk count")
+    assert(star.getLong(5) === novel.map(_._2).sum, "novel chunk bytes")
+    // the snapshot pair shares most content: real savings must show
+    assert(star.getDouble(7) > 0.5, "expected high transfer savings")
+    assert(star.getLong(5) > 0, "edits/additions must produce novel bytes")
+  }
+
   test("m16: sniff matrix reconciles exactly with the planted mislabel rule") {
     import spark.implicits._
     val ids = Tables.documents(spark, sf0001)

@@ -381,4 +381,19 @@ class PartitionInvarianceSpec extends SparkSpec {
     assert(c3 === c29, "s30 refined picks diverge across parallelism")
     assert(d3 === d29, "m16 sniff matrix diverges across parallelism")
   }
+
+  test("d24 keep-best and m17 transfer estimate are shuffle-partition invariant") {
+    // d24's whole claim is that the rounded-quality argmax is a total
+    // order; m17's that hash-set membership + integer rollups are
+    // partition-free — both must survive a parallelism change
+    def at(n: Int) = withShuffle(n)((
+      operators.Dedup.d24KeepBest(spark, sf001)
+        .collect().map(_.toSeq).toSet,
+      operators.Multimodal.m17SnapshotTransfer(spark, sf001)
+        .collect().map(_.toSeq).toSet))
+    val (a3, b3) = at(3)
+    val (a29, b29) = at(29)
+    assert(a3 === a29, "d24 manifest diverges across parallelism")
+    assert(b3 === b29, "m17 transfer report diverges across parallelism")
+  }
 }

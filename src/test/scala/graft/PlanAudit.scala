@@ -70,7 +70,7 @@ object PlanAudit {
         "c22_pii_canary_audit", "t39_unigram_surprisal",
         "s30_refined_topk", "m16_modality_sniff",
         "c23_filter_agreement", "d23_cluster_mass",
-        "d24_keep_best").foreach(show)
+        "d24_keep_best", "m17_snapshot_transfer").foreach(show)
     if (targets.isEmpty) {
       java.nio.file.Files.write(java.nio.file.Paths.get("PLANS.md"),
         out.toString.getBytes("UTF-8"))

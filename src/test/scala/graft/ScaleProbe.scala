@@ -450,6 +450,11 @@ object ScaleProbe {
     row("d24_keep_best",
       t2(mat(Dedup.d24KeepBest(spark, docsAt("x1")))),
       t2(mat(Dedup.d24KeepBest(spark, docsAt("x10")))))
+    // m17 (r15): two narrow chunking passes + a hash-keyed anti-join —
+    // linear in chunk mass, the m14 shape with the old-set membership
+    row("m17_snapshot_transfer",
+      t2(mat(Multimodal.m17SnapshotTransfer(spark, docsAt("x1")))),
+      t2(mat(Multimodal.m17SnapshotTransfer(spark, docsAt("x10")))))
     // t28: two hash aggs over token/hash mass — the linear floor
     row("t28_sketch_profile",
       t2(operators.TextAnalysis.t28SketchProfile(spark, docsAt("x1")).count()),
