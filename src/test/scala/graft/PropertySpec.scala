@@ -467,4 +467,50 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("c23 kappa integer identity ≡ textbook (po−pe)/(1−pe) on generated confusion matrices") {
+    // the DECIMAL(38,0) identity κ = (n·(n11+n00) − B)/(n² − B) with
+    // B = (n11+n10)(n11+n01)+(n01+n00)(n10+n00) must equal the
+    // floating-point textbook form wherever the latter is defined —
+    // including cell counts far past BIGINT-squaring territory
+    val cell = Gen.oneOf(Gen.chooseNum(0L, 50L), Gen.chooseNum(0L, 4000000000L))
+    val m = for { a <- cell; b <- cell; c <- cell; d <- cell } yield (a, b, c, d)
+    forAllSamples(m, 300) { case (n11, n10, n01, n00) =>
+      val n = n11 + n10 + n01 + n00
+      if (n > 0) {
+        val bb = BigInt(n11 + n10) * BigInt(n11 + n01) +
+          BigInt(n01 + n00) * BigInt(n10 + n00)
+        val n2 = BigInt(n) * BigInt(n)
+        if (n2 != bb) {
+          val ident = (BigDecimal(BigInt(n) * BigInt(n11 + n00) - bb) /
+            BigDecimal(n2 - bb)).toDouble
+          val po = (n11 + n00).toDouble / n
+          val pe = (BigDecimal(bb) / BigDecimal(n2)).toDouble
+          val textbook = (po - pe) / (1.0 - pe)
+          // 1e-6, not 1e-12: the residual is cancellation in the
+          // TEXTBOOK float form as pe → 1 (po−pe and 1−pe both small)
+          // — the identity side is exact rational arithmetic, which is
+          // why the operator ships the identity, not the textbook form
+          assert(math.abs(ident - textbook) < 1e-6,
+            s"($n11,$n10,$n01,$n00): $ident vs $textbook")
+          assert(ident >= -1.0 - 1e-9 && ident <= 1.0 + 1e-9)
+        }
+      }
+    }
+  }
+
+  test("t39 bit-length class equals floor(log2) arithmetic for any positive count") {
+    // len(bin(x)) − 1 == ⌊log2 x⌋ exactly — including above 2^53 where
+    // a floating log2 would round; the per-token class N-vs-c identity
+    // follows for every (c ≤ N) pair
+    val x = Gen.oneOf(Gen.chooseNum(1L, 1L << 20),
+      Gen.chooseNum(1L, Long.MaxValue))
+    (samples(x, 500) ++ Seq(1L, 2L, 3L, 4L, (1L << 53) - 1, 1L << 53,
+      (1L << 53) + 1, Long.MaxValue)).foreach { v =>
+      val bits = java.lang.Long.toBinaryString(v).length
+      // bin-string length is exactly ⌊log2 v⌋ + 1: 2^(bits-1) ≤ v < 2^bits
+      assert((BigInt(1) << (bits - 1)) <= BigInt(v) &&
+        BigInt(v) < (BigInt(1) << bits), s"x=$v class off")
+    }
+  }
 }
