@@ -115,11 +115,17 @@ object Bench {
       // capture asynchronously, then waitFor with timeout and kill
       val outHolder = new java.util.concurrent.atomic.AtomicReference[String](null)
       val outDrain = new Thread(() => {
-        try scala.io.Source.fromInputStream(proc.getInputStream)
-          .getLines()
-          .find(_.startsWith("""{"metric":"copy_isolated""""))
-          .foreach(outHolder.set)
-        catch { case _: Throwable => () }
+        try {
+          val lines = scala.io.Source.fromInputStream(proc.getInputStream)
+            .getLines()
+          lines.find(_.startsWith("""{"metric":"copy_isolated""""))
+            .foreach(outHolder.set)
+          // keep draining to EOF: if the child writes more after the
+          // match and we stop reading, its stdout pipe fills and it
+          // blocks on write — turning every run into the full 600 s
+          // waitFor timeout even though the result is already captured
+          while (lines.hasNext) lines.next()
+        } catch { case _: Throwable => () }
       })
       outDrain.setDaemon(true); outDrain.start()
       if (!proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS))

@@ -110,7 +110,13 @@ object GoldenGen {
       // m17: gear chunk spans are a sequential pure function per row
       // (m12/m14's argument); the transfer report is integer rollups
       // + hash-set membership — golden like m14
-      "m17_snapshot_transfer")
+      "m17_snapshot_transfer",
+      // s31: s17's deterministic serve with the neighbor set restricted
+      // by the tombstone mask — golden by the same argument as s17/s03
+      "s31_ivf_delete_serve",
+      // m18: m10's deterministic probe with removed payloads masked —
+      // golden by the same argument as m10/m07
+      "m18_payload_delete_probe")
 
   /** The sf the current run verifies against — set by [[Verify]] from
     * its sfDir argument; defaults to the driver gate's sf0.01. */

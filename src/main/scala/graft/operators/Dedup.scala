@@ -1095,11 +1095,61 @@ object Dedup {
       compactLshIndex(delta.sparkSession, dir)
   }
 
+  /** Record deletions against a standing index (takedowns, robots
+    * re-crawls — the `removed` set [[graft.operators.Curation]]'s c07
+    * snapshot diff computes): append the doc ids as TOMBSTONES under
+    * the current generation ([[IndexStore.appendTombstones]] — new
+    * files only, standing lanes byte-untouched, cost ∝ |removals|).
+    * Probes mask tombstoned docs exactly (candidates, verify lane AND
+    * bucket-cap mass — see [[maskLshLanes]]), so delete → probe ≡
+    * probe of an index rebuilt without the removed docs, hash-checked
+    * by the registered d26 entry and spec-pinned on the persisted
+    * round-trip (the s18 append≡rebuild precedent). Double-deletes and
+    * deletes of absent ids are no-ops by construction (semi/anti-join
+    * masking). [[compactLshIndex]] folds tombstones in — dead rows
+    * physically dropped, lane reclaimed; `compactEvery` counts deletes
+    * toward the same auto-compaction cadence as appends. */
+  def deleteFromLshIndex(removedIds: DataFrame, dir: String,
+                         compactEvery: Int = 0): Unit = {
+    IndexStore.appendTombstones(removedIds, dir, "doc_id")
+    if (compactEvery > 0 && IndexStore.bumpAppends(dir) % compactEvery == 0)
+      compactLshIndex(removedIds.sparkSession, dir)
+  }
+
+  /** Mask a tombstoned id set out of the three standing lanes so every
+    * downstream answer equals a rebuild over the live docs: banded and
+    * shingle rows anti-joined away (broadcast — removals are
+    * delta-sized by premise, the standing side streams), and the
+    * counts lane corrected by NEGATIVE partial rows for the dead docs'
+    * band mass (readers sum per key, so the bucket-cap decision sees
+    * exactly the live bucket mass — without this, dead docs would keep
+    * suppressing buckets sitting near the cap). Dead-count derivation
+    * is one semi-join scan of the banded lane with delta-sized
+    * output — the probe's delta-cost contract holds under deletion. */
+  private[graft] def maskLshLanes(banded: DataFrame, counts: DataFrame,
+      sh: DataFrame, tombIds: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val s = banded.sparkSession
+    import s.implicits._
+    val ids = tombIds.select($"doc_id").distinct()
+    val liveBanded = banded.join(broadcast(ids), Seq("doc_id"), "left_anti")
+    val liveSh = sh.join(broadcast(ids), Seq("doc_id"), "left_anti")
+    val deadCounts = bandedOf_counts(
+        banded.join(broadcast(ids), Seq("doc_id"), "left_semi"))
+      .select($"band_id", $"band_hash", (-$"n").as("n"))
+    (liveBanded, counts.unionByName(deadCounts), liveSh)
+  }
+
   /** Compact a standing LSH index: fold each lane's accumulated small
-    * append files into few large ones, and MERGE the counts lane's
+    * append files into few large ones, MERGE the counts lane's
     * partial rows (one row per bucket — readers sum per key, so merged
-    * sums are semantics-identical). Probe answers are byte-identical
-    * by construction: shingles/banded are row-preserving rewrites.
+    * sums are semantics-identical), and FOLD TOMBSTONES IN: dead docs'
+    * rows are anti-joined out of the shingle/banded lanes, their band
+    * mass subtracted from the merged counts (all-dead buckets dropped,
+    * matching a rebuild's counts exactly), and the new generation
+    * carries no tombstone lane — deletion reclaim is the atomic
+    * generation flip. Probe answers are identical by construction:
+    * shingles/banded are row-preserving rewrites of the LIVE rows, and
+    * probes already masked tombstoned rows before the fold.
     *
     * Live-reader-safe via [[IndexStore]] generations: the folded lanes
     * land as generation N+1 and `_current` flips atomically — a probe
@@ -1115,17 +1165,27 @@ object Dedup {
     val src = IndexStore.currentPath(dir)
     val g = IndexStore.nextGen(dir)
     val dst = IndexStore.genPath(dir, g)
+    import s.implicits._
+    val tomb = IndexStore.readTombstones(s, dir, "doc_id")
     def fold(lane: String): Unit = {
       val in = s.read.parquet(s"$src/$lane")
-      in.coalesce(math.max(1, in.inputFiles.length / 16))
+      in.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .coalesce(math.max(1, in.inputFiles.length / 16))
         .write.mode("overwrite").parquet(s"$dst/$lane")
     }
     fold("shingles")
     fold("banded")
     val counts = s.read.parquet(s"$src/bucket_counts")
-    import s.implicits._
-    counts.groupBy($"band_id", $"band_hash")
+    // merged partials MINUS the dead docs' band mass ≡ counts over the
+    // live banded rows; a bucket whose docs are all dead sums to 0 and
+    // is dropped, matching what a rebuild-without-removed writes
+    val deadCounts = bandedOf_counts(s.read.parquet(s"$src/banded")
+        .join(broadcast(tomb), Seq("doc_id"), "left_semi"))
+      .select($"band_id", $"band_hash", (-$"n").as("n"))
+    counts.unionByName(deadCounts)
+      .groupBy($"band_id", $"band_hash")
       .agg(org.apache.spark.sql.functions.sum($"n").as("n"))
+      .filter($"n" > 0)
       .coalesce(math.max(1, counts.inputFiles.length / 16))
       .write.mode("overwrite").parquet(s"$dst/bucket_counts")
     IndexStore.publish(dir, g)
@@ -1149,9 +1209,13 @@ object Dedup {
   def probeLshIndex(s: SparkSession, dir: String, delta: DataFrame,
                     threshold: Double, maxBucket: Int = 1000): DataFrame = {
     val root = IndexStore.currentPath(dir)
-    probeLshFrames(s.read.parquet(s"$root/banded"),
+    // tombstone masking ([[deleteFromLshIndex]]): a never-deleted index
+    // reads an empty lane and the masks are no-op broadcast anti-joins
+    val (b, c, sh) = maskLshLanes(s.read.parquet(s"$root/banded"),
       s.read.parquet(s"$root/bucket_counts"),
-      s.read.parquet(s"$root/shingles"), delta, threshold, maxBucket)
+      s.read.parquet(s"$root/shingles"),
+      IndexStore.readTombstones(s, dir, "doc_id"))
+    probeLshFrames(b, c, sh, delta, threshold, maxBucket)
   }
 
   /** Frame-taking core of the probe (the registered entry builds the
@@ -1261,6 +1325,47 @@ object Dedup {
     probeLshFrames(standingBanded, bandedOf_counts(standingBanded),
       standingSh, docs.filter($"doc_id" % 10 === 0), 0.8, 1000)
   }
+
+  // ---- d26: index deletion — probe after takedowns ≡ rebuild ----
+
+  /** d26: d21's probe AFTER DELETIONS — the lifecycle verb a real
+    * corpus index needs (takedowns, robots re-crawls: c07's snapshot
+    * diff computes exactly this `removed` set). Standing docs with
+    * doc_id ≡ 0 (mod 7) are tombstoned, then the delta probes the
+    * masked index; the oracle is the full exact pair set over the
+    * LIVE corpus (standing ∖ removed ∪ delta) restricted to
+    * delta-touching pairs — i.e. the answer of an index REBUILT
+    * without the removed docs, which is the whole deletion contract.
+    * Masking covers all three lanes including the bucket-cap mass
+    * ([[maskLshLanes]]); the persisted round-trip (write → delete →
+    * probe ≡ rebuild, tombstone idempotence, compaction reclaim) is
+    * spec-pinned in IndexDeletionSpec. Registered entry builds the
+    * standing frames in-plan (oracle self-containment, the d21
+    * discipline) and routes through the same masking code path the
+    * artifact probe uses. */
+  def d26LshDeleteProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"text")
+    val standingSh =
+      shingleFrame(docs.filter($"doc_id" % 10 =!= 0)).localCheckpoint()
+    val standingBanded = bandedOf(standingSh).localCheckpoint()
+    val removed = docs
+      .filter($"doc_id" % 10 =!= 0 && $"doc_id" % 7 === 0)
+      .select($"doc_id")
+    val (b, c, sh) = maskLshLanes(standingBanded,
+      bandedOf_counts(standingBanded), standingSh, removed)
+    probeLshFromShingled(b, c, sh,
+      shingleFrame(docs.filter($"doc_id" % 10 === 0)), 0.8, 1000)
+  }
+
+  /** Oracle: exact pairs over the live corpus only (removed standing
+    * docs excluded at the source), restricted to delta-touching pairs. */
+  val d26Sql: String =
+    s"""SELECT * FROM (${d03Sql
+         .replace("FROM documents",
+           "FROM documents WHERE doc_id % 10 = 0 OR doc_id % 7 <> 0")
+         .replace("\n", "\n  ")})
+       |WHERE d1 % 10 = 0 OR d2 % 10 = 0""".stripMargin
 
   // ---- d05: SimHash near-dup ----
 
@@ -1746,6 +1851,7 @@ object Dedup {
     "d19_delta_substrings" -> (d19DeltaSubstrings _),
     "d20_intradoc_repeats" -> (d20IntraDocRepeats _),
     "d21_lsh_index_probe"  -> (d21LshIndexProbe _),
+    "d26_lsh_delete_probe" -> (d26LshDeleteProbe _),
     "d17_lsh_clusters"   -> (d17LshClusters _),
   )
 
@@ -1779,6 +1885,9 @@ object Dedup {
     // d21: LSH-indexed probe ≡ the exact delta-touching pair set
     // whenever banding recall holds (the d04≡d03 argument)
     "d21_lsh_index_probe"  -> d11Sql,
+    // d26: probe-after-delete ≡ the exact delta-touching pair set over
+    // the LIVE corpus (removed docs excluded at the oracle's source)
+    "d26_lsh_delete_probe" -> d26Sql,
     // same clusters as d08 through the LSH candidate path: exact
     // verification restores the d03 pair set (recall pinned by the
     // driver's d04-vs-d03 hash match), CC is pair-set-determined

@@ -2,6 +2,10 @@ package graft.operators
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
 /** Generation-based layout + live-reader-safe compaction plumbing for
   * the persisted index artifacts (d21's LSH lanes, m10's payload
   * bands, s17/s18's IVF lists).
@@ -123,11 +127,65 @@ object IndexStore {
   def bumpAppends(dir: String): Long = {
     val f = Paths.get(dir, "_appends")
     Files.createDirectories(Paths.get(dir))
+    // tolerant parse + atomic publish (the _current discipline): a crash
+    // mid-write must not leave a truncated counter that turns every
+    // later append into a NumberFormatException — a corrupt counter
+    // resets the compaction cadence, it never wedges appends
     val n = (if (Files.exists(f))
-               new String(Files.readAllBytes(f), "UTF-8").trim.toLong
+               scala.util.Try(
+                 new String(Files.readAllBytes(f), "UTF-8").trim.toLong
+               ).getOrElse(0L)
              else 0L) + 1
-    Files.write(f, n.toString.getBytes("UTF-8"))
+    val tmp = Files.createTempFile(Paths.get(dir), "._appends.", ".tmp")
+    Files.write(tmp, n.toString.getBytes("UTF-8"))
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE)
     n
+  }
+
+  // ---- tombstones: the deletion path of the artifact family ----
+
+  /** The tombstone lane of a generation root. `_`-prefixed so Spark's
+    * file listing never sees it — lanes laid out as bare parquet
+    * datasets at the generation root (the IVF lists) are unaffected
+    * by its presence. */
+  def tombstoneLane(root: String): String = s"$root/_tombstones"
+
+  /** Record deletions: append the ids' single key column as tombstone
+    * rows under the CURRENT generation's `_tombstones` lane. Living
+    * INSIDE the generation gives deletes exactly the crash/reader
+    * semantics appends already have: a reader that resolved gen G sees
+    * G's lanes masked by G's tombstones (old or new generation, never
+    * a torn mix), and the compaction that builds gen G+1 folds the
+    * tombstones in — dead rows physically dropped, no tombstone lane
+    * carried forward — so reclaim IS the atomic generation flip.
+    * Append-only like every lane (standing files byte-untouched);
+    * double-deleting an id just appends another row, which every
+    * consumer tolerates (reads are distinct-ed, masks are semi/anti
+    * joins). Ids are assumed never reused (the corpus family's
+    * monotonic-id contract): a tombstoned id stays dead; "re-adding"
+    * one is an upsert, which this artifact family deliberately does
+    * not model. Normalizes legacy flat dirs first ([[adoptLegacy]])
+    * so the lane always lives inside a generation. */
+  def appendTombstones(ids: DataFrame, dir: String, idCol: String): Unit = {
+    adoptLegacy(dir)
+    if (currentGen(dir).isEmpty) publish(dir, 0L) // empty artifact: still record
+    ids.select(col(idCol).cast(LongType).as(idCol)).distinct()
+      .write.mode("append").parquet(tombstoneLane(currentPath(dir)))
+  }
+
+  /** The current generation's tombstoned ids, distinct, as a one-long-
+    * column frame (empty when no deletion ever happened — a missing
+    * lane is not an error). Schema-explicit: an all-duplicate delete
+    * batch can leave a file-less lane dir where inference would throw.
+    * Removals are delta-sized by premise, so callers broadcast this
+    * frame into anti-joins against standing lanes — the standing side
+    * streams, preserving every probe's delta-cost contract. */
+  def readTombstones(s: SparkSession, dir: String, idCol: String): DataFrame = {
+    val lane = tombstoneLane(currentPath(dir))
+    val schema = StructType(Seq(StructField(idCol, LongType)))
+    if (Files.isDirectory(Paths.get(lane)))
+      s.read.schema(schema).parquet(lane).distinct()
+    else s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
   }
 
   /** One-time migration of a legacy FLAT index dir (written before the

@@ -557,10 +557,30 @@ object Multimodal {
     val src = IndexStore.currentPath(dir)
     val g = IndexStore.nextGen(dir)
     val in = s.read.parquet(s"$src/bands")
-    in.coalesce(math.max(1, in.inputFiles.length / 16))
+    // tombstones fold in: dead payloads' band rows anti-joined out and
+    // the new generation carries no tombstone lane — reclaim = the flip
+    in.join(org.apache.spark.sql.functions.broadcast(
+        IndexStore.readTombstones(s, dir, "doc_id")), Seq("doc_id"), "left_anti")
+      .coalesce(math.max(1, in.inputFiles.length / 16))
       .write.mode("overwrite").parquet(s"${IndexStore.genPath(dir, g)}/bands")
     IndexStore.publish(dir, g)
     IndexStore.sweep(dir)
+  }
+
+  /** Record deletions against a standing payload index (takedowns are
+    * MOST common on the media tier): doc ids append as tombstones
+    * under the current generation; probes mask them with one broadcast
+    * anti-join (removals are delta-sized), so delete → probe ≡ probe
+    * of an index rebuilt without the removed payloads — hash-checked
+    * by the registered m18 entry and spec-pinned. Double-deletes and
+    * absent ids are no-ops; [[compactPayloadIndex]] physically drops
+    * dead band rows; `compactEvery` counts deletes toward the same
+    * auto-compaction cadence as appends. */
+  def deleteFromPayloadIndex(removedIds: DataFrame, dir: String,
+                             compactEvery: Int = 0): Unit = {
+    IndexStore.appendTombstones(removedIds, dir, "doc_id")
+    if (compactEvery > 0 && IndexStore.bumpAppends(dir) % compactEvery == 0)
+      compactPayloadIndex(removedIds.sparkSession, dir)
   }
 
   /** The banded-fingerprint frame of a (doc_id, payload) batch — the
@@ -584,7 +604,12 @@ object Multimodal {
   def probePayloadIndex(s: SparkSession, dir: String, delta: DataFrame,
                         maxHamming: Int): DataFrame =
     probePayloadBands(
-      s.read.parquet(s"${IndexStore.currentPath(dir)}/bands"),
+      s.read.parquet(s"${IndexStore.currentPath(dir)}/bands")
+        // tombstone masking ([[deleteFromPayloadIndex]]): no-op
+        // broadcast anti-join on a never-deleted index
+        .join(org.apache.spark.sql.functions.broadcast(
+          IndexStore.readTombstones(s, dir, "doc_id")),
+          Seq("doc_id"), "left_anti"),
       delta, maxHamming)
 
   /** Frame-taking core of the probe (the registered entry builds the
@@ -613,6 +638,31 @@ object Multimodal {
     val all = documents(s, d)
       .select($"doc_id", encode($"text", "utf-8").as("payload"))
     probePayloadBands(payloadBands(all.filter($"doc_id" % 10 =!= 0)),
+      all.filter($"doc_id" % 10 === 0), 7)
+  }
+
+  /** m18: m10's probe AFTER DELETIONS — standing payloads with
+    * doc_id ≡ 0 (mod 7) tombstoned ([[deleteFromPayloadIndex]]), then
+    * the delta probes the masked index: no pair may touch a removed
+    * payload, exactly what an index rebuilt without them answers.
+    * Masking is the same one broadcast anti-join the artifact probe
+    * applies (standing bands stream past the delta-sized removal set,
+    * preserving m10's never-reread-payload-bytes economics).
+    * Deterministic like m10 (blockhash fingerprints, integer hamming)
+    * → its own golden; the persisted round-trip (delete → probe ≡
+    * rebuild, idempotence, compaction reclaim) is spec-pinned in
+    * IndexDeletionSpec. Standing bands built in-plan (oracle
+    * self-containment, the m10 discipline). */
+  def m18PayloadDeleteProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = documents(s, d)
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+    val removed = all
+      .filter($"doc_id" % 10 =!= 0 && $"doc_id" % 7 === 0)
+      .select($"doc_id")
+    probePayloadBands(
+      payloadBands(all.filter($"doc_id" % 10 =!= 0))
+        .join(broadcast(removed), Seq("doc_id"), "left_anti"),
       all.filter($"doc_id" % 10 === 0), 7)
   }
 
@@ -1050,6 +1100,7 @@ object Multimodal {
     "m11_perceptual_clusters" -> (m11PerceptualClusters _),
     "m12_cdc_neardup"         -> (m12CdcNearDup _),
     "m10_payload_index_probe" -> (m10PayloadIndexProbe _),
+    "m18_payload_delete_probe" -> (m18PayloadDeleteProbe _),
     "m09_bench_decontamination" -> (m09BenchDecontamination _),
     "m08_delta_payloads"  -> (m08DeltaPayloads _),
     "m07_perceptual_neardup" -> (m07PerceptualNearDup _),
@@ -1092,6 +1143,10 @@ object Multimodal {
     // restricted to delta-touching pairs (exact by pigeonhole
     // coverage), the restriction spec-asserted in MultimodalSpec
     "m10_payload_index_probe" -> graft.GoldenGen.oracle("m10_payload_index_probe"),
+    // m18: m10 after deletions — deterministic like m10 (the removal
+    // mask only restricts the pair set) → its own golden; delete ≡
+    // rebuild-without-removed spec-pinned in IndexDeletionSpec
+    "m18_payload_delete_probe" -> graft.GoldenGen.oracle("m18_payload_delete_probe"),
     // m11: CC over m07's golden-safe edge set — deterministic end to
     // end (min-label propagation), golden-snapshot hard check
     "m11_perceptual_clusters" -> graft.GoldenGen.oracle("m11_perceptual_clusters"),

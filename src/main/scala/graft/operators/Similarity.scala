@@ -1274,11 +1274,25 @@ object Similarity {
     val root = IndexStore.genPath(dir, g)
     s.read.parquet(s"$src/coarse").write.mode("overwrite").parquet(s"$root/coarse")
     s.read.parquet(s"$src/books").write.mode("overwrite").parquet(s"$root/books")
+    // tombstones fold in: dead codes anti-joined out, lane reclaimed
     s.read.parquet(s"$src/codes")
+      .join(broadcast(IndexStore.readTombstones(s, dir, "vec_id")),
+        Seq("vec_id"), "left_anti")
       .repartition($"cluster_id").sortWithinPartitions($"vec_id")
       .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$root/codes")
     IndexStore.publish(dir, g)
     IndexStore.sweep(dir)
+  }
+
+  /** Record deletions against a standing IVFADC artifact — the
+    * [[deleteFromIvfIndex]] contract on the compressed layout:
+    * tombstones under the current generation, serve-time broadcast
+    * anti-join mask, physical reclaim at [[compactIvfAdcIndex]]. */
+  def deleteFromIvfAdcIndex(removedIds: DataFrame, dir: String,
+                            compactEvery: Int = 0): Unit = {
+    IndexStore.appendTombstones(removedIds, dir, "vec_id")
+    if (compactEvery > 0 && IndexStore.bumpAppends(dir) % compactEvery == 0)
+      compactIvfAdcIndex(removedIds.sparkSession, dir)
   }
 
   /** Serve ADC top-k from a persisted [[writeIvfAdcIndex]] layout with
@@ -1303,6 +1317,9 @@ object Similarity {
       .select($"cid").distinct().as[Int].collect().sorted
     val codes = s.read.parquet(s"$root/codes")
       .filter($"cluster_id".isin(probedIds.map(Int.box): _*))
+      // tombstone masking ([[deleteFromIvfAdcIndex]])
+      .join(broadcast(IndexStore.readTombstones(s, dir, "vec_id")),
+        Seq("vec_id"), "left_anti")
     ivfAdcServe(codes, coarse, books, qVq64, dsub, nprobe, k)
   }
 
@@ -1745,13 +1762,36 @@ object Similarity {
     IndexStore.adoptLegacy(indexDir) // flat pre-generation dirs migrate once
     val src = IndexStore.currentPath(indexDir)
     val g = IndexStore.nextGen(indexDir)
+    // tombstones fold in here: dead vectors anti-joined out, and the
+    // new generation carries no tombstone lane — reclaim is the flip
     s.read.parquet(src)
+      .join(broadcast(IndexStore.readTombstones(s, indexDir, "vec_id")),
+        Seq("vec_id"), "left_anti")
       .repartition($"cluster_id")
       .sortWithinPartitions($"vec_id")
       .write.mode("overwrite").partitionBy("cluster_id")
       .parquet(IndexStore.genPath(indexDir, g))
     IndexStore.publish(indexDir, g)
     IndexStore.sweep(indexDir)
+  }
+
+  /** Record deletions against a standing IVF index (the takedown /
+    * re-crawl `removed` set c07's snapshot diff computes): vec ids
+    * append as TOMBSTONES under the current generation
+    * ([[IndexStore.appendTombstones]] — standing list files
+    * byte-untouched, cost ∝ |removals|). [[ivfTopKFromIndex]] masks
+    * tombstoned vectors with one broadcast anti-join (removals are
+    * delta-sized), so delete → serve ≡ serve of an index rebuilt
+    * without the removed vectors — hash-checked by the registered s31
+    * entry and spec-pinned; double-deletes and absent ids are no-ops.
+    * [[compactIvfIndex]] physically drops dead rows and reclaims the
+    * lane; `compactEvery` counts deletes toward the same
+    * auto-compaction cadence as appends. */
+  def deleteFromIvfIndex(removedIds: DataFrame, indexDir: String,
+                         compactEvery: Int = 0): Unit = {
+    IndexStore.appendTombstones(removedIds, indexDir, "vec_id")
+    if (compactEvery > 0 && IndexStore.bumpAppends(indexDir) % compactEvery == 0)
+      compactIvfIndex(removedIds.sparkSession, indexDir)
   }
 
   /** The one assignment-and-layout pipeline both the full build and the
@@ -1805,6 +1845,10 @@ object Similarity {
       .as[Int].collect().sorted
     val index = s.read.parquet(IndexStore.currentPath(indexDir))
       .filter($"cluster_id".isin(probedIds.map(Int.box): _*))
+      // tombstone masking ([[deleteFromIvfIndex]]): no-op broadcast
+      // anti-join on a never-deleted index
+      .join(broadcast(IndexStore.readTombstones(s, indexDir, "vec_id")),
+        Seq("vec_id"), "left_anti")
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
     index.join(broadcast(probes),
         $"cluster_id" === $"probe_cluster" && $"vec_id" =!= $"q_id")
@@ -1860,6 +1904,36 @@ object Similarity {
       s17IndexDirs.forEach(d => graft.BenchUtil.rmTree(d))
     }
     ()
+  }
+
+  /** Registered: s17's persisted round-trip with the DELETION verb —
+    * build the artifact, tombstone vec_id ≡ 0 (mod 7)
+    * ([[deleteFromIvfIndex]]), serve s03's exact query through the
+    * masked index. Deterministic like s17 (decimal-exact cosines,
+    * total-ordered windows; deletion only restricts the neighbor set),
+    * so the driver hash-checks it against its own golden; the contract
+    * itself — delete → serve ≡ serve of an index REBUILT without the
+    * removed vectors, tombstone idempotence, compaction reclaim — is
+    * spec-pinned in IndexDeletionSpec (the s18 append≡rebuild
+    * precedent). Queries keep their full id range: a removed vector
+    * may still QUERY (an external probe), it just can never be
+    * returned as a neighbor. */
+  def s31IvfDeleteServe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d).withColumn("nrm", norm($"v"))
+    val centroids = trainedCentroids(s, d, k = 5, iters = 2)
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("graft-s31-index").toString
+    s17CleanupHook
+    writeIvfIndex(c.select($"vec_id", $"v"), centroids, indexDir)
+    deleteFromIvfIndex(c.filter($"vec_id" % 7 === 0).select($"vec_id"), indexDir)
+    val q = c.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val served =
+      ivfTopKFromIndex(s, indexDir, centroids, q, nprobe = 2, k = 3)
+        .localCheckpoint()
+    s17Admit(indexDir)
+    served
   }
 
   // ---- s18: incremental IVF index maintenance (append the delta) ----
@@ -2668,6 +2742,7 @@ object Similarity {
     "s19_bench_decontamination" -> (s19BenchDecontamination _),
     "s17_ivf_persisted"     -> (s17IvfPersistedTopK _),
     "s18_ivf_append_serve"  -> (s18IvfAppendServe _),
+    "s31_ivf_delete_serve"  -> (s31IvfDeleteServe _),
     "s16_binary_topk"       -> (s16BinaryTopK _),
     "s15_mmr_topk"          -> (s15MmrTopK _),
     "s14_int8_topk"         -> (s14Int8TopK _),
@@ -2694,6 +2769,10 @@ object Similarity {
     // s13's own golden independently hash-checks that the persisted
     // compressed layout preserves the answer (the s17≡s03 precedent)
     "s27_ivfadc_persisted"  -> graft.GoldenGen.oracle("s13_ivfadc_topk"),
+    // s31: deterministic like s17 (deletion only restricts the neighbor
+    // set) → its own golden; delete ≡ rebuild-without-removed is
+    // spec-pinned in IndexDeletionSpec
+    "s31_ivf_delete_serve"  -> graft.GoldenGen.oracle("s31_ivf_delete_serve"),
     // s26 ≡ s23 for ANY corpus (exact pre-collapse is answer-
     // preserving: identical vectors share cluster, pairs and component
     // — see the s26 scaladoc) → s23's own SQL oracle hash-checks that

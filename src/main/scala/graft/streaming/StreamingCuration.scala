@@ -155,6 +155,18 @@ object StreamingCuration {
     StructField("band_hash", LongType),
     StructField("n", LongType)))
 
+  /** The two columns the legacy-batch fallbacks read — passed as an
+    * explicit (subset) schema so a laneless legacy batch dir with NO
+    * part files (an empty batch, or a crash between the rows and lane
+    * writes of one) reads as the correct empty frame instead of hitting
+    * schema inference's "Unable to infer schema" throw. A subset schema
+    * is valid for both the history and pipeline-state row shapes (both
+    * carry doc_id + sh). */
+  private val ShLegacySchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sh", org.apache.spark.sql.types.ArrayType(
+      LongType, containsNull = false))))
+
   private def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -193,7 +205,8 @@ object StreamingCuration {
         .option("basePath", s"$dir/_lanes/$lane")
         .parquet(laned.map(id => StreamingHistory.lanePath(dir, lane, id)): _*)
         .drop("batch"))
-    val legacySh = StreamingHistory.readHotBatches(spark, dir, legacy)
+    val legacySh = StreamingHistory.readHotBatches(spark, dir, legacy,
+        schema = Some(ShLegacySchema))
       .map(_.select($"doc_id", $"sh").filter(size($"sh") > 0))
     val legacyBanded = legacySh.map(Dedup.bandedOf)
     val banded = (StreamingHistory.foldedLane(spark, dir, "banded",
@@ -225,7 +238,8 @@ object StreamingCuration {
         .option("basePath", s"$dir/_lanes/$lane")
         .parquet(laned.map(id => StreamingHistory.lanePath(dir, lane, id)): _*)
         .drop("batch"))
-    val legacySh = StreamingHistory.readHotBatches(spark, dir, legacy)
+    val legacySh = StreamingHistory.readHotBatches(spark, dir, legacy,
+        schema = Some(ShLegacySchema))
       .map(_.select($"doc_id", $"sh").filter(size($"sh") > 0))
     val legacyBanded = legacySh.map(Dedup.bandedOf)
     val bandedParts = StreamingHistory.foldedLane(spark, dir, "banded",

@@ -60,7 +60,11 @@ object StreamingPayloadCuration {
     * leg has no side lanes); see [[StreamingHistory.compact]]. */
   def compactHistory(spark: SparkSession, dir: String,
                      uptoExclusive: Long): Unit =
-    StreamingHistory.compact(spark, dir, uptoExclusive)
+    // rowsSchema explicit: a fold whose every foldable batch dir is
+    // file-less (all-empty micro-batches) would otherwise hit schema
+    // inference and throw from inside the auto-compaction hook
+    StreamingHistory.compact(spark, dir, uptoExclusive,
+      rowsSchema = Some(HistorySchema))
 
   /** One admission step — exposed for bounded deltas and tests. */
   def admitBatch(batch0: DataFrame, historyDir: String, batchId: Long): Unit = {

@@ -222,6 +222,31 @@ object ScaleProbe {
       println(f"SCALE d21_compaction        probe-1-write=${p1}%6.2fs (${lshFiles(idx1)}%d files)  " +
         f"probe-20-appends=${pApp}%6.2fs ($fApp%d files)  " +
         f"probe-compacted=${pCom}%6.2fs ($fCom%d files)")
+
+      // deletion economics (round-16): the same standing corpus with a
+      // 10% tombstone load — probe cost of the masked index vs an index
+      // rebuilt without the removed docs (the answer-equality contract)
+      // vs the tombstoned index after compaction reclaims the lane.
+      // The masks are broadcast anti-joins + a delta-sized dead-count
+      // correction, so the masked probe should price within noise of
+      // the rebuilt one — deletion never forces a rebuild.
+      val removed10 = standing1.filter($"doc_id" % 10 === 3).select($"doc_id")
+      val idxTomb = s"$base/lshidx_tomb"
+      val idxLive = s"$base/lshidx_live"
+      Dedup.writeLshIndex(standing1, idxTomb)
+      Dedup.deleteFromLshIndex(removed10, idxTomb)
+      Dedup.writeLshIndex(
+        standing1.join(removed10, Seq("doc_id"), "left_anti"), idxLive)
+      val (pT, nT) = t2(Dedup.probeLshIndex(spark, idxTomb, delta1, 0.8).count())
+      val (pL, nL) = t2(Dedup.probeLshIndex(spark, idxLive, delta1, 0.8).count())
+      require(nT == nL,
+        s"10% tombstones vs rebuild-without-removed diverged: $nT vs $nL")
+      Dedup.compactLshIndex(spark, idxTomb)
+      val (pR, nR) = t2(Dedup.probeLshIndex(spark, idxTomb, delta1, 0.8).count())
+      require(nR == nL, s"post-reclaim probe diverged: $nR vs $nL")
+      println(f"SCALE d21_tombstones        probe-10%%-tombstoned=${pT}%6.2fs  " +
+        f"probe-rebuilt-without=${pL}%6.2fs  probe-after-reclaim=${pR}%6.2fs  " +
+        f"mask-overhead=${pT / pL}%5.2fx (same answer at every point)")
     }
     // m10 steady state: the same economics for payloads — a 2% delta
     // probed against the persisted band table vs a full m07 recompute
