@@ -1367,6 +1367,195 @@ object Dedup {
          .replace("\n", "\n  ")})
        |WHERE d1 % 10 = 0 OR d2 % 10 = 0""".stripMargin
 
+  // ---- d25: incremental cluster maintenance (persisted rep map) ----
+
+  /** d25: the CLUSTER layer made delta-cost — pair DISCOVERY is already
+    * incremental (d11's delta join, d21's indexed probe), but every
+    * cluster artifact (d08/d12/d17 and the m11/s11/s23 consumers) still
+    * recomputed connected components over the FULL pair graph per run.
+    * At 100 TB that recompute dominates the incremental path it feeds.
+    * This family persists the (doc_id, cluster_rep) map as an
+    * [[IndexStore]] artifact and merges each delta batch's verified
+    * pairs into it union-find-style:
+    *
+    *  - `members` lane: (doc_id, cluster_rep) — append-only; a doc's
+    *    row is written once, with the rep current AT INSERTION.
+    *  - `aliases` lane: (old_rep, new_rep) — appended when a delta
+    *    edge merges standing clusters; the union-find parent pointers.
+    *    Readers resolve rep chains through the alias closure (computed
+    *    driver-side: the alias set is bounded by merge EVENTS between
+    *    compactions — delta-proportional, the same bounded-model-state
+    *    premise as the probe's over-cap broadcast). new_rep < old_rep
+    *    always (min-label), so chains are acyclic and strictly
+    *    decreasing.
+    *  - [[compactClusterMap]] = path compression: members rewritten
+    *    with fully-resolved reps into the next generation, alias lane
+    *    dropped.
+    *
+    * Merge cost is delta-proportional end to end: the standing members
+    * lane is SCANNED once (semi-join against the broadcast endpoint
+    * set — never shuffled), CC runs over the REP-PROJECTED delta edges
+    * only (each standing cluster collapses to its rep node), and the
+    * appended rows are delta-sized. merge(standing, delta) ≡ full d08
+    * recompute at every split boundary — min-label over rep-projected
+    * edges yields the global component min because standing reps ARE
+    * their clusters' minima (hash-checked by the registered entry
+    * against d08's recursive-CTE oracle, boundary-swept in
+    * ClusterMaintenanceSpec — the c12 ≡ c01 discipline). */
+  def writeClusterMap(pairs: DataFrame, dir: String): Unit = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val g = IndexStore.nextGen(dir)
+    clusterPairs(pairs.select($"d1", $"d2"))
+      .write.mode("overwrite").parquet(s"${IndexStore.genPath(dir, g)}/members")
+    IndexStore.publish(dir, g)
+    IndexStore.sweep(dir)
+  }
+
+  /** Merge a delta batch's verified pairs (e.g. [[probeLshIndex]]'s
+    * output — every pair touches the delta) into a standing cluster
+    * map at delta cost: new member rows and rep aliases APPEND (
+    * standing files byte-untouched, the artifact family's contract).
+    * `compactEvery` > 0 runs [[compactClusterMap]] (path compression)
+    * every that-many merges. */
+  def mergeIntoClusterMap(deltaPairs: DataFrame, dir: String,
+                          compactEvery: Int = 0): Unit = {
+    val s = deltaPairs.sparkSession
+    val root = IndexStore.currentPath(dir)
+    val (newMembers, aliases) =
+      clusterMergeDelta(resolvedMembers(s, root), deltaPairs)
+    newMembers.write.mode("append").parquet(s"$root/members")
+    aliases.write.mode("append").parquet(s"$root/aliases")
+    if (compactEvery > 0 && IndexStore.bumpAppends(dir) % compactEvery == 0)
+      compactClusterMap(s, dir)
+  }
+
+  /** The current clusters: (doc_id, cluster_rep) for every doc in any
+    * pair, reps resolved through the alias closure — d08's contract,
+    * served from the artifact without any CC recompute. */
+  def readClusterMap(s: SparkSession, dir: String): DataFrame =
+    resolvedMembers(s, IndexStore.currentPath(dir))
+
+  /** Path compression: fold the members lane with all rep chains
+    * resolved into the next generation and drop the alias lane.
+    * Read-equivalent by construction (resolution is what readers do
+    * anyway); live-reader-safe via [[IndexStore]] generations. */
+  def compactClusterMap(s: SparkSession, dir: String): Unit = {
+    IndexStore.adoptLegacy(dir)
+    val src = IndexStore.currentPath(dir)
+    val g = IndexStore.nextGen(dir)
+    val in = resolvedMembers(s, src)
+    in.coalesce(math.max(1,
+        s.read.parquet(s"$src/members").inputFiles.length / 16))
+      .write.mode("overwrite").parquet(s"${IndexStore.genPath(dir, g)}/members")
+    IndexStore.publish(dir, g)
+    IndexStore.sweep(dir)
+  }
+
+  private val AliasSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("old_rep",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("new_rep",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Members with reps resolved through the alias closure. The alias
+    * lane collects to the driver (bounded by merge events between
+    * compactions — see the family scaladoc) and applies as ONE
+    * broadcast remap join; a fresh or just-compacted map short-circuits
+    * to the raw members lane. */
+  private def resolvedMembers(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    val members = s.read.parquet(s"$root/members")
+    val aliasDir = java.nio.file.Paths.get(s"$root/aliases")
+    val aliases =
+      if (java.nio.file.Files.isDirectory(aliasDir))
+        s.read.schema(AliasSchema).parquet(s"$root/aliases")
+          .as[(Long, Long)].collect().toSeq
+      else Seq.empty[(Long, Long)]
+    if (aliases.isEmpty) members
+    else {
+      // driver-side path compression of the chains (new_rep < old_rep
+      // strictly, so following always terminates)
+      val next = aliases.toMap
+      def res(x0: Long): Long = {
+        var x = x0; while (next.contains(x)) x = next(x); x
+      }
+      val remap = aliases.map(_._1).distinct.map(k => (k, res(k)))
+        .toDF("cluster_rep", "final_rep")
+      members.join(broadcast(remap), Seq("cluster_rep"), "left")
+        .select($"doc_id",
+          coalesce($"final_rep", $"cluster_rep").as("cluster_rep"))
+    }
+  }
+
+  /** Frame-level merge core (shared by the artifact path and the
+    * oracle-self-contained registered entry): given the RESOLVED
+    * standing map and a delta batch's pairs, return
+    * (new member rows, rep aliases) — both delta-sized.
+    *
+    * Stage by stage: endpoint ids (delta-sized) broadcast-semi-prune
+    * the standing map (scan, no shuffle); each edge endpoint projects
+    * to its current rep (or itself if unclustered); min-label CC runs
+    * over the PROJECTED graph — nodes are reps and new ids, never
+    * cluster interiors, so the graph is delta-sized regardless of how
+    * big the touched standing clusters are. Standing reps that lose
+    * the min become aliases; endpoints with no standing row become
+    * member rows labeled with their component's min. */
+  private[graft] def clusterMergeDelta(standing: DataFrame,
+      deltaPairs: DataFrame): (DataFrame, DataFrame) = {
+    val s = standing.sparkSession
+    import s.implicits._
+    val ends = deltaPairs.select($"d1".as("doc_id"))
+      .unionByName(deltaPairs.select($"d2".as("doc_id"))).distinct()
+      .localCheckpoint() // delta-sized; 3 consumers
+    val touched = standing
+      .join(broadcast(ends), Seq("doc_id"), "left_semi")
+      .localCheckpoint() // delta-sized; 3 consumers
+    val projected = deltaPairs
+      .join(broadcast(touched.toDF("d1", "r1")), Seq("d1"), "left")
+      .join(broadcast(touched.toDF("d2", "r2")), Seq("d2"), "left")
+      .select(coalesce($"r1", $"d1").as("d1"),
+              coalesce($"r2", $"d2").as("d2"))
+      .filter($"d1" =!= $"d2")
+    val cc = clusterPairs(projected).toDF("node", "new_rep")
+    val aliases = cc
+      .join(broadcast(touched.select($"cluster_rep".as("node")).distinct()),
+        Seq("node"), "left_semi")
+      .filter($"node" =!= $"new_rep")
+      .select($"node".as("old_rep"), $"new_rep")
+    val newMembers = ends
+      .join(broadcast(touched.select($"doc_id")), Seq("doc_id"), "left_anti")
+      .join(broadcast(cc), $"doc_id" === $"node", "left")
+      .select($"doc_id", coalesce($"new_rep", $"doc_id").as("cluster_rep"))
+    (newMembers, aliases)
+  }
+
+  /** Registered split: standing = doc_id ≢ 0 (mod 10), delta = the
+    * rest (the d11/d21 convention). Standing map built in-plan from
+    * the standing-only pair set, the delta's touching pairs merged via
+    * [[clusterMergeDelta]], aliases applied — ≡ d08's one-shot CC over
+    * the FULL pair set, which is the operator's whole contract
+    * (oracled by d08's own recursive CTE). Within one merge no alias
+    * chains exist (CC labels are final component minima), so the
+    * in-plan remap is a single broadcast join; the multi-batch chain
+    * case is ClusterMaintenanceSpec's. */
+  def d25IncrementalClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"text")
+    val standingDocs = docs.filter($"doc_id" % 10 =!= 0)
+    val standingMap =
+      clusterPairs(ngramJaccardPairs(standingDocs, 0.8).select($"d1", $"d2"))
+        .localCheckpoint()
+    val (newMembers, aliases) = clusterMergeDelta(standingMap,
+      deltaNearDupPairs(standingDocs, docs.filter($"doc_id" % 10 === 0), 0.8)
+        .select($"d1", $"d2"))
+    standingMap
+      .join(broadcast(aliases.toDF("cluster_rep", "new_rep")),
+        Seq("cluster_rep"), "left")
+      .select($"doc_id", coalesce($"new_rep", $"cluster_rep").as("cluster_rep"))
+      .unionByName(newMembers)
+  }
+
   // ---- d05: SimHash near-dup ----
 
   /** 64-bit SimHash over the token multiset: bit i of the fingerprint is
@@ -1852,6 +2041,7 @@ object Dedup {
     "d20_intradoc_repeats" -> (d20IntraDocRepeats _),
     "d21_lsh_index_probe"  -> (d21LshIndexProbe _),
     "d26_lsh_delete_probe" -> (d26LshDeleteProbe _),
+    "d25_incremental_clusters" -> (d25IncrementalClusters _),
     "d17_lsh_clusters"   -> (d17LshClusters _),
   )
 
@@ -1888,6 +2078,9 @@ object Dedup {
     // d26: probe-after-delete ≡ the exact delta-touching pair set over
     // the LIVE corpus (removed docs excluded at the oracle's source)
     "d26_lsh_delete_probe" -> d26Sql,
+    // d25: merge(standing map, delta pairs) ≡ one-shot CC over the full
+    // pair set — d08's own recursive-CTE oracle checks the merge
+    "d25_incremental_clusters" -> d08Sql,
     // same clusters as d08 through the LSH candidate path: exact
     // verification restores the d03 pair set (recall pinned by the
     // driver's d04-vs-d03 hash match), CC is pair-set-determined

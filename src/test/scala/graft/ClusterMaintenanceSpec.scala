@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, IndexStore}
+
+/** The d25 contract: the persisted (doc_id, cluster_rep) map, merged
+  * batch by batch with each delta's verified pairs, must equal the
+  * one-shot connected-components run over the full pair set at EVERY
+  * batch boundary — cluster maintenance at delta cost, the same
+  * equivalence discipline as c12 ≡ c01 and s18 append ≡ rebuild. */
+class ClusterMaintenanceSpec extends SparkSpec {
+
+  private def mapOf(dir: String): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.readClusterMap(spark, dir).as[(Long, Long)].collect().toMap
+  }
+
+  private def ccOf(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.clusterPairs(pairs.toDF("d1", "d2")).as[(Long, Long)]
+      .collect().toMap
+  }
+
+  test("synthetic chain: two merges build alias chains, resolution matches one-shot CC") {
+    import spark.implicits._
+    val batch0 = Seq((10L, 11L), (20L, 21L), (30L, 31L))
+    // merge 1: new doc 40 bridges clusters 10 and 20 → alias 20→10
+    val batch1 = Seq((11L, 40L), (40L, 21L))
+    // merge 2: new docs bridge the 10-chain with cluster 30 AND bring
+    // a smaller id (5) — reps 10 and 30 must both alias to 5, and the
+    // old alias 20→10 must RESOLVE through the chain 20→10→5
+    val batch2 = Seq((21L, 50L), (50L, 31L), (5L, 51L), (51L, 31L))
+    val dir = java.nio.file.Files.createTempDirectory("cmap-chain").toString
+    try {
+      Dedup.writeClusterMap(batch0.toDF("d1", "d2"), dir)
+      assert(mapOf(dir) === ccOf(batch0))
+      Dedup.mergeIntoClusterMap(batch1.toDF("d1", "d2"), dir)
+      assert(mapOf(dir) === ccOf(batch0 ++ batch1))
+      Dedup.mergeIntoClusterMap(batch2.toDF("d1", "d2"), dir)
+      val want = ccOf(batch0 ++ batch1 ++ batch2)
+      assert(mapOf(dir) === want, "chained aliases must resolve to the global min")
+      assert(want(20L) === 5L, "fixture must actually exercise a 2-link chain")
+      // path compression: compaction rewrites members resolved, drops
+      // the alias lane, and the read is unchanged
+      val gen0 = IndexStore.currentGen(dir).get
+      Dedup.compactClusterMap(spark, dir)
+      assert(IndexStore.currentGen(dir).get === gen0 + 1)
+      assert(mapOf(dir) === want, "compaction changed the resolved map")
+      assert(!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+        s"${IndexStore.currentPath(dir)}/aliases")),
+        "compaction must drop the alias lane")
+      val members = spark.read
+        .parquet(s"${IndexStore.currentPath(dir)}/members")
+      assert(members.groupBy($"doc_id").count().filter($"count" > 1)
+        .count() === 0L, "one member row per doc after compaction")
+      assert(members.as[(Long, Long)].collect().toMap === want,
+        "compacted members must be fully path-compressed on disk")
+    } finally graft.BenchUtil.rmTree(dir)
+  }
+
+  test("boundary sweep on real docs: merge(standing, delta) ≡ full recompute at every split") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+    val full = Dedup.clusterPairs(
+        Dedup.ngramJaccardPairs(docs, 0.8).select($"d1", $"d2"))
+      .as[(Long, Long)].collect().toMap
+    assert(full.nonEmpty, "fixture must have clusters")
+    Seq(maxId / 3, (maxId * 4) / 5).foreach { b =>
+      val standing = docs.filter($"doc_id" <= b)
+      val delta = docs.filter($"doc_id" > b)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"cmap-sweep-$b").toString
+      try {
+        Dedup.writeClusterMap(
+          Dedup.ngramJaccardPairs(standing, 0.8).select($"d1", $"d2"), dir)
+        Dedup.mergeIntoClusterMap(
+          Dedup.deltaNearDupPairs(standing, delta, 0.8).select($"d1", $"d2"),
+          dir)
+        assert(mapOf(dir) === full,
+          s"merge at boundary $b diverged from the one-shot CC")
+      } finally graft.BenchUtil.rmTree(dir)
+    }
+  }
+
+  test("merges count toward the auto-compaction cadence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cmap-cadence").toString
+    try {
+      Dedup.writeClusterMap(Seq((10L, 11L)).toDF("d1", "d2"), dir)
+      val gen0 = IndexStore.currentGen(dir).get
+      Dedup.mergeIntoClusterMap(Seq((11L, 12L)).toDF("d1", "d2"), dir,
+        compactEvery = 2)
+      Dedup.mergeIntoClusterMap(Seq((12L, 13L)).toDF("d1", "d2"), dir,
+        compactEvery = 2)
+      assert(IndexStore.currentGen(dir).get === gen0 + 1,
+        "second counted merge at cadence 2 must trigger compression")
+      assert(mapOf(dir) === ccOf(Seq((10L, 11L), (11L, 12L), (12L, 13L))))
+    } finally graft.BenchUtil.rmTree(dir)
+  }
+}

@@ -247,6 +247,45 @@ object ScaleProbe {
       println(f"SCALE d21_tombstones        probe-10%%-tombstoned=${pT}%6.2fs  " +
         f"probe-rebuilt-without=${pL}%6.2fs  probe-after-reclaim=${pR}%6.2fs  " +
         f"mask-overhead=${pT / pL}%5.2fx (same answer at every point)")
+
+      // d25 economics (round-16): cluster MAINTENANCE at delta cost.
+      // full = one-shot CC over the whole x10 corpus's LSH pair set
+      // (what d08/d17 recompute per run); merge = the same 2% delta's
+      // probed pairs folded into a PERSISTED standing cluster map —
+      // endpoint semi-scan + CC over the rep-projected delta graph
+      // only. Equality of the resulting maps is asserted (the
+      // ClusterMaintenanceSpec contract, at probe scale).
+      val vx10 = spark.read.parquet(s"$base/x10/documents.parquet")
+        .select($"doc_id", $"text")
+      val baseMax10 = spark.read.parquet(s"$base/x1/documents.parquet")
+        .agg(max($"doc_id")).head().getLong(0)
+      val cut10 = 9L * 10000000L + (baseMax10 * 4) / 5
+      val standingPairs = Dedup
+        .minhashLshPairs(vx10.filter($"doc_id" <= cut10)).select($"d1", $"d2")
+      val mapDir = s"$base/clustermap"
+      Dedup.writeClusterMap(standingPairs, mapDir)
+      val deltaPairs10 = Dedup.probeLshIndex(spark, s"$base/lshidx",
+        vx10.filter($"doc_id" > cut10), 0.8).select($"d1", $"d2")
+        .localCheckpoint()
+      val (fullCcS, _) = t2(Dedup.clusterPairs(
+        Dedup.minhashLshPairs(vx10).select($"d1", $"d2"))
+        .queryExecution.toRdd.count())
+      // timed ONCE (not t2): a second run would re-merge already-known
+      // pairs — idempotent but trivially cheap, understating the cost
+      val mergeS = timeSec {
+        Dedup.mergeIntoClusterMap(deltaPairs10, mapDir)
+        Dedup.readClusterMap(spark, mapDir).queryExecution.toRdd.count()
+      }
+      val mMap = Dedup.readClusterMap(spark, mapDir)
+        .as[(Long, Long)].collect().toMap
+      val fMap = Dedup.clusterPairs(
+          Dedup.minhashLshPairs(vx10).select($"d1", $"d2"))
+        .as[(Long, Long)].collect().toMap
+      require(mMap == fMap,
+        s"merged map diverged from one-shot CC: ${mMap.size} vs ${fMap.size}")
+      println(f"SCALE d25_cluster_merge     full-cc-x10=${fullCcS}%6.2fs  " +
+        f"merge-delta(2%%, persisted map)=${mergeS}%6.2fs  " +
+        f"cost-ratio=${mergeS / fullCcS}%5.2fx (maps identical)")
     }
     // m10 steady state: the same economics for payloads — a 2% delta
     // probed against the persisted band table vs a full m07 recompute
