@@ -1922,7 +1922,86 @@ object TextAnalysis {
       |FROM pdt p JOIN vocab v USING (tok) CROSS JOIN tot t
       |GROUP BY p.doc_id""".stripMargin
 
+  // ---- t40: declared vs detected language — mislabel audit ----
+
+  /** t40: declared-language vs detected-language confusion matrix —
+    * m16's planted-canary discipline on the TEXT lane. Mislabeled
+    * `lang` metadata is the most common upstream defect a mixing plan
+    * (c03/c08 weight by declared lang) silently inherits: the mix
+    * trains on the wrong language balance and nobody sees it until
+    * eval. The audit crosses the DECLARED label against t03's
+    * detector ([[langPredCol]]) and reports per (declared, detected)
+    * cell: doc count, token mass, and how many of the cell's docs are
+    * PLANTED mislabels — the reconciliation column that splits
+    * off-diagonal mass into metadata lies vs detector disagreement.
+    *
+    * Fixture: the corpus's `lang` column is trusted ground truth, so —
+    * the c22/m16 canary recipe — mislabels are planted
+    * deterministically: doc_id ≡ 0 (mod 13; coprime to the 5-language
+    * wheel and the 20-source cycle) rotates the declared label one
+    * step around ['en','de','fr','es','zh']. The planted rule is pure
+    * SQL, so the whole audit (rotation, detection, matrix, masses) is
+    * DuckDB-oracled end to end; TextAnalysisSpec reconciles the
+    * off-diagonal per-doc. On a real corpus `declared` IS the metadata
+    * column and `n_planted` drops out.
+    *
+    * Scale: detection + rotation are per-row codegen expressions; the
+    * only exchange is the ≤ |langs|·|detected|-key rollup with
+    * map-side combine. Token mass is a linear BIGINT sum. */
+  def t40LangMismatchAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wheel = typedLit(Seq("en", "de", "fr", "es", "zh"))
+    val idx = array_position(wheel, $"lang") // 1-based
+    val rotated = element_at(wheel, ((idx % 5) + 1).cast("int"))
+    val planted = $"doc_id" % 13 === 0
+    val declared = when(planted, rotated).otherwise($"lang")
+    documents(s, d)
+      .select(declared.as("declared"),
+        langPredCol($"text").as("detected"),
+        size(split($"text", " ")).cast("long").as("n_tok"),
+        planted.cast("long").as("pl"))
+      .groupBy($"declared", $"detected")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("token_mass"),
+        sum($"pl").as("n_planted"))
+      .withColumn("mismatch", $"declared" =!= $"detected")
+  }
+
+  /** Oracle: the identical plant → detect → rollup pipeline in SQL
+    * (t03's detector CASE verbatim, the m16 rotation recipe). */
+  val t40Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |    CASE WHEN doc_id % 13 = 0 THEN
+      |      ['en','de','fr','es','zh'][
+      |        CAST(list_position(['en','de','fr','es','zh'], lang) % 5
+      |          AS INTEGER) + 1]
+      |    ELSE lang END AS declared,
+      |    doc_id % 13 = 0 AS planted
+      |  FROM documents
+      |), det AS (
+      |  SELECT declared, planted, len(t) AS n_tok,
+      |    CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+      |         WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+      |         WHEN fr >= es AND fr > 0 THEN 'fr'
+      |         WHEN es > 0 THEN 'es'
+      |         ELSE 'und' END AS detected
+      |  FROM (
+      |    SELECT declared, planted, t,
+      |      len(list_filter(t, x -> list_contains(['the','a','of','and'], x))) AS en,
+      |      len(list_filter(t, x -> list_contains(['der','die','das','und'], x))) AS de,
+      |      len(list_filter(t, x -> list_contains(['le','la','les','et'], x))) AS fr,
+      |      len(list_filter(t, x -> list_contains(['el','los','las','y'], x))) AS es
+      |    FROM p)
+      |)
+      |SELECT declared, detected, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS token_mass,
+      |  CAST(SUM(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+      |  declared <> detected AS mismatch
+      |FROM det GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t40_lang_mismatch"  -> (t40LangMismatchAudit _),
     "t39_unigram_surprisal" -> (t39UnigramSurprisal _),
     "t38_repetition_signals" -> (t38RepetitionSignals _),
     "t34_gopher_rules"   -> (t34GopherRules _),
@@ -1962,6 +2041,7 @@ object TextAnalysis {
   // def, not val: the golden-snapshot oracle path resolves the sf tag
   // at dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    "t40_lang_mismatch"  -> t40Sql,
     "t39_unigram_surprisal" -> t39Sql,
     "t38_repetition_signals" -> t38Sql,
     "t34_gopher_rules"   -> t34Sql,

@@ -1528,4 +1528,48 @@ class TextAnalysisSpec extends SparkSpec {
     } finally graft.BenchUtil.rmTree(dir)
   }
 
+  test("t40: confusion matrix reconciles per-doc — off-diagonal mass splits into planted lies vs detector disagreement") {
+    import spark.implicits._
+    val wheel = Seq("en", "de", "fr", "es", "zh")
+    // independent per-doc recompute of the planted rule + detection
+    val perDoc = Tables.documents(spark, sf001)
+      .select($"doc_id", $"lang",
+        TextAnalysis.langPredCol($"text").as("detected"),
+        size(split($"text", " ")).cast("long").as("n_tok"))
+      .as[(Long, String, String, Long)].collect()
+    val rows = perDoc.map { case (id, lang, det, nTok) =>
+      val planted = id % 13 == 0
+      val declared =
+        if (planted) wheel((wheel.indexOf(lang) + 1) % 5) else lang
+      (declared, det, nTok, planted, lang)
+    }
+    val expected = rows.groupBy(r => (r._1, r._2)).map { case ((dc, dt), g) =>
+      (dc, dt, g.length.toLong, g.map(_._3).sum,
+       g.count(_._4).toLong, dc != dt)
+    }.toSet
+    val got = TextAnalysis.t40LangMismatchAudit(spark, sf001)
+      .as[(String, String, Long, Long, Long, Boolean)].collect().toSet
+    assert(got === expected, "matrix must equal the per-doc recompute")
+    // reconciliation identities:
+    // 1. planted mass in the matrix = exactly the doc_id % 13 == 0 docs
+    assert(got.toSeq.map(_._5).sum === perDoc.count(_._1 % 13 == 0).toLong)
+    // 2. an UNPLANTED doc's declared label IS the true lang, so every
+    //    unplanted off-diagonal doc is pure detector disagreement —
+    //    cell-level: mismatch-cell docs minus planted docs must equal
+    //    the docs whose true lang ≠ detected and are unplanted
+    val unplantedMismatch = got.toSeq.filter(_._6).map(c => c._3 - c._5).sum
+    val wantDetectorOnly = rows.count(r => !r._4 && r._5 != r._2).toLong
+    // planted docs can land ON the diagonal (rotation matching the
+    // detector) — subtract them from the planted-off-diagonal side
+    val plantedOnDiag = rows.count(r => r._4 && r._1 == r._2).toLong
+    assert(unplantedMismatch === wantDetectorOnly,
+      "off-diagonal unplanted mass must equal detector-disagreement mass")
+    assert(rows.count(r => r._4).toLong ===
+      got.toSeq.filter(_._6).map(_._5).sum + plantedOnDiag,
+      "planted docs must partition into off-diagonal lies + on-diagonal coincidences")
+    // 3. the fixture actually plants something and the detector works:
+    //    some off-diagonal mass exists on both sides of the split
+    assert(got.exists(c => c._6 && c._5 > 0), "no planted mislabel landed off-diagonal")
+  }
+
 }
