@@ -1430,11 +1430,122 @@ object Dedup {
       compactClusterMap(s, dir)
   }
 
+  /** Remove documents from a standing cluster map — the deletion verb
+    * on the CLUSTER artifact, and the one place deletion is more than
+    * a mask: a removed doc may be the only BRIDGE of its component, so
+    * its clusters must re-SPLIT, and the map stores labels, not edges.
+    * A tombstone lane cannot express a split (and a patch lane would
+    * have to sequence against the merge path's alias lane — MVCC
+    * complexity with real ordering hazards), so a delete FOLDS A
+    * GENERATION — the compaction publish discipline — with the
+    * re-labeling COMPUTE kept delta-cost:
+    *
+    *  1. affected reps = reps of clusters containing a removed doc
+    *     (one semi-scan of the members lane — delta-sized output);
+    *  2. affected live docs = those clusters' members minus the
+    *     removals (scan + broadcast masks — affected-cluster-sized);
+    *  3. `livePairsAmong(affectedLiveDocs)` supplies the live pair
+    *     subgraph among them (production probes the d21 index — itself
+    *     already deletion-masked by [[deleteFromLshIndex]] — restricted
+    *     to that doc set; the registered entry recomputes in-plan for
+    *     oracle self-containment). A live pair between an affected and
+    *     an UNaffected doc cannot exist: it would already have put
+    *     both docs in one cluster.
+    *  4. CC re-labels the affected subgraph ONLY; unaffected rows
+    *     stream into the new generation untouched (their reps cannot
+    *     be removed docs — a removed doc's cluster is affected by
+    *     definition). Affected docs that lost their last pair
+    *     correctly vanish (d08's contract covers only paired docs).
+    *
+    * Compute ∝ affected-cluster mass; IO = one linear pass-through
+    * members write (~16 B per paired doc, shuffle-free for the
+    * unaffected mass). Removals arrive batched on the c07 snapshot
+    * cadence, so this is the compaction the artifact would run on
+    * that cadence anyway — and the fold path-compresses aliases as a
+    * side effect. delete → read ≡ full CC over the live corpus's
+    * pairs — registered d27 entry, oracled by d08's recursive CTE
+    * over the live corpus; bridge-split / compose-with-merge /
+    * random-graph cases spec-pinned in ClusterMaintenanceSpec. */
+  def deleteFromClusterMap(removedIds: DataFrame, dir: String,
+      livePairsAmong: DataFrame => DataFrame): Unit = {
+    val s = removedIds.sparkSession
+    import s.implicits._
+    IndexStore.adoptLegacy(dir)
+    val standing = resolvedMembers(s, IndexStore.currentPath(dir))
+    val removed = removedIds.select($"doc_id").distinct().localCheckpoint()
+    val affReps = standing
+      .join(broadcast(removed), Seq("doc_id"), "left_semi")
+      .select($"cluster_rep").distinct().localCheckpoint()
+    val affLive = standing
+      .join(broadcast(affReps), Seq("cluster_rep"), "left_semi")
+      .join(broadcast(removed), Seq("doc_id"), "left_anti")
+      .select($"doc_id").localCheckpoint()
+    val relabeled = clusterPairs(livePairsAmong(affLive).select($"d1", $"d2"))
+      .toDF("doc_id", "cluster_rep")
+      // guard: the caller's pair source must not reach outside the
+      // affected live set (it would corrupt unaffected clusters)
+      .join(broadcast(affLive), Seq("doc_id"), "left_semi")
+    val g = IndexStore.nextGen(dir)
+    standing.join(broadcast(affReps), Seq("cluster_rep"), "left_anti")
+      .select($"doc_id", $"cluster_rep")
+      .unionByName(relabeled.select($"doc_id", $"cluster_rep"))
+      .write.mode("overwrite")
+      .parquet(s"${IndexStore.genPath(dir, g)}/members")
+    IndexStore.publish(dir, g)
+    IndexStore.sweep(dir)
+  }
+
   /** The current clusters: (doc_id, cluster_rep) for every doc in any
     * pair, reps resolved through the alias closure — d08's contract,
     * served from the artifact without any CC recompute. */
   def readClusterMap(s: SparkSession, dir: String): DataFrame =
     resolvedMembers(s, IndexStore.currentPath(dir))
+
+  /** Temp cluster-map dirs from the registered d27 entry — the s17
+    * FIFO discipline (results localCheckpointed before admission). */
+  private val d27MapDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def d27Admit(dir: String): Unit = {
+    d27MapDirs.add(dir)
+    while (d27MapDirs.size > 4)
+      Option(d27MapDirs.poll()).foreach(graft.BenchUtil.rmTree)
+  }
+  private lazy val d27CleanupHook: Unit = {
+    sys.addShutdownHook {
+      d27MapDirs.forEach(d => graft.BenchUtil.rmTree(d))
+    }
+    ()
+  }
+
+  /** Registered: build the cluster map over the FULL corpus's pairs,
+    * delete doc_id ≡ 0 (mod 9) through [[deleteFromClusterMap]] (the
+    * affected live pair subgraph recomputed in-plan — oracle
+    * self-containment), read the artifact back — ≡ one-shot CC over
+    * the LIVE corpus's pairs, i.e. d08's recursive-CTE oracle with the
+    * removed docs excluded at the source. Exercises the real artifact
+    * round-trip (write → delete-fold → read), the s17/s27 temp-dir
+    * discipline. */
+  def d27ClusterDeleteMaintain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"text")
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft-d27-cmap").toString
+    d27CleanupHook
+    writeClusterMap(ngramJaccardPairs(docs, 0.8).select($"d1", $"d2"), dir)
+    deleteFromClusterMap(
+      docs.filter($"doc_id" % 9 === 0).select($"doc_id"), dir,
+      affLive => ngramJaccardPairs(
+        docs.join(affLive, Seq("doc_id"), "left_semi"), 0.8))
+    val out = readClusterMap(s, dir).localCheckpoint()
+    d27Admit(dir)
+    out
+  }
+
+  /** Oracle: d08's transitive closure over the live corpus only.
+    * lazy: d08Sql is declared later in this object — a strict val here
+    * would read it as null during object init. */
+  lazy val d27Sql: String =
+    d08Sql.replace("FROM documents", "FROM documents WHERE doc_id % 9 <> 0")
 
   /** Path compression: fold the members lane with all rep chains
     * resolved into the next generation and drop the alias lane.
@@ -2042,6 +2153,7 @@ object Dedup {
     "d21_lsh_index_probe"  -> (d21LshIndexProbe _),
     "d26_lsh_delete_probe" -> (d26LshDeleteProbe _),
     "d25_incremental_clusters" -> (d25IncrementalClusters _),
+    "d27_cluster_delete" -> (d27ClusterDeleteMaintain _),
     "d17_lsh_clusters"   -> (d17LshClusters _),
   )
 
@@ -2081,6 +2193,8 @@ object Dedup {
     // d25: merge(standing map, delta pairs) ≡ one-shot CC over the full
     // pair set — d08's own recursive-CTE oracle checks the merge
     "d25_incremental_clusters" -> d08Sql,
+    // d27: delete-fold ≡ one-shot CC over the LIVE corpus's pairs
+    "d27_cluster_delete" -> d27Sql,
     // same clusters as d08 through the LSH candidate path: exact
     // verification restores the d03 pair set (recall pinned by the
     // driver's d04-vs-d03 hash match), CC is pair-set-determined

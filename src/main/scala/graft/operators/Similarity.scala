@@ -2483,6 +2483,36 @@ object Similarity {
     IndexStore.sweep(dir)
   }
 
+  /** Record deletions against a standing labeled index — the
+    * [[deleteFromIvfIndex]] contract on the filtered layout (tombstone
+    * lane, serve-time broadcast anti-join mask, physical reclaim at
+    * [[compactLabeledIvfIndex]]). */
+  def deleteFromLabeledIvfIndex(removedIds: DataFrame, dir: String,
+                                compactEvery: Int = 0): Unit = {
+    IndexStore.appendTombstones(removedIds, dir, "vec_id")
+    if (compactEvery > 0 && IndexStore.bumpAppends(dir) % compactEvery == 0)
+      compactLabeledIvfIndex(removedIds.sparkSession, dir)
+  }
+
+  /** Compact the labeled layout: fold per-(label, cluster) files,
+    * tombstones folded in and reclaimed — [[compactIvfIndex]] on the
+    * two-level key. */
+  def compactLabeledIvfIndex(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    IndexStore.adoptLegacy(dir)
+    val src = IndexStore.currentPath(dir)
+    val g = IndexStore.nextGen(dir)
+    s.read.parquet(src)
+      .join(broadcast(IndexStore.readTombstones(s, dir, "vec_id")),
+        Seq("vec_id"), "left_anti")
+      .repartition($"label", $"cluster_id")
+      .sortWithinPartitions($"vec_id")
+      .write.mode("overwrite").partitionBy("label", "cluster_id")
+      .parquet(IndexStore.genPath(dir, g))
+    IndexStore.publish(dir, g)
+    IndexStore.sweep(dir)
+  }
+
   /** Exact filtered top-k served from the labeled layout: the query
     * set's labels collect to a literal `isin` partition filter (≤ the
     * label vocabulary — a model-artifact-sized fetch, the s17
@@ -2499,6 +2529,9 @@ object Similarity {
       .as[Int].collect().sorted
     val index = s.read.parquet(IndexStore.currentPath(dir))
       .filter($"label".isin(qLabels.map(Int.box): _*))
+      // tombstone masking ([[deleteFromLabeledIvfIndex]])
+      .join(broadcast(IndexStore.readTombstones(s, dir, "vec_id")),
+        Seq("vec_id"), "left_anti")
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
     index.join(broadcast(queries), Seq("label"))
       .filter($"vec_id" =!= $"q_id")

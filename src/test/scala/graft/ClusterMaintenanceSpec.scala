@@ -83,6 +83,99 @@ class ClusterMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("property: random graphs sliced into arbitrary merge batches ≡ union-find, with a mid-stream compaction") {
+    import spark.implicits._
+    (0 until 2).foreach { seed =>
+      val rnd = new scala.util.Random(3100 + seed)
+      val n = 30
+      val edges = (Seq.fill(18)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+          .filter { case (a, b) => a != b } ++ (40L until 46L).map(i => (i, i + 1)))
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // arbitrary 3-way slicing of the EDGE set — batches may merge two
+      // standing clusters, touch only new ids, or both
+      val batches = rnd.shuffle(edges).grouped(math.max(1, edges.size / 3 + 1)).toSeq
+      val dir = java.nio.file.Files.createTempDirectory(s"cmap-prop-$seed").toString
+      try {
+        Dedup.writeClusterMap(batches.head.toDF("d1", "d2"), dir)
+        batches.tail.zipWithIndex.foreach { case (b, i) =>
+          Dedup.mergeIntoClusterMap(b.toDF("d1", "d2"), dir)
+          if (i == 0) Dedup.compactClusterMap(spark, dir) // mid-stream fold
+        }
+        // union-find ground truth, min-id reps
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(x => x -> find(x)).toMap
+        assert(mapOf(dir) === expected, s"seed=$seed slicing=${batches.map(_.size)}")
+      } finally graft.BenchUtil.rmTree(dir)
+    }
+  }
+
+  test("d27 bridge split: removing the bridge doc splits its cluster; unaffected clusters untouched") {
+    import spark.implicits._
+    // cluster {1,2,3,10,11} bridged by 2; independent cluster {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 10L), (3L, 11L), (20L, 21L))
+    def liveAmong(removedSet: Set[Long])(aff: org.apache.spark.sql.DataFrame) = {
+      val live = edges.filter { case (a, b) =>
+        !removedSet(a) && !removedSet(b) }.toDF("d1", "d2")
+      live.join(aff.select($"doc_id".as("d1")), Seq("d1"), "left_semi")
+        .join(aff.select($"doc_id".as("d2")), Seq("d2"), "left_semi")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("cmap-bridge").toString
+    try {
+      Dedup.writeClusterMap(edges.toDF("d1", "d2"), dir)
+      assert(mapOf(dir) === ccOf(edges))
+      Dedup.deleteFromClusterMap(Seq(2L).toDF("doc_id"), dir,
+        liveAmong(Set(2L)))
+      assert(mapOf(dir) === Map(1L -> 1L, 10L -> 1L, 3L -> 3L, 11L -> 3L,
+        20L -> 20L, 21L -> 20L),
+        "bridge removal must split the component and leave {20,21} alone")
+      // a doc losing its LAST pair vanishes entirely
+      Dedup.deleteFromClusterMap(Seq(10L).toDF("doc_id"), dir,
+        liveAmong(Set(2L, 10L)))
+      assert(mapOf(dir) === Map(3L -> 3L, 11L -> 3L, 20L -> 20L, 21L -> 20L),
+        "doc 1 lost its last pair and must leave the map")
+      // merges compose after a delete-fold
+      Dedup.mergeIntoClusterMap(Seq((11L, 21L)).toDF("d1", "d2"), dir)
+      assert(mapOf(dir) === Map(3L -> 3L, 11L -> 3L, 20L -> 3L, 21L -> 3L),
+        "post-delete merge must union the split survivors")
+    } finally graft.BenchUtil.rmTree(dir)
+  }
+
+  test("d27 property: random removals ≡ union-find over the surviving edges") {
+    import spark.implicits._
+    (0 until 2).foreach { seed =>
+      val rnd = new scala.util.Random(4200 + seed)
+      val n = 24
+      val edges = (Seq.fill(16)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+          .filter { case (a, b) => a != b } ++ (30L until 35L).map(i => (i, i + 1)))
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val removedSet = rnd.shuffle(nodes).take(nodes.size / 4).toSet
+      val survivors = edges.filter { case (a, b) =>
+        !removedSet(a) && !removedSet(b) }
+      val dir = java.nio.file.Files.createTempDirectory(s"cmap-del-$seed").toString
+      try {
+        Dedup.writeClusterMap(edges.toDF("d1", "d2"), dir)
+        Dedup.deleteFromClusterMap(removedSet.toSeq.toDF("doc_id"), dir,
+          aff => survivors.toDF("d1", "d2")
+            .join(aff.select($"doc_id".as("d1")), Seq("d1"), "left_semi")
+            .join(aff.select($"doc_id".as("d2")), Seq("d2"), "left_semi"))
+        val expected =
+          if (survivors.isEmpty) Map.empty[Long, Long] else ccOf(survivors)
+        assert(mapOf(dir) === expected,
+          s"seed=$seed removed=$removedSet")
+      } finally graft.BenchUtil.rmTree(dir)
+    }
+  }
+
   test("merges count toward the auto-compaction cadence") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cmap-cadence").toString

@@ -213,6 +213,40 @@ class IndexDeletionSpec extends SparkSpec {
     } finally { graft.BenchUtil.rmTree(dir); graft.BenchUtil.rmTree(rebuilt) }
   }
 
+  test("labeled index: delete → filtered serve ≡ rebuild-without-removed; compaction reclaims") {
+    import spark.implicits._
+    val c = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"label",
+        $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm($"v"))
+    val centroids = Similarity.trainedCentroids(spark, sf0001, k = 5, iters = 2)
+    val q = c.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"label", $"v".as("qv"), $"nrm".as("qn"))
+    def serve(dir: String) =
+      Similarity.filteredTopKFromIndex(spark, dir, q, k = 3)
+        .as[(Long, Long, Int, Double)].collect().toSet
+    val removed = c.filter($"vec_id" % 7 === 0).select($"vec_id")
+    val dir = java.nio.file.Files.createTempDirectory("del-lab").toString
+    val rebuilt = java.nio.file.Files.createTempDirectory("del-lab-rb").toString
+    try {
+      Similarity.writeLabeledIvfIndex(
+        c.select($"vec_id", $"label", $"v"), centroids, dir)
+      Similarity.deleteFromLabeledIvfIndex(removed, dir)
+      Similarity.writeLabeledIvfIndex(
+        c.join(removed, Seq("vec_id"), "left_anti")
+          .select($"vec_id", $"label", $"v"), centroids, rebuilt)
+      val want = serve(rebuilt)
+      assert(want.nonEmpty)
+      assert(serve(dir) === want, "delete→filtered-serve diverged from rebuild")
+      Similarity.compactLabeledIvfIndex(spark, dir)
+      assert(serve(dir) === want)
+      assert(!tombLaneExists(dir))
+      val liveIds = spark.read.parquet(IndexStore.currentPath(dir))
+        .select($"vec_id").as[Long].collect().toSet
+      assert(liveIds.forall(_ % 7 != 0), "dead vectors must be dropped at compaction")
+    } finally { graft.BenchUtil.rmTree(dir); graft.BenchUtil.rmTree(rebuilt) }
+  }
+
   test("deletes count toward the auto-compaction cadence") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")

@@ -70,7 +70,11 @@ object PlanAudit {
         "c22_pii_canary_audit", "t39_unigram_surprisal",
         "s30_refined_topk", "m16_modality_sniff",
         "c23_filter_agreement", "d23_cluster_mass",
-        "d24_keep_best", "m17_snapshot_transfer").foreach(show)
+        "d24_keep_best", "m17_snapshot_transfer",
+        "d25_incremental_clusters", "d26_lsh_delete_probe",
+        "s31_ivf_delete_serve", "m18_payload_delete_probe",
+        "t40_lang_mismatch", "t41_bm25_persisted",
+        "d27_cluster_delete").foreach(show)
     if (targets.isEmpty) {
       java.nio.file.Files.write(java.nio.file.Paths.get("PLANS.md"),
         out.toString.getBytes("UTF-8"))
