@@ -519,6 +519,39 @@ object ScaleProbe {
     row("m17_snapshot_transfer",
       t2(mat(Multimodal.m17SnapshotTransfer(spark, docsAt("x1")))),
       t2(mat(Multimodal.m17SnapshotTransfer(spark, docsAt("x10")))))
+    // d25 (r16): standing-pair CC + rep-projected delta CC — the pair
+    // joins dominate (d03's shape); the merge core itself is delta-sized
+    row("d25_incremental_clusters",
+      t2(mat(Dedup.d25IncrementalClusters(spark, docsAt("x1")))),
+      t2(mat(Dedup.d25IncrementalClusters(spark, docsAt("x10")))))
+    // d26 (r16): d21's probe + the tombstone masks (three broadcast
+    // anti-joins + a delta-sized dead-count correction)
+    row("d26_lsh_delete_probe",
+      t2(mat(Dedup.d26LshDeleteProbe(spark, docsAt("x1")))),
+      t2(mat(Dedup.d26LshDeleteProbe(spark, docsAt("x10")))))
+    // d27 (r16): full-map build (pair join + CC) + affected-subgraph
+    // re-label + one pass-through members rewrite — ~2× d08's profile
+    row("d27_cluster_delete",
+      t2(mat(Dedup.d27ClusterDeleteMaintain(spark, docsAt("x1")))),
+      t2(mat(Dedup.d27ClusterDeleteMaintain(spark, docsAt("x10")))))
+    // s31 (r16): s17's persisted serve + one broadcast anti-join mask
+    row("s31_ivf_delete_serve",
+      t2(mat(Similarity.s31IvfDeleteServe(spark, docsAt("x1")))),
+      t2(mat(Similarity.s31IvfDeleteServe(spark, docsAt("x10")))))
+    // m18 (r16): m10's banded probe + one broadcast anti-join mask
+    row("m18_payload_delete_probe",
+      t2(mat(Multimodal.m18PayloadDeleteProbe(spark, docsAt("x1")))),
+      t2(mat(Multimodal.m18PayloadDeleteProbe(spark, docsAt("x10")))))
+    // t40 (r16): per-row rotation + detection expressions, one
+    // <= |langs|·|detected|-key rollup — the linear floor
+    row("t40_lang_mismatch",
+      t2(mat(operators.TextAnalysis.t40LangMismatchAudit(spark, docsAt("x1")))),
+      t2(mat(operators.TextAnalysis.t40LangMismatchAudit(spark, docsAt("x10")))))
+    // t41 (r16): build (tf agg + bucketed write) + pruned serve; the
+    // ~c suffixing grows vocabulary 10× (worst case for postings keys)
+    row("t41_bm25_persisted",
+      t2(mat(operators.TextAnalysis.t41Bm25Persisted(spark, docsAt("x1")))),
+      t2(mat(operators.TextAnalysis.t41Bm25Persisted(spark, docsAt("x10")))))
     // t28: two hash aggs over token/hash mass — the linear floor
     row("t28_sketch_profile",
       t2(operators.TextAnalysis.t28SketchProfile(spark, docsAt("x1")).count()),
