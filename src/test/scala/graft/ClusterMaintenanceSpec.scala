@@ -176,6 +176,26 @@ class ClusterMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("merge replay is idempotent: re-merging an already-merged batch changes nothing") {
+    import spark.implicits._
+    // the foreachBatch replay case: after a crash the same delta batch
+    // is merged again — projected edges all collapse to self-loops, so
+    // no aliases and no member rows may appear
+    val b0 = Seq((10L, 11L), (20L, 21L))
+    val b1 = Seq((11L, 21L), (30L, 31L))
+    val dir = java.nio.file.Files.createTempDirectory("cmap-replay").toString
+    try {
+      Dedup.writeClusterMap(b0.toDF("d1", "d2"), dir)
+      Dedup.mergeIntoClusterMap(b1.toDF("d1", "d2"), dir)
+      val want = mapOf(dir)
+      Dedup.mergeIntoClusterMap(b1.toDF("d1", "d2"), dir) // replay
+      assert(mapOf(dir) === want, "replayed merge changed the map")
+      Dedup.mergeIntoClusterMap(
+        (b0 ++ b1).toDF("d1", "d2"), dir) // even a full re-merge
+      assert(mapOf(dir) === want, "full re-merge changed the map")
+    } finally graft.BenchUtil.rmTree(dir)
+  }
+
   test("merges count toward the auto-compaction cadence") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cmap-cadence").toString
