@@ -2145,7 +2145,157 @@ object Curation {
     incrementalCuration(docs, 20L.max(maxId - (maxId - 19L) / 5L))
   }
 
+  // ---- c24: data-constrained token-budget allocation (epoch caps) ----
+
+  /** c24: how many EPOCHS of each source to train on under a fixed
+    * token budget — the data-constrained allocation planner
+    * (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models": repeating data up to ~4 epochs is nearly as good as
+    * fresh data; beyond that returns decay fast). c03/c08 decide the
+    * mixture SHAPE and c10/c14 admit documents INTO a budget; c24
+    * answers the remaining planning question — with budget T bigger
+    * than the corpus, which sources get repeated and how much?
+    *
+    * Model: source s has unique token mass m_s and a quality weight
+    * w_s = m_s · q̄_s (t02's mean quality — higher-quality sources
+    * deserve more of the budget per token they own); its repeat cap is
+    * c_s = E·m_s tokens (the ≤ E epochs rule). Allocation is
+    * WATER-FILLING: grow a fill level λ and give each source
+    * min(λ·w_s, c_s) until Σ = T. Closed form (sources sorted by
+    * r_s = c_s/w_s ascending): the capped set is the maximal prefix
+    * with r_s ≤ λ_incl(s) = (T − Σ_{t≤s} c_t)/(W − Σ_{t≤s} w_t), and
+    * the final level is λ* over the uncapped remainder. With the
+    * entry's uniform E the ratio r_s = E/q̄_s depends only on quality:
+    * the BEST sources hit their epoch cap first and the overflow
+    * water-falls down the quality order — exactly the published
+    * intuition, priced per source.
+    *
+    * Determinism engineering: q̄ is 6dp (the c04 decimal-mean trick),
+    * the weight lifts to an exact integer micro-scale (w_µ =
+    * m · round(q̄·10⁶) — a long), every cumulative/total sum is
+    * integer, and the capped decision is the CROSS-MULTIPLIED exact
+    * comparison c·(W_µ−cumw_µ) ≤ (T−cumc)·w_µ in DECIMAL(38,0) — no
+    * float anywhere in set membership. Only the fill level λ* and the
+    * final allocations are doubles (correctly-rounded division and
+    * multiplication of identical operands — cross-engine safe, the
+    * c08 √ argument), rounded 6dp on output. Full SQL oracle.
+    *
+    * Scale: one partial+final per-doc aggregate (the only corpus-sized
+    * work), then |sources| rows through single-partition windows — the
+    * t36/c02 small-frame discipline (a row per SOURCE, thousands at
+    * most, nothing corpus-sized near a window). */
+  def c24BudgetAllocation(s: SparkSession, d: String): DataFrame =
+    budgetAllocation(documents(s, d), maxEpochs = 4, budgetOverMassNum = 2,
+      budgetOverMassDen = 1)
+
+  /** The allocator over any (source, text) frame: budget
+    * T = ⌊mass · num/den⌋ tokens, per-source cap = maxEpochs · m_s. */
+  def budgetAllocation(docs: DataFrame, maxEpochs: Int,
+      budgetOverMassNum: Long, budgetOverMassDen: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val perDoc = docs.select($"source",
+      size(split($"text", " ")).cast("long").as("n_tok"),
+      round(TextAnalysis.qualityScoreCol($"text"), 6).as("q"))
+    val src = perDoc.groupBy($"source")
+      .agg(sum($"n_tok").as("m"), count(lit(1)).as("n_docs"),
+        graft.Det.dsum($"q").as("qs"))
+      .select($"source", $"m", $"n_docs",
+        round($"qs" / $"n_docs", 6).as("qbar"))
+      .withColumn("w_u", $"m" * round($"qbar" * 1e6).cast("long"))
+      .withColumn("cap", $"m" * maxEpochs)
+    val tot = src.agg(sum($"m").as("mass"), sum($"w_u").as("w_tot"))
+      .select((($"mass" * budgetOverMassNum) / budgetOverMassDen)
+        .cast("long").as("budget"), $"w_tot")
+    // |sources| rows: the single-partition window is deliberate (t36
+    // discipline — nothing corpus-sized reaches it)
+    val ord = Window.orderBy(
+      ($"cap".cast("double") / $"w_u".cast("double")).asc, $"source".asc)
+    val ranked = src.crossJoin(broadcast(tot))
+      .withColumn("cumc", sum($"cap").over(ord))
+      .withColumn("cumw_u", sum($"w_u").over(ord))
+      .withColumn("capped",
+        $"cap".cast("decimal(38,0)") *
+          ($"w_tot" - $"cumw_u").cast("decimal(38,0)") <=
+        ($"budget" - $"cumc").cast("decimal(38,0)") *
+          $"w_u".cast("decimal(38,0)"))
+    val lam = ranked
+      .agg(coalesce(max(when($"capped", $"cumc")), lit(0L)).as("c_star"),
+        coalesce(max(when($"capped", $"cumw_u")), lit(0L)).as("w_star"))
+    ranked.crossJoin(broadcast(lam))
+      .withColumn("lam_u", when($"w_tot" === $"w_star", lit(0.0))
+        .otherwise(($"budget" - $"c_star").cast("double") /
+          ($"w_tot" - $"w_star").cast("double")))
+      .withColumn("alloc", when($"capped", $"cap".cast("double"))
+        .otherwise(least($"lam_u" * $"w_u".cast("double"),
+          $"cap".cast("double"))))
+      .select($"source", $"m".as("n_tokens"), $"n_docs",
+        $"qbar".as("mean_quality_r"), $"cap".as("cap_tokens"), $"capped",
+        round($"alloc", 6).as("alloc_tokens_r"),
+        round($"alloc" / $"m", 6).as("epochs_r"))
+  }
+
+  /** Oracle: the identical closed form in SQL — integer cumulatives,
+    * exact cross-multiplied capped set, double fill level. */
+  val c24Sql: String = {
+    val t02 = TextAnalysis.t02Sql.replace("\n", "\n  ")
+    s"""WITH q AS (
+       |  $t02
+       |), perdoc AS (
+       |  SELECT d.source, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+       |    q.quality AS q
+       |  FROM documents d JOIN q ON q.doc_id = d.doc_id
+       |), src AS (
+       |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS m,
+       |    COUNT(*) AS n_docs,
+       |    ROUND(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+       |      AS qbar
+       |  FROM perdoc GROUP BY 1
+       |), w AS (
+       |  SELECT source, m, n_docs, qbar,
+       |    m * CAST(ROUND(qbar * 1000000, 0) AS BIGINT) AS w_u,
+       |    m * 4 AS cap
+       |  FROM src
+       |), tot AS (
+       |  SELECT CAST((SUM(m) * 2) / 1 AS BIGINT) AS budget,
+       |    CAST(SUM(w_u) AS BIGINT) AS w_tot
+       |  FROM w
+       |), ranked AS (
+       |  SELECT w.*, tot.budget, tot.w_tot,
+       |    CAST(SUM(cap) OVER ord AS BIGINT) AS cumc,
+       |    CAST(SUM(w_u) OVER ord AS BIGINT) AS cumw_u
+       |  FROM w CROSS JOIN tot
+       |  WINDOW ord AS (ORDER BY CAST(cap AS DOUBLE) / CAST(w_u AS DOUBLE),
+       |                 source)
+       |), flags AS (
+       |  SELECT *,
+       |    CAST(cap AS DECIMAL(38,0)) * CAST(w_tot - cumw_u AS DECIMAL(38,0))
+       |      <= CAST(budget - cumc AS DECIMAL(38,0)) * CAST(w_u AS DECIMAL(38,0))
+       |      AS capped
+       |  FROM ranked
+       |), lam AS (
+       |  SELECT COALESCE(MAX(CASE WHEN capped THEN cumc END), 0) AS c_star,
+       |    COALESCE(MAX(CASE WHEN capped THEN cumw_u END), 0) AS w_star
+       |  FROM flags
+       |), alloc AS (
+       |  SELECT f.*, CASE WHEN f.w_tot = l.w_star THEN 0.0
+       |    ELSE CAST(f.budget - l.c_star AS DOUBLE)
+       |      / CAST(f.w_tot - l.w_star AS DOUBLE) END AS lam_u
+       |  FROM flags f CROSS JOIN lam l
+       |)
+       |SELECT source, m AS n_tokens, n_docs, qbar AS mean_quality_r,
+       |  cap AS cap_tokens, capped,
+       |  ROUND(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+       |    ELSE LEAST(lam_u * CAST(w_u AS DOUBLE), CAST(cap AS DOUBLE)) END, 6)
+       |    AS alloc_tokens_r,
+       |  ROUND(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+       |    ELSE LEAST(lam_u * CAST(w_u AS DOUBLE), CAST(cap AS DOUBLE)) END
+       |    / m, 6) AS epochs_r
+       |FROM alloc""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c24_budget_allocation" -> (c24BudgetAllocation _),
     "c12_incremental_curation" -> (c12IncrementalCuration _),
     "c13_rejection_reasons" -> (c13RejectionReasons _),
     "c09_source_cap"        -> (c09SourceCap _),
@@ -2183,6 +2333,9 @@ object Curation {
   // def, not val: c14's golden-snapshot path resolves the sf tag at
   // dump time (GoldenGen.setSfTag), after object initialization
   def oracles: Map[String, String] = Map(
+    // c24: the water-filling closed form mirrored — integer
+    // cumulatives, exact cross-multiplied capped set, double level
+    "c24_budget_allocation" -> c24Sql,
     // c12 ≡ c01 for ANY split boundary (the incremental path's whole
     // contract) → c01's own full-recompute oracle hash-checks it
     "c12_incremental_curation" -> c01Sql,

@@ -1528,6 +1528,54 @@ class TextAnalysisSpec extends SparkSpec {
     } finally graft.BenchUtil.rmTree(dir)
   }
 
+  test("c24: closed-form allocation ≡ iterative water-filling at four budget levels; conservation holds") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // reference: grow the fill level iteratively, capping as levels hit
+    def waterfill(items: Seq[(Double, Double)], budget: Double): Seq[Double] = {
+      val n = items.size
+      val alloc = Array.fill(n)(0.0)
+      var active = items.indices.toSet
+      var rem = budget
+      var done = false
+      while (!done && active.nonEmpty) {
+        val wSum = active.toSeq.map(items(_)._2).sum
+        val lam = rem / wSum
+        val over = active.filter(i => lam * items(i)._2 >= items(i)._1 - 1e-9)
+        if (over.isEmpty) {
+          active.foreach(i => alloc(i) = lam * items(i)._2)
+          done = true
+        } else {
+          over.foreach { i => alloc(i) = items(i)._1; rem -= items(i)._1 }
+          active = active -- over
+        }
+      }
+      alloc.toSeq
+    }
+    Seq((1L, 2L), (2L, 1L), (7L, 2L), (9L, 2L)).foreach { case (num, den) =>
+      val out = Curation.budgetAllocation(
+          Tables.documents(spark, sf0001), maxEpochs = 4,
+          budgetOverMassNum = num, budgetOverMassDen = den)
+        .as[(String, Long, Long, Double, Long, Boolean, Double, Double)]
+        .collect().sortBy(_._1)
+      val items = out.map(r => (r._5.toDouble, r._2.toDouble * math.round(r._4 * 1e6)))
+      val mass = out.map(_._2).sum
+      val budget = (mass * num / den).toDouble
+      val ref = waterfill(items.toSeq, budget)
+      out.zip(ref).foreach { case (r, want) =>
+        assert(math.abs(r._7 - want) <= math.max(1.0, want * 1e-6),
+          s"budget=$num/$den source=${r._1}: closed-form ${r._7} vs iterative $want")
+        assert(r._6 === (math.abs(r._7 - r._5) < 1e-6),
+          s"capped flag inconsistent with allocation for ${r._1}")
+        assert(r._8 <= 4.000001, s"${r._1} exceeds the epoch cap")
+      }
+      val totAlloc = out.map(_._7).sum
+      val want = math.min(budget, out.map(_._5).sum.toDouble)
+      assert(math.abs(totAlloc - want) <= math.max(2.0, want * 1e-6),
+        s"budget=$num/$den: allocations must exhaust min(budget, total cap): $totAlloc vs $want")
+    }
+  }
+
   test("t40: confusion matrix reconciles per-doc — off-diagonal mass splits into planted lies vs detector disagreement") {
     import spark.implicits._
     val wheel = Seq("en", "de", "fr", "es", "zh")
