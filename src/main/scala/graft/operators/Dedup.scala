@@ -1501,6 +1501,35 @@ object Dedup {
   def readClusterMap(s: SparkSession, dir: String): DataFrame =
     resolvedMembers(s, IndexStore.currentPath(dir))
 
+  /** Production wiring of [[deleteFromClusterMap]]: the affected live
+    * pair subgraph comes from the PERSISTED d21 index instead of a
+    * corpus recompute — the shingle verify lane is pruned to the
+    * affected doc set (one broadcast semi-join; affected-cluster-
+    * sized) with the index's own tombstones masked, then the exact
+    * prefix join runs over only those rows. Standing text is never
+    * read; cost ∝ affected-cluster shingle mass. Run the index's own
+    * [[deleteFromLshIndex]] for the same removal set first or last —
+    * the pair derivation here masks removed docs either way (affLive
+    * excludes them by construction). Same-answer-as-recompute is
+    * spec-pinned in ClusterMaintenanceSpec. */
+  def deleteFromClusterMapViaLshIndex(removedIds: DataFrame, cmapDir: String,
+      lshIndexDir: String, threshold: Double = 0.8): Unit = {
+    val s = removedIds.sparkSession
+    import s.implicits._
+    deleteFromClusterMap(removedIds, cmapDir, affLive => {
+      val root = IndexStore.currentPath(lshIndexDir)
+      val sh = s.read.parquet(s"$root/shingles")
+        .join(broadcast(IndexStore.readTombstones(s, lshIndexDir, "doc_id")),
+          Seq("doc_id"), "left_anti")
+        .join(broadcast(affLive), Seq("doc_id"), "left_semi")
+        // the index lane is unsorted (its probe consumers are order-
+        // free); the prefix filter REQUIRES ascending arrays — sort
+        // the affected-sized subset only
+        .select($"doc_id", array_sort($"sh").as("sh"))
+      prefixJoinPairs(sh, threshold)
+    })
+  }
+
   /** Temp cluster-map dirs from the registered d27 entry — the s17
     * FIFO discipline (results localCheckpointed before admission). */
   private val d27MapDirs =

@@ -176,6 +176,32 @@ class ClusterMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("d27 via the persisted LSH index: pair source from the artifact ≡ in-plan recompute") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val removed = docs.filter($"doc_id" % 9 === 0).select($"doc_id")
+    val root = java.nio.file.Files.createTempDirectory("cmap-via").toString
+    try {
+      val lsh = s"$root/lsh"; val viaIdx = s"$root/via"; val inPlan = s"$root/inplan"
+      Dedup.writeLshIndex(docs, lsh)
+      val pairs = Dedup.ngramJaccardPairs(docs, 0.8).select($"d1", $"d2")
+        .localCheckpoint()
+      Dedup.writeClusterMap(pairs, viaIdx)
+      Dedup.writeClusterMap(pairs, inPlan)
+      // production order: the index takes the takedown first, then the
+      // cluster map re-derives affected pairs FROM the masked index
+      Dedup.deleteFromLshIndex(removed, lsh)
+      Dedup.deleteFromClusterMapViaLshIndex(removed, viaIdx, lsh)
+      Dedup.deleteFromClusterMap(removed, inPlan,
+        aff => Dedup.ngramJaccardPairs(
+          docs.join(removed, Seq("doc_id"), "left_anti")
+            .join(aff, Seq("doc_id"), "left_semi"), 0.8))
+      assert(mapOf(viaIdx) === mapOf(inPlan),
+        "index-sourced pair derivation diverged from the in-plan recompute")
+      assert(mapOf(viaIdx).nonEmpty)
+    } finally graft.BenchUtil.rmTree(root)
+  }
+
   test("merge replay is idempotent: re-merging an already-merged batch changes nothing") {
     import spark.implicits._
     // the foreachBatch replay case: after a crash the same delta batch
