@@ -34,6 +34,7 @@ object Bench {
     */
   private def probeSec(body: => Unit): Double = {
     def attempt(): Double = {
+      Scratch.drain() // prior attempt's tracked checkpoints are dead
       System.gc(); Thread.sleep(1000)
       timeSec(body)
     }
@@ -70,18 +71,38 @@ object Bench {
       .as[ingest.IngestRecord]
   }
 
+  /** The streaming-admission workload, shared verbatim by the in-suite
+    * section and [[StreamBench]]'s isolated fresh-JVM run (the
+    * copyRecords discipline): the sf corpus in 5 id-range batches
+    * through the persisted-lane near-dup admission loop. */
+  private[graft] def streamAdmitBatches(docs: org.apache.spark.sql.DataFrame,
+      dir: String, lo: Long, hi: Long): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bounds = (0 to 5).map(i => lo + (hi - lo + 1) * i / 5)
+    (0 until 5).foreach { i =>
+      streaming.StreamingCuration.admitBatch(
+        docs.filter($"doc_id" >= bounds(i) && $"doc_id" < bounds(i + 1)),
+        dir, 0.8, i.toLong)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the environment provides 32 executor threads (local[32]); honor an
     // explicit override but never default below the machine's shape
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-    // isolated copy baseline FIRST, in a fresh forked JVM with nothing
-    // else running (round-14: the in-suite copy number slid three
-    // rounds on an untouched path; two data points separate the PATH
-    // from the suite/box CONTEXT — see CopyBench). Runs before this
-    // JVM allocates its SparkSession so the child sees a quiet box.
-    val isolatedLine: String = try {
+    // isolated fresh-JVM brackets FIRST, with nothing else running
+    // (round-14: the in-suite copy number slid three rounds on an
+    // untouched path; two data points separate the PATH from the
+    // suite/box CONTEXT — see CopyBench. Round-17 gives the streaming
+    // admission leg the same treatment: r16's curation_stream_s
+    // doubled with only a schema-fallback fix in the path, and nobody
+    // could tell context from regression — see StreamBench). Both run
+    // before this JVM allocates its SparkSession so each child sees a
+    // quiet box.
+    def forkIsolated(mainClass: String, metric: String): String = try {
       val jvm = new java.io.File(
         new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
       // same module opens Spark 4 needs outside spark-submit (build.sbt)
@@ -96,7 +117,7 @@ object Bench {
       ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
       val cmd = Seq(jvm) ++ addOpens ++ Seq(
         s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-        "-cp", sys.props("java.class.path"), "graft.CopyBench")
+        "-cp", sys.props("java.class.path"), mainClass)
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
@@ -118,7 +139,7 @@ object Bench {
         try {
           val lines = scala.io.Source.fromInputStream(proc.getInputStream)
             .getLines()
-          lines.find(_.startsWith("""{"metric":"copy_isolated""""))
+          lines.find(_.startsWith(s"""{"metric":"$metric""""))
             .foreach(outHolder.set)
           // keep draining to EOF: if the child writes more after the
           // match and we stop reading, its stdout pipe fills and it
@@ -132,11 +153,13 @@ object Bench {
         proc.destroyForcibly()
       outDrain.join(5000)
       Option(outHolder.get())
-        .getOrElse("""{"metric":"copy_isolated","error":"no output"}""")
+        .getOrElse(s"""{"metric":"$metric","error":"no output"}""")
     } catch {
       case e: Throwable =>
-        s"""{"metric":"copy_isolated","error":"${e.getClass.getSimpleName}"}"""
+        s"""{"metric":"$metric","error":"${e.getClass.getSimpleName}"}"""
     }
+    val isolatedLine = forkIsolated("graft.CopyBench", "copy_isolated")
+    val streamIsolatedLine = forkIsolated("graft.StreamBench", "stream_isolated")
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -162,6 +185,7 @@ object Bench {
     // let the async ContextCleaner drain the warmup pass's broadcast /
     // codegen debt before anything is timed: the first timed query was
     // measured absorbing up to 3× its isolated median as the suite grew
+    Scratch.drain() // the warmup pass's tracked checkpoint scratch too
     System.gc()
     Thread.sleep(3000)
 
@@ -339,7 +363,12 @@ object Bench {
     val ccAttempts = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = queries.map { case (name, fn) =>
       // settle GC debt from the previous query so its collection pause
-      // is not billed to this one (the LSH joins allocate heavily)
+      // is not billed to this one (the LSH joins allocate heavily) —
+      // and deterministically release the PREVIOUS query's tracked
+      // checkpoint scratch first (r17: leaked localCheckpoint blocks
+      // were the r16 suite-wide "context" inflation — storage_rdds
+      // grew 1 → 4 across the run and every query paid for it)
+      Scratch.drain()
       System.gc()
       val gc0 = gcMsNow()
       // min of two runs: a single sample still carries whatever cleanup
@@ -353,6 +382,7 @@ object Bench {
         if (ccFamily(name)) {
           val ts = (1 to 3).map { _ =>
             val s0 = gcMsNow()
+            Scratch.drain() // fresh lineage = fresh scratch too
             System.gc(); Thread.sleep(1000)
             settleGcMs += gcMsNow() - s0
             timeSec(materialize(fn(spark, sfDir)))
@@ -430,6 +460,7 @@ object Bench {
       names.map { name =>
         val fn = fnByName(name)
         val ts = (1 to 3).map { _ =>
+          Scratch.drain()
           System.gc(); Thread.sleep(1000)
           timeSec(materialize(fn(spark, sfDir)))
         }
@@ -529,12 +560,7 @@ object Bench {
       val dir = java.nio.file.Files.createTempDirectory("bench-cur").toString
       System.gc(); Thread.sleep(1000)
       val s = timeSec {
-        val bounds = (0 to 5).map(i => curLo + (curHi - curLo + 1) * i / 5)
-        (0 until 5).foreach { i =>
-          streaming.StreamingCuration.admitBatch(
-            curDocs.filter($"doc_id" >= bounds(i) && $"doc_id" < bounds(i + 1)),
-            dir, 0.8, i.toLong)
-        }
+        streamAdmitBatches(curDocs, dir, curLo, curHi)
         curAdmitted = streaming.StreamingCuration.admittedDocs(spark, dir).count()
       }
       curFiles = streaming.StreamingHistory.dataFileCount(dir)
@@ -708,6 +734,9 @@ object Bench {
       // entry — "context" = isolated sits at the old number)
       s""","regressions_vs_prev":$regressionJson""" +
       s""","storage_rdds":$storageRdds,"storage_mem_mb":${storageMem / (1024 * 1024)}""" +
+      // tracked-but-undrained checkpoint scratch at end of run: a
+      // reintroduced leak shows here before it shows in storage_rdds
+      s""","scratch_live":${Scratch.liveCount}""" +
       s""","storage_rdds_peak":$peakRdds,"storage_mem_peak_mb":${peakMem / (1024 * 1024)}""" +
       s""","storage_peak_after":"$peakAfter"""" +
       s""","copy_docs":$nDocs,"copy_sec":${r3(copySec)},"copy_docs_per_s":${r3(copyDocsPerS)}""" +
@@ -718,6 +747,10 @@ object Bench {
       // the fresh-JVM baseline measured before this suite started —
       // read the two copy numbers as path (isolated) vs context (suite)
       s""","copy_isolated":$isolatedLine""" +
+      // the streaming admission leg's fresh-JVM bracket (r17): read
+      // curation_stream_s as in-suite CONTEXT telemetry and this as
+      // the path's steady state — the copy_isolated discipline
+      s""","stream_isolated":$streamIsolatedLine""" +
       s""","streaming_batch_ms":$streamingBatchMs""" +
       s""","stream_files_parsed":$streamFilesParsed""" +
       s""","stream_files_opened":$streamFilesOpened,"stream_files_in_store":$bulkFilesInStore""" +

@@ -30,6 +30,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the write fully materialized the query — release its tracked
+      // checkpoint scratch before the next one (216 queries would
+      // otherwise stack block sets in one JVM)
+      Scratch.drain()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1116,6 +1116,79 @@ object Dedup {
       compactLshIndex(removedIds.sparkSession, dir)
   }
 
+  /** UPDATE changed documents in a standing index — the third
+    * lifecycle verb (r17), for the `changed` set c07's snapshot diff
+    * computes: re-crawls rewrite documents constantly, and a rewritten
+    * doc must probe with its NEW shingles, not its stale ones. Neither
+    * existing verb composes into this on its own: append would leave
+    * both revisions probing, and delete + append cannot run as two
+    * steps because the id-keyed tombstone would mask the re-added
+    * rows too (ids are the identity — the family's documented
+    * "no upsert" stance, now superseded by this verb).
+    *
+    * So update FOLDS A GENERATION (the deleteFromClusterMap publish
+    * discipline): gen N+1 = standing lanes minus (tombstoned ∪
+    * changed) ids, plus the revisions' freshly-derived lanes, with the
+    * counts lane corrected by −(dead band mass) +(revision band mass)
+    * — exactly what writeLshIndex over the revised corpus writes, row
+    * for row. One atomic `_current` flip publishes it: a reader sees
+    * the pre-update or the post-update corpus, never the torn middle
+    * (old revision gone, new not yet probing) — IndexUpdateSpec pins
+    * this and update ≡ rebuild-with-new-revisions.
+    *
+    * Semantics at the edges: an id the index never held inserts (the
+    * c07 `added`-misrouted-as-`changed` case); a previously-tombstoned
+    * id revives with the new revision (an update IS an upsert); a
+    * shingle-less revision (< 3 tokens) drops out of the index exactly
+    * as a rebuild would drop it; standing tombstones fold in and the
+    * lane is reclaimed (no tombstone survives into the new
+    * generation). Cost: one linear read+write of the index LANES
+    * (~16 B band rows + one shingle array per doc — never the corpus
+    * text) plus delta-sized signature work for the revisions; vs a
+    * rebuild, the standing 99%+ of the corpus is never re-shingled or
+    * re-banded (SCALE.md prices it). Updates arrive batched on the
+    * c07 snapshot cadence, so this is the compaction the artifact
+    * would run on that cadence anyway, carrying the revisions along
+    * for free. */
+  def updateInLshIndex(changed: DataFrame, dir: String): Unit = {
+    val s = changed.sparkSession
+    import s.implicits._
+    IndexStore.adoptLegacy(dir)
+    val src = IndexStore.currentPath(dir)
+    val g = IndexStore.nextGen(dir)
+    val dst = IndexStore.genPath(dir, g)
+    // one broadcast mask: already-tombstoned ids ∪ the changed ids
+    // (delta-sized by premise; localCheckpoint — ~4 consumers)
+    val dead = IndexStore.readTombstones(s, dir, "doc_id")
+      .unionByName(changed.select($"doc_id")).distinct().localCheckpoint()
+    val newSh = graft.Scratch.track(shingleFrame(changed).localCheckpoint())
+    val newBanded = graft.Scratch.track(bandedOf(newSh).localCheckpoint())
+    def fold(lane: String, fresh: DataFrame): Unit = {
+      val in = s.read.parquet(s"$src/$lane")
+      in.join(broadcast(dead), Seq("doc_id"), "left_anti")
+        .coalesce(math.max(1, in.inputFiles.length / 16))
+        .unionByName(fresh)
+        .write.mode("overwrite").parquet(s"$dst/$lane")
+    }
+    fold("shingles", newSh)
+    fold("banded", newBanded)
+    // counts ≡ rebuild: standing partials − dead docs' band mass
+    // + the revisions' band mass; all-dead buckets drop at n ≤ 0
+    val counts = s.read.parquet(s"$src/bucket_counts")
+    val deadCounts = bandedOf_counts(s.read.parquet(s"$src/banded")
+        .join(broadcast(dead), Seq("doc_id"), "left_semi"))
+      .select($"band_id", $"band_hash", (-$"n").as("n"))
+    counts.unionByName(deadCounts).unionByName(bandedOf_counts(newBanded))
+      .groupBy($"band_id", $"band_hash")
+      .agg(org.apache.spark.sql.functions.sum($"n").as("n"))
+      .filter($"n" > 0)
+      .coalesce(math.max(1, counts.inputFiles.length / 16))
+      .write.mode("overwrite").parquet(s"$dst/bucket_counts")
+    IndexStore.publish(dir, g)
+    IndexStore.sweep(dir)
+    graft.Scratch.releaseNow(dead) // every consumer above has written
+  }
+
   /** Mask a tombstoned id set out of the three standing lanes so every
     * downstream answer equals a rebuild over the live docs: banded and
     * shingle rows anti-joined away (broadcast — removals are
@@ -1166,10 +1239,13 @@ object Dedup {
     val g = IndexStore.nextGen(dir)
     val dst = IndexStore.genPath(dir, g)
     import s.implicits._
+    // zero-tombstone fast path (r17): a never-deleted index folds by a
+    // plain file-count coalesce — no anti-joins, no dead-mass pass
+    val hasTomb = IndexStore.hasTombstones(dir)
     val tomb = IndexStore.readTombstones(s, dir, "doc_id")
     def fold(lane: String): Unit = {
       val in = s.read.parquet(s"$src/$lane")
-      in.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      (if (hasTomb) in.join(broadcast(tomb), Seq("doc_id"), "left_anti") else in)
         .coalesce(math.max(1, in.inputFiles.length / 16))
         .write.mode("overwrite").parquet(s"$dst/$lane")
     }
@@ -1179,10 +1255,12 @@ object Dedup {
     // merged partials MINUS the dead docs' band mass ≡ counts over the
     // live banded rows; a bucket whose docs are all dead sums to 0 and
     // is dropped, matching what a rebuild-without-removed writes
-    val deadCounts = bandedOf_counts(s.read.parquet(s"$src/banded")
-        .join(broadcast(tomb), Seq("doc_id"), "left_semi"))
-      .select($"band_id", $"band_hash", (-$"n").as("n"))
-    counts.unionByName(deadCounts)
+    val deadCounts =
+      if (!hasTomb) None
+      else Some(bandedOf_counts(s.read.parquet(s"$src/banded")
+          .join(broadcast(tomb), Seq("doc_id"), "left_semi"))
+        .select($"band_id", $"band_hash", (-$"n").as("n")))
+    deadCounts.map(counts.unionByName(_)).getOrElse(counts)
       .groupBy($"band_id", $"band_hash")
       .agg(org.apache.spark.sql.functions.sum($"n").as("n"))
       .filter($"n" > 0)
@@ -1209,12 +1287,19 @@ object Dedup {
   def probeLshIndex(s: SparkSession, dir: String, delta: DataFrame,
                     threshold: Double, maxBucket: Int = 1000): DataFrame = {
     val root = IndexStore.currentPath(dir)
-    // tombstone masking ([[deleteFromLshIndex]]): a never-deleted index
-    // reads an empty lane and the masks are no-op broadcast anti-joins
-    val (b, c, sh) = maskLshLanes(s.read.parquet(s"$root/banded"),
-      s.read.parquet(s"$root/bucket_counts"),
-      s.read.parquet(s"$root/shingles"),
-      IndexStore.readTombstones(s, dir, "doc_id"))
+    // tombstone masking ([[deleteFromLshIndex]]) only when a deletion
+    // was ever recorded — the zero-tombstone plan is IDENTICAL to the
+    // pre-deletion probe (no `_tombstones` scan, no anti-join stages;
+    // one filesystem stat decides, PlanSpec-pinned)
+    val (b, c, sh) =
+      if (IndexStore.hasTombstones(dir))
+        maskLshLanes(s.read.parquet(s"$root/banded"),
+          s.read.parquet(s"$root/bucket_counts"),
+          s.read.parquet(s"$root/shingles"),
+          IndexStore.readTombstones(s, dir, "doc_id"))
+      else (s.read.parquet(s"$root/banded"),
+        s.read.parquet(s"$root/bucket_counts"),
+        s.read.parquet(s"$root/shingles"))
     probeLshFrames(b, c, sh, delta, threshold, maxBucket)
   }
 
@@ -1270,8 +1355,8 @@ object Dedup {
     // verify union) — materialize them ONCE (delta-sized by premise;
     // localCheckpoint blocks, no disk artifact) instead of running the
     // 128-perm signature expression once per consumer
-    val dSh = deltaSh.filter(size($"sh") > 0).localCheckpoint()
-    val dBand = bandedOf(dSh).localCheckpoint()
+    val dSh = graft.Scratch.track(deltaSh.filter(size($"sh") > 0).localCheckpoint())
+    val dBand = graft.Scratch.track(bandedOf(dSh).localCheckpoint())
     val dIds = dSh.select($"doc_id")
     // idempotence guard: drop the delta's own rows from the standing
     // lanes (no-op under probe-before-append; broadcast anti — cheap)
@@ -1319,9 +1404,9 @@ object Dedup {
   def d21LshIndexProbe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d).select($"doc_id", $"text")
-    val standingSh =
-      shingleFrame(docs.filter($"doc_id" % 10 =!= 0)).localCheckpoint()
-    val standingBanded = bandedOf(standingSh).localCheckpoint()
+    val standingSh = graft.Scratch.track(
+      shingleFrame(docs.filter($"doc_id" % 10 =!= 0)).localCheckpoint())
+    val standingBanded = graft.Scratch.track(bandedOf(standingSh).localCheckpoint())
     probeLshFrames(standingBanded, bandedOf_counts(standingBanded),
       standingSh, docs.filter($"doc_id" % 10 === 0), 0.8, 1000)
   }
@@ -1346,9 +1431,9 @@ object Dedup {
   def d26LshDeleteProbe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d).select($"doc_id", $"text")
-    val standingSh =
-      shingleFrame(docs.filter($"doc_id" % 10 =!= 0)).localCheckpoint()
-    val standingBanded = bandedOf(standingSh).localCheckpoint()
+    val standingSh = graft.Scratch.track(
+      shingleFrame(docs.filter($"doc_id" % 10 =!= 0)).localCheckpoint())
+    val standingBanded = graft.Scratch.track(bandedOf(standingSh).localCheckpoint())
     val removed = docs
       .filter($"doc_id" % 10 =!= 0 && $"doc_id" % 7 === 0)
       .select($"doc_id")
@@ -1364,6 +1449,74 @@ object Dedup {
     s"""SELECT * FROM (${d03Sql
          .replace("FROM documents",
            "FROM documents WHERE doc_id % 10 = 0 OR doc_id % 7 <> 0")
+         .replace("\n", "\n  ")})
+       |WHERE d1 % 10 = 0 OR d2 % 10 = 0""".stripMargin
+
+  // ---- u01: index update — probe after changed-doc revisions ≡ rebuild ----
+
+  /** The deterministic revision the u01 fixture applies to a changed
+    * doc — three appended words, so the revised shingle set differs
+    * from the original's but most pairs survive (both fates exercised). */
+  private val U01RevisionSuffix = " updated revision edition"
+
+  /** Temp index dirs from the registered u01 entry (the d27/s17 FIFO
+    * discipline: the result is localCheckpointed before admission). */
+  private val u01Dirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def u01Admit(dir: String): Unit = {
+    u01Dirs.add(dir)
+    while (u01Dirs.size > 4)
+      Option(u01Dirs.poll()).foreach(graft.BenchUtil.rmTree)
+  }
+  private lazy val u01CleanupHook: Unit = {
+    sys.addShutdownHook { u01Dirs.forEach(d => graft.BenchUtil.rmTree(d)) }
+    ()
+  }
+
+  /** u01: d21's probe AFTER UPDATES — the highest-volume lifecycle
+    * verb a re-crawled corpus feeds an index (c07's snapshot diff
+    * emits `changed` constantly; the reference's own cursor sketch,
+    * core.clj:133-137, exists because docs get re-written). Standing
+    * docs with doc_id ≡ 0 (mod 11) are revised ([[updateInLshIndex]]
+    * — one generation fold, atomically published), then the delta
+    * probes the updated artifact; the oracle is the full exact pair
+    * set over the REVISED corpus restricted to delta-touching pairs —
+    * i.e. the answer of an index REBUILT with the new revisions, which
+    * is the whole update contract (the d26 deletion precedent on the
+    * third verb). Exercises the real artifact round-trip (write →
+    * update → probe) through a temp dir; torn-update atomicity and
+    * per-artifact update ≡ rebuild across the family are spec-pinned
+    * in IndexUpdateSpec. */
+  def u01LshUpdateProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"text")
+    val standing = docs.filter($"doc_id" % 10 =!= 0)
+    val changed = standing.filter($"doc_id" % 11 === 0)
+      .select($"doc_id", concat($"text", lit(U01RevisionSuffix)).as("text"))
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft-u01-lsh").toString
+    u01CleanupHook
+    writeLshIndex(standing, dir)
+    updateInLshIndex(changed, dir)
+    val out = graft.Scratch.track(
+      probeLshIndex(s, dir, docs.filter($"doc_id" % 10 === 0), 0.8, 1000)
+        .localCheckpoint())
+    u01Admit(dir)
+    out
+  }
+
+  /** Oracle: exact pairs over the corpus WITH the revisions applied,
+    * restricted to delta-touching pairs (the d11/d26 form). */
+  val u01Sql: String =
+    s"""SELECT * FROM (${d03Sql
+         .replace("WITH sh AS (",
+           s"""WITH documents2 AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 10 <> 0 AND doc_id % 11 = 0
+              |         THEN text || '$U01RevisionSuffix' ELSE text END AS text
+              |  FROM documents
+              |), sh AS (""".stripMargin)
+         .replace("FROM documents)", "FROM documents2)")
          .replace("\n", "\n  ")})
        |WHERE d1 % 10 = 0 OR d2 % 10 = 0""".stripMargin
 
@@ -1421,6 +1574,12 @@ object Dedup {
   def mergeIntoClusterMap(deltaPairs: DataFrame, dir: String,
                           compactEvery: Int = 0): Unit = {
     val s = deltaPairs.sparkSession
+    // bootstrap: a first merge into a FRESH dir (the streaming
+    // admission loop's cold start) behaves as merge-into-empty —
+    // publish gen 0 so the lanes land inside a generation (the
+    // appendTombstones precedent)
+    IndexStore.adoptLegacy(dir)
+    if (IndexStore.currentGen(dir).isEmpty) IndexStore.publish(dir, 0L)
     val root = IndexStore.currentPath(dir)
     val (newMembers, aliases) =
       clusterMergeDelta(resolvedMembers(s, root), deltaPairs)
@@ -1493,6 +1652,10 @@ object Dedup {
       .parquet(s"${IndexStore.genPath(dir, g)}/members")
     IndexStore.publish(dir, g)
     IndexStore.sweep(dir)
+    // the write above consumed every checkpoint this verb made —
+    // release the blocks now (maintenance loops run many deletes per
+    // session; waiting for a consumer drain would stack them)
+    Seq(removed, affReps, affLive).foreach(graft.Scratch.releaseNow)
   }
 
   /** The current clusters: (doc_id, cluster_rep) for every doc in any
@@ -1518,9 +1681,8 @@ object Dedup {
     import s.implicits._
     deleteFromClusterMap(removedIds, cmapDir, affLive => {
       val root = IndexStore.currentPath(lshIndexDir)
-      val sh = s.read.parquet(s"$root/shingles")
-        .join(broadcast(IndexStore.readTombstones(s, lshIndexDir, "doc_id")),
-          Seq("doc_id"), "left_anti")
+      val sh = IndexStore.maskTombstones(
+          s.read.parquet(s"$root/shingles"), lshIndexDir, "doc_id")
         .join(broadcast(affLive), Seq("doc_id"), "left_semi")
         // the index lane is unsorted (its probe consumers are order-
         // free); the prefix filter REQUIRES ascending arrays — sort
@@ -1528,6 +1690,41 @@ object Dedup {
         .select($"doc_id", array_sort($"sh").as("sh"))
       prefixJoinPairs(sh, threshold)
     })
+  }
+
+  /** UPDATE changed documents through the cluster-map artifact — the
+    * composed production wiring of the third lifecycle verb (r17):
+    *
+    *  1. the d21 LSH index takes the revisions first
+    *     ([[updateInLshIndex]] — one generation fold, atomic);
+    *  2. the changed docs' OLD nodes leave the map
+    *     ([[deleteFromClusterMapViaLshIndex]] — affected clusters
+    *     re-split from the updated index's live pairs; the changed ids
+    *     are excluded from the re-label by construction, and unchanged
+    *     docs' shingle rows are untouched by the update fold);
+    *  3. the revisions' pairs merge back in ([[mergeIntoClusterMap]]
+    *     over [[probeLshIndex]]'s delta probe — the revisions are
+    *     already IN the updated index, and the probe's own delta-id
+    *     anti-join guard keeps them from self-pairing, so the probe
+    *     returns exactly the new–old and new–new pairs the merge
+    *     needs).
+    *
+    * Net: read ≡ a cluster map rebuilt over the REVISED corpus's pairs
+    * (ClusterMaintenanceSpec pins it). Steps 2 and 3 publish
+    * separately — the map passes through a revision-less middle state
+    * that is itself a CONSISTENT corpus (the changed docs simply
+    * absent), the same window a delete-then-append cadence always has;
+    * single-artifact readers never see a torn generation. */
+  def updateClusterMapViaLshIndex(changed: DataFrame, cmapDir: String,
+      lshIndexDir: String, threshold: Double = 0.8): Unit = {
+    val s = changed.sparkSession
+    import s.implicits._
+    updateInLshIndex(changed, lshIndexDir)
+    deleteFromClusterMapViaLshIndex(changed.select($"doc_id"), cmapDir,
+      lshIndexDir, threshold)
+    mergeIntoClusterMap(
+      probeLshIndex(s, lshIndexDir, changed, threshold).select($"d1", $"d2"),
+      cmapDir)
   }
 
   /** Temp cluster-map dirs from the registered d27 entry — the s17
@@ -1565,7 +1762,7 @@ object Dedup {
       docs.filter($"doc_id" % 9 === 0).select($"doc_id"), dir,
       affLive => ngramJaccardPairs(
         docs.join(affLive, Seq("doc_id"), "left_semi"), 0.8))
-    val out = readClusterMap(s, dir).localCheckpoint()
+    val out = graft.Scratch.track(readClusterMap(s, dir).localCheckpoint())
     d27Admit(dir)
     out
   }
@@ -1605,7 +1802,17 @@ object Dedup {
     * to the raw members lane. */
   private def resolvedMembers(s: SparkSession, root: String): DataFrame = {
     import s.implicits._
-    val members = s.read.parquet(s"$root/members")
+    // schema-explicit empty on a lane that does not exist yet (a fresh
+    // map being built by its first streamed merges)
+    val members =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$root/members")))
+        s.read.parquet(s"$root/members")
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cluster_rep",
+            org.apache.spark.sql.types.LongType))))
     val aliasDir = java.nio.file.Paths.get(s"$root/aliases")
     val aliases =
       if (java.nio.file.Files.isDirectory(aliasDir))
@@ -1645,12 +1852,12 @@ object Dedup {
       deltaPairs: DataFrame): (DataFrame, DataFrame) = {
     val s = standing.sparkSession
     import s.implicits._
-    val ends = deltaPairs.select($"d1".as("doc_id"))
+    val ends = graft.Scratch.track(deltaPairs.select($"d1".as("doc_id"))
       .unionByName(deltaPairs.select($"d2".as("doc_id"))).distinct()
-      .localCheckpoint() // delta-sized; 3 consumers
-    val touched = standing
+      .localCheckpoint()) // delta-sized; 3 consumers
+    val touched = graft.Scratch.track(standing
       .join(broadcast(ends), Seq("doc_id"), "left_semi")
-      .localCheckpoint() // delta-sized; 3 consumers
+      .localCheckpoint()) // delta-sized; 3 consumers
     val projected = deltaPairs
       .join(broadcast(touched.toDF("d1", "r1")), Seq("d1"), "left")
       .join(broadcast(touched.toDF("d2", "r2")), Seq("d2"), "left")
@@ -1687,16 +1894,16 @@ object Dedup {
     // expression is the entry's dominant per-row cost and both
     // consumers need the same rows (r16: this was the suite p100 when
     // each path re-shingled)
-    val standingSh = docs.filter($"doc_id" % 10 =!= 0)
+    val standingSh = graft.Scratch.track(docs.filter($"doc_id" % 10 =!= 0)
       .select($"doc_id", array_sort(shingleHashes($"text")).as("sh"))
       .filter(size($"sh") > 0)
-      .localCheckpoint()
+      .localCheckpoint())
     val deltaSh = docs.filter($"doc_id" % 10 === 0)
       .select($"doc_id", array_sort(shingleHashes($"text")).as("sh"))
       .filter(size($"sh") > 0)
-    val standingMap =
+    val standingMap = graft.Scratch.track(
       clusterPairs(prefixJoinPairs(standingSh, 0.8).select($"d1", $"d2"))
-        .localCheckpoint()
+        .localCheckpoint())
     val (newMembers, aliases) = clusterMergeDelta(standingMap,
       deltaPairsFromShingled(standingSh, deltaSh, 0.8)
         .select($"d1", $"d2"))
@@ -1858,20 +2065,10 @@ object Dedup {
     // invocations (a bench loop, a 100 TB driver running many curation
     // stages) accumulate storage debt until runs stall. So the loop
     // releases each superseded round deterministically the moment its
-    // successor is materialized and probed: unpersist the local-
-    // checkpoint blocks (blocking, so the release is synchronous), or
-    // delete the reliable checkpoint's files. Only the FINAL labels
-    // frame is left alive — the caller consumes it.
-    def release(df: DataFrame): Unit = df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.getCheckpointFile match {
-          case Some(f) =>
-            val p = new org.apache.hadoop.fs.Path(f)
-            p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-          case None => l.rdd.unpersist(blocking = true)
-        }
-      case _ => ()
-    }
+    // successor is materialized and probed ([[graft.Scratch.releaseNow]]).
+    // The FINAL labels frame is the caller's — it registers with the
+    // Scratch registry so the consumer's next drain reclaims it too.
+    def release(df: DataFrame): Unit = graft.Scratch.releaseNow(df)
     val edges = pairs.union(pairs.select($"d2", $"d1")).toDF("src", "dst").cache()
     var labels = ckpt(edges.select($"src".as("id")).distinct()
       .withColumn("label", $"id"))
@@ -1919,6 +2116,7 @@ object Dedup {
     // never re-read edges, so release the cache now rather than letting
     // entries pile up across calls in a long-lived session
     edges.unpersist()
+    graft.Scratch.track(labels)
     labels.select($"id".as("doc_id"), $"label".as("cluster_rep"))
   }
 
@@ -2195,6 +2393,7 @@ object Dedup {
     "d25_incremental_clusters" -> (d25IncrementalClusters _),
     "d27_cluster_delete" -> (d27ClusterDeleteMaintain _),
     "d17_lsh_clusters"   -> (d17LshClusters _),
+    "u01_lsh_update_probe" -> (u01LshUpdateProbe _),
   )
 
   // def, not val: the golden-snapshot oracle path resolves the sf tag
@@ -2235,6 +2434,9 @@ object Dedup {
     "d25_incremental_clusters" -> d08Sql,
     // d27: delete-fold ≡ one-shot CC over the LIVE corpus's pairs
     "d27_cluster_delete" -> d27Sql,
+    // u01: probe-after-update ≡ the exact delta-touching pair set over
+    // the corpus WITH the revisions applied (rebuild-with-new-revisions)
+    "u01_lsh_update_probe" -> u01Sql,
     // same clusters as d08 through the LSH candidate path: exact
     // verification restores the d03 pair set (recall pinned by the
     // driver's d04-vs-d03 hash match), CC is pair-set-determined

@@ -188,6 +188,29 @@ object IndexStore {
     else s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
   }
 
+  /** Whether any deletion was ever recorded against the artifact — one
+    * filesystem stat, no Spark job. The mask fast path: an artifact
+    * that never saw a delete must serve through the exact same plan it
+    * served before deletes existed (r16 regression: every probe/serve
+    * path paid a broadcast-empty-frame anti-join — an extra job, an
+    * exchange, and a codegen stage — on indexes with no tombstone lane
+    * at all). */
+  def hasTombstones(dir: String): Boolean =
+    Files.isDirectory(Paths.get(tombstoneLane(currentPath(dir))))
+
+  /** Mask `df` by the artifact's tombstones on `idCol` — the standard
+    * serve-time guard: broadcast anti-join when deletions exist
+    * (removals are delta-sized by premise; the standing side streams),
+    * and the IDENTITY — plan-identical to the pre-deletion path, no
+    * anti-join stage, no `_tombstones` scan — when none were ever
+    * recorded ([[hasTombstones]]). */
+  def maskTombstones(df: DataFrame, dir: String, idCol: String): DataFrame =
+    if (hasTombstones(dir))
+      df.join(org.apache.spark.sql.functions.broadcast(
+          readTombstones(df.sparkSession, dir, idCol)),
+        Seq(idCol), "left_anti")
+    else df
+
   /** One-time migration of a legacy FLAT index dir (written before the
     * generation layout existed: lanes at top level, no `_current`)
     * into the generation layout: MOVE every top-level entry into

@@ -559,8 +559,8 @@ object Multimodal {
     val in = s.read.parquet(s"$src/bands")
     // tombstones fold in: dead payloads' band rows anti-joined out and
     // the new generation carries no tombstone lane — reclaim = the flip
-    in.join(org.apache.spark.sql.functions.broadcast(
-        IndexStore.readTombstones(s, dir, "doc_id")), Seq("doc_id"), "left_anti")
+    // (identity when no deletion was ever recorded — the r17 fast path)
+    IndexStore.maskTombstones(in, dir, "doc_id")
       .coalesce(math.max(1, in.inputFiles.length / 16))
       .write.mode("overwrite").parquet(s"${IndexStore.genPath(dir, g)}/bands")
     IndexStore.publish(dir, g)
@@ -581,6 +581,34 @@ object Multimodal {
     IndexStore.appendTombstones(removedIds, dir, "doc_id")
     if (compactEvery > 0 && IndexStore.bumpAppends(dir) % compactEvery == 0)
       compactPayloadIndex(removedIds.sparkSession, dir)
+  }
+
+  /** UPDATE changed payloads in a standing index — the third lifecycle
+    * verb (r17), for c07's `changed` set on the media tier (a
+    * re-encoded image, a re-mastered audio file: same doc identity,
+    * new bytes, new fingerprint). One generation fold (the
+    * [[graft.operators.Dedup.updateInLshIndex]] discipline): gen N+1 =
+    * standing band rows minus (tombstoned ∪ changed) ids plus the
+    * revisions' freshly-derived bands, one atomic publish; probe ≡
+    * rebuild-with-new-revisions, IndexUpdateSpec-pinned. Payload
+    * bytes never shuffle — only the 8 band rows per doc move. */
+  def updateInPayloadIndex(changed: DataFrame, dir: String): Unit = {
+    val s = changed.sparkSession
+    import s.implicits._
+    IndexStore.adoptLegacy(dir)
+    val src = IndexStore.currentPath(dir)
+    val g = IndexStore.nextGen(dir)
+    val in = s.read.parquet(s"$src/bands")
+    val dead = IndexStore.readTombstones(s, dir, "doc_id")
+      .unionByName(changed.select($"doc_id")).distinct().localCheckpoint()
+    in.join(org.apache.spark.sql.functions.broadcast(dead),
+        Seq("doc_id"), "left_anti")
+      .coalesce(math.max(1, in.inputFiles.length / 16))
+      .unionByName(payloadBands(changed))
+      .write.mode("overwrite").parquet(s"${IndexStore.genPath(dir, g)}/bands")
+    IndexStore.publish(dir, g)
+    IndexStore.sweep(dir)
+    graft.Scratch.releaseNow(dead)
   }
 
   /** The banded-fingerprint frame of a (doc_id, payload) batch — the
@@ -604,12 +632,11 @@ object Multimodal {
   def probePayloadIndex(s: SparkSession, dir: String, delta: DataFrame,
                         maxHamming: Int): DataFrame =
     probePayloadBands(
-      s.read.parquet(s"${IndexStore.currentPath(dir)}/bands")
-        // tombstone masking ([[deleteFromPayloadIndex]]): no-op
-        // broadcast anti-join on a never-deleted index
-        .join(org.apache.spark.sql.functions.broadcast(
-          IndexStore.readTombstones(s, dir, "doc_id")),
-          Seq("doc_id"), "left_anti"),
+      // tombstone masking ([[deleteFromPayloadIndex]]) — plan-identical
+      // to the pre-deletion probe on a never-deleted index
+      IndexStore.maskTombstones(
+        s.read.parquet(s"${IndexStore.currentPath(dir)}/bands"),
+        dir, "doc_id"),
       delta, maxHamming)
 
   /** Frame-taking core of the probe (the registered entry builds the

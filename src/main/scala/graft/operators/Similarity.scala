@@ -1275,9 +1275,8 @@ object Similarity {
     s.read.parquet(s"$src/coarse").write.mode("overwrite").parquet(s"$root/coarse")
     s.read.parquet(s"$src/books").write.mode("overwrite").parquet(s"$root/books")
     // tombstones fold in: dead codes anti-joined out, lane reclaimed
-    s.read.parquet(s"$src/codes")
-      .join(broadcast(IndexStore.readTombstones(s, dir, "vec_id")),
-        Seq("vec_id"), "left_anti")
+    // (identity when no deletion was ever recorded — the r17 fast path)
+    IndexStore.maskTombstones(s.read.parquet(s"$src/codes"), dir, "vec_id")
       .repartition($"cluster_id").sortWithinPartitions($"vec_id")
       .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$root/codes")
     IndexStore.publish(dir, g)
@@ -1293,6 +1292,36 @@ object Similarity {
     IndexStore.appendTombstones(removedIds, dir, "vec_id")
     if (compactEvery > 0 && IndexStore.bumpAppends(dir) % compactEvery == 0)
       compactIvfAdcIndex(removedIds.sparkSession, dir)
+  }
+
+  /** UPDATE changed vectors in a standing IVFADC artifact — the
+    * [[updateInIvfIndex]] contract on the compressed layout: gen N+1 =
+    * standing codes minus (tombstoned ∪ changed) ids plus the
+    * revisions ENCODED WITH THE FROZEN QUANTIZERS read from the
+    * artifact's own model lanes (carried forward unchanged), one
+    * atomic publish. Serve ≡ rebuild-with-new-revisions for the same
+    * quantizers; spec-pinned in IndexUpdateSpec. */
+  def updateInIvfAdcIndex(changedVq64: DataFrame, dsub: Int,
+                          dir: String): Unit = {
+    val s = changedVq64.sparkSession
+    import s.implicits._
+    IndexStore.adoptLegacy(dir)
+    val src = IndexStore.currentPath(dir)
+    val g = IndexStore.nextGen(dir)
+    val root = IndexStore.genPath(dir, g)
+    s.read.parquet(s"$src/coarse").write.mode("overwrite").parquet(s"$root/coarse")
+    s.read.parquet(s"$src/books").write.mode("overwrite").parquet(s"$root/books")
+    val dead = IndexStore.readTombstones(s, dir, "vec_id")
+      .unionByName(changedVq64.select($"vec_id")).distinct().localCheckpoint()
+    s.read.parquet(s"$src/codes")
+      .join(broadcast(dead), Seq("vec_id"), "left_anti")
+      .unionByName(encodeIvfAdc(changedVq64,
+        s.read.parquet(s"$root/coarse"), s.read.parquet(s"$root/books"), dsub))
+      .repartition($"cluster_id").sortWithinPartitions($"vec_id")
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$root/codes")
+    IndexStore.publish(dir, g)
+    IndexStore.sweep(dir)
+    graft.Scratch.releaseNow(dead)
   }
 
   /** Serve ADC top-k from a persisted [[writeIvfAdcIndex]] layout with
@@ -1315,11 +1344,10 @@ object Similarity {
       .withColumn("c_rank", row_number().over(wp))
       .filter($"c_rank" <= nprobe)
       .select($"cid").distinct().as[Int].collect().sorted
-    val codes = s.read.parquet(s"$root/codes")
-      .filter($"cluster_id".isin(probedIds.map(Int.box): _*))
-      // tombstone masking ([[deleteFromIvfAdcIndex]])
-      .join(broadcast(IndexStore.readTombstones(s, dir, "vec_id")),
-        Seq("vec_id"), "left_anti")
+    val codes = IndexStore.maskTombstones(
+      s.read.parquet(s"$root/codes")
+        .filter($"cluster_id".isin(probedIds.map(Int.box): _*)),
+      dir, "vec_id") // tombstone masking ([[deleteFromIvfAdcIndex]]); identity when none
     ivfAdcServe(codes, coarse, books, qVq64, dsub, nprobe, k)
   }
 
@@ -1349,9 +1377,9 @@ object Similarity {
         java.nio.file.Files.createTempDirectory("graft-s27-index").toString
       s17CleanupHook
       writeIvfAdcIndex(vq64, coarse, books, dsub, dir)
-      val served = ivfAdcTopKFromIndex(s, dir,
+      val served = graft.Scratch.track(ivfAdcTopKFromIndex(s, dir,
         vq64.filter($"vec_id" < 20), dsub, nprobe, k = 3)
-        .localCheckpoint()
+        .localCheckpoint())
       s17Admit(dir)
       served
     } finally { vq64.unpersist(); () }
@@ -1764,9 +1792,8 @@ object Similarity {
     val g = IndexStore.nextGen(indexDir)
     // tombstones fold in here: dead vectors anti-joined out, and the
     // new generation carries no tombstone lane — reclaim is the flip
-    s.read.parquet(src)
-      .join(broadcast(IndexStore.readTombstones(s, indexDir, "vec_id")),
-        Seq("vec_id"), "left_anti")
+    // (identity when no deletion was ever recorded — the r17 fast path)
+    IndexStore.maskTombstones(s.read.parquet(src), indexDir, "vec_id")
       .repartition($"cluster_id")
       .sortWithinPartitions($"vec_id")
       .write.mode("overwrite").partitionBy("cluster_id")
@@ -1794,13 +1821,50 @@ object Similarity {
       compactIvfIndex(removedIds.sparkSession, indexDir)
   }
 
-  /** The one assignment-and-layout pipeline both the full build and the
-    * delta append run — a single body so the append path can never
-    * silently diverge from the rebuild path (their bit-equality is the
-    * s18 contract). */
-  private def writeIvfLists(vecs: DataFrame, centroids: DataFrame,
-                            outDir: String,
-                            mode: org.apache.spark.sql.SaveMode): Unit = {
+  /** UPDATE changed vectors in a standing IVF index — the third
+    * lifecycle verb (r17), for the `changed` set c07's snapshot diff
+    * computes (a re-crawled doc re-embeds; its old vector must stop
+    * serving the moment the new one starts). Append alone would serve
+    * both revisions and delete + append cannot run as two steps (the
+    * id-keyed tombstone would mask the re-added rows), so update FOLDS
+    * A GENERATION: gen N+1 = standing lists minus (tombstoned ∪
+    * changed) ids, plus the revisions assigned to the same FROZEN
+    * centroids by the one shared assignment pipeline — exactly what a
+    * rebuild over the revised corpus writes. One atomic `_current`
+    * flip: readers see pre- or post-update, never the torn middle;
+    * standing tombstones fold in (reclaim rides along). Cost: one
+    * linear read+write of the LISTS + delta-sized assignment — the
+    * standing mass is never re-assigned ([[updateInLshIndex]]'s
+    * economics on the vector modality). Edge semantics likewise: an
+    * absent id inserts, a tombstoned id revives, and serve ≡
+    * rebuild-with-new-revisions is IndexUpdateSpec-pinned. */
+  def updateInIvfIndex(changed: DataFrame, centroids: DataFrame,
+                       indexDir: String): Unit = {
+    val s = changed.sparkSession
+    import s.implicits._
+    IndexStore.adoptLegacy(indexDir)
+    val src = IndexStore.currentPath(indexDir)
+    val g = IndexStore.nextGen(indexDir)
+    val dead = IndexStore.readTombstones(s, indexDir, "vec_id")
+      .unionByName(changed.select($"vec_id")).distinct().localCheckpoint()
+    s.read.parquet(src)
+      .join(broadcast(dead), Seq("vec_id"), "left_anti")
+      .unionByName(ivfAssigned(changed, centroids))
+      .repartition($"cluster_id")
+      .sortWithinPartitions($"vec_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster_id")
+      .parquet(IndexStore.genPath(indexDir, g))
+    IndexStore.publish(indexDir, g)
+    IndexStore.sweep(indexDir)
+    graft.Scratch.releaseNow(dead)
+  }
+
+  /** The one assignment pipeline every lifecycle verb runs — a single
+    * body so no path can silently diverge from the rebuild path (their
+    * bit-equality is the s18 contract): nearest-centroid rows
+    * (vec_id, v, nrm, cluster_id). */
+  private def ivfAssigned(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
     val wc = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"cluster_id".asc)
@@ -1811,6 +1875,14 @@ object Similarity {
       .withColumn("rn", row_number().over(wc))
       .filter($"rn" === 1)
       .select($"vec_id", $"v", $"nrm", $"cluster_id")
+  }
+
+  private def writeIvfLists(vecs: DataFrame, centroids: DataFrame,
+                            outDir: String,
+                            mode: org.apache.spark.sql.SaveMode): Unit = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    ivfAssigned(vecs, centroids)
       .repartition($"cluster_id")
       .sortWithinPartitions($"vec_id")
       .write.mode(mode).partitionBy("cluster_id").parquet(outDir)
@@ -1843,12 +1915,10 @@ object Similarity {
       .select($"q_id", $"qv", $"qn", $"cluster_id".as("probe_cluster"))
     val probedIds = probes.select($"probe_cluster").distinct()
       .as[Int].collect().sorted
-    val index = s.read.parquet(IndexStore.currentPath(indexDir))
-      .filter($"cluster_id".isin(probedIds.map(Int.box): _*))
-      // tombstone masking ([[deleteFromIvfIndex]]): no-op broadcast
-      // anti-join on a never-deleted index
-      .join(broadcast(IndexStore.readTombstones(s, indexDir, "vec_id")),
-        Seq("vec_id"), "left_anti")
+    val index = IndexStore.maskTombstones(
+      s.read.parquet(IndexStore.currentPath(indexDir))
+        .filter($"cluster_id".isin(probedIds.map(Int.box): _*)),
+      indexDir, "vec_id") // plan-identical to pre-deletion when no tombstones
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
     index.join(broadcast(probes),
         $"cluster_id" === $"probe_cluster" && $"vec_id" =!= $"q_id")
@@ -1874,9 +1944,9 @@ object Similarity {
     writeIvfIndex(c.select($"vec_id", $"v"), centroids, indexDir)
     val q = c.filter($"vec_id" < 20)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
-    val served =
+    val served = graft.Scratch.track(
       ivfTopKFromIndex(s, indexDir, centroids, q, nprobe = 2, k = 3)
-        .localCheckpoint()
+        .localCheckpoint())
     s17Admit(indexDir)
     served
   }
@@ -1929,9 +1999,9 @@ object Similarity {
     deleteFromIvfIndex(c.filter($"vec_id" % 7 === 0).select($"vec_id"), indexDir)
     val q = c.filter($"vec_id" < 20)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
-    val served =
+    val served = graft.Scratch.track(
       ivfTopKFromIndex(s, indexDir, centroids, q, nprobe = 2, k = 3)
-        .localCheckpoint()
+        .localCheckpoint())
     s17Admit(indexDir)
     served
   }
@@ -1983,11 +2053,11 @@ object Similarity {
       centroids, indexDir)
     appendToIvfIndex(c.filter($"vec_id" > boundary).select($"vec_id", $"v"),
       centroids, indexDir)
-    val served = ivfTopKFromIndex(s, indexDir, centroids,
+    val served = graft.Scratch.track(ivfTopKFromIndex(s, indexDir, centroids,
       c.filter($"vec_id" < 20)
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn")),
       nprobe = 2, k = 3)
-      .localCheckpoint()
+      .localCheckpoint())
     s17Admit(indexDir)
     served
   }
@@ -2461,11 +2531,12 @@ object Similarity {
     * directory subtree at planning time, and within a label the s17
     * probe machinery applies unchanged on the inner cluster_id key.
     * [[IndexStore]] generations, the writeIvfIndex discipline. */
-  def writeLabeledIvfIndex(vecs: DataFrame, centroids: DataFrame,
-                           dir: String): Unit = {
+  /** The labeled layout's one assignment pipeline (the [[ivfAssigned]]
+    * discipline on the two-level key). */
+  private def labeledIvfAssigned(vecs: DataFrame,
+                                 centroids: DataFrame): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
-    val g = IndexStore.nextGen(dir)
     val wc = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"cluster_id".asc)
     vecs.withColumn("nrm", norm($"v"))
       .crossJoin(broadcast(centroids))
@@ -2474,6 +2545,14 @@ object Similarity {
       .withColumn("rn", row_number().over(wc))
       .filter($"rn" === 1)
       .select($"vec_id", $"label", $"v", $"nrm", $"cluster_id")
+  }
+
+  def writeLabeledIvfIndex(vecs: DataFrame, centroids: DataFrame,
+                           dir: String): Unit = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val g = IndexStore.nextGen(dir)
+    labeledIvfAssigned(vecs, centroids)
       .repartition($"label", $"cluster_id")
       .sortWithinPartitions($"vec_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -2481,6 +2560,32 @@ object Similarity {
       .parquet(IndexStore.genPath(dir, g))
     IndexStore.publish(dir, g)
     IndexStore.sweep(dir)
+  }
+
+  /** UPDATE changed vectors in the labeled layout — the
+    * [[updateInIvfIndex]] contract on the filtered modality (a
+    * re-crawled doc can change its LABEL as well as its vector; the
+    * fold replaces the whole row, so both move together atomically). */
+  def updateInLabeledIvfIndex(changed: DataFrame, centroids: DataFrame,
+                              dir: String): Unit = {
+    val s = changed.sparkSession
+    import s.implicits._
+    IndexStore.adoptLegacy(dir)
+    val src = IndexStore.currentPath(dir)
+    val g = IndexStore.nextGen(dir)
+    val dead = IndexStore.readTombstones(s, dir, "vec_id")
+      .unionByName(changed.select($"vec_id")).distinct().localCheckpoint()
+    s.read.parquet(src)
+      .join(broadcast(dead), Seq("vec_id"), "left_anti")
+      .unionByName(labeledIvfAssigned(changed, centroids))
+      .repartition($"label", $"cluster_id")
+      .sortWithinPartitions($"vec_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("label", "cluster_id")
+      .parquet(IndexStore.genPath(dir, g))
+    IndexStore.publish(dir, g)
+    IndexStore.sweep(dir)
+    graft.Scratch.releaseNow(dead)
   }
 
   /** Record deletions against a standing labeled index — the
@@ -2502,9 +2607,7 @@ object Similarity {
     IndexStore.adoptLegacy(dir)
     val src = IndexStore.currentPath(dir)
     val g = IndexStore.nextGen(dir)
-    s.read.parquet(src)
-      .join(broadcast(IndexStore.readTombstones(s, dir, "vec_id")),
-        Seq("vec_id"), "left_anti")
+    IndexStore.maskTombstones(s.read.parquet(src), dir, "vec_id")
       .repartition($"label", $"cluster_id")
       .sortWithinPartitions($"vec_id")
       .write.mode("overwrite").partitionBy("label", "cluster_id")
@@ -2527,11 +2630,10 @@ object Similarity {
     import s.implicits._
     val qLabels = queries.select($"label").distinct()
       .as[Int].collect().sorted
-    val index = s.read.parquet(IndexStore.currentPath(dir))
-      .filter($"label".isin(qLabels.map(Int.box): _*))
-      // tombstone masking ([[deleteFromLabeledIvfIndex]])
-      .join(broadcast(IndexStore.readTombstones(s, dir, "vec_id")),
-        Seq("vec_id"), "left_anti")
+    val index = IndexStore.maskTombstones(
+      s.read.parquet(IndexStore.currentPath(dir))
+        .filter($"label".isin(qLabels.map(Int.box): _*)),
+      dir, "vec_id") // tombstone masking ([[deleteFromLabeledIvfIndex]]); identity when none
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
     index.join(broadcast(queries), Seq("label"))
       .filter($"vec_id" =!= $"q_id")
@@ -2557,7 +2659,8 @@ object Similarity {
     writeLabeledIvfIndex(c.select($"vec_id", $"label", $"v"), centroids, indexDir)
     val q = c.filter($"vec_id" < 20)
       .select($"vec_id".as("q_id"), $"label", $"v".as("qv"), $"nrm".as("qn"))
-    val served = filteredTopKFromIndex(s, indexDir, q, k = 3).localCheckpoint()
+    val served = graft.Scratch.track(
+      filteredTopKFromIndex(s, indexDir, q, k = 3).localCheckpoint())
     s17Admit(indexDir)
     served
   }

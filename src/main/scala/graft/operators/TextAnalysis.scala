@@ -1281,8 +1281,46 @@ object TextAnalysis {
       .agg((-count(lit(1))).cast("long").as("n_docs"),
         coalesce(-sum($"dl"), lit(0L)).cast("long").as("sum_dl"))
       .write.mode("append").parquet(s"$root/stats")
+    graft.Scratch.releaseNow(newDead) // both consumers above are done
     if (compactEvery > 0 && IndexStore.bumpAppends(dir) % compactEvery == 0)
       compactBm25Index(s, dir)
+  }
+
+  /** UPDATE changed documents in a standing BM25 artifact — the third
+    * lifecycle verb (r17), for c07's `changed` set: a rewritten doc
+    * must score with its NEW term frequencies and length the moment it
+    * serves again. Append would double-post it and delete + append
+    * cannot run as two steps (the id-keyed tombstone would mask the
+    * re-added postings), so update FOLDS A GENERATION (the
+    * [[graft.operators.Dedup.updateInLshIndex]] discipline): gen N+1 =
+    * standing postings minus (tombstoned ∪ changed) ids plus the
+    * revisions' freshly-derived postings, stats RECOMPUTED from the
+    * live postings (what [[compactBm25Index]] does — dl changes with
+    * the revision, and the recompute heals any crash-window partial
+    * drift for free), one atomic publish. Serve ≡
+    * rebuild-with-new-revisions; IndexUpdateSpec pins it. */
+  def updateInBm25Index(changed: DataFrame, dir: String): Unit = {
+    val s = changed.sparkSession
+    import s.implicits._
+    IndexStore.adoptLegacy(dir)
+    val src = IndexStore.currentPath(dir)
+    val g = IndexStore.nextGen(dir)
+    val root = IndexStore.genPath(dir, g)
+    val dead = IndexStore.readTombstones(s, dir, "doc_id")
+      .unionByName(changed.select($"doc_id")).distinct().localCheckpoint()
+    s.read.parquet(s"$src/postings")
+      .join(broadcast(dead), Seq("doc_id"), "left_anti")
+      .unionByName(bm25Postings(changed))
+      .repartition($"bucket").sortWithinPartitions($"token", $"doc_id")
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/postings")
+    s.read.parquet(s"$root/postings")
+      .select($"doc_id", $"dl").distinct()
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum($"dl"), lit(0L)).cast("long").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$root/stats")
+    IndexStore.publish(dir, g)
+    IndexStore.sweep(dir)
+    graft.Scratch.releaseNow(dead)
   }
 
   /** Fold bucket files, drop tombstoned rows, recompute the stats lane
@@ -1296,9 +1334,7 @@ object TextAnalysis {
     val src = IndexStore.currentPath(dir)
     val g = IndexStore.nextGen(dir)
     val root = IndexStore.genPath(dir, g)
-    s.read.parquet(s"$src/postings")
-      .join(broadcast(IndexStore.readTombstones(s, dir, "doc_id")),
-        Seq("doc_id"), "left_anti")
+    IndexStore.maskTombstones(s.read.parquet(s"$src/postings"), dir, "doc_id")
       .repartition($"bucket").sortWithinPartitions($"token", $"doc_id")
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/postings")
     s.read.parquet(s"$root/postings")
@@ -1327,12 +1363,13 @@ object TextAnalysis {
       .filter(length($"token") > 0)
       .distinct()
       .localCheckpoint() // query-sized; feeds the bucket collect + join
+    graft.Scratch.track(qt)
     val buckets = qt.select(bm25Bucket($"token").as("b")).distinct()
       .as[Int].collect().sorted
-    val posts = s.read.parquet(s"$root/postings")
-      .filter($"bucket".isin(buckets.map(Int.box): _*))
-      .join(broadcast(IndexStore.readTombstones(s, dir, "doc_id")),
-        Seq("doc_id"), "left_anti")
+    val posts = IndexStore.maskTombstones(
+      s.read.parquet(s"$root/postings")
+        .filter($"bucket".isin(buckets.map(Int.box): _*)),
+      dir, "doc_id") // identity when no deletion was ever recorded
     val stats = s.read.schema(Bm25StatsSchema).parquet(s"$root/stats")
       .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl"))
       .select($"n_docs", ($"sum_dl".cast("double") / $"n_docs").as("avgdl"))
@@ -1383,8 +1420,9 @@ object TextAnalysis {
       java.nio.file.Files.createTempDirectory("graft-t41-index").toString
     t41CleanupHook
     writeBm25Index(docs, dir)
-    val served = bm25TopKFromIndex(s, dir, docs.filter($"doc_id" < 20), 3)
-      .localCheckpoint()
+    val served = graft.Scratch.track(
+      bm25TopKFromIndex(s, dir, docs.filter($"doc_id" < 20), 3)
+        .localCheckpoint())
     t41Admit(dir)
     served
   }

@@ -70,11 +70,14 @@ object StreamingCuration {
     * bounded; 0 keeps the flat layout (tests, short streams). */
   def nearDupAdmission(docs: DataFrame, historyDir: String, tau: Double,
                        checkpointDir: String,
-                       compactEvery: Int = 0): StreamingQuery =
+                       compactEvery: Int = 0,
+                       clusterMapDir: Option[String] = None,
+                       clusterMapCompactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitBatch(batch, historyDir, tau, batchId)
+        admitBatch(batch, historyDir, tau, batchId,
+          clusterMapDir, clusterMapCompactEvery)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactHistory(batch.sparkSession, historyDir, uptoExclusive = batchId)
         ()
@@ -82,9 +85,25 @@ object StreamingCuration {
       .start()
 
   /** One admission step — exposed so batch pipelines can run the same
-    * policy over a bounded delta, and for tests. */
+    * policy over a bounded delta, and for tests.
+    *
+    * `clusterMapDir` (r17, VERDICT r16 #5) keeps the d25 cluster-map
+    * artifact CURRENT per micro-batch: admission already computes the
+    * exact verified delta pairs the merge needs, so each batch folds
+    * its pairs into the persisted map through
+    * [[graft.operators.Dedup.mergeIntoClusterMap]] — without this an
+    * online corpus's cluster map goes stale between batch runs.
+    * Streamed slicing ≡ one-shot merge ≡ d08's CC over all pairs
+    * (spec-pinned), and a REPLAYED batch re-merges the same pairs into
+    * a map that already holds them, which the union-find merge
+    * no-ops (its endpoints are all members, the projected graph
+    * collapses to reps) — replay-idempotent with no extra history,
+    * the StreamingTakedown discipline. `clusterMapCompactEvery` passes
+    * the map's own path-compression cadence through. */
   def admitBatch(batch0: DataFrame, historyDir: String, tau: Double,
-                 batchId: Long): Unit = {
+                 batchId: Long,
+                 clusterMapDir: Option[String] = None,
+                 clusterMapCompactEvery: Int = 0): Unit = {
     val spark = batch0.sparkSession
     import spark.implicits._
     val batch = batch0
@@ -128,8 +147,18 @@ object StreamingCuration {
           .select($"doc_id", $"text", $"sh", coalesce(!$"rej", lit(true)).as("admitted"))
           .write.mode("overwrite").parquet(s"$historyDir/batch=$batchId")
         writeLshLanes(dSh, historyDir, batchId)
+        // the cluster-map fold consumes the SAME verified pair frame
+        // the admission verdict used — no recompute, delta cost
+        clusterMapDir.foreach(d => graft.operators.Dedup.mergeIntoClusterMap(
+          pairs.select($"d1", $"d2"), d, clusterMapCompactEvery))
       } finally { pairs.unpersist(); () }
-    } finally { batch.unpersist(); () }
+    } finally {
+      batch.unpersist()
+      // the probe's tracked checkpoint intermediates (delta shingle /
+      // banded frames) are dead once this batch's writes completed —
+      // a long-running stream must not stack one set per micro-batch
+      graft.Scratch.drain()
+    }
   }
 
   /** Fold retired `batch=` dirs (ids < `uptoExclusive` — pass the
@@ -322,6 +351,8 @@ object StreamingCuration {
       .parquet(s"$stateDir/batch=$batchId")
       .select($"doc_id", $"sh").filter(size($"sh") > 0)
     writeLshLanes(outSh, stateDir, batchId)
+    // this batch's writes consumed the probe's tracked checkpoints
+    graft.Scratch.drain()
   }
 
   /** Fold retired pipeline-state `batch=` dirs (rows + LSH lanes) —

@@ -70,5 +70,9 @@ object StreamingTakedown {
     if (batch.columns.contains("vec_id"))
       ivfDir.foreach(Similarity.deleteFromIvfIndex(
         batch.select($"vec_id"), _, compactEvery))
+    // every deleteFrom* above ends in its own write — the batch's
+    // checkpoint blocks are dead here; a long-running takedown stream
+    // must not stack one block set per micro-batch
+    graft.Scratch.releaseNow(batch)
   }
 }

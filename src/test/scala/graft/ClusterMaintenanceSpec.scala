@@ -237,4 +237,51 @@ class ClusterMaintenanceSpec extends SparkSpec {
       assert(mapOf(dir) === ccOf(Seq((10L, 11L), (11L, 12L), (12L, 13L))))
     } finally graft.BenchUtil.rmTree(dir)
   }
+
+  test("streamed admission maintains the map: slicing ≡ one-shot CC; replay idempotent; compaction rides (r17)") {
+    // VERDICT r16 #5: admission already computes the verified delta
+    // pairs per micro-batch — fold them into the persisted map so an
+    // online corpus's cluster map never goes stale between batch runs.
+    // The contract: the map after streaming the corpus in ANY slicing
+    // equals one-shot CC over the full exact pair set (the c12 ≡ c01
+    // discipline), a replayed batch is a no-op merge, and the map's
+    // own compaction cadence rides through untouched.
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").filter($"doc_id" <= 600)
+    val want = {
+      val pairs = Dedup.ngramJaccardPairs(docs, 0.8).select($"d1", $"d2")
+      Dedup.clusterPairs(pairs).as[(Long, Long)].collect().toMap
+    }
+    assert(want.nonEmpty, "fixture must contain near-dup pairs")
+    val (lo, hi) = {
+      val r = docs.agg(min($"doc_id"), max($"doc_id")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    def streamInto(slices: Int, cmapCompactEvery: Int): (String, String) = {
+      val hist = java.nio.file.Files.createTempDirectory("cmap-str-h").toString
+      val cmap = java.nio.file.Files.createTempDirectory("cmap-str-m").toString
+      val bounds = (0 to slices).map(i => lo + (hi - lo + 1) * i / slices)
+      (0 until slices).foreach { i =>
+        streaming.StreamingCuration.admitBatch(
+          docs.filter($"doc_id" >= bounds(i) && $"doc_id" < bounds(i + 1)),
+          hist, 0.8, i.toLong, Some(cmap), cmapCompactEvery)
+      }
+      (hist, cmap)
+    }
+    val (h4, m4) = streamInto(4, 0)
+    val (h2, m2) = streamInto(2, 2) // different slicing, compaction riding
+    try {
+      assert(mapOf(m4) === want, "4-batch streamed map diverged from one-shot CC")
+      assert(mapOf(m2) === want, "2-batch (compacted) map diverged from one-shot CC")
+      // replay: re-run the LAST batch of the 4-slicing verbatim — the
+      // history overwrite is idempotent by design and the map merge
+      // must no-op (endpoints are all members already)
+      val bounds = (0 to 4).map(i => lo + (hi - lo + 1) * i / 4)
+      streaming.StreamingCuration.admitBatch(
+        docs.filter($"doc_id" >= bounds(3) && $"doc_id" < bounds(4)),
+        h4, 0.8, 3L, Some(m4), 0)
+      assert(mapOf(m4) === want, "replayed batch changed the map")
+    } finally Seq(h4, m4, h2, m2).foreach(graft.BenchUtil.rmTree)
+  }
 }

@@ -265,4 +265,64 @@ class IndexDeletionSpec extends SparkSpec {
       assert(!tombLaneExists(dir), "the fold must reclaim the tombstone lane")
     } finally graft.BenchUtil.rmTree(dir)
   }
+
+  test("zero-tombstone fast path: never-deleted probe/serve plans carry no mask (r17)") {
+    // the r16 regression: every probe/serve paid a broadcast-empty
+    // anti-join + a `_tombstones` listing on artifacts that never saw a
+    // delete. The pin: a never-deleted artifact's physical plan must
+    // not reference the tombstone lane or carry a LeftAnti join keyed
+    // on the artifact's id; after ONE delete both must appear.
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    def tombScans(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains("_tombstones")) => f
+      }.size
+    def antiJoins(df: DataFrame, key: String): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: BroadcastHashJoinExec if b.joinType == LeftAnti &&
+          b.leftKeys.exists(_.references.exists(_.name == key)) => b
+      }.size
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val standing = docs.filter($"doc_id" % 10 =!= 0)
+    val delta = docs.filter($"doc_id" % 10 === 0)
+    val lsh = java.nio.file.Files.createTempDirectory("fp-lsh").toString
+    val ivf = java.nio.file.Files.createTempDirectory("fp-ivf").toString
+    // physical-node assertions need the non-adaptive plan (AQE wraps
+    // the tree in AdaptiveSparkPlanExec, which collect() cannot enter
+    // before execution) — the PlanSpec discipline
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Dedup.writeLshIndex(standing, lsh)
+      val clean = Dedup.probeLshIndex(spark, lsh, delta, 0.8)
+      assert(tombScans(clean) === 0, "never-deleted probe scans _tombstones")
+      Dedup.deleteFromLshIndex(
+        standing.filter($"doc_id" % 7 === 0).select($"doc_id"), lsh)
+      val masked = Dedup.probeLshIndex(spark, lsh, delta, 0.8)
+      assert(tombScans(masked) > 0, "post-delete probe must read the lane")
+      val c = Tables.embeddings(spark, sf0001)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("nrm", graft.operators.Similarity.norm($"v"))
+      val cents = graft.operators.Similarity.kmeansCentroids(
+        c.select($"vec_id", $"v"), 5, 2)
+      Similarity.writeIvfIndex(c.select($"vec_id", $"v"), cents, ivf)
+      val q = c.filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+      val cleanServe = Similarity.ivfTopKFromIndex(spark, ivf, cents, q, 2, 3)
+      assert(tombScans(cleanServe) === 0 && antiJoins(cleanServe, "vec_id") === 0,
+        "never-deleted IVF serve plan must be mask-free")
+      Similarity.deleteFromIvfIndex(
+        c.filter($"vec_id" % 7 === 0).select($"vec_id"), ivf)
+      val maskedServe = Similarity.ivfTopKFromIndex(spark, ivf, cents, q, 2, 3)
+      assert(tombScans(maskedServe) > 0,
+        "post-delete IVF serve must read the lane")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      graft.BenchUtil.rmTree(lsh); graft.BenchUtil.rmTree(ivf)
+    }
+  }
 }

@@ -53,6 +53,7 @@ object OrderProbe {
     materialize(c12(spark, sfDir))
     System.gc(); Thread.sleep(3000)
     val ramp = (1 to 6).map { _ =>
+      Scratch.drain()
       System.gc(); Thread.sleep(1000)
       timeSec(materialize(c12(spark, sfDir)))
     }
@@ -70,6 +71,7 @@ object OrderProbe {
       def pass(tag: String, qs: Seq[(String, (SparkSession, String) => DataFrame)])
           : Map[String, Double] = {
         val r = qs.map { case (name, fn) =>
+          Scratch.drain()
           System.gc()
           val sec = try {
             val t1 = timeSec(materialize(fn(spark, sfDir)))

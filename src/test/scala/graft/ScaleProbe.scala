@@ -26,9 +26,12 @@ object ScaleProbe {
   private def timeSec[T](f: => T): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
-  /** min of two runs, matching Bench's steady-state convention */
+  /** min of two runs, matching Bench's steady-state convention (and
+    * its r17 scratch hygiene: tracked checkpoints from the previous
+    * measurement are released before this one is timed) */
   private def t2(f: => Long): (Double, Long) = {
     var rows = 0L
+    Scratch.drain()
     val a = timeSec { rows = f }
     val b = timeSec { rows = f }
     (math.min(a, b), rows)
@@ -247,6 +250,92 @@ object ScaleProbe {
       println(f"SCALE d21_tombstones        probe-10%%-tombstoned=${pT}%6.2fs  " +
         f"probe-rebuilt-without=${pL}%6.2fs  probe-after-reclaim=${pR}%6.2fs  " +
         f"mask-overhead=${pT / pL}%5.2fx (same answer at every point)")
+
+      // update economics (round-17): the changed-doc verb priced
+      // against the rebuild it replaces — 2% of the standing corpus
+      // revised; update = one lane fold + delta-sized signature work,
+      // rebuild = re-shingling and re-banding the WHOLE corpus. Probe
+      // equality asserted (the IndexUpdateSpec contract at probe scale).
+      val changedU = standing1.filter($"doc_id" % 50 === 7)
+        .select($"doc_id",
+          concat($"text", lit(" updated revision edition")).as("text"))
+      val idxUpd = s"$base/lshidx_upd"
+      val idxUpdRb = s"$base/lshidx_updrb"
+      Dedup.writeLshIndex(standing1, idxUpd)
+      // timed once: a second identical update is a trivially-cheap
+      // no-op fold that would understate the cost (the merge precedent)
+      val updS = timeSec(Dedup.updateInLshIndex(changedU, idxUpd))
+      val rbS = timeSec(Dedup.writeLshIndex(standing1
+        .join(changedU.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(changedU), idxUpdRb))
+      val (pU, nU) = t2(Dedup.probeLshIndex(spark, idxUpd, delta1, 0.8).count())
+      val (pUr, nUr) = t2(Dedup.probeLshIndex(spark, idxUpdRb, delta1, 0.8).count())
+      require(nU == nUr, s"update vs rebuild-with-revisions diverged: $nU vs $nUr")
+      println(f"SCALE u01_update            update(2%%)=${updS}%6.2fs  " +
+        f"rebuild-with-revisions=${rbS}%6.2fs  cost-ratio=${updS / rbS}%5.2fx  " +
+        f"(probe-upd=${pU}%5.2fs probe-rb=${pUr}%5.2fs, same answer)")
+
+      // tombstone-mask economics for the BM25 and IVF artifacts
+      // (round-17, VERDICT r16 #7): serve cost of (a) a NEVER-deleted
+      // index — the zero-tombstone fast path, plan-identical to
+      // pre-deletion, no `_tombstones` scan; (b) 10%-tombstoned — the
+      // broadcast anti-join mask; (c) rebuilt without the removed
+      // rows; (d) after compaction reclaims the lane (back on the
+      // fast path). Same top-k row count required at every masked
+      // point (content equality is IndexDeletionSpec's).
+      locally {
+        import graft.operators.{Similarity, TextAnalysis}
+        val docs1 = spark.read.parquet(s"$base/x1/documents.parquet")
+          .select($"doc_id", $"text")
+        val bmDir = s"$base/bm25idx"
+        val bmLive = s"$base/bm25idx_live"
+        TextAnalysis.writeBm25Index(docs1, bmDir)
+        val qB = docs1.filter($"doc_id" < 20)
+        def bmServe(d: String) =
+          TextAnalysis.bm25TopKFromIndex(spark, d, qB, 3).count()
+        val (bClean, _) = t2(bmServe(bmDir))
+        val removedB = docs1.filter($"doc_id" % 10 === 3 && $"doc_id" >= 20)
+          .select($"doc_id")
+        TextAnalysis.deleteFromBm25Index(removedB, bmDir)
+        TextAnalysis.writeBm25Index(
+          docs1.join(removedB, Seq("doc_id"), "left_anti"), bmLive)
+        val (bTomb, nbT) = t2(bmServe(bmDir))
+        val (bLive, nbL) = t2(bmServe(bmLive))
+        require(nbT == nbL, s"bm25 mask vs rebuild row counts: $nbT vs $nbL")
+        TextAnalysis.compactBm25Index(spark, bmDir)
+        val (bRecl, nbR) = t2(bmServe(bmDir))
+        require(nbR == nbL, s"bm25 post-reclaim row counts: $nbR vs $nbL")
+        println(f"SCALE t41_tombstones        serve-clean=${bClean}%6.2fs  " +
+          f"serve-10%%-tombstoned=${bTomb}%6.2fs  serve-rebuilt=${bLive}%6.2fs  " +
+          f"serve-after-reclaim=${bRecl}%6.2fs  mask-overhead=${bTomb / bLive}%5.2fx")
+        val emb1 = spark.read.parquet(s"$base/x1/embeddings.parquet")
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+          .withColumn("nrm", Similarity.norm($"v"))
+        val cents = Similarity.kmeansCentroids(emb1.select($"vec_id", $"v"), 5, 2)
+        val ivDir = s"$base/ivfidx_tomb"
+        val ivLive = s"$base/ivfidx_live"
+        Similarity.writeIvfIndex(emb1.select($"vec_id", $"v"), cents, ivDir)
+        val qV = emb1.filter($"vec_id" < 20)
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+        def ivServe(d: String) =
+          Similarity.ivfTopKFromIndex(spark, d, cents, qV, 2, 3).count()
+        val (vClean, _) = t2(ivServe(ivDir))
+        val removedV = emb1.filter($"vec_id" % 10 === 3 && $"vec_id" >= 20)
+          .select($"vec_id")
+        Similarity.deleteFromIvfIndex(removedV, ivDir)
+        Similarity.writeIvfIndex(
+          emb1.select($"vec_id", $"v")
+            .join(removedV, Seq("vec_id"), "left_anti"), cents, ivLive)
+        val (vTomb, nvT) = t2(ivServe(ivDir))
+        val (vLive, nvL) = t2(ivServe(ivLive))
+        require(nvT == nvL, s"ivf mask vs rebuild row counts: $nvT vs $nvL")
+        Similarity.compactIvfIndex(spark, ivDir)
+        val (vRecl, nvR) = t2(ivServe(ivDir))
+        require(nvR == nvL, s"ivf post-reclaim row counts: $nvR vs $nvL")
+        println(f"SCALE s31_tombstones        serve-clean=${vClean}%6.2fs  " +
+          f"serve-10%%-tombstoned=${vTomb}%6.2fs  serve-rebuilt=${vLive}%6.2fs  " +
+          f"serve-after-reclaim=${vRecl}%6.2fs  mask-overhead=${vTomb / vLive}%5.2fx")
+      }
 
       // d25 economics (round-16): cluster MAINTENANCE at delta cost.
       // full = one-shot CC over the whole x10 corpus's LSH pair set
@@ -534,6 +623,11 @@ object ScaleProbe {
     row("d27_cluster_delete",
       t2(mat(Dedup.d27ClusterDeleteMaintain(spark, docsAt("x1")))),
       t2(mat(Dedup.d27ClusterDeleteMaintain(spark, docsAt("x10")))))
+    // u01 (r17): index build + one-generation update fold + d21's
+    // probe — the build and fold passes dominate (linear in lane mass)
+    row("u01_lsh_update_probe",
+      t2(mat(Dedup.u01LshUpdateProbe(spark, docsAt("x1")))),
+      t2(mat(Dedup.u01LshUpdateProbe(spark, docsAt("x10")))))
     // s31 (r16): s17's persisted serve + one broadcast anti-join mask
     row("s31_ivf_delete_serve",
       t2(mat(Similarity.s31IvfDeleteServe(spark, docsAt("x1")))),
