@@ -357,9 +357,6 @@ object Bench {
       // to the p100 headline. The settled median-of-3 is the protocol
       // built for exactly that (r14 verdict #2).
       "c12_incremental_curation")
-    // attempts rise rather than fall under repetition (see DRIFT.md):
-    // report the settled MIN for these, the median for the rest
-    val selfDegrading = Set("c12_incremental_curation")
     val ccAttempts = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = queries.map { case (name, fn) =>
       // settle GC debt from the previous query so its collection pause
@@ -388,17 +385,14 @@ object Bench {
             timeSec(materialize(fn(spark, sfDir)))
           }
           ccAttempts(name) = ts
-          // estimator per attempt-ramp shape (DRIFT.md, r16): the CC
-          // family's attempts DECLINE (warmup — median discards the
-          // cold first sample), but c12's attempts RISE — its own
-          // state-build lineage leaves debt that bills into the next
-          // attempt (fresh-session ramp [8.4, 6.6, 6.3, 6.3, 7.9, 8.0]
-          // with no suite present), so on that ramp the median
-          // structurally reports an inflated sample and the MIN is the
-          // steady-state estimator (it matches the isolated bracket
-          // and the warm min-of-2 under every suite order). Attempt
-          // spreads stay published either way.
-          if (selfDegrading(name)) ts.min else ts.sorted.apply(1)
+          // settled median-of-3, uniformly. r16 special-cased c12 with
+          // a MIN estimator on a "self-degrading ramp" read; the r17
+          // RampProbe telemetry (DRIFT.md addendum) showed no resource
+          // grows across 8 settled attempts and the ramp DECLINES to a
+          // flat floor once scratch is drained — the r16 rise was JIT
+          // warmup + box noise, so the special case is deleted and the
+          // attempt spreads stay published for audit.
+          ts.sorted.apply(1)
         } else {
           val t1 = timeSec(materialize(fn(spark, sfDir)))
           val t2 = timeSec(materialize(fn(spark, sfDir)))
@@ -413,6 +407,10 @@ object Bench {
       (name, sec, gcMsNow() - gc0 - settleGcMs)
     }
     val gcQueriesMs = gcMsNow() - gcStart
+    // drain before sampling the END-STATE storage metric: the last
+    // query's tracked scratch is by-design alive until a consumer
+    // drain, and counting it would make a healthy run read as a leak
+    Scratch.drain()
     val (storageRdds, storageMem) = storageNow()
     val ok = results.filter(_._2 >= 0).map(_._2).sorted
     val medianS = if (ok.nonEmpty) ok(ok.size / 2) else -1.0
