@@ -274,6 +274,26 @@ object ScaleProbe {
       println(f"SCALE u01_update            update(2%%)=${updS}%6.2fs  " +
         f"rebuild-with-revisions=${rbS}%6.2fs  cost-ratio=${updS / rbS}%5.2fx  " +
         f"(probe-upd=${pU}%5.2fs probe-rb=${pUr}%5.2fs, same answer)")
+      // the same pricing at 10× standing mass: the x1 row is IO-tied
+      // (5k docs of text make the rebuild's signature recompute free);
+      // what update actually saves is re-reading and re-signing the
+      // STANDING corpus text, which grows with the corpus while the
+      // revision batch does not — the ratio is the row to watch
+      val standing10u = standing1.unionByName(copies9)
+      val idxU10 = s"$base/lshidx_upd10"
+      val idxU10rb = s"$base/lshidx_upd10rb"
+      Dedup.writeLshIndex(standing10u, idxU10)
+      val updS10 = timeSec(Dedup.updateInLshIndex(changedU, idxU10))
+      val rbS10 = timeSec(Dedup.writeLshIndex(standing10u
+        .join(changedU.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(changedU), idxU10rb))
+      val (pU10, nU10) = t2(Dedup.probeLshIndex(spark, idxU10, delta1, 0.8).count())
+      val (pUr10, nUr10) = t2(Dedup.probeLshIndex(spark, idxU10rb, delta1, 0.8).count())
+      require(nU10 == nUr10,
+        s"x10 update vs rebuild-with-revisions diverged: $nU10 vs $nUr10")
+      println(f"SCALE u01_update_x10        update(0.2%%)=${updS10}%6.2fs  " +
+        f"rebuild-with-revisions=${rbS10}%6.2fs  cost-ratio=${updS10 / rbS10}%5.2fx  " +
+        f"(probe-upd=${pU10}%5.2fs probe-rb=${pUr10}%5.2fs, same answer)")
 
       // tombstone-mask economics for the BM25 and IVF artifacts
       // (round-17, VERDICT r16 #7): serve cost of (a) a NEVER-deleted
