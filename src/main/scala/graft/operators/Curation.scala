@@ -2026,7 +2026,7 @@ object Curation {
     // evicted dir backs a plan returned 8 invocations ago, long since
     // consumed (each invocation here materializes its own state first)
     while (c12StateDirs.size > 8)
-      Option(c12StateDirs.poll()).foreach(graft.BenchUtil.rmTree)
+      Option(c12StateDirs.poll()).foreach(graft.Scratch.deferDelete)
     curationState(standing, bench).write.mode("overwrite").parquet(stateDir)
     admitDelta(s.read.parquet(stateDir), delta, bench)
   }

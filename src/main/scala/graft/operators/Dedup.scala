@@ -1466,7 +1466,7 @@ object Dedup {
   private def u01Admit(dir: String): Unit = {
     u01Dirs.add(dir)
     while (u01Dirs.size > 4)
-      Option(u01Dirs.poll()).foreach(graft.BenchUtil.rmTree)
+      Option(u01Dirs.poll()).foreach(graft.Scratch.deferDelete)
   }
   private lazy val u01CleanupHook: Unit = {
     sys.addShutdownHook { u01Dirs.forEach(d => graft.BenchUtil.rmTree(d)) }
@@ -1742,7 +1742,7 @@ object Dedup {
   private def d27Admit(dir: String): Unit = {
     d27MapDirs.add(dir)
     while (d27MapDirs.size > 4)
-      Option(d27MapDirs.poll()).foreach(graft.BenchUtil.rmTree)
+      Option(d27MapDirs.poll()).foreach(graft.Scratch.deferDelete)
   }
   private lazy val d27CleanupHook: Unit = {
     sys.addShutdownHook {

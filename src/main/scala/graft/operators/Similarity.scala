@@ -1967,7 +1967,7 @@ object Similarity {
   private def s17Admit(dir: String): Unit = {
     s17IndexDirs.add(dir)
     while (s17IndexDirs.size > 8)
-      Option(s17IndexDirs.poll()).foreach(graft.BenchUtil.rmTree)
+      Option(s17IndexDirs.poll()).foreach(graft.Scratch.deferDelete)
   }
   private lazy val s17CleanupHook: Unit = {
     sys.addShutdownHook {

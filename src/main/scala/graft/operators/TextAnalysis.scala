@@ -1400,7 +1400,7 @@ object TextAnalysis {
   private def t41Admit(dir: String): Unit = {
     t41IndexDirs.add(dir)
     while (t41IndexDirs.size > 4)
-      Option(t41IndexDirs.poll()).foreach(graft.BenchUtil.rmTree)
+      Option(t41IndexDirs.poll()).foreach(graft.Scratch.deferDelete)
   }
   private lazy val t41CleanupHook: Unit = {
     sys.addShutdownHook {

@@ -74,7 +74,8 @@ object PlanAudit {
         "d25_incremental_clusters", "d26_lsh_delete_probe",
         "s31_ivf_delete_serve", "m18_payload_delete_probe",
         "t40_lang_mismatch", "t41_bm25_persisted",
-        "d27_cluster_delete", "c24_budget_allocation").foreach(show)
+        "d27_cluster_delete", "c24_budget_allocation",
+        "u01_lsh_update_probe").foreach(show)
     if (targets.isEmpty) {
       java.nio.file.Files.write(java.nio.file.Paths.get("PLANS.md"),
         out.toString.getBytes("UTF-8"))

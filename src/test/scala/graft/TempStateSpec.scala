@@ -28,6 +28,11 @@ class TempStateSpec extends SparkSpec {
     (1 to 10).foreach { _ =>
       materialize(operators.Curation.c12IncrementalCuration(spark, sf0001))
     }
+    // evictions are deferred to the consumer's drain boundary (r17:
+    // an inline rmTree of a retired dir billed into whichever timed
+    // invocation crossed the cap) — the cap contract is "≤ cap live
+    // dirs after the consumer drains", so drain before counting
+    Scratch.drain()
     val alive = tmpDirs("graft-c12-state") -- before
     assert(alive.size <= 8,
       s"${alive.size} c12 state dirs alive after 10 invocations — cap not enforced")
@@ -40,6 +45,7 @@ class TempStateSpec extends SparkSpec {
       materialize(operators.Similarity.s17IvfPersistedTopK(spark, sf0001))
       materialize(operators.Similarity.s18IvfAppendServe(spark, sf0001))
     }
+    Scratch.drain() // deferred evictions reclaim at the drain boundary
     val alive =
       (tmpDirs("graft-s17-index") ++ tmpDirs("graft-s18-index")) -- before
     assert(alive.size <= 8,
