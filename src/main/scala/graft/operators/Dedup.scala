@@ -1150,18 +1150,38 @@ object Dedup {
     * c07 snapshot cadence, so this is the compaction the artifact
     * would run on that cadence anyway, carrying the revisions along
     * for free. */
-  def updateInLshIndex(changed: DataFrame, dir: String): Unit = {
-    val s = changed.sparkSession
+  def updateInLshIndex(changed: DataFrame, dir: String): Unit =
+    syncLshIndex(changed, changed.sparkSession.range(0)
+      .select(org.apache.spark.sql.functions.col("id").as("doc_id")), dir)
+
+  /** Apply a FULL c07 snapshot diff in ONE atomic generation — the
+    * composed lifecycle verb (r17): `upserts` carries the `changed`
+    * docs' new revisions AND the `added` docs (an absent id inserts —
+    * the update fold's documented edge), `removed` carries the
+    * takedown/re-crawl-removed ids. gen N+1 = standing lanes minus
+    * (tombstoned ∪ removed ∪ upsert) ids, plus the upserts' freshly
+    * derived lanes, one `_current` flip — a reader sees the pre-diff
+    * or the post-diff corpus, never any partially-applied middle
+    * (deletes visible but revisions absent, or vice versa). This is
+    * what a corpus-sync job actually runs per snapshot: the reference
+    * itself is an incremental sync loop (its cursor sketch,
+    * core.clj:133-137), and the three-verbs-in-one-fold form costs
+    * exactly one lane pass — the same pass a lone update already
+    * paid. sync ≡ writeLshIndex over (standing ∖ removed ∖ changed)
+    * ∪ upserts is spec-pinned (IndexUpdateSpec). */
+  def syncLshIndex(upserts: DataFrame, removed: DataFrame, dir: String): Unit = {
+    val s = upserts.sparkSession
     import s.implicits._
     IndexStore.adoptLegacy(dir)
     val src = IndexStore.currentPath(dir)
     val g = IndexStore.nextGen(dir)
     val dst = IndexStore.genPath(dir, g)
-    // one broadcast mask: already-tombstoned ids ∪ the changed ids
-    // (delta-sized by premise; localCheckpoint — ~4 consumers)
+    // one broadcast mask: already-tombstoned ∪ removed ∪ upsert ids
+    // (diff-sized by premise; localCheckpoint — ~4 consumers)
     val dead = IndexStore.readTombstones(s, dir, "doc_id")
-      .unionByName(changed.select($"doc_id")).distinct().localCheckpoint()
-    val newSh = graft.Scratch.track(shingleFrame(changed).localCheckpoint())
+      .unionByName(removed.select($"doc_id"))
+      .unionByName(upserts.select($"doc_id")).distinct().localCheckpoint()
+    val newSh = graft.Scratch.track(shingleFrame(upserts).localCheckpoint())
     val newBanded = graft.Scratch.track(bandedOf(newSh).localCheckpoint())
     def fold(lane: String, fresh: DataFrame): Unit = {
       val in = s.read.parquet(s"$src/$lane")

@@ -592,19 +592,28 @@ object Multimodal {
     * revisions' freshly-derived bands, one atomic publish; probe ≡
     * rebuild-with-new-revisions, IndexUpdateSpec-pinned. Payload
     * bytes never shuffle — only the 8 band rows per doc move. */
-  def updateInPayloadIndex(changed: DataFrame, dir: String): Unit = {
-    val s = changed.sparkSession
+  def updateInPayloadIndex(changed: DataFrame, dir: String): Unit =
+    syncPayloadIndex(changed, changed.sparkSession.range(0)
+      .select(org.apache.spark.sql.functions.col("id").as("doc_id")), dir)
+
+  /** Apply a FULL c07 snapshot diff in ONE atomic generation — the
+    * composed lifecycle verb on the payload artifact
+    * ([[graft.operators.Dedup.syncLshIndex]]'s contract). */
+  def syncPayloadIndex(upserts: DataFrame, removed: DataFrame,
+                       dir: String): Unit = {
+    val s = upserts.sparkSession
     import s.implicits._
     IndexStore.adoptLegacy(dir)
     val src = IndexStore.currentPath(dir)
     val g = IndexStore.nextGen(dir)
     val in = s.read.parquet(s"$src/bands")
     val dead = IndexStore.readTombstones(s, dir, "doc_id")
-      .unionByName(changed.select($"doc_id")).distinct().localCheckpoint()
+      .unionByName(removed.select($"doc_id"))
+      .unionByName(upserts.select($"doc_id")).distinct().localCheckpoint()
     in.join(org.apache.spark.sql.functions.broadcast(dead),
         Seq("doc_id"), "left_anti")
       .coalesce(math.max(1, in.inputFiles.length / 16))
-      .unionByName(payloadBands(changed))
+      .unionByName(payloadBands(upserts))
       .write.mode("overwrite").parquet(s"${IndexStore.genPath(dir, g)}/bands")
     IndexStore.publish(dir, g)
     IndexStore.sweep(dir)

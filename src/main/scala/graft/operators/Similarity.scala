@@ -1839,17 +1839,28 @@ object Similarity {
     * absent id inserts, a tombstoned id revives, and serve ≡
     * rebuild-with-new-revisions is IndexUpdateSpec-pinned. */
   def updateInIvfIndex(changed: DataFrame, centroids: DataFrame,
-                       indexDir: String): Unit = {
-    val s = changed.sparkSession
+                       indexDir: String): Unit =
+    syncIvfIndex(changed, changed.sparkSession.range(0)
+      .select(org.apache.spark.sql.functions.col("id").as("vec_id")),
+      centroids, indexDir)
+
+  /** Apply a FULL c07 snapshot diff in ONE atomic generation — the
+    * composed lifecycle verb on the vector artifact
+    * ([[graft.operators.Dedup.syncLshIndex]]'s contract): upserts
+    * assign against the frozen centroids, removed ids fold out. */
+  def syncIvfIndex(upserts: DataFrame, removed: DataFrame,
+                   centroids: DataFrame, indexDir: String): Unit = {
+    val s = upserts.sparkSession
     import s.implicits._
     IndexStore.adoptLegacy(indexDir)
     val src = IndexStore.currentPath(indexDir)
     val g = IndexStore.nextGen(indexDir)
     val dead = IndexStore.readTombstones(s, indexDir, "vec_id")
-      .unionByName(changed.select($"vec_id")).distinct().localCheckpoint()
+      .unionByName(removed.select($"vec_id"))
+      .unionByName(upserts.select($"vec_id")).distinct().localCheckpoint()
     s.read.parquet(src)
       .join(broadcast(dead), Seq("vec_id"), "left_anti")
-      .unionByName(ivfAssigned(changed, centroids))
+      .unionByName(ivfAssigned(upserts, centroids))
       .repartition($"cluster_id")
       .sortWithinPartitions($"vec_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)

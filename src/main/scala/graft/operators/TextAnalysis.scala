@@ -1299,18 +1299,30 @@ object TextAnalysis {
     * the revision, and the recompute heals any crash-window partial
     * drift for free), one atomic publish. Serve ≡
     * rebuild-with-new-revisions; IndexUpdateSpec pins it. */
-  def updateInBm25Index(changed: DataFrame, dir: String): Unit = {
-    val s = changed.sparkSession
+  def updateInBm25Index(changed: DataFrame, dir: String): Unit =
+    syncBm25Index(changed, changed.sparkSession.range(0)
+      .select(org.apache.spark.sql.functions.col("id").as("doc_id")), dir)
+
+  /** Apply a FULL c07 snapshot diff in ONE atomic generation — the
+    * composed lifecycle verb on the lexical artifact
+    * ([[graft.operators.Dedup.syncLshIndex]]'s contract): `upserts` =
+    * changed revisions ∪ added docs, `removed` = dead ids; sync ≡
+    * rebuild over (standing ∖ removed ∖ changed) ∪ upserts,
+    * IndexUpdateSpec-pinned. */
+  def syncBm25Index(upserts: DataFrame, removed: DataFrame,
+                    dir: String): Unit = {
+    val s = upserts.sparkSession
     import s.implicits._
     IndexStore.adoptLegacy(dir)
     val src = IndexStore.currentPath(dir)
     val g = IndexStore.nextGen(dir)
     val root = IndexStore.genPath(dir, g)
     val dead = IndexStore.readTombstones(s, dir, "doc_id")
-      .unionByName(changed.select($"doc_id")).distinct().localCheckpoint()
+      .unionByName(removed.select($"doc_id"))
+      .unionByName(upserts.select($"doc_id")).distinct().localCheckpoint()
     s.read.parquet(s"$src/postings")
       .join(broadcast(dead), Seq("doc_id"), "left_anti")
-      .unionByName(bm25Postings(changed))
+      .unionByName(bm25Postings(upserts))
       .repartition($"bucket").sortWithinPartitions($"token", $"doc_id")
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/postings")
     s.read.parquet(s"$root/postings")

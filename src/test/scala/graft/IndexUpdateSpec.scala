@@ -222,6 +222,105 @@ class IndexUpdateSpec extends SparkSpec {
     } finally { BenchUtil.rmTree(dir); BenchUtil.rmTree(rb) }
   }
 
+  test("sync: one-generation full-diff fold ≡ rebuild (adds + revisions + removals, LSH and BM25)") {
+    // the composed lifecycle verb: upserts = changed revisions ∪ added
+    // docs, removed = dead ids — ONE atomic generation per artifact
+    val universe = docs.filter($"doc_id" <= 500)
+    val standing = universe.filter($"doc_id" % 9 =!= 0)
+    val added = universe.filter($"doc_id" % 9 === 0)
+    val changed = revised(standing.filter($"doc_id" % 11 === 0))
+    val removed = standing
+      .filter($"doc_id" % 7 === 0 && $"doc_id" % 11 =!= 0).select($"doc_id")
+    val upserts = changed.unionByName(added)
+    val net = standing
+      .join(removed, Seq("doc_id"), "left_anti")
+      .join(upserts.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(upserts)
+    val lsh = java.nio.file.Files.createTempDirectory("sync-lsh").toString
+    val lshRb = java.nio.file.Files.createTempDirectory("sync-lsh-rb").toString
+    val bm = java.nio.file.Files.createTempDirectory("sync-bm").toString
+    val bmRb = java.nio.file.Files.createTempDirectory("sync-bm-rb").toString
+    try {
+      Dedup.writeLshIndex(standing, lsh)
+      val g0 = IndexStore.currentGen(lsh).get
+      Dedup.syncLshIndex(upserts, removed, lsh)
+      assert(IndexStore.currentGen(lsh).get === g0 + 1,
+        "the whole diff must land as ONE generation")
+      Dedup.writeLshIndex(net, lshRb)
+      val delta = docs.filter($"doc_id" > 500 && $"doc_id" <= 700)
+      def probe(d: String) = Dedup.probeLshIndex(spark, d, delta, 0.8)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(probe(lsh) === probe(lshRb), "LSH sync diverged from rebuild")
+      TextAnalysis.writeBm25Index(standing, bm)
+      TextAnalysis.syncBm25Index(upserts, removed, bm)
+      TextAnalysis.writeBm25Index(net, bmRb)
+      val q = universe.filter($"doc_id" < 10)
+      def serve(d: String) = TextAnalysis.bm25TopKFromIndex(spark, d, q, 3)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(serve(bm) === serve(bmRb), "BM25 sync diverged from rebuild")
+    } finally Seq(lsh, lshRb, bm, bmRb).foreach(BenchUtil.rmTree)
+  }
+
+  test("streaming corpus sync: sliced CDC feed ≡ rebuild; replay idempotent; delete wins") {
+    val universe = docs.filter($"doc_id" <= 500)
+    val standing = universe.filter($"doc_id" % 9 =!= 0)
+    // the CDC feed: adds (%9=0), revisions (%11=0 of standing),
+    // deletes (%7=0 of standing, not also revised)
+    val events = universe.filter($"doc_id" % 9 === 0)
+      .select($"doc_id", $"text", lit("upsert").as("op"))
+      .unionByName(revised(standing.filter($"doc_id" % 11 === 0))
+        .select($"doc_id", $"text", lit("upsert").as("op")))
+      .unionByName(standing
+        .filter($"doc_id" % 7 === 0 && $"doc_id" % 11 =!= 0)
+        .select($"doc_id", lit(null).cast("string").as("text"),
+          lit("delete").as("op")))
+    val net = standing
+      .join(events.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(universe.filter($"doc_id" % 9 === 0))
+      .unionByName(revised(standing.filter(
+        $"doc_id" % 11 === 0 && $"doc_id" % 9 =!= 0)))
+    val lsh = java.nio.file.Files.createTempDirectory("ssync-lsh").toString
+    val rb = java.nio.file.Files.createTempDirectory("ssync-rb").toString
+    try {
+      Dedup.writeLshIndex(standing, lsh)
+      // stream the feed in 3 id-range slices
+      val (lo, hi) = {
+        val r = events.agg(min($"doc_id"), max($"doc_id")).head
+        (r.getLong(0), r.getLong(1))
+      }
+      val bounds = (0 to 3).map(i => lo + (hi - lo + 1) * i / 3)
+      (0 until 3).foreach { i =>
+        streaming.StreamingCorpusSync.syncBatch(
+          events.filter($"doc_id" >= bounds(i) && $"doc_id" < bounds(i + 1)),
+          Some(lsh), None)
+      }
+      Dedup.writeLshIndex(net, rb)
+      val delta = docs.filter($"doc_id" > 500 && $"doc_id" <= 700)
+      def probe(d: String) = Dedup.probeLshIndex(spark, d, delta, 0.8)
+        .as[(Long, Long, Double)].collect().toSet
+      val want = probe(rb)
+      assert(probe(lsh) === want, "streamed sync diverged from rebuild")
+      // replay the middle batch — answer-idempotent
+      streaming.StreamingCorpusSync.syncBatch(
+        events.filter($"doc_id" >= bounds(1) && $"doc_id" < bounds(2)),
+        Some(lsh), None)
+      assert(probe(lsh) === want, "replayed batch changed the answer")
+      // delete-wins conflict resolution: one malformed batch carrying
+      // BOTH ops for one live doc must end with the doc absent
+      val victim = net.orderBy($"doc_id").limit(1)
+      val vid = victim.select($"doc_id").as[Long].head()
+      streaming.StreamingCorpusSync.syncBatch(
+        victim.select($"doc_id", $"text", lit("upsert").as("op"))
+          .unionByName(victim.select($"doc_id",
+            lit(null).cast("string").as("text"), lit("delete").as("op"))),
+        Some(lsh), None)
+      val live = spark.read
+        .parquet(s"${IndexStore.currentPath(lsh)}/shingles")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(!live.contains(vid), "delete must win a same-batch conflict")
+    } finally Seq(lsh, rb).foreach(BenchUtil.rmTree)
+  }
+
   test("cluster map: composed update ≡ map rebuilt over the revised corpus's pairs") {
     val standing = docs.filter($"doc_id" % 10 =!= 0)
     val changed = revised(standing.filter($"doc_id" % 11 === 0))
