@@ -1168,14 +1168,24 @@ object Dedup {
     * core.clj:133-137), and the three-verbs-in-one-fold form costs
     * exactly one lane pass — the same pass a lone update already
     * paid. sync ≡ writeLshIndex over (standing ∖ removed ∖ changed)
-    * ∪ upserts is spec-pinned (IndexUpdateSpec). */
-  def syncLshIndex(upserts: DataFrame, removed: DataFrame, dir: String): Unit = {
-    val s = upserts.sparkSession
+    * ∪ upserts is spec-pinned (IndexUpdateSpec).
+    *
+    * Malformed-batch resolution (r18, shared by every sync verb): an
+    * id carried by BOTH `upserts` and `removed` resolves DELETE-WINS
+    * (matching [[graft.streaming.StreamingCorpusSync]] — takedowns are
+    * the legally-loaded verb; the next honest upsert re-inserts), and
+    * same-id duplicate upserts fold exactly ONE deterministic revision
+    * ([[IndexStore.latestRevision]] — c07 diffs emit one row per id,
+    * but a raw CDC batch may not). */
+  def syncLshIndex(upserts0: DataFrame, removed: DataFrame, dir: String): Unit = {
+    val s = upserts0.sparkSession
     import s.implicits._
     IndexStore.adoptLegacy(dir)
     val src = IndexStore.currentPath(dir)
     val g = IndexStore.nextGen(dir)
     val dst = IndexStore.genPath(dir, g)
+    val upserts = IndexStore.latestRevision(upserts0, "doc_id")
+      .join(broadcast(removed.select($"doc_id")), Seq("doc_id"), "left_anti")
     // one broadcast mask: already-tombstoned ∪ removed ∪ upsert ids
     // (diff-sized by premise; localCheckpoint — ~4 consumers)
     val dead = IndexStore.readTombstones(s, dir, "doc_id")
@@ -1306,17 +1316,22 @@ object Dedup {
     * (conservative: never admits extra candidates). */
   def probeLshIndex(s: SparkSession, dir: String, delta: DataFrame,
                     threshold: Double, maxBucket: Int = 1000): DataFrame = {
+    // the generation is resolved ONCE and every lane + the tombstone
+    // state read through the resolved root: resolving independently
+    // per lane opens a window where a concurrent maintainer flip pairs
+    // gen G's lanes with gen G+1's folded-away tombstones, serving
+    // deleted rows unmasked (r17 advice)
     val root = IndexStore.currentPath(dir)
     // tombstone masking ([[deleteFromLshIndex]]) only when a deletion
     // was ever recorded — the zero-tombstone plan is IDENTICAL to the
     // pre-deletion probe (no `_tombstones` scan, no anti-join stages;
     // one filesystem stat decides, PlanSpec-pinned)
     val (b, c, sh) =
-      if (IndexStore.hasTombstones(dir))
+      if (IndexStore.hasTombstonesAt(root))
         maskLshLanes(s.read.parquet(s"$root/banded"),
           s.read.parquet(s"$root/bucket_counts"),
           s.read.parquet(s"$root/shingles"),
-          IndexStore.readTombstones(s, dir, "doc_id"))
+          IndexStore.readTombstonesAt(s, root, "doc_id"))
       else (s.read.parquet(s"$root/banded"),
         s.read.parquet(s"$root/bucket_counts"),
         s.read.parquet(s"$root/shingles"))
@@ -1708,9 +1723,10 @@ object Dedup {
     val s = removedIds.sparkSession
     import s.implicits._
     deleteFromClusterMap(removedIds, cmapDir, affLive => {
+      // generation resolved once; lanes + tombstones read through it
       val root = IndexStore.currentPath(lshIndexDir)
-      val sh = IndexStore.maskTombstones(
-          s.read.parquet(s"$root/shingles"), lshIndexDir, "doc_id")
+      val sh = IndexStore.maskTombstonesAt(
+          s.read.parquet(s"$root/shingles"), root, "doc_id")
         .join(broadcast(affLive), Seq("doc_id"), "left_semi")
         // the index lane is unsorted (its probe consumers are order-
         // free); the prefix filter REQUIRES ascending arrays — sort
@@ -1743,16 +1759,59 @@ object Dedup {
     * that is itself a CONSISTENT corpus (the changed docs simply
     * absent), the same window a delete-then-append cadence always has;
     * single-artifact readers never see a torn generation. */
-  def updateClusterMapViaLshIndex(changed: DataFrame, cmapDir: String,
+  def updateClusterMapViaLshIndex(changed0: DataFrame, cmapDir: String,
       lshIndexDir: String, threshold: Double = 0.8): Unit = {
-    val s = changed.sparkSession
+    val s = changed0.sparkSession
     import s.implicits._
+    // same-id duplicate revisions resolve to ONE deterministic winner
+    // BEFORE any step: the index fold would pick one anyway
+    // (latestRevision inside syncLshIndex), but the step-3 probe runs
+    // over `changed` directly — an unresolved batch would probe with
+    // the losing revision's shingles too and merge phantom pairs
+    val changed = IndexStore.latestRevision(changed0, "doc_id")
+      .localCheckpoint() // 3 consumers below; diff-sized
     updateInLshIndex(changed, lshIndexDir)
     deleteFromClusterMapViaLshIndex(changed.select($"doc_id"), cmapDir,
       lshIndexDir, threshold)
     mergeIntoClusterMap(
       probeLshIndex(s, lshIndexDir, changed, threshold).select($"d1", $"d2"),
       cmapDir)
+    graft.Scratch.releaseNow(changed) // all three steps have consumed it
+  }
+
+  /** Apply a FULL snapshot diff through the cluster-map artifact — the
+    * composed sync verb on the map ([[updateClusterMapViaLshIndex]]'s
+    * three-step discipline carrying removals along):
+    *
+    *  1. the d21 LSH index folds the whole diff in ONE generation
+    *     ([[syncLshIndex]] — its r18 malformed-batch resolution,
+    *     delete-wins + deterministic same-id dedup, applies here too);
+    *  2. (removed ∪ upserted) ids leave the map, affected clusters
+    *     re-split from the updated index's live pairs
+    *     ([[deleteFromClusterMapViaLshIndex]]);
+    *  3. the surviving upserts' probe pairs merge back in.
+    *
+    * Net: read ≡ a map rebuilt over the post-diff corpus's pairs
+    * (spec-pinned in StreamingCorpusSyncSpec). Like the update form,
+    * steps publish separately — every intermediate is itself a
+    * consistent corpus (the diffed docs simply absent). */
+  def syncClusterMapViaLshIndex(upserts0: DataFrame, removed: DataFrame,
+      cmapDir: String, lshIndexDir: String, threshold: Double = 0.8): Unit = {
+    val s = upserts0.sparkSession
+    import s.implicits._
+    // the map's own copy of the shared sync resolution: the index fold
+    // below re-derives it, but steps 2–3 consume `upserts` directly
+    val upserts = IndexStore.latestRevision(upserts0, "doc_id")
+      .join(broadcast(removed.select($"doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint() // 3 consumers below; diff-sized
+    syncLshIndex(upserts, removed, lshIndexDir)
+    deleteFromClusterMapViaLshIndex(
+      removed.select($"doc_id").unionByName(upserts.select($"doc_id")),
+      cmapDir, lshIndexDir, threshold)
+    mergeIntoClusterMap(
+      probeLshIndex(s, lshIndexDir, upserts, threshold).select($"d1", $"d2"),
+      cmapDir)
+    graft.Scratch.releaseNow(upserts)
   }
 
   /** Temp cluster-map dirs from the registered d27 entry — the s17

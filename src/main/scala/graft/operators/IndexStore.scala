@@ -162,10 +162,13 @@ object IndexStore {
     * double-deleting an id just appends another row, which every
     * consumer tolerates (reads are distinct-ed, masks are semi/anti
     * joins). Ids are assumed never reused (the corpus family's
-    * monotonic-id contract): a tombstoned id stays dead; "re-adding"
-    * one is an upsert, which this artifact family deliberately does
-    * not model. Normalizes legacy flat dirs first ([[adoptLegacy]])
-    * so the lane always lives inside a generation. */
+    * monotonic-id contract): a tombstoned id stays dead to APPENDS and
+    * probes; the sanctioned revival path is the r17 update/sync verb
+    * family (`updateIn*` / `sync*Index`), whose one-generation fold
+    * explicitly re-inserts a tombstoned id's new revision and reclaims
+    * the lane (IndexUpdateSpec pins revival). Normalizes legacy flat
+    * dirs first ([[adoptLegacy]]) so the lane always lives inside a
+    * generation. */
   def appendTombstones(ids: DataFrame, dir: String, idCol: String): Unit = {
     adoptLegacy(dir)
     if (currentGen(dir).isEmpty) publish(dir, 0L) // empty artifact: still record
@@ -180,8 +183,17 @@ object IndexStore {
     * Removals are delta-sized by premise, so callers broadcast this
     * frame into anti-joins against standing lanes — the standing side
     * streams, preserving every probe's delta-cost contract. */
-  def readTombstones(s: SparkSession, dir: String, idCol: String): DataFrame = {
-    val lane = tombstoneLane(currentPath(dir))
+  def readTombstones(s: SparkSession, dir: String, idCol: String): DataFrame =
+    readTombstonesAt(s, currentPath(dir), idCol)
+
+  /** [[readTombstones]] against an ALREADY-RESOLVED generation root —
+    * for serve paths that resolved [[currentPath]] once and must read
+    * that same generation's lanes AND tombstones (resolving the
+    * generation independently per lane opens a window where a
+    * concurrent maintainer flip pairs gen G's lanes with gen G+1's
+    * folded-away tombstone state, serving deleted rows unmasked). */
+  def readTombstonesAt(s: SparkSession, root: String, idCol: String): DataFrame = {
+    val lane = tombstoneLane(root)
     val schema = StructType(Seq(StructField(idCol, LongType)))
     if (Files.isDirectory(Paths.get(lane)))
       s.read.schema(schema).parquet(lane).distinct()
@@ -195,21 +207,59 @@ object IndexStore {
     * path paid a broadcast-empty-frame anti-join — an extra job, an
     * exchange, and a codegen stage — on indexes with no tombstone lane
     * at all). */
-  def hasTombstones(dir: String): Boolean =
-    Files.isDirectory(Paths.get(tombstoneLane(currentPath(dir))))
+  def hasTombstones(dir: String): Boolean = hasTombstonesAt(currentPath(dir))
+
+  /** [[hasTombstones]] against an already-resolved generation root
+    * (the [[readTombstonesAt]] single-resolution discipline). */
+  def hasTombstonesAt(root: String): Boolean =
+    Files.isDirectory(Paths.get(tombstoneLane(root)))
 
   /** Mask `df` by the artifact's tombstones on `idCol` — the standard
     * serve-time guard: broadcast anti-join when deletions exist
     * (removals are delta-sized by premise; the standing side streams),
     * and the IDENTITY — plan-identical to the pre-deletion path, no
     * anti-join stage, no `_tombstones` scan — when none were ever
-    * recorded ([[hasTombstones]]). */
+    * recorded ([[hasTombstones]]). Prefer [[maskTombstonesAt]] in
+    * serve paths that already resolved the generation root. */
   def maskTombstones(df: DataFrame, dir: String, idCol: String): DataFrame =
-    if (hasTombstones(dir))
+    maskTombstonesAt(df, currentPath(dir), idCol)
+
+  /** [[maskTombstones]] against an already-resolved generation root:
+    * one probe reads ONE generation's lanes and tombstones even under
+    * a concurrent maintainer flip. */
+  def maskTombstonesAt(df: DataFrame, root: String, idCol: String): DataFrame =
+    if (hasTombstonesAt(root))
       df.join(org.apache.spark.sql.functions.broadcast(
-          readTombstones(df.sparkSession, dir, idCol)),
+          readTombstonesAt(df.sparkSession, root, idCol)),
         Seq(idCol), "left_anti")
     else df
+
+  /** Resolve SAME-ID upserts within one diff batch to exactly one row
+    * per id — the precondition every `sync*Index` generation fold
+    * needs: two revisions of one id landing in the lanes would both
+    * probe/serve, silently diverging from the sync ≡
+    * rebuild-with-one-revision contract (r17 advice). CDC feeds
+    * routinely carry multiple updates per key per micro-batch; a
+    * DataFrame carries no arrival order, so feeds that know their
+    * ordering should pre-resolve (the streaming wrapper's `seq`
+    * column does). For feeds that don't, this keeps a DETERMINISTIC
+    * representative — the row ranking first over all non-id columns
+    * descending — so replays and re-runs of the same batch fold the
+    * same revision (an arbitrary `dropDuplicates` pick would not).
+    * In the common case (true duplicate rows — replay) this is the
+    * identity choice. Cost: one window over the DIFF-sized batch. */
+  def latestRevision(df: DataFrame, idCol: String): DataFrame = {
+    val content = df.columns.filter(_ != idCol)
+    if (content.isEmpty) df.distinct()
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol))
+        .orderBy(content.map(c => col(c).desc_nulls_last): _*)
+      df.withColumn("__rev_rn",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("__rev_rn") === 1).drop("__rev_rn")
+    }
+  }
 
   /** One-time migration of a legacy FLAT index dir (written before the
     * generation layout existed: lanes at top level, no `_current`)

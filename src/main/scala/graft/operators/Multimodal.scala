@@ -560,7 +560,7 @@ object Multimodal {
     // tombstones fold in: dead payloads' band rows anti-joined out and
     // the new generation carries no tombstone lane — reclaim = the flip
     // (identity when no deletion was ever recorded — the r17 fast path)
-    IndexStore.maskTombstones(in, dir, "doc_id")
+    IndexStore.maskTombstonesAt(in, src, "doc_id")
       .coalesce(math.max(1, in.inputFiles.length / 16))
       .write.mode("overwrite").parquet(s"${IndexStore.genPath(dir, g)}/bands")
     IndexStore.publish(dir, g)
@@ -598,15 +598,21 @@ object Multimodal {
 
   /** Apply a FULL c07 snapshot diff in ONE atomic generation — the
     * composed lifecycle verb on the payload artifact
-    * ([[graft.operators.Dedup.syncLshIndex]]'s contract). */
-  def syncPayloadIndex(upserts: DataFrame, removed: DataFrame,
+    * ([[graft.operators.Dedup.syncLshIndex]]'s contract, incl. its r18
+    * malformed-batch resolution: delete-wins on an id in both sets,
+    * one deterministic revision per id via
+    * [[IndexStore.latestRevision]]). */
+  def syncPayloadIndex(upserts0: DataFrame, removed: DataFrame,
                        dir: String): Unit = {
-    val s = upserts.sparkSession
+    val s = upserts0.sparkSession
     import s.implicits._
     IndexStore.adoptLegacy(dir)
     val src = IndexStore.currentPath(dir)
     val g = IndexStore.nextGen(dir)
     val in = s.read.parquet(s"$src/bands")
+    val upserts = IndexStore.latestRevision(upserts0, "doc_id")
+      .join(org.apache.spark.sql.functions.broadcast(
+        removed.select($"doc_id")), Seq("doc_id"), "left_anti")
     val dead = IndexStore.readTombstones(s, dir, "doc_id")
       .unionByName(removed.select($"doc_id"))
       .unionByName(upserts.select($"doc_id")).distinct().localCheckpoint()
@@ -639,14 +645,16 @@ object Multimodal {
     * pairs touching the delta (new–old and new–new), at delta
     * fingerprint cost + one band-keyed equi-join. */
   def probePayloadIndex(s: SparkSession, dir: String, delta: DataFrame,
-                        maxHamming: Int): DataFrame =
+                        maxHamming: Int): DataFrame = {
+    // generation resolved ONCE; bands + tombstones read through it
+    val root = IndexStore.currentPath(dir)
     probePayloadBands(
       // tombstone masking ([[deleteFromPayloadIndex]]) — plan-identical
       // to the pre-deletion probe on a never-deleted index
-      IndexStore.maskTombstones(
-        s.read.parquet(s"${IndexStore.currentPath(dir)}/bands"),
-        dir, "doc_id"),
+      IndexStore.maskTombstonesAt(
+        s.read.parquet(s"$root/bands"), root, "doc_id"),
       delta, maxHamming)
+  }
 
   /** Frame-taking core of the probe (the registered entry builds the
     * standing band frame in-plan to stay oracle-self-contained). */

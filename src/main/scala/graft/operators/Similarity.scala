@@ -1276,7 +1276,7 @@ object Similarity {
     s.read.parquet(s"$src/books").write.mode("overwrite").parquet(s"$root/books")
     // tombstones fold in: dead codes anti-joined out, lane reclaimed
     // (identity when no deletion was ever recorded — the r17 fast path)
-    IndexStore.maskTombstones(s.read.parquet(s"$src/codes"), dir, "vec_id")
+    IndexStore.maskTombstonesAt(s.read.parquet(s"$src/codes"), src, "vec_id")
       .repartition($"cluster_id").sortWithinPartitions($"vec_id")
       .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$root/codes")
     IndexStore.publish(dir, g)
@@ -1302,20 +1302,50 @@ object Similarity {
     * atomic publish. Serve ≡ rebuild-with-new-revisions for the same
     * quantizers; spec-pinned in IndexUpdateSpec. */
   def updateInIvfAdcIndex(changedVq64: DataFrame, dsub: Int,
-                          dir: String): Unit = {
-    val s = changedVq64.sparkSession
+                          dir: String): Unit =
+    syncIvfAdcIndex(changedVq64, changedVq64.sparkSession.range(0)
+      .select(org.apache.spark.sql.functions.col("id").as("vec_id")),
+      dsub, dir)
+
+  /** Apply a FULL snapshot diff in ONE atomic generation on the
+    * compressed layout — the composed lifecycle verb
+    * ([[syncIvfIndex]]'s contract with the frozen PQ quantizers
+    * carried forward): `upsertsVq64` = changed/added vectors in the
+    * subvector layout ([[pqSubvectors]]), `removed` = dead ids. Shares
+    * the family's r18 malformed-batch resolution with one deliberate
+    * difference: delete-wins on an id in both sets, but same-id
+    * DUPLICATE upserts FAIL LOUDLY instead of deduping — in the
+    * subvector layout two revisions' rows for one (vec_id, sub) are
+    * indistinguishable, so any per-row pick could stitch a vector from
+    * MIXED revisions (a vector that never existed). Resolve revisions
+    * at the raw-vector layer before [[pqSubvectors]]
+    * ([[IndexStore.latestRevision]] on (vec_id, v) — the streaming
+    * wrapper does exactly that); the check here is one diff-sized
+    * aggregate. */
+  def syncIvfAdcIndex(upsertsVq64: DataFrame, removed: DataFrame,
+                      dsub: Int, dir: String): Unit = {
+    val s = upsertsVq64.sparkSession
     import s.implicits._
     IndexStore.adoptLegacy(dir)
     val src = IndexStore.currentPath(dir)
     val g = IndexStore.nextGen(dir)
     val root = IndexStore.genPath(dir, g)
+    require(upsertsVq64.groupBy($"vec_id", $"sub").count()
+        .filter($"count" > 1).isEmpty,
+      "syncIvfAdcIndex: same-id duplicate upserts in one batch — the " +
+      "subvector layout cannot pick one revision consistently across " +
+      "subspaces; resolve revisions on the raw vectors (e.g. " +
+      "IndexStore.latestRevision) before pqSubvectors")
     s.read.parquet(s"$src/coarse").write.mode("overwrite").parquet(s"$root/coarse")
     s.read.parquet(s"$src/books").write.mode("overwrite").parquet(s"$root/books")
+    val upserts = upsertsVq64
+      .join(broadcast(removed.select($"vec_id")), Seq("vec_id"), "left_anti")
     val dead = IndexStore.readTombstones(s, dir, "vec_id")
-      .unionByName(changedVq64.select($"vec_id")).distinct().localCheckpoint()
+      .unionByName(removed.select($"vec_id"))
+      .unionByName(upserts.select($"vec_id")).distinct().localCheckpoint()
     s.read.parquet(s"$src/codes")
       .join(broadcast(dead), Seq("vec_id"), "left_anti")
-      .unionByName(encodeIvfAdc(changedVq64,
+      .unionByName(encodeIvfAdc(upserts,
         s.read.parquet(s"$root/coarse"), s.read.parquet(s"$root/books"), dsub))
       .repartition($"cluster_id").sortWithinPartitions($"vec_id")
       .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$root/codes")
@@ -1344,10 +1374,10 @@ object Similarity {
       .withColumn("c_rank", row_number().over(wp))
       .filter($"c_rank" <= nprobe)
       .select($"cid").distinct().as[Int].collect().sorted
-    val codes = IndexStore.maskTombstones(
+    val codes = IndexStore.maskTombstonesAt(
       s.read.parquet(s"$root/codes")
         .filter($"cluster_id".isin(probedIds.map(Int.box): _*)),
-      dir, "vec_id") // tombstone masking ([[deleteFromIvfAdcIndex]]); identity when none
+      root, "vec_id") // tombstone masking ([[deleteFromIvfAdcIndex]]); identity when none
     ivfAdcServe(codes, coarse, books, qVq64, dsub, nprobe, k)
   }
 
@@ -1793,7 +1823,7 @@ object Similarity {
     // tombstones fold in here: dead vectors anti-joined out, and the
     // new generation carries no tombstone lane — reclaim is the flip
     // (identity when no deletion was ever recorded — the r17 fast path)
-    IndexStore.maskTombstones(s.read.parquet(src), indexDir, "vec_id")
+    IndexStore.maskTombstonesAt(s.read.parquet(src), src, "vec_id")
       .repartition($"cluster_id")
       .sortWithinPartitions($"vec_id")
       .write.mode("overwrite").partitionBy("cluster_id")
@@ -1847,14 +1877,19 @@ object Similarity {
   /** Apply a FULL c07 snapshot diff in ONE atomic generation — the
     * composed lifecycle verb on the vector artifact
     * ([[graft.operators.Dedup.syncLshIndex]]'s contract): upserts
-    * assign against the frozen centroids, removed ids fold out. */
-  def syncIvfIndex(upserts: DataFrame, removed: DataFrame,
+    * assign against the frozen centroids, removed ids fold out.
+    * Malformed-batch resolution (r18, the shared sync contract): an id
+    * in BOTH sets resolves delete-wins; same-id duplicate upserts fold
+    * one deterministic revision ([[IndexStore.latestRevision]]). */
+  def syncIvfIndex(upserts0: DataFrame, removed: DataFrame,
                    centroids: DataFrame, indexDir: String): Unit = {
-    val s = upserts.sparkSession
+    val s = upserts0.sparkSession
     import s.implicits._
     IndexStore.adoptLegacy(indexDir)
     val src = IndexStore.currentPath(indexDir)
     val g = IndexStore.nextGen(indexDir)
+    val upserts = IndexStore.latestRevision(upserts0, "vec_id")
+      .join(broadcast(removed.select($"vec_id")), Seq("vec_id"), "left_anti")
     val dead = IndexStore.readTombstones(s, indexDir, "vec_id")
       .unionByName(removed.select($"vec_id"))
       .unionByName(upserts.select($"vec_id")).distinct().localCheckpoint()
@@ -1917,6 +1952,8 @@ object Similarity {
   def ivfTopKFromIndex(s: SparkSession, indexDir: String, centroids: DataFrame,
                        queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
     import s.implicits._
+    // generation resolved ONCE; lists + tombstones read through it
+    val root = IndexStore.currentPath(indexDir)
     val wq = Window.partitionBy($"q_id").orderBy($"c_cos".desc, $"cluster_id".asc)
     val probes = queries.crossJoin(broadcast(centroids))
       .select($"q_id", $"qv", $"qn", $"cluster_id",
@@ -1926,10 +1963,10 @@ object Similarity {
       .select($"q_id", $"qv", $"qn", $"cluster_id".as("probe_cluster"))
     val probedIds = probes.select($"probe_cluster").distinct()
       .as[Int].collect().sorted
-    val index = IndexStore.maskTombstones(
-      s.read.parquet(IndexStore.currentPath(indexDir))
+    val index = IndexStore.maskTombstonesAt(
+      s.read.parquet(root)
         .filter($"cluster_id".isin(probedIds.map(Int.box): _*)),
-      indexDir, "vec_id") // plan-identical to pre-deletion when no tombstones
+      root, "vec_id") // plan-identical to pre-deletion when no tombstones
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
     index.join(broadcast(probes),
         $"cluster_id" === $"probe_cluster" && $"vec_id" =!= $"q_id")
@@ -2577,18 +2614,51 @@ object Similarity {
     * [[updateInIvfIndex]] contract on the filtered modality (a
     * re-crawled doc can change its LABEL as well as its vector; the
     * fold replaces the whole row, so both move together atomically). */
-  def updateInLabeledIvfIndex(changed: DataFrame, centroids: DataFrame,
+  def updateInLabeledIvfIndex(changed0: DataFrame, centroids: DataFrame,
                               dir: String): Unit = {
-    val s = changed.sparkSession
+    val s = changed0.sparkSession
     import s.implicits._
     IndexStore.adoptLegacy(dir)
     val src = IndexStore.currentPath(dir)
     val g = IndexStore.nextGen(dir)
+    // same-id duplicate revisions fold ONE deterministic winner —
+    // label and vector move together because the whole ROW wins (r18,
+    // the shared sync-verb contract)
+    val changed = IndexStore.latestRevision(changed0, "vec_id")
     val dead = IndexStore.readTombstones(s, dir, "vec_id")
       .unionByName(changed.select($"vec_id")).distinct().localCheckpoint()
+    foldLabeledGeneration(src, dir, g, changed, centroids, dead)
+  }
+
+  /** Apply a FULL snapshot diff in ONE atomic generation on the
+    * labeled layout — [[syncIvfIndex]]'s contract with the two-level
+    * (label, cluster_id) key; shares the family's r18 malformed-batch
+    * resolution (delete-wins, deterministic same-id dedup). */
+  def syncLabeledIvfIndex(upserts0: DataFrame, removed: DataFrame,
+                          centroids: DataFrame, dir: String): Unit = {
+    val s = upserts0.sparkSession
+    import s.implicits._
+    IndexStore.adoptLegacy(dir)
+    val src = IndexStore.currentPath(dir)
+    val g = IndexStore.nextGen(dir)
+    val upserts = IndexStore.latestRevision(upserts0, "vec_id")
+      .join(broadcast(removed.select($"vec_id")), Seq("vec_id"), "left_anti")
+    val dead = IndexStore.readTombstones(s, dir, "vec_id")
+      .unionByName(removed.select($"vec_id"))
+      .unionByName(upserts.select($"vec_id")).distinct().localCheckpoint()
+    foldLabeledGeneration(src, dir, g, upserts, centroids, dead)
+  }
+
+  /** The one labeled-layout generation fold update and sync share:
+    * standing rows minus the dead ids plus the upserts' freshly
+    * assigned rows, atomic publish, tombstone lane reclaimed. */
+  private def foldLabeledGeneration(src: String, dir: String, g: Long,
+      upserts: DataFrame, centroids: DataFrame, dead: DataFrame): Unit = {
+    val s = upserts.sparkSession
+    import s.implicits._
     s.read.parquet(src)
       .join(broadcast(dead), Seq("vec_id"), "left_anti")
-      .unionByName(labeledIvfAssigned(changed, centroids))
+      .unionByName(labeledIvfAssigned(upserts, centroids))
       .repartition($"label", $"cluster_id")
       .sortWithinPartitions($"vec_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -2618,7 +2688,7 @@ object Similarity {
     IndexStore.adoptLegacy(dir)
     val src = IndexStore.currentPath(dir)
     val g = IndexStore.nextGen(dir)
-    IndexStore.maskTombstones(s.read.parquet(src), dir, "vec_id")
+    IndexStore.maskTombstonesAt(s.read.parquet(src), src, "vec_id")
       .repartition($"label", $"cluster_id")
       .sortWithinPartitions($"vec_id")
       .write.mode("overwrite").partitionBy("label", "cluster_id")
@@ -2641,10 +2711,12 @@ object Similarity {
     import s.implicits._
     val qLabels = queries.select($"label").distinct()
       .as[Int].collect().sorted
-    val index = IndexStore.maskTombstones(
-      s.read.parquet(IndexStore.currentPath(dir))
+    // generation resolved ONCE; subtree + tombstones read through it
+    val root = IndexStore.currentPath(dir)
+    val index = IndexStore.maskTombstonesAt(
+      s.read.parquet(root)
         .filter($"label".isin(qLabels.map(Int.box): _*)),
-      dir, "vec_id") // tombstone masking ([[deleteFromLabeledIvfIndex]]); identity when none
+      root, "vec_id") // tombstone masking ([[deleteFromLabeledIvfIndex]]); identity when none
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
     index.join(broadcast(queries), Seq("label"))
       .filter($"vec_id" =!= $"q_id")

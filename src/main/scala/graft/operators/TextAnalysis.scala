@@ -1308,15 +1308,20 @@ object TextAnalysis {
     * ([[graft.operators.Dedup.syncLshIndex]]'s contract): `upserts` =
     * changed revisions ∪ added docs, `removed` = dead ids; sync ≡
     * rebuild over (standing ∖ removed ∖ changed) ∪ upserts,
-    * IndexUpdateSpec-pinned. */
-  def syncBm25Index(upserts: DataFrame, removed: DataFrame,
+    * IndexUpdateSpec-pinned. Malformed-batch resolution (r18): an id
+    * in BOTH sets resolves delete-wins, same-id duplicate upserts fold
+    * one deterministic revision ([[graft.operators.Dedup.syncLshIndex]]'s
+    * shared contract, via [[IndexStore.latestRevision]]). */
+  def syncBm25Index(upserts0: DataFrame, removed: DataFrame,
                     dir: String): Unit = {
-    val s = upserts.sparkSession
+    val s = upserts0.sparkSession
     import s.implicits._
     IndexStore.adoptLegacy(dir)
     val src = IndexStore.currentPath(dir)
     val g = IndexStore.nextGen(dir)
     val root = IndexStore.genPath(dir, g)
+    val upserts = IndexStore.latestRevision(upserts0, "doc_id")
+      .join(broadcast(removed.select($"doc_id")), Seq("doc_id"), "left_anti")
     val dead = IndexStore.readTombstones(s, dir, "doc_id")
       .unionByName(removed.select($"doc_id"))
       .unionByName(upserts.select($"doc_id")).distinct().localCheckpoint()
@@ -1346,7 +1351,7 @@ object TextAnalysis {
     val src = IndexStore.currentPath(dir)
     val g = IndexStore.nextGen(dir)
     val root = IndexStore.genPath(dir, g)
-    IndexStore.maskTombstones(s.read.parquet(s"$src/postings"), dir, "doc_id")
+    IndexStore.maskTombstonesAt(s.read.parquet(s"$src/postings"), src, "doc_id")
       .repartition($"bucket").sortWithinPartitions($"token", $"doc_id")
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/postings")
     s.read.parquet(s"$root/postings")
@@ -1369,6 +1374,8 @@ object TextAnalysis {
   def bm25TopKFromIndex(s: SparkSession, dir: String, queries: DataFrame,
                         k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import s.implicits._
+    // generation resolved ONCE; postings + tombstones read through it
+    // (the probeLshIndex single-resolution discipline, r17 advice)
     val root = IndexStore.currentPath(dir)
     val qt = queries
       .select($"doc_id".as("q_id"), explode(toks($"text")).as("token"))
@@ -1378,10 +1385,10 @@ object TextAnalysis {
     graft.Scratch.track(qt)
     val buckets = qt.select(bm25Bucket($"token").as("b")).distinct()
       .as[Int].collect().sorted
-    val posts = IndexStore.maskTombstones(
+    val posts = IndexStore.maskTombstonesAt(
       s.read.parquet(s"$root/postings")
         .filter($"bucket".isin(buckets.map(Int.box): _*)),
-      dir, "doc_id") // identity when no deletion was ever recorded
+      root, "doc_id") // identity when no deletion was ever recorded
     val stats = s.read.schema(Bm25StatsSchema).parquet(s"$root/stats")
       .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl"))
       .select($"n_docs", ($"sum_dl".cast("double") / $"n_docs").as("avgdl"))
