@@ -1,6 +1,6 @@
 package graft
 
-import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.LogicalRDD
@@ -29,6 +29,24 @@ import org.apache.spark.sql.execution.LogicalRDD
   *    write, the streaming admission loop at the end of each
   *    micro-batch. It calls [[drain]].
   *
+  * SCOPE (r18, closing the r17 advice): tracking is keyed by the
+  * producing THREAD. [[drain]] releases only the calling thread's
+  * frames, because drain() is now called from library code
+  * (`StreamingCuration.admitBatch`, `StreamingCorpusSync.syncBatch`)
+  * as well as the harnesses — a single global registry would let one
+  * consumer unpersist blocks out from under a CONCURRENT one (a
+  * second streaming query, a session thread holding a
+  * not-yet-materialized probe frame), and localCheckpoint truncates
+  * lineage, so the victim's later materialization fails
+  * unrecoverably rather than recomputing. The thread key matches the
+  * call pattern everywhere: an operator's tracked scratch is produced
+  * on the thread of the consumer that invoked it (Structured
+  * Streaming runs each query's `foreachBatch` on that query's own
+  * stable execution thread), so each consumer drains exactly what its
+  * own operator calls tracked. Frames tracked by a thread that never
+  * drains behave as before — held until JVM exit, which is what the
+  * leak already was.
+  *
   * A function that fully consumes its own checkpoints before
   * returning (an index-maintenance verb that ends in a parquet write)
   * skips the registry and calls [[releaseNow]] directly.
@@ -37,17 +55,16 @@ import org.apache.spark.sql.execution.LogicalRDD
   * no-op) and safe at the chosen drain points by construction: a
   * drained frame is never re-materialized, because every consumer
   * drains only AFTER it has finished materializing the plans of the
-  * operator calls it made since the previous drain. Code that never
-  * drains (unit specs, short-lived drivers) behaves exactly as before
-  * — the registry holds strong references until JVM exit, which is
-  * what the leak already was.
+  * operator calls it made since the previous drain.
   */
 object Scratch {
 
-  private val live = new ConcurrentLinkedQueue[DataFrame]()
+  private val live = new ConcurrentHashMap[Long, ConcurrentLinkedQueue[DataFrame]]()
   private val doomedDirs = new ConcurrentLinkedQueue[String]()
 
-  /** Defer a directory deletion to the consumer's next [[drain]] (or
+  private def ownKey: Long = Thread.currentThread().getId
+
+  /** Defer a directory deletion to ANY consumer's next [[drain]] (or
     * JVM exit). The registered index entries FIFO-evict their retired
     * temp artifact dirs; doing the rmTree inline put a full index
     * tree's deletion INSIDE the evicting invocation's timed span —
@@ -55,7 +72,9 @@ object Scratch {
     * re-measure attempts, which is why those brackets spiked 2–3× in
     * some r17 sessions. The dir is dead by the caller's contract
     * (results localCheckpointed before admission), so deletion timing
-    * is free to move to the untimed boundary. */
+    * is free to move to the untimed boundary — and unlike the frame
+    * registry, dir deletion needs no owner scoping: a dead dir is
+    * dead for every thread. */
   def deferDelete(dir: String): Unit = {
     cleanupHook
     doomedDirs.add(dir)
@@ -74,8 +93,12 @@ object Scratch {
   }
 
   /** Register a checkpointed frame whose blocks become dead at the
-    * consumer's next [[drain]]. Returns the frame for chaining. */
-  def track(df: DataFrame): DataFrame = { live.add(df); df }
+    * CALLING THREAD's next [[drain]]. Returns the frame for chaining. */
+  def track(df: DataFrame): DataFrame = {
+    live.computeIfAbsent(ownKey, _ => new ConcurrentLinkedQueue[DataFrame]())
+      .add(df)
+    df
+  }
 
   /** Release one checkpointed frame's storage immediately: blocking
     * unpersist of localCheckpoint blocks, file deletion for reliable
@@ -92,15 +115,21 @@ object Scratch {
     case _ => ()
   }
 
-  /** Release everything tracked since the last drain. Call only from
-    * a consumer that has finished materializing the operator results
-    * it requested. Tolerates a stopped session (JVM-exit paths). */
+  /** Release everything THIS THREAD tracked since its last drain
+    * (plus any deferred dir deletions — those are owner-free). Call
+    * only from a consumer that has finished materializing the
+    * operator results it requested; other threads' tracked frames are
+    * untouched, so concurrent consumers cannot release each other's
+    * live scratch. Tolerates a stopped session (JVM-exit paths). */
   def drain(): Unit = {
-    var df = live.poll()
-    while (df != null) {
-      try releaseNow(df)
-      catch { case _: Throwable => () }
-      df = live.poll()
+    val q = live.remove(ownKey)
+    if (q != null) {
+      var df = q.poll()
+      while (df != null) {
+        try releaseNow(df)
+        catch { case _: Throwable => () }
+        df = q.poll()
+      }
     }
     var d = doomedDirs.poll()
     while (d != null) {
@@ -109,7 +138,12 @@ object Scratch {
     }
   }
 
-  /** Telemetry: frames currently tracked (the bench artifact reports
-    * this next to `storage_rdds` so a reintroduced leak is visible). */
-  def liveCount: Int = live.size
+  /** Telemetry: frames currently tracked across ALL threads (the
+    * bench artifact reports this next to `storage_rdds` so a
+    * reintroduced leak is visible). */
+  def liveCount: Int = {
+    var n = 0
+    live.forEach((_, q) => n += q.size)
+    n
+  }
 }
