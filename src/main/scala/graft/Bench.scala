@@ -316,6 +316,60 @@ object Bench {
     }
     val gcStart = gcMsNow()
 
+    // mid-suite resource telemetry (r18, VERDICT r17 #3): the in-suite
+    // vs isolated delta survived the r17 scratch fix with storage
+    // clean, so sample the OTHER candidate resources at ~5 points
+    // through the 200+-query run — JIT compilation time and code-cache
+    // occupancy (the RampProbe finding: large generated plans keep the
+    // C2 compiler busy deep into the suite), metaspace (classloading
+    // from 200 distinct generated plans), and shuffle/block files on
+    // disk (page-cache pressure proxy). Emitted as
+    // suite_context_samples in bench_detail.json so the attribution is
+    // in the committed artifact, not a one-off probe session.
+    def jitMsNow(): Long =
+      Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+        .filter(_.isCompilationTimeMonitoringSupported)
+        .map(_.getTotalCompilationTime).getOrElse(-1L)
+    def poolUsedMb(prefix: String): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith(prefix))
+        .map(_.getUsage.getUsed).sum / (1024 * 1024)
+    }
+    // this JVM is the box's main Spark tenant while the bench runs, so
+    // counting every blockmgr-* under the tmp root tracks its own
+    // shuffle-file debt (stale dirs from crashed runs would show as a
+    // high flat baseline, not growth — growth is the signal)
+    def blockmgrFiles(): Long = {
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir", "/tmp"))
+      var n = 0L
+      try {
+        val st = java.nio.file.Files.list(tmp)
+        try st.forEach { p =>
+          if (p.getFileName.toString.startsWith("blockmgr-")) {
+            val w = java.nio.file.Files.walk(p)
+            try w.forEach(q =>
+              if (java.nio.file.Files.isRegularFile(q)) n += 1)
+            finally w.close()
+          }
+        } finally st.close()
+      } catch { case _: Throwable => () }
+      n
+    }
+    val ctxSamples = scala.collection.mutable.ArrayBuffer[String]()
+    def sampleContext(after: String, seq: Int): Unit = {
+      val (rd, mem) = storageNow()
+      ctxSamples += s"""{"after":"$after","seq":$seq,""" +
+        s""""gc_ms":${gcMsNow()},"jit_ms":${jitMsNow()},""" +
+        s""""codecache_mb":${poolUsedMb("CodeHeap")},""" +
+        s""""metaspace_mb":${poolUsedMb("Metaspace")},""" +
+        s""""storage_rdds":$rd,"storage_mem_mb":${mem / (1024 * 1024)},""" +
+        s""""blockmgr_files":${blockmgrFiles()},""" +
+        s""""scratch_live":${Scratch.liveCount}}"""
+    }
+    sampleContext("suite_start", -1)
+
     // peak block-manager debt ACROSS the run, not just end-of-run
     // residue: r10's d08/s11 watch item showed end-of-run storage can
     // read clean (1 RDD) while mid-suite debt inflates neighbors — the
@@ -350,6 +404,14 @@ object Bench {
       // r16: both run CC (d25 twice: standing build + projected merge;
       // d27 twice: map build + affected re-label) — same profile
       "d25_incremental_clusters", "d27_cluster_delete",
+      // r18: the remaining artifact-WRITING registered entries join the
+      // settled protocol — each invocation builds a full temp index
+      // (many write jobs), the class whose r17 isolated brackets swung
+      // 2–4× on shared-box write-path noise; a settled median official
+      // number makes the in-suite and isolated frames comparable
+      "u01_lsh_update_probe", "t41_bm25_persisted", "s27_ivfadc_persisted",
+      "s17_ivf_persisted", "d21_lsh_index_probe", "d26_lsh_delete_probe",
+      "m10_payload_index_probe", "m18_payload_delete_probe",
       // r15: c12 — not CC, but the same many-jobs profile (state write
       // + multi-stage admission): its OFFICIAL number rose three rounds
       // (4.21 → 5.31 → 6.20 s) while its isolated bracket sat flat at
@@ -358,7 +420,8 @@ object Bench {
       // built for exactly that (r14 verdict #2).
       "c12_incremental_curation")
     val ccAttempts = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    val results = queries.map { case (name, fn) =>
+    val ctxStep = math.max(1, queries.size / 5)
+    val results = queries.zipWithIndex.map { case ((name, fn), qi) =>
       // settle GC debt from the previous query so its collection pause
       // is not billed to this one (the LSH joins allocate heavily) —
       // and deterministically release the PREVIOUS query's tracked
@@ -402,6 +465,8 @@ object Bench {
       val (nowRdds, nowMem) = storageNow()
       if (nowMem > peakMem) { peakMem = nowMem; peakAfter = name }
       if (nowRdds > peakRdds) peakRdds = nowRdds
+      if ((qi + 1) % ctxStep == 0 || qi == queries.size - 1)
+        sampleContext(name, qi)
       // GC across the timed runs (not the settles): the per-query share
       // of collector time — attribution for any inflated sample
       (name, sec, gcMsNow() - gc0 - settleGcMs)
@@ -451,19 +516,35 @@ object Bench {
           if prevPerQuery.get(name).exists(p => sec > p * 1.3 && sec - p > 0.3) =>
         name
     }
-    val isolatedTop10 = {
+    // r18 (VERDICT r17 #1): every isolated bracket runs the FULL
+    // copy_isolated discipline — one unrecorded WARMUP execution
+    // (re-entry pays codegen/JIT/footer-cache that the steady state
+    // does not; the cc-family attempt arrays show attempt 1
+    // consistently highest), then settle + median-of-3 with the
+    // per-attempt Scratch.drain() moving deferred temp-index
+    // deletions off the timed span — and the ATTEMPTS are published
+    // (isolated_attempts_s in bench_detail.json), so a shared-box
+    // write-path spike is visible as a one-attempt outlier instead of
+    // silently becoming the gate reading (r17: d27 isolated read
+    // 19.05 s in the driver run vs 4.95 in-suite on unchanged code).
+    val isolatedAttempts = {
       val fnByName = queries.toMap
       val names = (results.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
         ++ regressed).distinct
       names.map { name =>
         val fn = fnByName(name)
+        Scratch.drain()
+        try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
         val ts = (1 to 3).map { _ =>
           Scratch.drain()
           System.gc(); Thread.sleep(1000)
           timeSec(materialize(fn(spark, sfDir)))
         }
-        name -> ts.sorted.apply(1)
+        name -> ts
       }
+    }
+    val isolatedTop10 = isolatedAttempts.map { case (n, ts) =>
+      n -> ts.sorted.apply(1)
     }
     // the regression verdict, computed in-artifact: a regression whose
     // ISOLATED time also moved ≥ 1.3× vs last round's per_query_s is
@@ -697,11 +778,20 @@ object Bench {
       "\"" + k + "\":" + i }.mkString("{", ",", "}")
     val isoJson = isolatedTop10.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // the isolated brackets' full attempt arrays (r18: a gate frame
+    // whose single reading can hide a 4× write-path spike is not a
+    // gate — the spread IS the telemetry)
+    val isoAttemptsJson = isolatedAttempts.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val ctxJson = ctxSamples.mkString("[", ",", "]")
     println(s"""{"detail":"per_query_s","queries":$qsFull}""")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       (s"""{"sf":"$sfDir","per_query_s":$qsFull,"per_query_gc_ms":$gcFull,""" +
        s""""per_query_seq":$seqFull,"isolated_top10_s":$isoJson,""" +
+       s""""isolated_attempts_s":$isoAttemptsJson,""" +
+       s""""suite_context_samples":$ctxJson,""" +
        s""""regressions_vs_prev":$regressionJson,""" +
        s""""cc_family_attempts_s":$ccJson}\n""").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -717,39 +807,20 @@ object Bench {
       "c01_curation_pipeline", "q01_pricing_summary")
     val qsHead = headline.filter(byName.contains)
       .map(k => "\"" + k + "\":" + r3(byName(k))).mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsHead""" +
-      s""","n_queries":${results.size},"sf":"$sfDir"""" +
-      s""","query_median_s":${r3(medianS)},"query_p100_s":${r3(p100S)}""" +
-      s""","slowest5":$slowest5""" +
-      // context health: collector time across the timed query section
-      // (healthy: a few % of total wall) and block-manager residue after
-      // it (healthy: near zero — superseded CC checkpoints are released
-      // inline, final frames drain via the async cleaner)
-      s""","gc_queries_ms":$gcQueriesMs""" +
-      // round-over-round regression attribution (vs the previous
-      // round's committed bench_detail.json; isolated re-measure per
-      // entry — "context" = isolated sits at the old number)
+    // OUTPUT LAYOUT (r18): the collector that turns stdout into
+    // BENCH_r{N}.json keeps only the last ~2000 chars — r17's single
+    // summary line had grown past that (its head was truncated and
+    // the artifact's `parsed` field came back null), so the probe
+    // sections move to a bench_extra DETAIL line (plus
+    // bench_detail.json, committed) and the FINAL line carries only
+    // the gate-mapped numbers, compact enough to always parse.
+    val extra =
+      s"""{"detail":"bench_extra","sf":"$sfDir"""" +
       s""","regressions_vs_prev":$regressionJson""" +
-      s""","storage_rdds":$storageRdds,"storage_mem_mb":${storageMem / (1024 * 1024)}""" +
-      // tracked-but-undrained checkpoint scratch at end of run: a
-      // reintroduced leak shows here before it shows in storage_rdds
-      s""","scratch_live":${Scratch.liveCount}""" +
-      s""","storage_rdds_peak":$peakRdds,"storage_mem_peak_mb":${peakMem / (1024 * 1024)}""" +
-      s""","storage_peak_after":"$peakAfter"""" +
-      s""","copy_docs":$nDocs,"copy_sec":${r3(copySec)},"copy_docs_per_s":${r3(copyDocsPerS)}""" +
-      // cold = first attempt (fresh JVM paths), all three are full
-      // fresh-lineage runs (scan+shuffle+sort+write); copy_sec = median
-      s""","copy_sec_attempts":[${copyAttempts.map(a => r3(a._2)).mkString(",")}]""" +
+      s""","cc_family_attempts_s":$ccJson""" +
+      s""","isolated_attempts_s":$isoAttemptsJson""" +
+      s""","suite_context_samples":$ctxJson""" +
       s""","copy_timing":"settled; median-of-3; fresh lineage per attempt"""" +
-      // the fresh-JVM baseline measured before this suite started —
-      // read the two copy numbers as path (isolated) vs context (suite)
-      s""","copy_isolated":$isolatedLine""" +
-      // the streaming admission leg's fresh-JVM bracket (r17): read
-      // curation_stream_s as in-suite CONTEXT telemetry and this as
-      // the path's steady state — the copy_isolated discipline
-      s""","stream_isolated":$streamIsolatedLine""" +
-      s""","streaming_batch_ms":$streamingBatchMs""" +
       s""","stream_files_parsed":$streamFilesParsed""" +
       s""","stream_files_opened":$streamFilesOpened,"stream_files_in_store":$bulkFilesInStore""" +
       s""","skew_lsh_s":${r3(skewLshSec)},"skew_lsh_candidates":$skewLshCands""" +
@@ -758,23 +829,46 @@ object Bench {
       s""","skew_graph_s":${r3(skewGraphSec)},"skew_graph_edges":$skewGraphEdges""" +
       s""","skew_clusters_s":${r3(skewClustersSec)},"skew_cluster_rows":$skewClusterRows""" +
       s""","skew_payload_s":${r3(skewPayloadSec)},"skew_payload_pairs":$skewPayloadPairs""" +
-      s""","curation_stream_docs":$curN,"curation_stream_s":${r3(curSec)}""" +
+      s""","curation_stream_docs":$curN""" +
       s""","curation_stream_admitted":$curAdmitted""" +
       s""","curation_stream_files":$curFiles""" +
       s""","pipeline_pairs_clusters_crossmodal_s":${r3(pipelineSec)}""" +
       s""","c05_shared_split_s":${r3(c05SharedSec)}""" +
+      s""","signed_write_s":${r3(signedWriteSec)},"plain_write_s":${r3(plainWriteSec)}}"""
+    println(extra)
+    // isolated medians for the artifact-writing entries the r17
+    // verdict gated on — in the FINAL line so the ±30%-of-in-suite
+    // check reads from one parsed artifact (full attempt arrays in
+    // bench_extra / bench_detail.json)
+    val isoByName = isolatedTop10.toMap
+    val isoGate = Seq("d25_incremental_clusters", "d27_cluster_delete",
+        "u01_lsh_update_probe").filter(isoByName.contains)
+      .map(k => "\"" + k + "\":" + r3(isoByName(k))).mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsHead""" +
+      s""","n_queries":${results.size},"sf":"$sfDir"""" +
+      s""","query_median_s":${r3(medianS)},"query_p100_s":${r3(p100S)}""" +
+      s""","slowest5":$slowest5""" +
+      // context health: collector time across the timed query section
+      // plus block-manager/scratch residue — a degraded run is visible
+      // IN the numbers (mid-suite samples in bench_extra)
+      s""","gc_queries_ms":$gcQueriesMs""" +
+      s""","storage_rdds":$storageRdds,"storage_mem_mb":${storageMem / (1024 * 1024)}""" +
+      s""","scratch_live":${Scratch.liveCount}""" +
+      s""","storage_rdds_peak":$peakRdds,"storage_mem_peak_mb":${peakMem / (1024 * 1024)}""" +
+      s""","storage_peak_after":"$peakAfter"""" +
+      s""","regressed_n":${regressed.size}""" +
+      s""","isolated_gate_s":$isoGate""" +
+      s""","copy_docs":$nDocs,"copy_sec":${r3(copySec)},"copy_docs_per_s":${r3(copyDocsPerS)}""" +
+      s""","copy_sec_attempts":[${copyAttempts.map(a => r3(a._2)).mkString(",")}]""" +
+      // the fresh-JVM baselines measured before this suite started —
+      // read suite vs isolated as context vs path
+      s""","copy_isolated":$isolatedLine""" +
+      s""","stream_isolated":$streamIsolatedLine""" +
+      s""","streaming_batch_ms":$streamingBatchMs""" +
+      s""","curation_stream_s":${r3(curSec)}""" +
       s""","c12_admission_s":${r3(c12AdmitSec)}""" +
-      // the six multi-job CC/triangle queries: per-attempt spread under
-      // the settled median-of-3 protocol (their per_query_s value IS
-      // the median) — the spread bounds run-to-run variance in the one
-      // family where a single sample was a coin flip (r11 p100)
-      s""","cc_family_attempts_s":$ccJson""" +
-      // s17 serve-only: top-k against a pre-built persisted IVF index —
-      // the production per-query-run cost (registered s17 = build+serve)
       s""","s17_serve_s":${r3(s17ServeSec)}""" +
-      // s16 sidecar write: signature lane computed in-plan vs the same
-      // clustered write without it — the ingest-side cost of the lane
-      s""","signed_write_s":${r3(signedWriteSec)},"plain_write_s":${r3(plainWriteSec)}""" +
       // BASELINE.md row mapping (explicit so the grader needn't infer)
       s""","dedup_exact_s":${r3(named("d01_exact_dedup"))}""" +
       s""","minhash_lsh_s":${r3(named("d04_minhash_lsh"))}""" +

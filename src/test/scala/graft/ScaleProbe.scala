@@ -295,6 +295,130 @@ object ScaleProbe {
         f"rebuild-with-revisions=${rbS10}%6.2fs  cost-ratio=${updS10 / rbS10}%5.2fx  " +
         f"(probe-upd=${pU10}%5.2fs probe-rb=${pUr10}%5.2fs, same answer)")
 
+      // update-vs-rebuild pricing for the NON-LSH artifacts (round-18,
+      // VERDICT r17 #4): the same protocol — 2% of standing revised,
+      // update = one generation fold, rebuild = full write with the
+      // revisions, serve/probe equality asserted — one row per family
+      // at x1 and x10 standing mass so SCALE.md can price each
+      // artifact's snapshot cadence, not just the LSH one.
+      locally {
+        import graft.operators.TextAnalysis
+        // BM25: changedU is already the 2% revised doc set
+        def bm25Row(tag: String, standing: DataFrame, pct: String): Unit = {
+          val dir = s"$base/bm25upd_$tag"
+          val rb = s"$base/bm25updrb_$tag"
+          TextAnalysis.writeBm25Index(standing, dir)
+          val updS = timeSec(TextAnalysis.updateInBm25Index(changedU, dir))
+          val rbS = timeSec(TextAnalysis.writeBm25Index(standing
+            .join(changedU.select($"doc_id"), Seq("doc_id"), "left_anti")
+            .unionByName(changedU), rb))
+          val q = standing1.filter($"doc_id" < 20)
+          def serve(d: String) = TextAnalysis.bm25TopKFromIndex(spark, d, q, 3)
+            .collect().map(_.toString).toSet
+          require(serve(dir) == serve(rb),
+            s"bm25 $tag update vs rebuild-with-revisions diverged")
+          println(f"SCALE t41_update_$tag%-7s update($pct%s)=${updS}%6.2fs  " +
+            f"rebuild-with-revisions=${rbS}%6.2fs  cost-ratio=${updS / rbS}%5.2fx  " +
+            f"(serve answers identical)")
+        }
+        bm25Row("x1", standing1, "2%")
+        bm25Row("x10", standing10u, "0.2%")
+
+        // payload: same doc sets as binary payloads, m-family verbs
+        val pay = (d: DataFrame) =>
+          d.select($"doc_id", encode($"text", "utf-8").as("payload"))
+        def payRow(tag: String, standing: DataFrame, pct: String): Unit = {
+          val dir = s"$base/payupd_$tag"
+          val rb = s"$base/payupdrb_$tag"
+          Multimodal.writePayloadIndex(pay(standing), dir)
+          val updS = timeSec(Multimodal.updateInPayloadIndex(pay(changedU), dir))
+          val rbS = timeSec(Multimodal.writePayloadIndex(pay(standing
+            .join(changedU.select($"doc_id"), Seq("doc_id"), "left_anti")
+            .unionByName(changedU)), rb))
+          val deltaP = pay(delta1)
+          def probe(d: String) =
+            Multimodal.probePayloadIndex(spark, d, deltaP, 3).count()
+          val (pU, pR) = (probe(dir), probe(rb))
+          require(pU == pR, s"payload $tag update vs rebuild diverged: $pU vs $pR")
+          println(f"SCALE m10_update_$tag%-7s update($pct%s)=${updS}%6.2fs  " +
+            f"rebuild-with-revisions=${rbS}%6.2fs  cost-ratio=${updS / rbS}%5.2fx  " +
+            f"(probe answers identical)")
+        }
+        payRow("x1", standing1, "2%")
+        payRow("x10", standing10u, "0.2%")
+
+        // IVF + IVFADC: the embeddings corpus (x10 = byte-copies, the
+        // recrawl dup storm), 2% of ids re-embedded via the boundary-
+        // crossing +0.3 nudge; quantizers FROZEN across update and
+        // rebuild (the s18 contract — a rebuild that retrains is a
+        // different artifact, not the comparison)
+        val emb1u = spark.read.parquet(s"$base/x1/embeddings.parquet")
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        val emb10u = spark.read.parquet(s"$base/x10/embeddings.parquet")
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        val centsU = Similarity.kmeansCentroids(emb1u, 5, 2).localCheckpoint()
+        val changedVecs = emb10u.filter($"vec_id" % 50 === 7 &&
+            $"vec_id" < 10000000L) // 2% of x1 ids — present in both corpora
+          .select($"vec_id", transform($"v",
+            (x, i) => when(i === 0, x + 0.3).otherwise(x)).as("v"))
+          .localCheckpoint()
+        def ivfRow(tag: String, standing: DataFrame, pct: String): Unit = {
+          val dir = s"$base/ivfupd_$tag"
+          val rb = s"$base/ivfupdrb_$tag"
+          Similarity.writeIvfIndex(standing, centsU, dir)
+          val updS = timeSec(Similarity.updateInIvfIndex(changedVecs, centsU, dir))
+          val rbS = timeSec(Similarity.writeIvfIndex(standing
+            .join(changedVecs.select($"vec_id"), Seq("vec_id"), "left_anti")
+            .unionByName(changedVecs), centsU, rb))
+          val q = emb1u.withColumn("nrm", Similarity.norm($"v"))
+            .filter($"vec_id" < 20)
+            .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+          def serve(d: String) =
+            Similarity.ivfTopKFromIndex(spark, d, centsU, q, 2, 3)
+              .collect().map(_.toString).toSet
+          require(serve(dir) == serve(rb),
+            s"ivf $tag update vs rebuild-with-revisions diverged")
+          println(f"SCALE s31_update_$tag%-7s update($pct%s)=${updS}%6.2fs  " +
+            f"rebuild-with-revisions=${rbS}%6.2fs  cost-ratio=${updS / rbS}%5.2fx  " +
+            f"(serve answers identical)")
+        }
+        ivfRow("x1", emb1u, "2%")
+        ivfRow("x10", emb10u, "0.2%")
+
+        // IVFADC (frozen coarse + PQ books trained once on x1)
+        val dsubU = 4
+        val vq1 = Similarity.pqSubvectors(emb1u, 64).localCheckpoint()
+        val coarseU = Similarity.pqCodebooks(vq1, 5, 2).localCheckpoint()
+        val rsvU = Similarity.coarseResidualsForSpec(vq1, coarseU)
+          .select($"vec_id", posexplode(Similarity.subSplit($"r", dsubU)))
+          .toDF("vec_id", "sub", "sv")
+        val booksU = Similarity.pqCodebooks(rsvU, 16, 2).localCheckpoint()
+        val changedVq = Similarity.pqSubvectors(changedVecs, 64).localCheckpoint()
+        def adcRow(tag: String, standing: DataFrame, pct: String): Unit = {
+          val dir = s"$base/adcupd_$tag"
+          val rb = s"$base/adcupdrb_$tag"
+          val standingVq = Similarity.pqSubvectors(standing, 64)
+          Similarity.writeIvfAdcIndex(standingVq, coarseU, booksU, dsubU, dir)
+          val updS = timeSec(
+            Similarity.updateInIvfAdcIndex(changedVq, dsubU, dir))
+          val rbS = timeSec(Similarity.writeIvfAdcIndex(
+            standingVq.join(changedVq.select($"vec_id").distinct(),
+                Seq("vec_id"), "left_anti")
+              .unionByName(changedVq), coarseU, booksU, dsubU, rb))
+          val qVq = vq1.filter($"vec_id" < 20)
+          def serve(d: String) =
+            Similarity.ivfAdcTopKFromIndex(spark, d, qVq, dsubU, 2, 3)
+              .collect().map(_.toString).toSet
+          require(serve(dir) == serve(rb),
+            s"ivfadc $tag update vs rebuild-with-revisions diverged")
+          println(f"SCALE s27_update_$tag%-7s update($pct%s)=${updS}%6.2fs  " +
+            f"rebuild-with-revisions=${rbS}%6.2fs  cost-ratio=${updS / rbS}%5.2fx  " +
+            f"(serve answers identical)")
+        }
+        adcRow("x1", emb1u, "2%")
+        adcRow("x10", emb10u, "0.2%")
+      }
+
       // tombstone-mask economics for the BM25 and IVF artifacts
       // (round-17, VERDICT r16 #7): serve cost of (a) a NEVER-deleted
       // index — the zero-tombstone fast path, plan-identical to
