@@ -412,6 +412,7 @@ object Bench {
       "u01_lsh_update_probe", "t41_bm25_persisted", "s27_ivfadc_persisted",
       "s17_ivf_persisted", "d21_lsh_index_probe", "d26_lsh_delete_probe",
       "m10_payload_index_probe", "m18_payload_delete_probe",
+      "u02_corpus_sync_probe", "u03_cluster_sync_map",
       // r15: c12 — not CC, but the same many-jobs profile (state write
       // + multi-stage admission): its OFFICIAL number rose three rounds
       // (4.21 → 5.31 → 6.20 s) while its isolated bracket sat flat at

@@ -1548,6 +1548,124 @@ object Dedup {
     out
   }
 
+  /** u02: the composed CDC sync, driven through the STREAMING wrapper
+    * and driver-hash-checked end to end (r18) — the r17 u01 entry
+    * covers the update verb alone; this one covers the production
+    * shape: one feed of upserts (adds + revisions) AND deletes, sliced
+    * into micro-batches through [[graft.streaming.StreamingCorpusSync
+    * .syncBatch]], each batch one atomic generation on the artifact,
+    * then d21's probe. Oracle = exact pairs over the POST-DIFF corpus
+    * (standing ∖ removed, revisions applied, adds present) restricted
+    * to delta-touching pairs — i.e. the answer of an index REBUILT
+    * over the synced corpus, which is the whole sync contract
+    * (sliced ≡ one-shot ≡ rebuild is additionally spec-pinned per
+    * lane in StreamingCorpusSyncSpec). Fixture sets (even ids only —
+    * the u01 economy): delta %10=0; adds %9=0; of the rest
+    * (standing): revisions %11=0, removals %7=0 (not also revised). */
+  def u02CorpusSyncProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"text")
+      .filter($"doc_id" % 2 === 0 && $"doc_id" % 10 =!= 0)
+    val standing = docs.filter($"doc_id" % 9 =!= 0)
+    val added = docs.filter($"doc_id" % 9 === 0)
+    val changed = standing.filter($"doc_id" % 11 === 0)
+      .select($"doc_id", concat($"text", lit(U01RevisionSuffix)).as("text"))
+    val removed = standing.filter($"doc_id" % 7 === 0 && $"doc_id" % 11 =!= 0)
+      .select($"doc_id")
+    val events = changed.unionByName(added)
+      .withColumn("op", lit("upsert"))
+      .unionByName(removed
+        .select($"doc_id", lit(null).cast("string").as("text"),
+          lit("delete").as("op")))
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft-u02-lsh").toString
+    u01CleanupHook
+    writeLshIndex(standing, dir)
+    // two micro-batches (even ids ⇒ %4 ∈ {0,2}): the slicing is
+    // answer-free by the sync contract
+    Seq(0, 2).foreach { m =>
+      graft.streaming.StreamingCorpusSync.syncBatch(
+        events.filter($"doc_id" % 4 === m),
+        graft.streaming.StreamingCorpusSync.SyncTargets(lshDir = Some(dir)))
+    }
+    val delta = documents(s, d).select($"doc_id", $"text")
+      .filter($"doc_id" % 2 === 0 && $"doc_id" % 10 === 0)
+    val out = graft.Scratch.track(
+      probeLshIndex(s, dir, delta, 0.8, 1000).localCheckpoint())
+    u01Admit(dir)
+    out
+  }
+
+  /** Oracle: exact pairs over (post-diff live corpus ∪ delta),
+    * restricted to delta-touching pairs — documents2 = even ids minus
+    * the removed set, revisions applied to the changed set; the delta
+    * (%10=0) rides along unmodified, exactly as it probes. */
+  val u02Sql: String =
+    s"""SELECT * FROM (${d03Sql
+         .replace("WITH sh AS (",
+           s"""WITH documents2 AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 10 <> 0 AND doc_id % 9 <> 0
+              |              AND doc_id % 11 = 0
+              |         THEN text || '$U01RevisionSuffix' ELSE text END AS text
+              |  FROM documents
+              |  WHERE doc_id % 2 = 0
+              |    AND NOT (doc_id % 10 <> 0 AND doc_id % 9 <> 0
+              |             AND doc_id % 7 = 0 AND doc_id % 11 <> 0)
+              |), sh AS (""".stripMargin)
+         .replace("FROM documents)", "FROM documents2)")
+         .replace("\n", "\n  ")})
+       |WHERE d1 % 10 = 0 OR d2 % 10 = 0""".stripMargin
+
+  /** u03: the composed sync on the CLUSTER-MAP artifact (r18) — the
+    * full diff applied through [[syncClusterMapViaLshIndex]] (index
+    * fold, affected-cluster re-split, probe-pair merge), then the map
+    * read back. Oracle = d08's recursive-CTE transitive closure over
+    * the POST-DIFF corpus — read ≡ a map rebuilt over the synced
+    * corpus's pairs, covering split-on-delete, revision re-pairing and
+    * insert-on-add in one driver-hash-checked entry (the d27 deletion
+    * precedent on the composed verb). Same fixture sets as u02, no
+    * delta (the map covers the whole live corpus). */
+  def u03ClusterSyncMap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"text")
+      .filter($"doc_id" % 2 === 0)
+    val standing = docs.filter($"doc_id" % 9 =!= 0)
+    val added = docs.filter($"doc_id" % 9 === 0)
+    val changed = standing.filter($"doc_id" % 11 === 0)
+      .select($"doc_id", concat($"text", lit(U01RevisionSuffix)).as("text"))
+    val removed = standing.filter($"doc_id" % 7 === 0 && $"doc_id" % 11 =!= 0)
+      .select($"doc_id")
+    val lshDir =
+      java.nio.file.Files.createTempDirectory("graft-u03-lsh").toString
+    val cmapDir =
+      java.nio.file.Files.createTempDirectory("graft-u03-cmap").toString
+    u01CleanupHook
+    writeLshIndex(standing, lshDir)
+    writeClusterMap(ngramJaccardPairs(standing, 0.8).select($"d1", $"d2"),
+      cmapDir)
+    syncClusterMapViaLshIndex(changed.unionByName(added), removed,
+      cmapDir, lshDir)
+    val out = graft.Scratch.track(
+      readClusterMap(s, cmapDir).localCheckpoint())
+    u01Admit(lshDir); u01Admit(cmapDir)
+    out
+  }
+
+  /** Oracle: d08's transitive closure over the post-diff corpus. */
+  lazy val u03Sql: String = d08Sql
+    .replace("WITH sh AS (",
+      s"""WITH documents2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 9 <> 0 AND doc_id % 11 = 0
+         |         THEN text || '$U01RevisionSuffix' ELSE text END AS text
+         |  FROM documents
+         |  WHERE doc_id % 2 = 0
+         |    AND NOT (doc_id % 9 <> 0 AND doc_id % 7 = 0
+         |             AND doc_id % 11 <> 0)
+         |), sh AS (""".stripMargin)
+    .replace("FROM documents)", "FROM documents2)")
+
   /** Oracle: exact pairs over the (even-id) corpus WITH the revisions
     * applied, restricted to delta-touching pairs (the d11/d26 form). */
   val u01Sql: String =
@@ -2481,6 +2599,8 @@ object Dedup {
     "d27_cluster_delete" -> (d27ClusterDeleteMaintain _),
     "d17_lsh_clusters"   -> (d17LshClusters _),
     "u01_lsh_update_probe" -> (u01LshUpdateProbe _),
+    "u02_corpus_sync_probe" -> (u02CorpusSyncProbe _),
+    "u03_cluster_sync_map" -> (u03ClusterSyncMap _),
   )
 
   // def, not val: the golden-snapshot oracle path resolves the sf tag
@@ -2524,6 +2644,13 @@ object Dedup {
     // u01: probe-after-update ≡ the exact delta-touching pair set over
     // the corpus WITH the revisions applied (rebuild-with-new-revisions)
     "u01_lsh_update_probe" -> u01Sql,
+    // u02: streamed CDC sync (adds + revisions + deletes in micro-
+    // batches) -> probe == exact delta-touching pairs over the
+    // post-diff corpus (rebuild-with-the-diff, the sync contract)
+    "u02_corpus_sync_probe" -> u02Sql,
+    // u03: composed cluster-map sync -> read == d08 CC over the
+    // post-diff corpus's pairs
+    "u03_cluster_sync_map" -> u03Sql,
     // same clusters as d08 through the LSH candidate path: exact
     // verification restores the d03 pair set (recall pinned by the
     // driver's d04-vs-d03 hash match), CC is pair-set-determined
