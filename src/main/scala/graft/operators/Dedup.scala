@@ -1624,12 +1624,19 @@ object Dedup {
     * the POST-DIFF corpus — read ≡ a map rebuilt over the synced
     * corpus's pairs, covering split-on-delete, revision re-pairing and
     * insert-on-add in one driver-hash-checked entry (the d27 deletion
-    * precedent on the composed verb). Same fixture sets as u02, no
-    * delta (the map covers the whole live corpus). */
+    * precedent on the composed verb). Same diff-set construction as
+    * u02 over the QUARTER corpus (ids divisible by 4 - the u01 economy,
+    * one notch further: the entry runs ngramJaccardPairs twice - map
+    * build + affected re-split - and CC three times, so the slice
+    * keeps the registered cost in line with its cc-family peers;
+    * full-scale maintenance economics are ScaleProbe's
+    * d25_cluster_merge row, and the equivalence contract is
+    * boundary-swept in StreamingCorpusSyncSpec/IndexUpdateSpec); no
+    * delta (the map covers the whole live slice). */
   def u03ClusterSyncMap(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d).select($"doc_id", $"text")
-      .filter($"doc_id" % 2 === 0)
+      .filter($"doc_id" % 4 === 0)
     val standing = docs.filter($"doc_id" % 9 =!= 0)
     val added = docs.filter($"doc_id" % 9 === 0)
     val changed = standing.filter($"doc_id" % 11 === 0)
@@ -1660,7 +1667,7 @@ object Dedup {
          |    CASE WHEN doc_id % 9 <> 0 AND doc_id % 11 = 0
          |         THEN text || '$U01RevisionSuffix' ELSE text END AS text
          |  FROM documents
-         |  WHERE doc_id % 2 = 0
+         |  WHERE doc_id % 4 = 0
          |    AND NOT (doc_id % 9 <> 0 AND doc_id % 7 = 0
          |             AND doc_id % 11 <> 0)
          |), sh AS (""".stripMargin)
